@@ -1,0 +1,54 @@
+"""Table IO: parquet fixture reader + generic source/sink helpers.
+
+The reference's only batch input is an implicit JDBC staging table; its
+streaming input is Kafka (reference spark_processor/processor.py:54-60).
+Our engine reads the driver's parquet fixtures for batch queries and wraps
+Kafka/file/rate sources for streaming (see sources.py / streaming/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
+
+from .session import apply_runtime_conf
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+#: Dimension tables that are broadcast-sized at every scale factor
+#: (FIXTURES.md §B: region 5 rows, nation 25, supplier 10·sf).
+BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
+
+
+#: Columns stored as parquet TIMESTAMP(NANOS), which Spark's reader rejects.
+#: With spark.sql.legacy.parquet.nanosAsLong they arrive as epoch-nanos LONG;
+#: we convert to microsecond TimestampType with exact integer division
+#: (a double division would lose precision: epoch-nanos ~1.7e18 >> 2^53).
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one fixture table. Applies engine runtime conf (UTC tz, AQE) so
+    queries behave identically whether the session is ours or the driver's."""
+    apply_runtime_conf(spark)
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for col in _NANOS_TS_COLS.get(name, ()):
+        if col in df.columns and isinstance(df.schema[col].dataType, LongType):
+            df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    return df
+
+
+def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: read_table(spark, sf_dir, n) for n in (names or TABLES)}

@@ -1,0 +1,79 @@
+"""OHLCV candle aggregation — the reference's core computation.
+
+Rebuilds the windowed aggregate at reference spark_processor/processor.py:77-101
+(groupBy(window(trade_time, "1 minute"), symbol) with first/last/max/min/sum
+and a vwap post-projection), with two deliberate changes:
+
+- ``first``/``last`` are order-dependent and non-deterministic in Spark
+  (SURVEY.md §2.3 A3); we use ``min_by``/``max_by`` on the event timestamp,
+  which is deterministic and maps to DuckDB ``arg_min``/``arg_max``.
+- The transform is DataFrame-in/DataFrame-out and works on both batch and
+  streaming inputs; the streaming job adds ``withWatermark`` before calling
+  (see streaming/job.py), mirroring processor.py:78.
+
+Scale: the aggregate is a pair of HashAggregateExec phases (partial before
+the shuffle, final after), so the shuffle carries one row per
+(key, window) per input partition — at 100 TB with minute windows this is
+the right plan: no sort, bounded state, no skew beyond key skew (use
+``salt`` helpers in operators/scale.py for pathological keys).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def ohlcv(
+    df: DataFrame,
+    *,
+    ts_col: str = "trade_time",
+    key_col: str = "symbol",
+    price_col: str = "price",
+    qty_col: str | None = "quantity",
+    window_duration: str = "1 minute",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Per-(key, tumbling window) OHLCV candles.
+
+    When ``qty_col`` is None every row counts as quantity 1 (the fixture
+    ``events`` table has a price-like ``value`` but no quantity), so
+    total_volume == n_trades and vwap == mean price.
+    """
+    price = F.col(price_col)
+    qty: Column = F.col(qty_col) if qty_col else F.lit(1.0)
+    w = F.window(F.col(ts_col), window_duration)
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    agg = (
+        df.groupBy(w.alias("w"), F.col(key_col).alias("symbol"))
+        .agg(
+            F.min_by(price, F.col(ts_col)).alias("open_price"),
+            F.max(price).alias("high_price"),
+            F.min(price).alias("low_price"),
+            F.max_by(price, F.col(ts_col)).alias("close_price"),
+            _r(F.sum(qty)).alias("total_volume"),
+            _r(F.sum(price * qty)).alias("total_value"),
+            F.count(F.lit(1)).alias("n_trades"),
+        )
+        # No ROUND on vwap: both operands are already engine-identical
+        # (rounded sums), so the division is bit-identical too — rounding a
+        # quotient can land exactly on a decimal boundary where engines'
+        # rounding modes disagree.
+        .withColumn("vwap", F.col("total_value") / F.col("total_volume"))
+    )
+    return agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "symbol",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "total_volume",
+        "total_value",
+        "n_trades",
+        "vwap",
+    )

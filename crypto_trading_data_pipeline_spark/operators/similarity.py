@@ -1,0 +1,64 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline: broadcast the (small) query
+side against the candidate corpus, compute the dot product with array
+higher-order functions (zip_with + aggregate — JVM-side, no Python), rank
+per query. At 100 TB the candidate side streams through executors once; the
+cost is O(|queries| * |corpus| * dim) FLOPs with zero shuffle of the corpus
+(the only shuffle is the final per-query top-k, |queries|*k rows).
+
+Floats are cast to double BEFORE multiplication so results are reproducible
+across engines to ~1e-15 (float32 accumulation differs at ~1e-7, which would
+break oracle hash-matching even after rounding).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def as_double_vec(c: Column) -> Column:
+    return F.transform(c, lambda x: x.cast("double"))
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product — deterministic summation order."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(dot(a, a))
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors for each query vector.
+
+    Returns (query_id, neighbor_id, sim, rnk). Ranking uses the ROUNDED
+    similarity with neighbor-id tie-break so results are reproducible.
+    """
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
+    ).withColumn("cn", l2_norm(F.col("cv")))
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double_vec(F.col(vec_col)).alias("qv")
+    ).withColumn("qn", l2_norm(F.col("qv")))
+
+    pairs = (
+        c.join(F.broadcast(q), F.col("neighbor_id") != F.col("query_id"))
+        .withColumn(
+            "sim",
+            F.round(dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn")), round_digits),
+        )
+        .select("query_id", "neighbor_id", "sim")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)

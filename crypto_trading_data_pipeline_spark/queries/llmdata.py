@@ -1,0 +1,180 @@
+"""LLM-training-data operators over documents/embeddings (SURVEY.md §2.6 X1-X4
++ BASELINE.json north star: dedup, similarity search, text analysis).
+
+All pure built-in-function implementations (no Python UDFs): string/array
+higher-order functions run inside whole-stage codegen, so these scale exactly
+like any relational query — the dedup representative-pick is one hash
+aggregate; cosine top-k broadcasts the (small) query side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.dedup import exact_dedup, normalize_text
+from ..operators.similarity import cosine_topk
+from ..operators.text import token_stats_cols
+from . import query
+
+# ---------------------------------------------------------------------------
+# Deduplication (X1, X2)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_dedup_exact",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             min(doc_id) OVER (PARTITION BY text) AS rep
+      FROM documents
+    ) WHERE doc_id = rep
+    """,
+    doc="Exact dedup keeping the lowest doc_id per identical text (deterministic dropDuplicates).",
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return exact_dedup(docs, key_cols=["text"], order_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+@query(
+    "q_dedup_norm",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             min(doc_id) OVER (
+               PARTITION BY lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             ) AS rep
+      FROM documents
+    ) WHERE doc_id = rep
+    """,
+    doc="Normalized dedup: lowercase + trim + whitespace-collapse before keying (near-dup canonicalization step).",
+)
+def q_dedup_norm(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    normed = docs.withColumn("_norm", normalize_text(F.col("text")))
+    return exact_dedup(normed, key_cols=["_norm"], order_col="doc_id").select(
+        "doc_id", "lang", "source", "n_chars"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text analysis (X4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_types,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                 / len(string_split(text, ' ')) AS ttr,
+           length(text) AS n_chars_measured
+    FROM documents
+    """,
+    doc="Whitespace tokenization stats: token count, vocabulary (type) count, type-token ratio.",
+)
+def q_token_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", *token_stats_cols(F.col("text")))
+
+
+@query(
+    "q_doc_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(text) AS fp,
+           md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp_norm
+    FROM documents
+    """,
+    doc="Content fingerprinting: md5 digest of raw and normalized text (join key for cross-corpus dedup).",
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.md5(F.col("text").cast("binary")).alias("fp"),
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp_norm"),
+    )
+
+
+@query(
+    "q_quality_score",
+    oracle="""
+    SELECT doc_id, n_tokens, ttr, stop_ratio,
+           0.5 * ttr + 0.3 * stop_ratio
+                 + 0.2 * least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) AS quality
+    FROM (
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_tokens,
+             CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS ttr,
+             CAST(len(list_filter(string_split(text, ' '),
+                        t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                   / len(string_split(text, ' ')) AS stop_ratio
+      FROM documents
+    )
+    """,
+    doc="Heuristic quality scoring: type-token ratio + stopword ratio + length saturation, composed into one bounded score.",
+)
+def q_quality_score(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    stop = F.array(*[F.lit(w) for w in ["the", "a", "of", "and", "to", "in", "is", "it"]])
+    toks = F.split(F.col("text"), " ")
+    n = F.size(toks)
+    # Unrounded ratios: integer-derived doubles are bit-identical across
+    # engines; ROUND would reintroduce half-boundary rounding-mode mismatches.
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n
+    return docs.select(
+        "doc_id",
+        n.alias("n_tokens"),
+        ttr.alias("ttr"),
+        stop_ratio.alias("stop_ratio"),
+    ).withColumn(
+        "quality",
+        0.5 * F.col("ttr")
+        + 0.3 * F.col("stop_ratio")
+        + 0.2 * F.least(F.col("n_tokens").cast("double") / 100.0, F.lit(1.0)),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity search (X3)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_cosine_topk",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 for query vectors (vec_id<5): broadcast the query side, rank on rounded similarity with id tie-break.",
+)
+def q_cosine_topk(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
+    )

@@ -1,0 +1,368 @@
+"""Relational breadth: join family, top-k, set ops, rollup, analytic windows,
+distinct/approx aggregates (SURVEY.md §2.6 X5-X10 — capability extensions;
+the reference itself has none of these, §2.5).
+
+Scale notes are inline per query; the common rules:
+- dimension tables (region/nation/supplier) are broadcast — no shuffle of the
+  fact side for those joins;
+- top-k per group is rank-filter (one shuffle+sort), global top-k is
+  TakeOrderedAndProject (no full sort);
+- double-valued aggregates are ROUNDed because summation order is
+  engine-dependent (SURVEY.md §5 pitfall 2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators.joins import asof_join
+from . import query
+
+def REVENUE():
+    return F.col("l_extendedprice") * (1 - F.col("l_discount"))
+
+
+@query(
+    "q_join_inner",
+    oracle="""
+    SELECT o_orderpriority,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderpriority
+    """,
+    doc="Fact-fact inner join + keyed agg. Both sides shuffle on the join key; AQE may convert to broadcast at small SF.",
+)
+def q_join_inner(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_join_broadcast",
+    oracle="""
+    SELECT r_name AS region,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    doc="Star join with explicitly broadcast dims (supplier/nation/region) — zero fact-side shuffles before the agg.",
+)
+def q_join_broadcast(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    region = F.broadcast(read_table(spark, sf_dir, "region"))
+    return (
+        li.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"), F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_join_semi",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-semi join (EXISTS). Spark ships only the key column of the right side.",
+)
+def q_join_semi(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_semi").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_anti",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def q_join_anti(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@query(
+    "q_join_range",
+    oracle="""
+    SELECT o_orderkey, count(*) AS n_shipped_30d,
+           round(sum(l_extendedprice), 2) AS value_30d
+    FROM orders JOIN lineitem
+      ON l_orderkey = o_orderkey
+     AND l_shipdate >= o_orderdate
+     AND l_shipdate < o_orderdate + INTERVAL 30 DAY
+    GROUP BY o_orderkey
+    """,
+    doc="Equi+range join: lineitems shipped within 30 days of their order. The equality key keeps it a hash join; the range is a post-filter, NOT a cross product.",
+)
+def q_join_range(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < orders.o_orderdate + F.expr("INTERVAL 30 DAYS"))
+    )
+    return (
+        orders.join(li, cond)
+        .groupBy("o_orderkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_shipped_30d"),
+            F.round(F.sum("l_extendedprice"), 2).alias("value_30d"),
+        )
+    )
+
+
+@query(
+    "q_join_range_asof",
+    oracle="""
+    SELECT p.user_id, p.event_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+           CAST(e.ts AS TIMESTAMP) AS err_ts_asof, e.event_id AS err_id_asof
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts >= e.ts
+    """,
+    doc="As-of join: for each purchase, the most recent prior error of the same user (operators/joins.py union+window plan — one shuffle, no inequality cross product).",
+)
+def q_join_range_asof(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "user_id", F.col("ts").alias("err_ts"), F.col("event_id").alias("err_id")
+    )
+    joined = asof_join(
+        purchases,
+        errors,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="err_ts",
+        value_cols=["err_ts", "err_id"],
+    )
+    return joined.select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp_ntz").alias("ts"),
+        "value",
+        F.col("err_ts_asof").cast("timestamp_ntz").alias("err_ts_asof"),
+        "err_id_asof",
+    )
+
+
+@query(
+    "q_topk_per_group",
+    oracle="""
+    SELECT p_brand, l_partkey, revenue, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT p_brand, l_partkey, revenue,
+             row_number() OVER (PARTITION BY p_brand ORDER BY revenue DESC, l_partkey) AS rn
+      FROM (
+        SELECT p_brand, l_partkey, round(sum(l_extendedprice), 2) AS revenue
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        GROUP BY p_brand, l_partkey
+      )
+    ) WHERE rn <= 3
+    """,
+    doc="Top-3 parts by revenue per brand: agg then rank-filter. Rank on the ROUNDED measure with l_partkey tie-break keeps it deterministic.",
+)
+def q_topk_per_group(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(read_table(spark, sf_dir, "part"))
+    per_part = (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_partkey")
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("revenue"))
+    )
+    w = Window.partitionBy("p_brand").orderBy(F.col("revenue").desc(), F.col("l_partkey"))
+    return (
+        per_part.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("p_brand", "l_partkey", "revenue", "rnk")
+    )
+
+
+@query(
+    "q_topk_global",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10
+    """,
+    doc="Global top-10 orders: orderBy+limit compiles to TakeOrderedAndProject (per-partition heap + driver merge, no full sort).",
+)
+def q_topk_global(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+@query(
+    "q_set_ops",
+    oracle="""
+    WITH cust_n AS (
+      SELECT DISTINCT n_name FROM customer JOIN nation ON c_nationkey = n_nationkey
+    ), supp_n AS (
+      SELECT DISTINCT n_name FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    )
+    SELECT 'both' AS op, n_name FROM (SELECT n_name FROM cust_n INTERSECT SELECT n_name FROM supp_n)
+    UNION ALL
+    SELECT 'cust_only' AS op, n_name FROM (SELECT n_name FROM cust_n EXCEPT SELECT n_name FROM supp_n)
+    UNION ALL
+    SELECT 'either' AS op, n_name FROM (SELECT n_name FROM cust_n UNION SELECT n_name FROM supp_n)
+    """,
+    doc="Set operations: INTERSECT / EXCEPT / UNION (distinct) over customer vs supplier nations.",
+)
+def q_set_ops(spark: SparkSession, sf_dir: str):
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    cust = read_table(spark, sf_dir, "customer")
+    supp = read_table(spark, sf_dir, "supplier")
+    cust_n = cust.join(nation, F.col("c_nationkey") == F.col("n_nationkey")).select("n_name").distinct()
+    supp_n = supp.join(nation, F.col("s_nationkey") == F.col("n_nationkey")).select("n_name").distinct()
+    return (
+        cust_n.intersect(supp_n).select(F.lit("both").alias("op"), "n_name")
+        .unionAll(cust_n.subtract(supp_n).select(F.lit("cust_only").alias("op"), "n_name"))
+        .unionAll(cust_n.union(supp_n).distinct().select(F.lit("either").alias("op"), "n_name"))
+    )
+
+
+@query(
+    "q_rollup",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2)     AS sum_qty,
+           count(*)                      AS n
+    FROM lineitem
+    GROUP BY ROLLUP(l_returnflag, l_linestatus)
+    """,
+    doc="ROLLUP hierarchy totals (flag, status) -> (flag) -> (); NULL markers coalesced to 'ALL' on both sides.",
+)
+def q_rollup(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_cube",
+    oracle="""
+    SELECT COALESCE(o_orderstatus, 'ALL')    AS orderstatus,
+           COALESCE(o_orderpriority, 'ALL')  AS orderpriority,
+           round(sum(o_totalprice), 2)       AS total,
+           count(*)                          AS n
+    FROM orders
+    GROUP BY CUBE(o_orderstatus, o_orderpriority)
+    """,
+    doc="CUBE over (status, priority): all 4 grouping sets in one pass (Spark Expand + single shuffle).",
+)
+def q_cube(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"), F.count(F.lit(1)).alias("n"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "total",
+            "n",
+        )
+    )
+
+
+@query(
+    "q_window_moving_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+           CAST(sum(cents) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE)
+           / (100.0 * count(*) OVER (
+             PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) AS mov_avg3,
+           CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS seq
+    FROM (SELECT *, CAST(round(o_totalprice * 100, 0) AS BIGINT) AS cents FROM orders)
+    """,
+    doc="Analytic window functions: lag + 3-row moving average + row_number per customer, ordered by (date, key) for determinism. The moving average goes through integer cents so frame sums are exact and engine-identical (a rounded double avg can land on a half-boundary where rounding modes disagree).",
+)
+def q_window_moving_avg(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "cents", F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    )
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    w3 = w.rowsBetween(-2, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_totalprice",
+        F.lag("o_totalprice").over(w).alias("prev_price"),
+        (F.sum("cents").over(w3).cast("double") / (100.0 * F.count(F.lit(1)).over(w3))).alias(
+            "mov_avg3"
+        ),
+        F.row_number().over(w).alias("seq"),
+    )
+
+
+@query(
+    "q_count_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           count(DISTINCT l_suppkey) AS u_supp,
+           count(DISTINCT l_partkey) AS u_part,
+           count(*)                  AS n
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Multi-column DISTINCT aggregation (Expand-based plan, two-phase).",
+)
+def q_count_distinct(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("u_supp"),
+        F.countDistinct("l_partkey").alias("u_part"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+@query(
+    "q_approx_distinct",
+    oracle=None,  # HLL sketches are implementation-specific -> rows-only check.
+    doc="approx_count_distinct (HyperLogLog++): the 100 TB-scale path for cardinality; sketch values differ across engines so no value oracle.",
+)
+def q_approx_distinct(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_suppkey", 0.01).alias("approx_u_supp"),
+        F.count(F.lit(1)).alias("n"),
+    )

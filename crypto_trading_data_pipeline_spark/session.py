@@ -1,0 +1,80 @@
+"""SparkSession factory with scale-sane defaults.
+
+The reference sets no Spark configs at all (only master URL + app name,
+reference spark_processor/processor.py:34-38). We pin the configs that make
+results reproducible (UTC session timezone) and the ones that matter at
+100 TB (AQE, skew-join handling, pushdown, Arrow for any Pandas-UDF path).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+#: Configs safe to apply at runtime (spark.conf.set) on an existing session.
+RUNTIME_CONF = {
+    # Reproducibility: all timestamp math in UTC (SURVEY.md §5 pitfall 4).
+    "spark.sql.session.timeZone": "UTC",
+    # Adaptive execution: runtime partition coalescing + skew-join splitting.
+    # At 100 TB this is the difference between a tuned job and a stuck one.
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Scan efficiency: keep filters/column pruning at the parquet reader.
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.parquet.aggregatePushdown": "true",
+    # Arrow transfer for any toPandas / pandas_udf path (10-100x vs pickle).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Auto-broadcast small join sides (dims like region/nation/supplier).
+    "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Parquet TIMESTAMP(NANOS) (events.ts fixture) is rejected by Spark's
+    # schema converter; read as epoch-nanos LONG and convert in read_table.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+}
+
+#: Configs that must be set before the JVM starts.
+STARTUP_CONF = {
+    "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
+    "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+}
+
+
+def apply_runtime_conf(spark: SparkSession) -> SparkSession:
+    """Apply runtime-safe configs to an existing session (e.g. one handed to
+    us by a driver harness). Idempotent and cheap."""
+    for k, v in RUNTIME_CONF.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Some configs may be marked static on exotic builds; the session
+            # still works, just without that knob.
+            pass
+    return spark
+
+
+def get_spark(
+    app_name: str = "crypto-trading-data-pipeline-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` when unset and no
+    cluster session exists — production deploys pass their own master/conf
+    via spark-submit, exactly like the reference's Airflow DAG does
+    (reference airflow/dags/crypto_pipeline_submit_dag.py:34-44).
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+        master = f"local[{cpus}]"
+    builder = builder.master(master)
+    for k, v in STARTUP_CONF.items():
+        builder = builder.config(k, v)
+    if shuffle_partitions is not None:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+    for k, v in RUNTIME_CONF.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    return apply_runtime_conf(spark)
