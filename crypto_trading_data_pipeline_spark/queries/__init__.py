@@ -49,3 +49,4 @@ def query(name: str, oracle: str | None, doc: str = ""):
 from . import reference_surface  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
+from . import dedup_advanced  # noqa: E402,F401

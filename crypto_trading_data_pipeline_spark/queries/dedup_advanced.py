@@ -1,0 +1,341 @@
+"""Near-duplicate detection queries (SURVEY.md §2.6 X2 + BASELINE.json
+north star): MinHash signatures, LSH candidate pairs, n-gram Jaccard,
+SimHash, embedding-cosine near-dup, IVF-style clustered ANN, language ID.
+
+Every query is oracle-checked: the hashing is built from primitives both
+engines share (operators/dedup_hash.py), and the DuckDB SQL is GENERATED
+from the same constants as the Spark code, so the two sides cannot drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators import dedup_hash as dh
+from ..operators.similarity import as_double_vec, dot, l2_norm
+from . import query
+
+_SIG_COLS = [f"m{i}" for i in range(len(dh.MINHASH_PERMS))]
+
+# Shared oracle fragments ---------------------------------------------------
+
+_SQL_SHINGLES = dh.sql_word_shingles("text", k=3)
+_SQL_SIG = dh.sql_minhash_values("sh")
+_SQL_SIG_SELECT = ",\n             ".join(
+    f"{expr} AS m{i}" for i, expr in enumerate(_SQL_SIG)
+)
+_SQL_BANDS = dh.sql_band_hash([f"m{i}" for i in range(16)])
+
+
+@query(
+    "q_minhash_sig",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_id,
+             {_SQL_SIG_SELECT}
+    FROM sh
+    """,
+    doc="16-permutation MinHash signature per document over word 3-gram shingles (portable md5-based hashing).",
+)
+def q_minhash_sig(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    sh = docs.select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+    return sh.select("doc_id", *dh.minhash_signature(F.col("sh")))
+
+
+@query(
+    "q_lsh_pairs",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_SQL_SIG_SELECT}
+      FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+      )
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM bands a JOIN bands b
+      ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+     AND a.doc_id < b.doc_id
+    """,
+    doc="LSH candidate pairs: 4 bands x 4 rows; docs sharing any band bucket. The self-join is on a digest key — no O(n^2) comparison.",
+)
+def q_lsh_pairs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+    sig = docs.select(
+        "doc_id", dh.word_shingles(F.col("text"), 3).alias("sh")
+    ).select("doc_id", *dh.minhash_signature(F.col("sh")))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*[b for b in dh.band_hashes(_SIG_COLS)])).alias(
+            "band_id", "band_hash"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+@query(
+    "q_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) AS jaccard
+    FROM sh a JOIN sh b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 5
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.1
+    """,
+    doc="Exact n-gram Jaccard over blocked candidate pairs (same lang, close length): the verify stage after LSH candidate generation.",
+)
+def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    jac = inter.cast("double") / union
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            jac.alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+    )
+
+
+@query(
+    "q_simhash",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {dh.sql_token_hash_list("string_split(text, ' ')")} AS hs
+      FROM documents
+    )
+    SELECT doc_id, {dh.sql_simhash_sum('hs')} AS simhash
+    FROM h
+    """,
+    doc="32-bit SimHash fingerprint: per-bit majority vote over token hashes. Row-local (no shuffle); hamming-distance joins find near-dups.",
+)
+def q_simhash(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return docs.select("doc_id", dh.simhash(toks).alias("simhash"))
+
+
+@query(
+    "q_embed_neardup",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
+    """,
+    doc="Embedding-cosine near-duplicate pairs (sim >= 0.99). Exact all-pairs baseline; the LSH/IVF variants are the scale path.",
+)
+def q_embed_neardup(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    a, b = n.alias("a"), n.alias("b")
+    sim = F.round(
+        dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("vec_a"),
+            F.col("b.vec_id").alias("vec_b"),
+            sim.alias("sim"),
+        )
+        .filter(F.col("sim") >= 0.99)
+    )
+
+
+@query(
+    "q_ann_ivf",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, v, nrm, cent_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                          cent.cent_id
+               ) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM assign q JOIN assign c
+        ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "IVF-style ANN: assign every vector to its nearest centroid (deterministic "
+        "centroid subset vec_id%50=0), then search only within the query's cluster. "
+        "The scale path: cluster assignment is a broadcast join, search cost drops "
+        "|corpus|/|clusters| fold vs brute force."
+    ),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    cent = F.broadcast(
+        n.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    assign = (
+        n.crossJoin(cent)
+        .withColumn("csim", csim)
+        .withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("qcent"),
+    )
+    sim = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cent_id") == F.col("qcent")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rnk")
+    )
+
+
+_LEXICONS = {
+    "en": ["the", "a", "of", "and", "row"],
+    "de": ["der", "die", "das", "und", "ein"],
+    "es": ["el", "la", "de", "y", "un"],
+    "fr": ["le", "la", "de", "et", "un"],
+}
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           CASE
+             WHEN hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr AND hits_de > 0 THEN 'de'
+             WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
+             WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
+             WHEN hits_fr > 0 THEN 'fr'
+             ELSE 'und'
+           END AS pred_lang,
+           hits_en, hits_de, hits_es, hits_fr
+    FROM (
+      SELECT doc_id, lang,
+        {", ".join(
+          "len(list_filter(string_split(text, ' '), t -> list_contains(["
+          + ", ".join("'" + w + "'" for w in ws)
+          + "], t))) AS hits_" + l
+          for l, ws in _LEXICONS.items()
+        )}
+      FROM documents
+    )
+    """,
+    doc=(
+        "Language ID by stopword-lexicon hit counting with a deterministic "
+        "argmax (de > en >= es >= fr priority, 'und' when no hits). The fixture "
+        "corpus shares one vocabulary across langs, so most docs resolve to the "
+        "lexicon containing shared tokens — the operator is the deliverable."
+    ),
+)
+def q_lang_id(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    hits = {}
+    for lang, words in _LEXICONS.items():
+        lex = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    pred = (
+        F.when(
+            (hits["de"] > hits["en"]) & (hits["de"] > hits["es"]) & (hits["de"] > hits["fr"]) & (hits["de"] > 0),
+            F.lit("de"),
+        )
+        .when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), F.lit("en"))
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] > 0), F.lit("es"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+    return docs.select(
+        "doc_id",
+        "lang",
+        pred.alias("pred_lang"),
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["es"].alias("hits_es"),
+        hits["fr"].alias("hits_fr"),
+    )
