@@ -32,6 +32,12 @@ HEADLINE = [
     "q_dedup_exact",
     "q_token_stats",
     "q_cosine_topk",
+    "q_sliding_window",
+    "q_session_window",
+    "q_minhash_sig",
+    "q_lsh_pairs",
+    "q_simhash",
+    "q_ann_ivf",
 ]
 
 

@@ -84,9 +84,14 @@ def word_shingles(text: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingles: Column) -> list[Column]:
-    """16 MinHash values (one per permutation); NULL for empty shingle sets."""
-    hashes = F.transform(shingles, token_hash)
+def minhash_signature(hashes: Column) -> list[Column]:
+    """16 MinHash values (one per permutation); NULL for empty shingle sets.
+
+    ``hashes`` must be a MATERIALIZED column of token hashes (build it with
+    ``withColumn('hs', F.transform(shingles, token_hash))`` first): passing
+    the hash expression tree directly would duplicate the md5 work into all
+    16 permutation expressions — a 16x slowdown measured at sf0.1.
+    """
     return [
         F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)).alias(
             f"m{i}"
@@ -108,10 +113,11 @@ def band_hashes(sig_cols: list[str]) -> list[Column]:
     return out
 
 
-def simhash(toks: Column, bits: int = SIMHASH_BITS) -> Column:
-    """SimHash over a token array: bit j of the result is the majority vote
-    of bit j across all token hashes (ties -> 0). Row-local, no shuffle."""
-    hashes = F.transform(toks, token_hash)
+def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
+    """SimHash over a MATERIALIZED token-hash array column: bit j of the
+    result is the majority vote of bit j across all token hashes (ties -> 0).
+    Row-local, no shuffle. Like minhash_signature, requires the hash array
+    as a real column — an expression tree would recompute md5 per bit."""
     n = F.size(hashes)
     acc = F.lit(0).cast("long")
     for j in range(bits):

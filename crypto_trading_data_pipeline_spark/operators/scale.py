@@ -1,0 +1,76 @@
+"""Scale utilities: skew salting, partitioned layout writers, distribution
+helpers. These are the knobs a 100 TB deployment turns; none change query
+semantics.
+
+Context: the reference runs 1 worker / 1 core / 1 GB and sets zero Spark
+configs (SURVEY.md §6). Our engine targets 1000-executor clusters, where
+the three killers are (a) skewed shuffle keys, (b) unpartitioned table
+layouts forcing full scans, and (c) too-few/too-many shuffle partitions.
+AQE (enabled in session.py) handles (c) and moderate (a) at runtime; these
+helpers cover deliberate layout and pathological skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, *, buckets: int, col_name: str = "__salt") -> DataFrame:
+    """Add a deterministic-per-row salt column in [0, buckets).
+
+    Use for hot-key aggregation: groupBy(key, salt) -> partial agg ->
+    groupBy(key) -> final agg. Two small shuffles instead of one skewed one.
+    The salt derives from a hash of the whole row (monotonically_increasing_id
+    would break determinism under retries).
+    """
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in df.columns]), F.lit(buckets))
+    )
+
+
+def salted_group_sum(
+    df: DataFrame, *, keys: list[str], agg_cols: dict[str, str], buckets: int = 16
+) -> DataFrame:
+    """Two-phase salted sum/count aggregation for skewed keys.
+
+    agg_cols: {output_name: input_col} summed exactly (sums and counts
+    re-aggregate losslessly; avg/min_by need their own decomposition).
+    """
+    salted = with_salt(df, buckets=buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        *[F.sum(src).alias(out) for out, src in agg_cols.items()],
+        F.count(F.lit(1)).alias("__n"),
+    )
+    return partial.groupBy(*keys).agg(
+        *[F.sum(out).alias(out) for out in agg_cols],
+        F.sum("__n").alias("n"),
+    )
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    *,
+    partition_by: list[str],
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a parquet table partitioned by low-cardinality columns
+    (e.g. date, symbol) so readers get partition pruning for free.
+
+    ``sort_by`` orders rows within each file — tight min/max row-group
+    stats turn point/range predicates into row-group skips.
+    """
+    if sort_by:
+        df = df.sortWithinPartitions(*sort_by)
+    df.write.mode(mode).partitionBy(*partition_by).parquet(path)
+
+
+def distribute_by(df: DataFrame, *, cols: list[str], n: int | None = None) -> DataFrame:
+    """Co-locate rows by key before N same-key operations (joins/aggs reuse
+    one shuffle instead of shuffling per-op). Spark's repartition(key) —
+    the DataFrame-side equivalent of DISTRIBUTE BY / bucketed layout."""
+    return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(
+        *[F.col(c) for c in cols]
+    )

@@ -29,6 +29,15 @@ _SQL_SIG_SELECT = ",\n             ".join(
 _SQL_BANDS = dh.sql_band_hash([f"m{i}" for i in range(16)])
 
 
+def _shingle_hashes(docs):
+    """doc_id + materialized shingle-hash array (md5 computed exactly once)."""
+    return (
+        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+        .select("doc_id", F.transform("sh", dh.token_hash).alias("hs"))
+    )
+
+
 @query(
     "q_minhash_sig",
     oracle=f"""
@@ -44,9 +53,7 @@ _SQL_BANDS = dh.sql_band_hash([f"m{i}" for i in range(16)])
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    sh = docs.select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
-    return sh.select("doc_id", *dh.minhash_signature(F.col("sh")))
+    return _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
 
 
 @query(
@@ -74,10 +81,7 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    docs = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
-    sig = docs.select(
-        "doc_id", dh.word_shingles(F.col("text"), 3).alias("sh")
-    ).select("doc_id", *dh.minhash_signature(F.col("sh")))
+    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*[b for b in dh.band_hashes(_SIG_COLS)])).alias(
@@ -154,8 +158,11 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
 )
 def q_simhash(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    return docs.select("doc_id", dh.simhash(toks).alias("simhash"))
+    hashed = docs.select(
+        "doc_id",
+        F.transform(F.split(F.col("text"), " "), dh.token_hash).alias("hs"),
+    )
+    return hashed.select("doc_id", dh.simhash(F.col("hs")).alias("simhash"))
 
 
 @query(

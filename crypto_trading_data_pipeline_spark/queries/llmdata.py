@@ -178,3 +178,27 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str):
     return cosine_topk(
         emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
     )
+
+
+@query(
+    "q_multimodal_features",
+    oracle=None,  # binary payloads + Pandas-UDF decode: rows-only check
+    doc=(
+        "Multimodal plumbing (north-star X): wrap bytes as canonical media "
+        "records, extract features via Arrow-batched mapInPandas. The decoder "
+        "is a deterministic stub (no image libs in container); schemas, batch "
+        "shapes and partitioning are the real scale-path plumbing."
+    ),
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str):
+    from ..operators.multimodal import attach_media, extract_image_features
+
+    docs = read_table(spark, sf_dir, "documents")
+    media = attach_media(
+        docs.withColumn("payload", F.encode("text", "utf-8")),
+        id_col="doc_id",
+        bytes_col="payload",
+        kind="image",
+        mime="image/fake",
+    )
+    return extract_image_features(media, parallelism=8)

@@ -11,7 +11,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..io import read_table
+from ..io import events_between, read_table
 from ..operators.candles import ohlcv
 from . import query
 
@@ -185,14 +185,18 @@ def q_filter_eq(spark: SparkSession, sf_dir: str):
     FROM events
     WHERE ts >= TIMESTAMP '2024-01-25 00:00:00' AND ts < TIMESTAMP '2024-01-28 00:00:00'
     """,
-    doc="Timestamp-range freshness predicate (monitor DAG interval check, crypto_pipeline_monitor_dag.py:26) with a literal cutoff for determinism.",
+    doc=(
+        "Timestamp-range freshness predicate (monitor DAG interval check, "
+        "crypto_pipeline_monitor_dag.py:26) with a literal cutoff for determinism. "
+        "Uses events_between so the range reaches the parquet scan as a pushed "
+        "filter on the raw column (row-group pruning at scale)."
+    ),
 )
 def q_filter_ts_range(spark: SparkSession, sf_dir: str):
-    e = read_table(spark, sf_dir, "events")
-    return e.filter(
-        (F.col("ts") >= F.lit("2024-01-25 00:00:00").cast("timestamp"))
-        & (F.col("ts") < F.lit("2024-01-28 00:00:00").cast("timestamp"))
-    ).select("event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type", "value")
+    e = events_between(spark, sf_dir, "2024-01-25 00:00:00", "2024-01-28 00:00:00")
+    return e.select(
+        "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "user_id", "event_type", "value"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -215,10 +219,8 @@ def q_count_rows(spark: SparkSession, sf_dir: str):
     doc="Scalar COUNT(*) with predicate (monitor freshness check, crypto_pipeline_monitor_dag.py:25-27).",
 )
 def q_count_filtered(spark: SparkSession, sf_dir: str):
-    e = read_table(spark, sf_dir, "events")
-    return e.filter(F.col("ts") >= F.lit("2024-01-28 00:00:00").cast("timestamp")).agg(
-        F.count(F.lit(1)).alias("n_fresh")
-    )
+    e = events_between(spark, sf_dir, ts_from="2024-01-28 00:00:00")
+    return e.agg(F.count(F.lit(1)).alias("n_fresh"))
 
 
 @query(

@@ -366,3 +366,112 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str):
         F.approx_count_distinct("l_suppkey", 0.01).alias("approx_u_supp"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@query(
+    "q_sliding_window",
+    oracle="""
+    WITH base AS (
+      SELECT event_type, value, CAST(floor(epoch(ts) / 300) * 300 AS BIGINT) AS slot
+      FROM events
+    ), w AS (
+      SELECT event_type, value, unnest([slot, slot - 300]) AS start_s FROM base
+    )
+    SELECT make_timestamp(start_s * 1000000)         AS window_start,
+           make_timestamp((start_s + 600) * 1000000) AS window_end,
+           event_type                                AS symbol,
+           count(*)                                  AS n,
+           round(sum(value), 4)                      AS total_value
+    FROM w GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Sliding (hopping) window: 10-minute windows every 5 minutes — each event "
+        "lands in exactly 2 windows (Spark's window(ts, '10 minutes', '5 minutes'); "
+        "capability extension of the reference's tumbling window, SURVEY §2.4 T2). "
+        "Oracle expands the window membership with unnest."
+    ),
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "10 minutes", "5 minutes")
+    return (
+        e.groupBy(w.alias("w"), F.col("event_type").alias("symbol"))
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+            "symbol",
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_session_window",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, value,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                    OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 30 MINUTE
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+    ), g AS (
+      SELECT *, sum(new_sess) OVER (
+        PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess_id
+      FROM s
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP)                      AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*)                                        AS n,
+           round(sum(value), 4)                            AS total_value
+    FROM g GROUP BY user_id, sess_id
+    """,
+    doc=(
+        "Session window (30-minute gap) per user — Spark's session_window() "
+        "(capability extension, SURVEY §2.4 T2); oracle is the classic "
+        "gaps-and-islands rewrite. Session end = last event + gap, half-open, "
+        "so a gap of EXACTLY 30 min starts a new session in both."
+    ),
+)
+def q_session_window(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts"), "30 minutes")
+    return (
+        e.groupBy(sw.alias("sw"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 4).alias("total_value"))
+        .select(
+            "user_id",
+            F.col("sw.start").cast("timestamp_ntz").alias("session_start"),
+            F.col("sw.end").cast("timestamp_ntz").alias("session_end"),
+            "n",
+            "total_value",
+        )
+    )
+
+
+@query(
+    "q_grouping_sets",
+    oracle="""
+    SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+           COALESCE(l_linestatus, 'ALL') AS linestatus,
+           round(sum(l_quantity), 2)     AS sum_qty,
+           count(*)                      AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+    """,
+    doc="Explicit GROUPING SETS (by-flag, by-status, grand total) via the engine's SQL surface — one Expand + single shuffle, not three scans.",
+)
+def q_grouping_sets(spark: SparkSession, sf_dir: str):
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_gs")
+    return spark.sql(
+        """
+        SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+               COALESCE(l_linestatus, 'ALL') AS linestatus,
+               round(sum(l_quantity), 2)     AS sum_qty,
+               count(*)                      AS n
+        FROM lineitem_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        """
+    )
