@@ -16,6 +16,27 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
+    """Repartition a CPU-bound narrow pipeline's input UP to cluster
+    parallelism — only when the scan gives fewer splits than cores.
+
+    Rationale: per-row expression cost (md5 shingle hashing, 32-pass
+    SimHash, vector dot products) can dwarf scan cost. Parallelism of a
+    narrow plan == number of input splits, so a table that arrives as one
+    split (small file, one row group) runs one task no matter how many
+    cores exist. At 100 TB the scan has thousands of splits and this helper
+    is a no-op (no shuffle added); on skinny inputs it buys a cores-fold
+    speedup for a shuffle of the raw rows.
+
+    ``factor`` multiplies the target (use >1 when downstream work per row is
+    very uneven, so stragglers smooth out).
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism * factor
+    if df.rdd.getNumPartitions() >= target:
+        return df
+    return df.repartition(target)
+
+
 def with_salt(df: DataFrame, *, buckets: int, col_name: str = "__salt") -> DataFrame:
     """Add a deterministic-per-row salt column in [0, buckets).
 

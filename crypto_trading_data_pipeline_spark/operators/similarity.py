@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .scale import fan_out
+
 
 def as_double_vec(c: Column) -> Column:
     return F.transform(c, lambda x: x.cast("double"))
@@ -45,7 +47,9 @@ def cosine_topk(
     Returns (query_id, neighbor_id, sim, rnk). Ranking uses the ROUNDED
     similarity with neighbor-id tie-break so results are reproducible.
     """
-    c = corpus.select(
+    # FLOP cost dominates the scan — spread the corpus across all cores even
+    # when it arrives as one split (no-op when the scan is already parallel).
+    c = fan_out(corpus).select(
         F.col(id_col).alias("neighbor_id"), as_double_vec(F.col(vec_col)).alias("cv")
     ).withColumn("cn", l2_norm(F.col("cv")))
     q = queries.select(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ..io import read_table
 from ..operators import dedup_hash as dh
+from ..operators.scale import fan_out
 from ..operators.similarity import as_double_vec, dot, l2_norm
 from . import query
 
@@ -30,9 +31,14 @@ _SQL_BANDS = dh.sql_band_hash([f"m{i}" for i in range(16)])
 
 
 def _shingle_hashes(docs):
-    """doc_id + materialized shingle-hash array (md5 computed exactly once)."""
+    """doc_id + materialized shingle-hash array (md5 computed exactly once).
+
+    fan_out first: the md5-per-shingle cost dominates the scan, so
+    parallelism must come from cores, not input splits (see scale.fan_out).
+    """
     return (
-        docs.filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        fan_out(docs.select("doc_id", "text"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
         .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
         .select("doc_id", F.transform("sh", dh.token_hash).alias("hs"))
     )
@@ -77,28 +83,41 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
       ON a.band_id = b.band_id AND a.band_hash = b.band_hash
      AND a.doc_id < b.doc_id
     """,
-    doc="LSH candidate pairs: 4 bands x 4 rows; docs sharing any band bucket. The self-join is on a digest key — no O(n^2) comparison.",
+    doc=(
+        "LSH candidate pairs: 4 bands x 4 rows; docs sharing any band bucket. "
+        "One groupBy on the band digest + in-bucket pair expansion — the "
+        "signature pipeline runs ONCE (a self-join would execute the md5 "
+        "hashing twice, once per side) and there is no O(n^2) comparison. "
+        "Bucket skew (thousands of identical docs) would fatten collect_set; "
+        "then: cap bucket size or salt the band key."
+    ),
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
-        F.posexplode(F.array(*[b for b in dh.band_hashes(_SIG_COLS)])).alias(
-            "band_id", "band_hash"
-        ),
+        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # ids is sorted, so pairing each element with everything after it emits
+    # each unordered pair exactly once with doc_a < doc_b.
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
         )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
     )
+    return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 @query(
@@ -120,7 +139,7 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str):
     doc="Exact n-gram Jaccard over blocked candidate pairs (same lang, close length): the verify stage after LSH candidate generation.",
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
         "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
     )
@@ -157,7 +176,7 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     doc="32-bit SimHash fingerprint: per-bit majority vote over token hashes. Row-local (no shuffle); hamming-distance joins find near-dups.",
 )
 def q_simhash(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
     hashed = docs.select(
         "doc_id",
         F.transform(F.split(F.col("text"), " "), dh.token_hash).alias("hs"),
@@ -181,7 +200,7 @@ def q_simhash(spark: SparkSession, sf_dir: str):
     doc="Embedding-cosine near-duplicate pairs (sim >= 0.99). Exact all-pairs baseline; the LSH/IVF variants are the scale path.",
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str):
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
@@ -242,7 +261,7 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str):
-    emb = read_table(spark, sf_dir, "embeddings")
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
@@ -321,7 +340,7 @@ _LEXICONS = {
     ),
 )
 def q_lang_id(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     hits = {}
     for lang, words in _LEXICONS.items():
