@@ -20,6 +20,8 @@ from crypto_trading_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
     "q_ohlcv_1min",
+    "q_pricing_summary",
+    "q_revenue_by_nation",
     "q_join_inner",
     "q_join_broadcast",
     "q_join_range",
@@ -48,8 +50,12 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     # Warm the JVM + parquet footers once so per-query numbers measure the
-    # queries, not session spin-up.
-    spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+    # queries, not session spin-up (first-ever query otherwise pays codegen
+    # compiler + footer reads for every table it touches).
+    from crypto_trading_data_pipeline_spark.io import TABLES, read_table
+
+    for t in TABLES:
+        read_table(spark, sf_dir, t).count()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}

@@ -13,7 +13,9 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..io import read_table
+from ..operators import dedup_hash
 from ..operators.dedup import exact_dedup, normalize_text
+from ..operators.scale import fan_out
 from ..operators.similarity import cosine_topk
 from ..operators.text import token_stats_cols
 from . import query
@@ -202,3 +204,77 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str):
         mime="image/fake",
     )
     return extract_image_features(media, parallelism=8)
+
+
+# BPE-ish subword pattern: at any position exactly one branch can start
+# (lowercase run | Capitalized run | digit run | single other symbol), so
+# Java regex (Spark) and RE2 (DuckDB) tokenize identically despite their
+# different alternation semantics.
+_SUBWORD_RE = "[a-z]+|[A-Z][a-z]*|[0-9]+|[^a-zA-Z0-9 ]"
+
+
+@query(
+    "q_token_regex",
+    oracle=f"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_SUBWORD_RE}'))                AS n_subwords,
+           len(list_distinct(regexp_extract_all(text, '{_SUBWORD_RE}'))) AS n_subword_types,
+           CAST(len(regexp_extract_all(text, '{_SUBWORD_RE}')) AS DOUBLE)
+                 / len(string_split(text, ' '))                          AS subwords_per_word
+    FROM documents
+    """,
+    doc=(
+        "BPE-style token counting: a subword regex (case runs, digit runs, "
+        "single symbols) approximates byte-pair segmentation without a "
+        "vocabulary. subwords_per_word is the fertility estimate used for "
+        "LLM token budgeting over a corpus."
+    ),
+)
+def q_token_regex(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sub = F.regexp_extract_all(F.col("text"), F.lit(_SUBWORD_RE), 0)
+    n_sub = F.size(sub)
+    return docs.select(
+        "doc_id",
+        n_sub.alias("n_subwords"),
+        F.size(F.array_distinct(sub)).alias("n_subword_types"),
+        (n_sub.cast("double") / F.size(F.split(F.col("text"), " "))).alias(
+            "subwords_per_word"
+        ),
+    )
+
+
+#: Rolling-hash constants: base fits acc*B + x inside int64 given acc,x < P.
+_ROLL_B = 1_000_003
+_ROLL_P = 2_147_483_647
+
+
+@query(
+    "q_fingerprint_rolling",
+    oracle=f"""
+    SELECT doc_id,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ' '),
+                              t -> {dedup_hash.sql_token_hash('t')})),
+             (acc, x) -> (acc * {_ROLL_B} + x) % {_ROLL_P}
+           ) AS fp_rolling
+    FROM documents
+    """,
+    doc=(
+        "Order-sensitive polynomial rolling hash over token hashes "
+        "(fp = fold (acc*B + h(t)) mod P): unlike the md5 digest it changes "
+        "under token reordering, and prefix hashes can be maintained "
+        "incrementally for streaming fingerprint updates. Row-local, "
+        "whole-stage codegen, zero shuffles."
+    ),
+)
+def q_fingerprint_rolling(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    hs = F.transform(F.split(F.col("text"), " "), dedup_hash.token_hash)
+    fp = F.aggregate(
+        hs,
+        F.lit(0).cast("long"),
+        lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(_ROLL_P),
+    )
+    return docs.select("doc_id", fp.alias("fp_rolling"))

@@ -475,3 +475,176 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str):
         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         """
     )
+
+
+@query(
+    "q_join_left",
+    oracle="""
+    SELECT c_custkey, c_mktsegment,
+           count(o_orderkey)                      AS n_orders,
+           round(coalesce(sum(o_totalprice), 0.0), 2) AS total_spend
+    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey, c_mktsegment
+    """,
+    doc=(
+        "Left-outer join + agg: every customer retained, zero-order customers "
+        "get count 0 / spend 0. COUNT(col) null-skipping does the outer-row "
+        "bookkeeping — no driver-side fixups."
+    ),
+)
+def q_join_left(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "q_join_full",
+    oracle="""
+    WITH c AS (
+      SELECT c_nationkey AS nationkey, count(*) AS n_cust
+      FROM customer GROUP BY c_nationkey
+    ), s AS (
+      SELECT s_nationkey AS nationkey, count(*) AS n_supp
+      FROM supplier GROUP BY s_nationkey
+    )
+    SELECT coalesce(c.nationkey, s.nationkey) AS nationkey,
+           coalesce(n_cust, 0) AS n_cust,
+           coalesce(n_supp, 0) AS n_supp
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    """,
+    doc=(
+        "Full-outer join of two pre-aggregated sides (customer vs supplier "
+        "presence per nation). Aggregate-then-join: the outer join sees "
+        "|nations| rows, not |customers|+|suppliers|."
+    ),
+)
+def q_join_full(spark: SparkSession, sf_dir: str):
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_cust"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_supp"))
+    )
+    return (
+        cust.join(supp, "nationkey", "full_outer")
+        .select(
+            F.col("nationkey"),
+            F.coalesce("n_cust", F.lit(0)).alias("n_cust"),
+            F.coalesce("n_supp", F.lit(0)).alias("n_supp"),
+        )
+    )
+
+
+@query(
+    "q_join_cross",
+    oracle="""
+    SELECT r_name, o_orderstatus, count(*) AS n
+    FROM region CROSS JOIN (SELECT DISTINCT o_orderstatus FROM orders)
+    GROUP BY r_name, o_orderstatus
+    """,
+    doc=(
+        "Cross join of two tiny relations (5 regions x |statuses|). Cross "
+        "joins are only ever sane when at least one side is broadcast-small; "
+        "the engine broadcasts the distinct-status side explicitly."
+    ),
+)
+def q_join_cross(spark: SparkSession, sf_dir: str):
+    region = read_table(spark, sf_dir, "region")
+    statuses = read_table(spark, sf_dir, "orders").select("o_orderstatus").distinct()
+    return (
+        region.crossJoin(F.broadcast(statuses))
+        .groupBy("r_name", "o_orderstatus")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2)                                    AS sum_qty,
+           round(sum(l_extendedprice), 2)                               AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2)            AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           round(avg(l_quantity), 4)                                    AS avg_qty,
+           round(avg(l_extendedprice), 4)                               AS avg_price,
+           round(avg(l_discount), 4)                                    AS avg_disc,
+           count(*)                                                     AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2024-09-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc=(
+        "TPC-H Q1-shaped pricing summary: the canonical scan-heavy partial-agg "
+        "workload. One scan, filter pushed to parquet, 8 declarative "
+        "aggregates in a single HashAggregate pair; output cardinality is "
+        "|flags|x|statuses| regardless of input size."
+    ),
+)
+def q_pricing_summary(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("2024-09-01 00:00:00").cast("timestamp")
+    )
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+        F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+        F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+        F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+        F.count(F.lit(1)).alias("count_order"),
+    )
+
+
+@query(
+    "q_revenue_by_nation",
+    oracle="""
+    SELECT n_name AS nation,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    GROUP BY n_name
+    """,
+    doc=(
+        "TPC-H Q5-shaped local-supplier revenue: two fact-fact shuffles "
+        "(lineitem-orders on orderkey, +customer on custkey) and broadcast "
+        "dims (supplier/nation). Join order keeps the widest relation "
+        "(lineitem) shuffled exactly once; the c_nationkey = s_nationkey "
+        "filter rides the broadcast join, not a separate pass."
+    ),
+)
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = F.broadcast(read_table(spark, sf_dir, "supplier"))
+    nation = F.broadcast(read_table(spark, sf_dir, "nation"))
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            supp,
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
+    )

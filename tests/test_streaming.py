@@ -137,3 +137,52 @@ def test_upsert_sink_idempotent_replay(spark, tmp_path):
     sink(batch, 0)  # replayed epoch -> same state
     rows = sorted((r.k, r.v) for r in sink.read(spark).collect())
     assert rows == [("a", 1), ("b", 2)]
+
+
+def test_running_trade_stats_stateful(spark, tmp_path):
+    """applyInPandasWithState: cumulative per-key stats must carry state
+    ACROSS micro-batches (a windowed agg resets; this must not)."""
+    from crypto_trading_data_pipeline_spark.streaming.stateful import running_trade_stats
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(str(indir), TRADES_1, "batch1.json")
+
+    trades = parse_trades(file_json_stream(spark, str(indir)))
+    stats = running_trade_stats(trades)
+
+    collected: dict[str, dict] = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            collected[r.symbol] = r.asDict()
+
+    q = (
+        stats.writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert collected["BTCUSDT"]["n_trades"] == 3
+        assert collected["ETHUSDT"]["n_trades"] == 1
+        btc_after_1 = collected["BTCUSDT"]
+
+        _write_batch(str(indir), TRADES_2, "batch2.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # State carried over: batch2 has 2 BTC rows (one is 2h "late" but this
+    # operator has no watermark — all rows count) -> 3 + 2 cumulative.
+    assert collected["BTCUSDT"]["n_trades"] == 5
+    assert collected["ETHUSDT"]["n_trades"] == 2
+    # Running high/low span ALL history including batch 1.
+    assert collected["BTCUSDT"]["high"] >= btc_after_1["high"]
+    assert collected["BTCUSDT"]["low"] == 40000.0  # batch2's low
+    # VWAP is total value / total volume over the full history.
+    exp_val = 42000.10 * 0.5 + 42001.00 * 0.25 + 41999.90 * 1.0 + 42002.00 * 0.1 + 40000.00 * 9.9
+    exp_vol = 0.5 + 0.25 + 1.0 + 0.1 + 9.9
+    assert abs(collected["BTCUSDT"]["vwap"] - exp_val / exp_vol) < 1e-9
