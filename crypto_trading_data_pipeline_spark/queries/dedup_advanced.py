@@ -365,3 +365,90 @@ def q_lang_id(spark: SparkSession, sf_dir: str):
         hits["es"].alias("hits_es"),
         hits["fr"].alias("hits_fr"),
     )
+
+
+def _srp_planes(n_planes: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic ternary hyperplanes for signed-random-projection LSH
+    (fixed LCG; values in {-1, 0, +1}). One source of truth feeds both the
+    Spark columns and the DuckDB oracle literals, so the two engines bucket
+    identically. Ternary keeps the projection a plain +/- sum of vector
+    components — cheap and sparse (about 2/3 of terms drop out)."""
+    x, planes = 1_234_567, []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            x = (1_103_515_245 * x + 12_345) % (1 << 31)
+            row.append((x >> 16) % 3 - 1)
+        planes.append(row)
+    return planes
+
+
+_SRP = _srp_planes()
+
+
+@query(
+    "q_ann_lsh",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), b AS (
+      SELECT vec_id, v, nrm,
+             {" + ".join(
+               f"(CASE WHEN round(list_dot_product(v, {plane}::DOUBLE[]), 6) >= 0 "
+               f"THEN {1 << j} ELSE 0 END)"
+               for j, plane in enumerate(_SRP)
+             )} AS bucket
+      FROM n
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                        c.vec_id
+             ) AS rn
+      FROM b q JOIN b c ON q.bucket = c.bucket AND c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "LSH-bucketed ANN (signed random projection): 8 ternary hyperplanes "
+        "-> 256 buckets; candidates are corpus vectors in the query's bucket. "
+        "The complement of IVF: no centroid pass, purely data-independent "
+        "hashing, so bucketing is a narrow map (bucket-key groupBy is the "
+        "only shuffle). Recall tunes with plane count / multi-probe."
+    ),
+)
+def q_ann_lsh(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    bucket = None
+    for j, plane in enumerate(_SRP):
+        proj = F.round(dot(F.col("v"), F.array(*[F.lit(float(w)) for w in plane])), 6)
+        bit = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
+        bucket = bit if bucket is None else bucket + bit
+    b = n.withColumn("bucket", bucket)
+    q = b.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("bucket").alias("qbucket"),
+    )
+    sim = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    return (
+        b.join(
+            F.broadcast(q),
+            (F.col("bucket") == F.col("qbucket")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rnk")
+    )
