@@ -648,3 +648,31 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("n_name").alias("nation"))
         .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
     )
+
+
+@query(
+    "q_join_right",
+    oracle="""
+    SELECT p_partkey, p_brand,
+           count(l_orderkey)                          AS n_items,
+           round(coalesce(sum(l_quantity), 0.0), 2)   AS total_qty
+    FROM lineitem RIGHT JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_brand
+    """,
+    doc=(
+        "Right-outer join + agg: every part retained, never-ordered parts get "
+        "zero counts. Planner note: Spark rewrites right-outer as left-outer "
+        "with sides swapped, so the preserved (part) side can still broadcast."
+    ),
+)
+def q_join_right(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part")
+    return (
+        li.join(part, li.l_partkey == part.p_partkey, "right")
+        .groupBy("p_partkey", "p_brand")
+        .agg(
+            F.count("l_orderkey").alias("n_items"),
+            F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
+        )
+    )

@@ -1,0 +1,109 @@
+"""Property-based tests (hypothesis): the portable-hash primitives are
+cross-validated against independent pure-Python mirrors on randomized
+input, and the OHLCV aggregate is checked against its algebraic
+invariants. These catch the edge cases fixture data never hits (empty
+tokens, unicode, repeated spaces, single-row windows).
+
+Each hypothesis example batches MANY documents into one Spark job, so the
+per-example cost is one job, not one job per document.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+from datetime import datetime, timezone
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from crypto_trading_data_pipeline_spark.operators import dedup_hash as dh
+from crypto_trading_data_pipeline_spark.operators.candles import ohlcv
+from crypto_trading_data_pipeline_spark.queries.llmdata import _ROLL_B, _ROLL_P
+
+# --- pure-Python mirrors (independent of the Spark implementations) --------
+
+
+def py_token_hash(t: str) -> int:
+    return int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16) % dh.MINHASH_P
+
+
+def py_minhash(text: str, k: int = 3) -> list[int | None]:
+    toks = text.split(" ")
+    if len(toks) < k:
+        return [None] * len(dh.MINHASH_PERMS)
+    shingles = list(dict.fromkeys(" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)))
+    hs = [py_token_hash(s) for s in shingles]
+    return [min((a * h + b) % dh.MINHASH_P for h in hs) for a, b in dh.MINHASH_PERMS]
+
+
+def py_rolling_fp(text: str) -> int:
+    acc = 0
+    for t in text.split(" "):
+        acc = (acc * _ROLL_B + py_token_hash(t)) % _ROLL_P
+    return acc
+
+
+# Tokens may collide with separators or be empty — that's the point.
+token = st.text(alphabet=st.characters(codec="utf-8", exclude_characters="\x00"), max_size=8)
+doc = st.lists(token, min_size=0, max_size=12).map(lambda ts: " ".join(ts))
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=24))
+def test_minhash_matches_python_mirror(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    hs = F.transform(dh.word_shingles(F.col("text"), 3), dh.token_hash)
+    got = {
+        r.doc_id: [r[f"m{i}"] for i in range(len(dh.MINHASH_PERMS))]
+        for r in df.select(
+            "doc_id", *dh.minhash_signature(F.array_compact(hs))
+        ).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == py_minhash(t), (i, t)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=24))
+def test_rolling_fp_matches_python_mirror(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    hs = F.transform(F.split(F.col("text"), " "), dh.token_hash)
+    fp = F.aggregate(
+        hs, F.lit(0).cast("long"), lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(_ROLL_P)
+    )
+    got = {r.doc_id: r.fp for r in df.select("doc_id", fp.alias("fp")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == py_rolling_fp(t), (i, t)
+
+
+trade_rec = st.tuples(
+    st.integers(min_value=0, max_value=3),        # symbol id
+    st.integers(min_value=0, max_value=7200),     # offset seconds (2h span)
+    st.floats(min_value=0.01, max_value=1e6, allow_nan=False, allow_infinity=False),
+    st.floats(min_value=0.001, max_value=1e3, allow_nan=False, allow_infinity=False),
+)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(trade_rec, min_size=1, max_size=200))
+def test_ohlcv_invariants(spark, recs):
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"S{s}", datetime.fromtimestamp(base.timestamp() + off, tz=timezone.utc), p, q)
+        for s, off, p, q in recs
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "trade_time", "price", "quantity"])
+    candles = ohlcv(df).collect()
+    assert sum(c.n_trades for c in candles) == len(rows)
+    for c in candles:
+        assert c.low_price <= c.open_price <= c.high_price
+        assert c.low_price <= c.close_price <= c.high_price
+        # VWAP is a qty-weighted mean -> bounded by the price extremes
+        # (tolerance: float summation error).
+        assert c.low_price - 1e-6 <= c.vwap <= c.high_price + 1e-6
+        assert math.isclose(
+            c.vwap * c.total_volume, c.total_value, rel_tol=1e-9, abs_tol=1e-9
+        )
+        assert c.window_start.minute * 60 + c.window_start.second <= 3600 * 24
+        assert (c.window_end - c.window_start).total_seconds() == 60.0
