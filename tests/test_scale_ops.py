@@ -49,7 +49,9 @@ def test_write_partitioned_roundtrip(spark, sf_dir, tmp_path):
     write_partitioned(e, out, partition_by=["day"], sort_by=["ts"])
     back = spark.read.parquet(out)
     assert back.count() == e.count()
-    # partition pruning: a day filter reads only that directory
+    # partition pruning: the day predicate must land in PartitionFilters
+    # (directory-level pruning), not survive as a post-scan Filter.
     one_day = back.filter(F.col("day") == "2024-01-05")
     plan = one_day._jdf.queryExecution().executedPlan().toString()
-    assert "PartitionFilters" in plan or one_day.count() >= 0
+    pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
+    assert "day" in pf, plan
