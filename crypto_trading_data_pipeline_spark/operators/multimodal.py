@@ -113,3 +113,127 @@ def extract_image_features(
             yield feats
 
     return src.mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("duration_ms", LongType()),
+        StructField("rms_level", IntegerType()),
+    ]
+)
+
+VIDEO_FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("frame_payload", BinaryType()),
+    ]
+)
+
+
+def _fake_audio_decode(payload: pd.Series) -> pd.DataFrame:
+    """Deterministic stand-in for an audio decoder (librosa/ffmpeg absent)."""
+    n = payload.map(len)
+    first = payload.map(lambda b: b[0] if len(b) else 0)
+    return pd.DataFrame(
+        {
+            "sample_rate": (8000 + (first % 5) * 8000).astype("int32"),
+            "duration_ms": (n.astype("int64") * 4),
+            "rms_level": ((n * 13 + first) % 100).astype("int32"),
+        }
+    )
+
+
+def extract_audio_features(
+    media: DataFrame,
+    *,
+    decoder: Callable[[pd.Series], pd.DataFrame] | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Audio decode + featurize via mapInPandas — same plumbing contract as
+    extract_image_features (Arrow batches, bounded memory, CPU-shaped
+    partitioning)."""
+    if decoder is None:
+        decoder = _fake_audio_decode
+
+    src = media.select("media_id", "payload")
+    if parallelism is not None:
+        src = src.repartition(parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            feats = decoder(pdf["payload"])
+            feats.insert(0, "media_id", pdf["media_id"].values)
+            yield feats
+
+    return src.mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+def resize_images(
+    media: DataFrame,
+    *,
+    target_bytes: int,
+    resizer: Callable[[pd.Series, int], pd.Series] | None = None,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Re-encode payloads to a bounded size, preserving the media record
+    shape (media_id/kind/payload/mime/n_bytes) so resized output feeds any
+    downstream media operator unchanged.
+
+    The fake resizer truncates/left-pads bytes to ``target_bytes``; a real
+    one (PIL thumbnail + re-encode) slots into the same signature.
+    """
+    if resizer is None:
+        def resizer(payload: pd.Series, tgt: int) -> pd.Series:  # noqa: F811
+            return payload.map(lambda b: bytes(b[:tgt]).ljust(tgt, b"\x00"))
+
+    src = media.select("media_id", "kind", "payload", "mime")
+    if parallelism is not None:
+        src = src.repartition(parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = resizer(pdf["payload"], target_bytes)
+            out["n_bytes"] = out["payload"].map(len).astype("int64")
+            yield out[["media_id", "kind", "payload", "mime", "n_bytes"]]
+
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def sample_video_frames(
+    media: DataFrame,
+    *,
+    frame_bytes: int = 64,
+    max_frames: int = 8,
+    parallelism: int | None = None,
+) -> DataFrame:
+    """Explode each video payload into up to ``max_frames`` frame records —
+    the row-expanding shape (1 input row -> N output rows) that real frame
+    sampling produces; mapInPandas handles fan-out natively since the
+    output batch need not align 1:1 with the input.
+
+    Fake extraction slices the payload into fixed-size chunks; a real
+    ffmpeg/torchcodec sampler replaces the slicing only.
+    """
+    src = media.select("media_id", "payload")
+    if parallelism is not None:
+        src = src.repartition(parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, frames = [], [], []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                n = min(max_frames, max(1, len(payload) // frame_bytes))
+                for i in range(n):
+                    ids.append(mid)
+                    idxs.append(i)
+                    frames.append(bytes(payload[i * frame_bytes : (i + 1) * frame_bytes]))
+            yield pd.DataFrame(
+                {"media_id": ids, "frame_idx": pd.Series(idxs, dtype="int32"),
+                 "frame_payload": frames}
+            )
+
+    return src.mapInPandas(run, schema=VIDEO_FRAME_SCHEMA)

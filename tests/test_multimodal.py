@@ -60,3 +60,54 @@ def test_metadata_query_prunes_payload(spark):
     # metadata-only aggregation runs without touching payload bytes
     rows = media.groupBy("kind").agg(F.sum("n_bytes").alias("total")).collect()
     assert rows[0].total == 103
+
+
+def test_audio_features(spark):
+    from crypto_trading_data_pipeline_spark.operators.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        extract_audio_features,
+    )
+
+    df = spark.createDataFrame([(1, b"\x01" * 250), (2, b"")], ["id", "raw"])
+    media = attach_media(df, id_col="id", bytes_col="raw", kind="audio", mime="audio/wav")
+    out = {r.media_id: r for r in extract_audio_features(media).collect()}
+    assert extract_audio_features(media).schema == AUDIO_FEATURES_SCHEMA
+    assert out[1].sample_rate == 8000 + (1 % 5) * 8000
+    assert out[1].duration_ms == 1000  # 250 bytes * 4
+    assert out[2].duration_ms == 0
+
+
+def test_resize_preserves_media_contract(spark):
+    from crypto_trading_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_image_features,
+        resize_images,
+    )
+
+    media = _media(spark)
+    resized = resize_images(media, target_bytes=16)
+    assert resized.schema == MEDIA_SCHEMA
+    rows = {r.media_id: r for r in resized.collect()}
+    assert all(r.n_bytes == 16 for r in rows.values())
+    assert rows[1].payload[:3] == b"\x10\x20\x30"          # content kept
+    assert rows[3].payload == b"\x00" * 16                 # empty -> padded
+    # resized output must feed downstream media operators unchanged
+    assert extract_image_features(resized).count() == 3
+
+
+def test_video_frame_sampling_fan_out(spark):
+    from crypto_trading_data_pipeline_spark.operators.multimodal import sample_video_frames
+
+    df = spark.createDataFrame(
+        [(1, bytes(range(200))), (2, b"\x05" * 1000), (3, b"xy")], ["id", "raw"]
+    )
+    media = attach_media(df, id_col="id", bytes_col="raw", kind="video", mime="video/fake")
+    frames = sample_video_frames(media, frame_bytes=64, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r.media_id, []).append(r)
+    assert len(by_id[1]) == 3          # 200 // 64
+    assert len(by_id[2]) == 8          # capped at max_frames
+    assert len(by_id[3]) == 1          # short payload still yields one frame
+    f0 = sorted(by_id[1], key=lambda r: r.frame_idx)[0]
+    assert bytes(f0.frame_payload) == bytes(range(64))
