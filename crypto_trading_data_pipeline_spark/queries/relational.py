@@ -676,3 +676,25 @@ def q_join_right(spark: SparkSession, sf_dir: str):
             F.round(F.coalesce(F.sum("l_quantity"), F.lit(0.0)), 2).alias("total_qty"),
         )
     )
+
+
+@query(
+    "q_group_sum_salted",
+    oracle="""
+    SELECT event_type, round(sum(value), 2) AS total, count(*) AS n
+    FROM events GROUP BY event_type
+    """,
+    doc=(
+        "Two-phase salted aggregation (operators/scale.salted_group_sum): "
+        "groupBy(key, salt) partial then groupBy(key) final. Semantically "
+        "identical to the plain sum — the oracle IS the plain sum — but the "
+        "first shuffle spreads a pathologically hot key over `buckets` "
+        "reducers. The defense when AQE skew handling isn't enough."
+    ),
+)
+def q_group_sum_salted(spark: SparkSession, sf_dir: str):
+    from ..operators.scale import salted_group_sum
+
+    e = read_table(spark, sf_dir, "events").select("event_type", "value")
+    out = salted_group_sum(e, keys=["event_type"], agg_cols={"total": "value"}, buckets=16)
+    return out.select("event_type", F.round("total", 2).alias("total"), "n")

@@ -55,3 +55,29 @@ def test_write_partitioned_roundtrip(spark, sf_dir, tmp_path):
     plan = one_day._jdf.queryExecution().executedPlan().toString()
     pf = plan.split("PartitionFilters: [", 1)[1].split("]", 1)[0]
     assert "day" in pf, plan
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Two tables bucketed identically on the join key must join with ZERO
+    shuffle on either side — the co-located join that makes fact-fact joins
+    affordable at 100 TB."""
+    from crypto_trading_data_pipeline_spark.operators.scale import write_bucketed
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    orders = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    write_bucketed(li, "li_b", bucket_by=["l_orderkey"], buckets=4, sort_by=["l_orderkey"])
+    write_bucketed(orders, "o_b", bucket_by=["o_orderkey"], buckets=4, sort_by=["o_orderkey"])
+    try:
+        a, b = spark.table("li_b"), spark.table("o_b")
+        # Disable auto-broadcast so the test exercises the bucketed SMJ path.
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = a.join(b, a.l_orderkey == b.o_orderkey)
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan
+        assert joined.count() == li.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS li_b")
+        spark.sql("DROP TABLE IF EXISTS o_b")

@@ -186,3 +186,52 @@ def test_running_trade_stats_stateful(spark, tmp_path):
     exp_val = 42000.10 * 0.5 + 42001.00 * 0.25 + 41999.90 * 1.0 + 42002.00 * 0.1 + 40000.00 * 9.9
     exp_vol = 0.5 + 0.25 + 1.0 + 0.1 + 9.9
     assert abs(collected["BTCUSDT"]["vwap"] - exp_val / exp_vol) < 1e-9
+
+
+def test_stream_stream_time_bounded_join(spark, tmp_path):
+    """Watermarked stream-stream join: only right events within the
+    tolerance window of a left event match; join state stays bounded."""
+    from crypto_trading_data_pipeline_spark.streaming.joins import time_bounded_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+
+    _write_batch(str(ldir), [trade(1, "BTCUSDT", "100", "1", 60),
+                             trade(2, "ETHUSDT", "10", "1", 120)], "l1.json")
+    # quote 30s before trade 1 (in window), quote 300s before trade 2 (out)
+    _write_batch(str(rdir), [trade(91, "BTCUSDT", "99", "1", 30),
+                             trade(92, "ETHUSDT", "9", "1", -180)], "r1.json")
+
+    lt = parse_trades(file_json_stream(spark, str(ldir))).select(
+        "symbol", F.col("trade_time").alias("lt"), F.col("price").alias("trade_px"))
+    rt = parse_trades(file_json_stream(spark, str(rdir))).select(
+        "symbol", F.col("trade_time").alias("rt"), F.col("price").alias("quote_px"))
+
+    joined = time_bounded_join(
+        lt, rt, key="symbol", left_ts="lt", right_ts="rt", tolerance="1 minute"
+    )
+    rows = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert [(r.symbol, str(r.quote_px)) for r in rows] == [("BTCUSDT", "99.00000000")]
+
+    # batch twin: identical call on batch frames gives the same match
+    lb = parse_trades(spark.createDataFrame(
+        [(t,) for t in [trade(1, "BTCUSDT", "100", "1", 60),
+                        trade(2, "ETHUSDT", "10", "1", 120)]], ["value"])).select(
+        "symbol", F.col("trade_time").alias("lt"), F.col("price").alias("trade_px"))
+    rb = parse_trades(spark.createDataFrame(
+        [(t,) for t in [trade(91, "BTCUSDT", "99", "1", 30),
+                        trade(92, "ETHUSDT", "9", "1", -180)]], ["value"])).select(
+        "symbol", F.col("trade_time").alias("rt"), F.col("price").alias("quote_px"))
+    batch = time_bounded_join(lb, rb, key="symbol", left_ts="lt", right_ts="rt",
+                              tolerance="1 minute").collect()
+    assert [(r.symbol, str(r.quote_px)) for r in batch] == [("BTCUSDT", "99.00000000")]
