@@ -278,3 +278,30 @@ def q_fingerprint_rolling(spark: SparkSession, sf_dir: str):
         lambda acc, x: (acc * F.lit(_ROLL_B) + x) % F.lit(_ROLL_P),
     )
     return docs.select("doc_id", fp.alias("fp_rolling"))
+
+
+@query(
+    "q_term_freq",
+    oracle="""
+    SELECT token, count(*) AS tf, count(DISTINCT doc_id) AS df
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    ORDER BY tf DESC, token
+    LIMIT 20
+    """,
+    doc=(
+        "Corpus term/document frequency, top-20: the canonical explode + "
+        "count workload. explode is a narrow op (no shuffle); the groupBy "
+        "partial-aggregates before shuffling, so shuffle volume is "
+        "|vocabulary|, not |tokens|. Deterministic tie-break on token."
+    ),
+)
+def q_term_freq(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("token"))
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("tf"), F.countDistinct("doc_id").alias("df"))
+        .orderBy(F.col("tf").desc(), "token")
+        .limit(20)
+    )

@@ -698,3 +698,87 @@ def q_group_sum_salted(spark: SparkSession, sf_dir: str):
     e = read_table(spark, sf_dir, "events").select("event_type", "value")
     out = salted_group_sum(e, keys=["event_type"], agg_cols={"total": "value"}, buckets=16)
     return out.select("event_type", F.round("total", 2).alias("total"), "n")
+
+
+@query(
+    "q_scalar_subquery",
+    oracle="""
+    SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+    FROM orders o
+    WHERE o_totalprice > 2 * (
+      SELECT avg(o2.o_totalprice) FROM orders o2 WHERE o2.o_custkey = o.o_custkey
+    )
+    """,
+    doc=(
+        "Correlated scalar subquery (orders over 2x their customer's "
+        "average). Catalyst decorrelates it into an aggregate + join — one "
+        "pass over orders, not a subquery per row. The engine's SQL surface "
+        "is Spark SQL itself."
+    ),
+)
+def q_scalar_subquery(spark: SparkSession, sf_dir: str):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_sq")
+    return spark.sql(
+        """
+        SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS o_totalprice
+        FROM orders_sq o
+        WHERE o_totalprice > 2 * (
+          SELECT avg(o2.o_totalprice) FROM orders_sq o2 WHERE o2.o_custkey = o.o_custkey
+        )
+        """
+    )
+
+
+@query(
+    "q_pivot",
+    oracle="""
+    SELECT l_returnflag,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 0.0), 2) AS qty_F,
+           round(coalesce(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 0.0), 2) AS qty_O
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Pivot (wide layout): one HashAggregate with conditional aggregates "
+        "— pivot never needs a second shuffle. Pivot values are declared "
+        "explicitly: at scale, value discovery is a separate distinct scan "
+        "you should not pay implicitly."
+    ),
+)
+def q_pivot(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    out = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(F.sum("l_quantity"))
+    )
+    return out.select(
+        "l_returnflag",
+        F.round(F.coalesce(F.col("F"), F.lit(0.0)), 2).alias("qty_F"),
+        F.round(F.coalesce(F.col("O"), F.lit(0.0)), 2).alias("qty_O"),
+    )
+
+
+@query(
+    "q_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           round(quantile_cont(l_extendedprice, 0.5), 4)  AS p50,
+           round(quantile_cont(l_extendedprice, 0.95), 4) AS p95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Exact interpolated percentiles (Spark `percentile` == DuckDB "
+        "quantile_cont: linear interpolation). Exact percentile is a "
+        "sort-based aggregate — at 100 TB prefer approx_percentile "
+        "(t-digest, mergeable, partial-aggregatable) unless exactness is a "
+        "requirement."
+    ),
+)
+def q_percentiles(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
+    )
