@@ -62,6 +62,35 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
     return _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
 
 
+def _lsh_candidate_pairs(docs):
+    """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket — the
+    shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup."""
+    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .filter(F.size("ids") >= 2)
+    )
+    # ids is sorted, so pairing each element with everything after it emits
+    # each unordered pair exactly once with doc_a < doc_b.
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ids"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
+                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
+                ),
+            )
+        )
+    )
+    return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+
+
 @query(
     "q_lsh_pairs",
     oracle=f"""
@@ -93,31 +122,7 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
-    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
-    bands = sig.select(
-        "doc_id",
-        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
-    )
-    buckets = (
-        bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
-        .filter(F.size("ids") >= 2)
-    )
-    # ids is sorted, so pairing each element with everything after it emits
-    # each unordered pair exactly once with doc_a < doc_b.
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                ),
-            )
-        )
-    )
-    return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
+    return _lsh_candidate_pairs(read_table(spark, sf_dir, "documents"))
 
 
 @query(
@@ -451,4 +456,85 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str):
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 3)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rnk")
+    )
+
+
+_JACCARD_SQL = (
+    "CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)"
+    " / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))"
+)
+
+
+@query(
+    "q_neardup_dedup",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), sig AS (
+      SELECT doc_id, {_SQL_SIG_SELECT.replace(chr(10), ' ')}
+      FROM sh
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE {_JACCARD_SQL} >= 0.8
+    ), nb AS (
+      SELECT doc_a AS doc, doc_b AS nbr FROM ver
+      UNION ALL
+      SELECT doc_b AS doc, doc_a AS nbr FROM ver
+    ), rep AS (
+      SELECT doc, min(nbr) AS mn FROM nb GROUP BY doc
+    )
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d LEFT JOIN rep ON d.doc_id = rep.doc
+    WHERE rep.doc IS NULL OR d.doc_id < rep.mn
+    """,
+    doc=(
+        "End-to-end near-duplicate DEDUP: LSH candidate generation -> exact "
+        "shingle-Jaccard verification (>= 0.8) -> keep local-minimum "
+        "representatives (a doc survives unless a verified near-duplicate "
+        "with a smaller id exists). One-hop representative pick, not full "
+        "connected components — transitive chains keep one doc per hop "
+        "neighborhood, which is the standard single-pass approximation; "
+        "full CC needs an iterative join loop. Verification cost is "
+        "O(|candidates|), never O(n^2)."
+    ),
+)
+def q_neardup_dedup(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    cand = _lsh_candidate_pairs(docs)
+    sh = (
+        fan_out(docs.select("doc_id", "text"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    ver = (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    nb = ver.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).unionAll(
+        ver.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr"))
+    )
+    rep = nb.groupBy("doc").agg(F.min("nbr").alias("mn"))
+    return (
+        docs.join(rep, docs.doc_id == rep.doc, "left")
+        .filter(F.col("doc").isNull() | (F.col("doc_id") < F.col("mn")))
+        .select("doc_id", "lang", "source")
     )

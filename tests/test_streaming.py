@@ -235,3 +235,31 @@ def test_stream_stream_time_bounded_join(spark, tmp_path):
     batch = time_bounded_join(lb, rb, key="symbol", left_ts="lt", right_ts="rt",
                               tolerance="1 minute").collect()
     assert [(r.symbol, str(r.quote_px)) for r in batch] == [("BTCUSDT", "99.00000000")]
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """Streaming dedup: replayed trade_ids within the watermark horizon are
+    dropped; state is bounded by the watermark (unbounded-history dedup
+    would OOM a year-long stream)."""
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(str(indir), TRADES_1, "b1.json")
+    _write_batch(str(indir), TRADES_1, "b1_replay.json")  # exact duplicates
+
+    trades = parse_trades(file_json_stream(spark, str(indir)))
+    deduped = trades.withWatermark("trade_time", "10 minutes").dropDuplicatesWithinWatermark(
+        ["trade_id"]
+    )
+    rows = []
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    ids = sorted(r.trade_id for r in rows)
+    assert ids == [1, 2, 3, 4]  # each trade exactly once despite the replay
