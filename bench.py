@@ -38,6 +38,7 @@ HEADLINE = [
     "q_session_window",
     "q_minhash_sig",
     "q_lsh_pairs",
+    "q_neardup_dedup",
     "q_simhash",
     "q_ann_ivf",
 ]
