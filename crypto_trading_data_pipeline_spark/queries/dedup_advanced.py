@@ -538,3 +538,45 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str):
         .filter(F.col("doc").isNull() | (F.col("doc_id") < F.col("mn")))
         .select("doc_id", "lang", "source")
     )
+
+
+@query(
+    "q_edit_distance",
+    oracle="""
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) AS dist
+    FROM documents a JOIN documents b
+      ON a.lang = b.lang AND a.doc_id < b.doc_id
+     AND abs(a.n_chars - b.n_chars) <= 2
+    WHERE levenshtein(substr(a.text, 1, 48), substr(b.text, 1, 48)) <= 8
+    """,
+    doc=(
+        "Levenshtein edit-distance verification over blocked pairs (same "
+        "lang, near-identical length): the character-level dedup verifier "
+        "for short strings where token Jaccard is too coarse. Distance runs "
+        "on a 48-char prefix — edit distance is O(len^2) per pair, so at "
+        "scale you bound the operand, block aggressively (here: lang + "
+        "length), or pre-filter candidates with LSH."
+    ),
+)
+def q_edit_distance(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    a = docs.select(
+        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"), F.substring("text", 1, 48).alias("pref_a"),
+    )
+    b = docs.select(
+        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"), F.substring("text", 1, 48).alias("pref_b"),
+    )
+    return (
+        a.join(
+            b,
+            (F.col("lang_a") == F.col("lang_b"))
+            & (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 2),
+        )
+        .withColumn("dist", F.levenshtein("pref_a", "pref_b"))
+        .filter(F.col("dist") <= 8)
+        .select("doc_a", "doc_b", "dist")
+    )

@@ -782,3 +782,34 @@ def q_percentiles(spark: SparkSession, sf_dir: str):
         F.round(F.expr("percentile(l_extendedprice, 0.5)"), 4).alias("p50"),
         F.round(F.expr("percentile(l_extendedprice, 0.95)"), 4).alias("p95"),
     )
+
+
+@query(
+    "q_stats_profile",
+    oracle="""
+    SELECT l_returnflag,
+           round(avg(l_extendedprice), 4)                        AS mean_price,
+           round(stddev_samp(l_extendedprice), 4)                AS sd_price,
+           round(var_samp(l_quantity), 4)                        AS var_qty,
+           round(corr(l_extendedprice, l_quantity), 6)           AS corr_pq,
+           round(covar_samp(l_extendedprice, l_discount), 6)     AS cov_pd
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "Statistical profiling aggregates (stddev/variance/correlation/"
+        "covariance): all declarative moment aggregates — partial moments "
+        "merge associatively, so one partial+final HashAggregate pair, same "
+        "plan shape as a plain sum. The data-profiling pass a training-data "
+        "pipeline runs before filtering."
+    ),
+)
+def q_stats_profile(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.avg("l_extendedprice"), 4).alias("mean_price"),
+        F.round(F.stddev_samp("l_extendedprice"), 4).alias("sd_price"),
+        F.round(F.var_samp("l_quantity"), 4).alias("var_qty"),
+        F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
+        F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("cov_pd"),
+    )
