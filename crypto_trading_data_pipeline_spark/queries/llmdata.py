@@ -305,3 +305,71 @@ def q_term_freq(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("tf").desc(), "token")
         .limit(20)
     )
+
+
+@query(
+    "q_split_assign",
+    oracle=f"""
+    SELECT lang, split, count(*) AS n
+    FROM (
+      SELECT lang,
+             CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val' ELSE 'test' END AS split
+      FROM (
+        SELECT lang,
+               {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+        FROM documents
+      )
+    )
+    GROUP BY lang, split
+    """,
+    doc=(
+        "Deterministic train/val/test split (90/5/5) by stable hash of the "
+        "document id: assignment is a pure narrow map — reproducible across "
+        "runs, engines, and repartitions, and new documents never reshuffle "
+        "old ones (the property random splits lack). Returns per-lang split "
+        "counts; the same expression tags rows for partitioned writes."
+    ),
+)
+def q_split_assign(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 90, F.lit("train")).when(h < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("lang", split.alias("split"))
+        .groupBy("lang", "split")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_dedup_keep_best",
+    oracle="""
+    SELECT doc_id, lang, source, n_chars
+    FROM (
+      SELECT doc_id, lang, source, n_chars,
+             row_number() OVER (
+               PARTITION BY md5(text) ORDER BY n_chars DESC, doc_id
+             ) AS rk
+      FROM documents
+    ) WHERE rk = 1
+    """,
+    doc=(
+        "Quality-aware dedup: one representative per content fingerprint, "
+        "keeping the HIGHEST-quality copy (n_chars as the quality proxy "
+        "here; any score column slots in) with doc_id tie-break — real "
+        "pipelines keep the best duplicate, not the first. Same one-shuffle "
+        "rank-filter shape as exact dedup."
+    ),
+)
+def q_dedup_keep_best(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    w = Window.partitionBy(F.md5(F.col("text").cast("binary"))).orderBy(
+        F.col("n_chars").desc(), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("doc_id", "lang", "source", "n_chars")
+    )
