@@ -39,6 +39,15 @@ def query(name: str, oracle: str | None, doc: str = ""):
     """Decorator registering a declared query."""
 
     def wrap(fn):
+        # The decorated function must BE the query (same name, driver
+        # signature). Catches the misplaced-decorator refactor bug at import
+        # time instead of as a TypeError deep inside the driver run.
+        if fn.__name__ != name:
+            raise ValueError(
+                f"@query({name!r}) applied to {fn.__name__!r} — decorator misplaced"
+            )
+        if name in REGISTRY:
+            raise ValueError(f"duplicate query registration: {name}")
         REGISTRY[name] = QuerySpec(name=name, fn=fn, oracle=oracle, doc=doc or (fn.__doc__ or ""))
         return fn
 
