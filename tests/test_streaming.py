@@ -263,3 +263,49 @@ def test_streaming_dedup_within_watermark(spark, tmp_path):
         q.stop()
     ids = sorted(r.trade_id for r in rows)
     assert ids == [1, 2, 3, 4]  # each trade exactly once despite the replay
+
+
+def test_stateful_survives_query_restart(spark, tmp_path):
+    """Checkpoint recovery: a NEW query object resuming from the same
+    checkpoint must carry the per-key state forward (exactly-once resume,
+    reference's checkpointLocation semantics) — not recount batch 1."""
+    from crypto_trading_data_pipeline_spark.streaming.stateful import running_trade_stats
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    collected = {}
+
+    def sink(df, epoch_id):
+        for r in df.collect():
+            collected[r.symbol] = r.asDict()
+
+    def start():
+        trades = parse_trades(file_json_stream(spark, str(indir)))
+        return (
+            running_trade_stats(trades)
+            .writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+
+    _write_batch(str(indir), TRADES_1, "b1.json")
+    q1 = start()
+    try:
+        q1.processAllAvailable()
+    finally:
+        q1.stop()
+    assert collected["BTCUSDT"]["n_trades"] == 3
+
+    # restart: new query object, same checkpoint; add batch 2
+    _write_batch(str(indir), TRADES_2, "b2.json")
+    q2 = start()
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+    # 3 (recovered state) + 2 new BTC rows — NOT 5+3 (which would mean
+    # batch 1 was re-read) and NOT 2 (which would mean state was lost).
+    assert collected["BTCUSDT"]["n_trades"] == 5
+    assert collected["ETHUSDT"]["n_trades"] == 2
