@@ -514,6 +514,12 @@ _JACCARD_SQL = (
 )
 def q_neardup_dedup(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
+    # The shingle table feeds three consumers (candidate generation + both
+    # verification sides); Spark recomputes the shared subplan per consumer.
+    # A persist() here trades that recompute for cache materialization —
+    # measured a wash at sf0.1 (codegen-warm) and a 2.3x win only on a cold
+    # JVM. At 100 TB the signature table is CHECKPOINTED once and reused
+    # across dedup runs, which is the durable form of the same trade.
     cand = _lsh_candidate_pairs(docs)
     sh = (
         fan_out(docs.select("doc_id", "text"))
