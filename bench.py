@@ -44,6 +44,65 @@ HEADLINE = [
 ]
 
 
+def bench_streaming(spark, sf_dir: str) -> dict:
+    """End-to-end streaming candle throughput (the reference's actual
+    runtime shape: parse -> watermark -> 1-min OHLCV -> foreachBatch sink).
+
+    Synthesizes a raw-trade JSON feed from the events fixture, drains it
+    with an availableNow trigger, and reports rows/s. The reference's
+    operational posture is one symbol at 60 s micro-batches on 1 core
+    (BASELINE.md); this measures the same job shape at full throttle.
+    """
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.sources import file_json_stream, parse_trades
+    from crypto_trading_data_pipeline_spark.streaming.job import candle_stream, start_candle_query
+
+    workdir = tempfile.mkdtemp(prefix="ctdp_bench_stream_")
+    indir, ckpt = os.path.join(workdir, "in"), os.path.join(workdir, "ckpt")
+    os.makedirs(indir)
+    try:
+        ev = read_table(spark, sf_dir, "events")
+        n_rows = ev.count()
+        raw = ev.select(
+            F.to_json(
+                F.struct(
+                    F.col("event_id").alias("trade_id"),
+                    F.col("event_type").alias("symbol"),
+                    F.col("value").cast("string").alias("price"),
+                    F.lit("1").alias("quantity"),
+                    (F.unix_millis(F.col("ts"))).alias("trade_time"),
+                    F.lit(False).alias("is_buyer_maker"),
+                )
+            ).alias("value")
+        )
+        raw.coalesce(8).write.mode("overwrite").text(indir)
+
+        counts = {"rows": 0}
+
+        def sink(df, epoch_id):
+            counts["rows"] += df.count()
+
+        t0 = time.perf_counter()
+        trades = parse_trades(file_json_stream(spark, indir))
+        candles = candle_stream(trades, watermark="2 minutes", window_duration="1 minute")
+        q = start_candle_query(candles, sink=sink, checkpoint_dir=ckpt, available_now=True)
+        q.awaitTermination()
+        wall = time.perf_counter() - t0
+        return {
+            "streaming_input_rows": n_rows,
+            "streaming_wall_sec": round(wall, 3),
+            "streaming_rows_per_sec": round(n_rows / wall, 1),
+            "streaming_candles_emitted": counts["rows"],
+        }
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -67,6 +126,7 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 3)
 
     total = round(sum(timings.values()), 3)
+    stream_stats = bench_streaming(spark, sf_dir)
     print(
         json.dumps(
             {
@@ -75,6 +135,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                **stream_stats,
             }
         )
     )
