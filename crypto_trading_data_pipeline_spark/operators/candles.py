@@ -77,3 +77,52 @@ def ohlcv(
         "n_trades",
         "vwap",
     )
+
+
+def rollup_candles(
+    candles: DataFrame,
+    *,
+    window_duration: str = "5 minutes",
+    round_digits: int | None = None,
+) -> DataFrame:
+    """Re-aggregate fine candles into coarser ones WITHOUT touching raw
+    trades — the hypertable-rollup pattern (1-min candles are ~10^3-10^5x
+    smaller than the trade stream, so a day of 5-min/1-hour/1-day rollups
+    reads megabytes, not terabytes).
+
+    OHLCV re-aggregates exactly: open = open of the earliest sub-window
+    (min_by on window_start), close = close of the latest, high/low = max/
+    min, volume/value/trades = sums; vwap recomputes from the summed
+    numerator/denominator (averaging sub-window vwaps would be wrong).
+    """
+
+    def _r(c: Column) -> Column:
+        return F.round(c, round_digits) if round_digits is not None else c
+
+    w = F.window(F.col("window_start"), window_duration)
+    agg = (
+        candles.groupBy(w.alias("w"), "symbol")
+        .agg(
+            F.min_by("open_price", F.col("window_start")).alias("open_price"),
+            F.max("high_price").alias("high_price"),
+            F.min("low_price").alias("low_price"),
+            F.max_by("close_price", F.col("window_start")).alias("close_price"),
+            _r(F.sum("total_volume")).alias("total_volume"),
+            _r(F.sum("total_value")).alias("total_value"),
+            F.sum("n_trades").alias("n_trades"),
+        )
+        .withColumn("vwap", F.col("total_value") / F.col("total_volume"))
+    )
+    return agg.select(
+        F.col("w.start").cast("timestamp_ntz").alias("window_start"),
+        F.col("w.end").cast("timestamp_ntz").alias("window_end"),
+        "symbol",
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+        "total_volume",
+        "total_value",
+        "n_trades",
+        "vwap",
+    )

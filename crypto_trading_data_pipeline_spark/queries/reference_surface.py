@@ -283,3 +283,54 @@ def q_upsert_last_wins(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") == 1)
         .select("user_id", "event_type", "event_id", F.col("ts").cast("timestamp_ntz").alias("ts"), "value")
     )
+
+
+@query(
+    "q_candle_rollup_5min",
+    oracle="""
+    WITH c1 AS (
+      SELECT
+        CAST(date_trunc('minute', ts) AS TIMESTAMP)        AS window_start,
+        event_type                                         AS symbol,
+        arg_min(value, ts)                                 AS open_price,
+        max(value)                                         AS high_price,
+        min(value)                                         AS low_price,
+        arg_max(value, ts)                                 AS close_price,
+        round(CAST(count(*) AS DOUBLE), 4)                 AS total_volume,
+        round(sum(value), 4)                               AS total_value,
+        count(*)                                           AS n_trades
+      FROM events GROUP BY 1, 2
+    )
+    SELECT
+      CAST(time_bucket(INTERVAL '5 minutes', window_start) AS TIMESTAMP) AS window_start,
+      CAST(time_bucket(INTERVAL '5 minutes', window_start)
+           + INTERVAL 5 MINUTE AS TIMESTAMP)                             AS window_end,
+      symbol,
+      arg_min(open_price, window_start)   AS open_price,
+      max(high_price)                     AS high_price,
+      min(low_price)                      AS low_price,
+      arg_max(close_price, window_start)  AS close_price,
+      round(sum(total_volume), 4)         AS total_volume,
+      round(sum(total_value), 4)          AS total_value,
+      CAST(sum(n_trades) AS BIGINT)       AS n_trades,
+      round(sum(total_value), 4) / round(sum(total_volume), 4) AS vwap
+    FROM c1
+    GROUP BY 1, 2, 3
+    """,
+    doc=(
+        "Hypertable rollup: 5-min candles re-aggregated FROM the 1-min "
+        "candles, never re-reading raw trades (open/close via min_by/max_by "
+        "on the sub-window start, vwap from summed numerator/denominator). "
+        "The multi-resolution serving pattern: each coarser tier reads the "
+        "tier below, cost proportional to candle count, not trade count."
+    ),
+)
+def q_candle_rollup_5min(spark: SparkSession, sf_dir: str):
+    from ..operators.candles import rollup_candles
+
+    events = read_table(spark, sf_dir, "events")
+    c1 = ohlcv(
+        events, ts_col="ts", key_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 minute", round_digits=4,
+    )
+    return rollup_candles(c1, window_duration="5 minutes", round_digits=4)

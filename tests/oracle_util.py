@@ -49,6 +49,14 @@ def compare_query(spark, sf_dir: str, name: str, fn, oracle: str) -> None:
 
     for c in got.columns:
         g, w = got[c], want[c]
+        # The driver compares astype(str): an int64-vs-float64 dtype split
+        # renders 25 vs 25.0 and hash-mismatches even though values are
+        # numerically equal (e.g. DuckDB SUM(BIGINT) -> HUGEINT -> float64).
+        if pd.api.types.is_float_dtype(g) != pd.api.types.is_float_dtype(w):
+            raise AssertionError(
+                f"{name}.{c}: dtype split spark={g.dtype} duck={w.dtype} — "
+                "driver's astype(str) compare will mismatch; CAST the oracle"
+            )
         if pd.api.types.is_float_dtype(g) or pd.api.types.is_float_dtype(w):
             for i, (a, b) in enumerate(zip(g.astype(float), w.astype(float))):
                 both_nan = (isinstance(a, float) and math.isnan(a)) and (

@@ -107,3 +107,38 @@ def test_ohlcv_invariants(spark, recs):
         )
         assert c.window_start.minute * 60 + c.window_start.second <= 3600 * 24
         assert (c.window_end - c.window_start).total_seconds() == 60.0
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(trade_rec, min_size=1, max_size=150))
+def test_candle_rollup_matches_direct(spark, recs):
+    """Hypertable-rollup invariant: 5-min candles built FROM 1-min candles
+    must equal 5-min candles built directly from trades (OHLC and counts
+    exactly; summed measures up to per-tier rounding)."""
+    from crypto_trading_data_pipeline_spark.operators.candles import rollup_candles
+
+    base = datetime(2024, 3, 1, tzinfo=timezone.utc)
+    rows = [
+        (f"S{s}", datetime.fromtimestamp(base.timestamp() + off, tz=timezone.utc), p, q)
+        for s, off, p, q in recs
+    ]
+    df = spark.createDataFrame(rows, ["symbol", "trade_time", "price", "quantity"])
+    direct = {
+        (c.symbol, c.window_start): c
+        for c in ohlcv(df, window_duration="5 minutes", round_digits=4).collect()
+    }
+    rolled = {
+        (c.symbol, c.window_start): c
+        for c in rollup_candles(
+            ohlcv(df, window_duration="1 minute", round_digits=4), round_digits=4
+        ).collect()
+    }
+    assert set(direct) == set(rolled)
+    for key, d in direct.items():
+        r = rolled[key]
+        assert (d.open_price, d.high_price, d.low_price, d.close_price) == (
+            r.open_price, r.high_price, r.low_price, r.close_price
+        ), key
+        assert d.n_trades == r.n_trades
+        assert math.isclose(d.total_volume, r.total_volume, abs_tol=5e-4)
+        assert math.isclose(d.total_value, r.total_value, abs_tol=5e-4)
