@@ -66,3 +66,69 @@ def cosine_topk(
     )
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
     return pairs.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= k)
+
+
+def cosine_topk_pandas(
+    corpus: DataFrame,
+    queries: DataFrame,
+    *,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    round_digits: int = 6,
+) -> DataFrame:
+    """Arrow/NumPy variant of cosine_topk: queries are collected (they are
+    top-k-small by construction), L2-normalized, broadcast as one matrix;
+    each Arrow batch of the corpus scores against ALL queries with a single
+    BLAS matmul inside mapInPandas.
+
+    When to prefer which (measured at sf0.1, 64-dim):
+    - few queries (<~100): the JVM higher-order-function path wins — no
+      Python hop, whole-stage codegen, same wall-clock;
+    - many queries: this path wins increasingly — the |batch| x |queries|
+      matmul amortizes the Arrow transfer, while the HOF path pays a
+      per-(row x query) expression evaluation with no SIMD reuse.
+
+    Output and determinism contract identical to cosine_topk (rounded sim,
+    neighbor-id tie-break), so the two are drop-in interchangeable.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from .scale import fan_out
+
+    qrows = queries.select(
+        F.col(id_col).alias("qid"), as_double_vec(F.col(vec_col)).alias("qv")
+    ).collect()
+    qids = np.array([r.qid for r in qrows], dtype=np.int64)
+    Q = np.array([r.qv for r in qrows], dtype=np.float64)
+    Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
+    bq = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    def score(batches):
+        ids, Qm = bq.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            M = np.array(pdf[vec_col].tolist(), dtype=np.float64)
+            Mn = M / np.linalg.norm(M, axis=1, keepdims=True)
+            S = Mn @ Qm.T
+            n = len(pdf)
+            out = pd.DataFrame(
+                {
+                    "neighbor_id": np.repeat(pdf[id_col].values, len(ids)),
+                    "query_id": np.tile(ids, n),
+                    "sim": np.round(S.ravel(), round_digits),
+                }
+            )
+            yield out[out.neighbor_id != out.query_id]
+
+    scored = fan_out(corpus.select(id_col, vec_col)).mapInPandas(
+        score, "neighbor_id long, query_id long, sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )

@@ -373,3 +373,38 @@ def q_dedup_keep_best(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") == 1)
         .select("doc_id", "lang", "source", "n_chars")
     )
+
+
+@query(
+    "q_cosine_topk_pandas",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), pairs AS (
+      SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+             round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) AS sim
+      FROM n q JOIN n c ON c.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rn
+      FROM pairs
+    ) WHERE rn <= 5
+    """,
+    doc=(
+        "Arrow/NumPy twin of q_cosine_topk: one BLAS matmul per Arrow batch "
+        "against the broadcast query matrix (mapInPandas). Same oracle, same "
+        "results — the measured crossover vs the JVM HOF path is documented "
+        "in operators/similarity.cosine_topk_pandas."
+    ),
+)
+def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import cosine_topk_pandas
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    return cosine_topk_pandas(
+        emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
+    )
