@@ -113,3 +113,82 @@ def running_trade_stats(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user", StringType()),
+        StructField("session_start", LongType()),   # epoch ms
+        StructField("session_end", LongType()),     # epoch ms
+        StructField("n_events", LongType()),
+        StructField("closed_by_timeout", StringType()),  # 'timeout' | 'final'
+    ]
+)
+
+_SESSION_STATE = StructType(
+    [
+        StructField("start_ms", LongType()),
+        StructField("last_ms", LongType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def _session_update(key, pdfs, state: "GroupState"):
+    """Gap-based sessionizer with EVENT-TIME TIMEOUT: a key's session is
+    emitted when the watermark passes last-event + gap — the state-lifecycle
+    path (hasTimedOut) that running stats never exercises. Spark calls this
+    function with NO data for keys whose timeout fired."""
+    import pandas as _pd
+
+    gap_ms = 30_000
+    if state.hasTimedOut:
+        start_ms, last_ms, n = state.get
+        state.remove()
+        yield _pd.DataFrame(
+            {
+                "user": [key[0]],
+                "session_start": [start_ms],
+                "session_end": [last_ms],
+                "n_events": [n],
+                "closed_by_timeout": ["timeout"],
+            }
+        )
+        return
+    start_ms, last_ms, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        ms = (pdf["ts"].astype("int64") // 1_000_000).tolist()  # ns -> ms
+        for m in sorted(ms):
+            if start_ms is None:
+                start_ms, last_ms = m, m
+            last_ms = max(last_ms, m)
+            n += 1
+    state.update((start_ms, last_ms, n))
+    state.setTimeoutTimestamp(last_ms + gap_ms)
+    if False:
+        yield  # make this a generator on every path
+
+
+def sessionize(events, *, user_col: str = "user_id", ts_col: str = "ts", watermark: str = "1 minute"):
+    """Event-time sessionization via applyInPandasWithState with
+    EventTimeTimeout: sessions close (and emit exactly once) when the
+    watermark passes the 30 s inactivity gap. State per key is three longs
+    — bounded regardless of stream length; eviction is the timeout itself.
+
+    Differs from Spark's built-in session_window aggregate in that
+    arbitrary per-session logic (custom emission payloads, side effects,
+    multi-stage session state) can ride along — the built-in only computes
+    declarative aggregates.
+    """
+    projected = events.select(
+        F.col(user_col).cast("string").alias("user"), F.col(ts_col).alias("ts")
+    ).withWatermark("ts", watermark)
+    return projected.groupBy("user").applyInPandasWithState(
+        _session_update,
+        outputStructType=SESSION_SCHEMA,
+        stateStructType=_SESSION_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )

@@ -86,3 +86,25 @@ def test_scan_prunes_columns(spark):
     plan = plan_of(spark, "q_count_filtered")
     scan = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "props" not in scan and "value" not in scan, scan
+
+
+def test_sql_broadcast_hint(spark):
+    """The SQL hint surface must reach the planner: /*+ BROADCAST */ on a
+    dim table plans a BroadcastHashJoin even with auto-broadcast off."""
+    from crypto_trading_data_pipeline_spark.io import read_table
+
+    read_table(spark, SF, "lineitem").createOrReplaceTempView("li_hint")
+    read_table(spark, SF, "supplier").createOrReplaceTempView("s_hint")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        df = spark.sql(
+            """
+            SELECT /*+ BROADCAST(s_hint) */ s_name, count(*) AS n
+            FROM li_hint JOIN s_hint ON l_suppkey = s_suppkey
+            GROUP BY s_name
+            """
+        )
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "BroadcastHashJoin" in plan, plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -309,3 +309,53 @@ def test_stateful_survives_query_restart(spark, tmp_path):
     # batch 1 was re-read) and NOT 2 (which would mean state was lost).
     assert collected["BTCUSDT"]["n_trades"] == 5
     assert collected["ETHUSDT"]["n_trades"] == 2
+
+
+def test_sessionize_event_time_timeout(spark, tmp_path):
+    """EventTimeTimeout lifecycle: a key with no further events is closed
+    and emitted exactly once after the watermark passes its inactivity gap;
+    keys still active stay open (nothing emitted for them)."""
+    import json as _json
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import sessionize
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+
+    def ev(user, off_s):
+        return _json.dumps({"user_id": user, "ts_ms": BASE_MS + off_s * 1000})
+
+    # the raw feed carries epoch ms; parse to timestamp for event time
+    def stream():
+        raw = file_json_stream(spark, str(indir))
+        parsed = raw.select(F.from_json("value", "user_id STRING, ts_ms LONG").alias("d"))
+        return parsed.select(
+            F.col("d.user_id").alias("user_id"),
+            F.timestamp_millis(F.col("d.ts_ms")).alias("ts"),
+        )
+
+    rows = []
+    q = (
+        sessionize(stream(), watermark="1 minute")
+        .writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        _write_batch(str(indir), [ev("A", 0), ev("A", 10), ev("B", 0)], "b1.json")
+        q.processAllAvailable()
+        _write_batch(str(indir), [ev("A", 120)], "b2.json")  # watermark -> +60s
+        q.processAllAvailable()
+        _write_batch(str(indir), [ev("A", 300)], "b3.json")  # timeouts evaluated
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    by_user = {r.user: r for r in rows}
+    # B (last event t0, gap 30s) is closed once the watermark passed t0+30s.
+    assert "B" in by_user and by_user["B"].closed_by_timeout == "timeout"
+    assert by_user["B"].n_events == 1
+    assert by_user["B"].session_start == BASE_MS == by_user["B"].session_end
+    # A kept receiving events -> its session is still open, never emitted.
+    assert rows and all(r.user == "B" for r in rows)
