@@ -83,3 +83,37 @@ def test_freshness_check(spark):
     stale_now = datetime(2024, 3, 1, 12, 8, 0)    # 4min after newest row
     assert freshness_ok(df, now=fresh_now)
     assert not freshness_ok(df, now=stale_now)
+
+
+def test_jsonl_roundtrip_and_permissive(spark, tmp_path, sf_dir):
+    """JSONL round-trip preserves the documents table; malformed lines
+    become NULL rows (PERMISSIVE), dropped by a required-key filter."""
+    from crypto_trading_data_pipeline_spark.io import read_jsonl, read_table, write_jsonl
+
+    docs = read_table(spark, sf_dir, "documents")
+    out = str(tmp_path / "docs_jsonl")
+    write_jsonl(docs, out)
+    back = read_jsonl(spark, out, docs.schema)
+    assert back.count() == docs.count()
+    a = {r.doc_id: r.text for r in docs.collect()}
+    b = {r.doc_id: r.text for r in back.collect()}
+    assert a == b
+
+    broken = tmp_path / "broken"
+    broken.mkdir()
+    (broken / "part.jsonl").write_text('{"doc_id": 1, "text": "ok"}\nnot json at all\n')
+    parsed = read_jsonl(spark, str(broken), "doc_id LONG, text STRING")
+    assert parsed.count() == 2  # PERMISSIVE keeps the null row
+    assert parsed.filter("doc_id IS NOT NULL").count() == 1
+
+
+def test_csv_roundtrip(spark, tmp_path, sf_dir):
+    from crypto_trading_data_pipeline_spark.io import read_csv, read_table
+
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_csv")
+    nation.write.mode("overwrite").option("header", True).csv(out)
+    back = read_csv(spark, out, nation.schema)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
