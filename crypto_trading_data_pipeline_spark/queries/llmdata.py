@@ -408,3 +408,96 @@ def q_cosine_topk_pandas(spark: SparkSession, sf_dir: str):
     return cosine_topk_pandas(
         emb, emb.filter(F.col("vec_id") < 5), id_col="vec_id", vec_col="embedding", k=5
     )
+
+
+_CHUNK, _STRIDE = 32, 24  # 32-token windows, 8-token overlap
+
+
+@query(
+    "q_chunk_docs",
+    oracle=f"""
+    SELECT doc_id, chunk_idx,
+           len(chunk_toks)                  AS n_tokens,
+           array_to_string(chunk_toks, ' ') AS chunk_text
+    FROM (
+      SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+             list_slice(toks, i * {_STRIDE} + 1, i * {_STRIDE} + {_CHUNK}) AS chunk_toks
+      FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+           UNNEST(range(0, CAST(ceil(greatest(len(toks) - {_CHUNK - _STRIDE}, 1)
+                                     / {_STRIDE}.0) AS BIGINT))) AS t(i)
+    )
+    """,
+    doc=(
+        f"Document chunking for LLM training: overlapping {_CHUNK}-token "
+        f"windows with stride {_STRIDE} (8-token overlap keeps context at "
+        "chunk boundaries). Pure narrow array ops — sequence + slice + "
+        "posexplode, no shuffle; output rows ~= tokens/stride regardless of "
+        "document skew."
+    ),
+)
+def q_chunk_docs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - F.lit(_CHUNK - _STRIDE), F.lit(1)) / F.lit(float(_STRIDE))
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+        lambda i: F.slice(toks, i * _STRIDE + 1, _CHUNK),
+    )
+    return (
+        docs.select("doc_id", F.posexplode(chunks).alias("chunk_idx", "chunk_toks"))
+        .select(
+            "doc_id",
+            "chunk_idx",
+            F.size("chunk_toks").alias("n_tokens"),
+            F.array_join("chunk_toks", " ").alias("chunk_text"),
+        )
+    )
+
+
+_PACK_BUDGET = 256
+
+
+@query(
+    "q_pack_greedy",
+    oracle=f"""
+    SELECT pack_id,
+           count(*)                        AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)     AS pack_tokens
+    FROM (
+      SELECT doc_id, n_toks,
+             CAST(floor((cum - n_toks) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+      FROM (
+        SELECT doc_id, n_toks,
+               sum(n_toks) OVER (ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)
+      )
+    )
+    GROUP BY pack_id
+    """,
+    doc=(
+        f"Greedy sequence packing: docs in doc_id order accumulate into "
+        f"{_PACK_BUDGET}-token bins via running-sum bucketing (pack_id = "
+        "floor((cumsum - n)/budget)) — one window pass + one aggregate, no "
+        "per-bin iteration. Bins can overflow by at most one document; at "
+        "scale, partition the window by a shard key so the running sum "
+        "never serializes through a single task."
+    ),
+)
+def q_pack_greedy(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    n_toks = F.size(F.split(F.col("text"), " "))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    sized = docs.select("doc_id", n_toks.alias("n_toks")).withColumn(
+        "cum", F.sum("n_toks").over(w)
+    )
+    packed = sized.withColumn(
+        "pack_id",
+        F.floor((F.col("cum") - F.col("n_toks")) / F.lit(float(_PACK_BUDGET))).cast("long"),
+    )
+    return packed.groupBy("pack_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("pack_tokens"),
+    )
