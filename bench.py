@@ -116,6 +116,9 @@ def main() -> None:
 
     for t in TABLES:
         read_table(spark, sf_dir, t).count()
+    # Warm the noop-sink write path too, so the first measured query isn't
+    # charged for committer/sink initialization.
+    spark.range(8).write.mode("overwrite").format("noop").save()
 
     names = [n for n in HEADLINE if n in REGISTRY]
     timings: dict[str, float] = {}
