@@ -586,3 +586,92 @@ def q_edit_distance(spark: SparkSession, sf_dir: str):
         .filter(F.col("dist") <= 8)
         .select("doc_a", "doc_b", "dist")
     )
+
+
+_SH_BANDS, _SH_BITS_PER_BAND, _SH_MAX_HAMMING = 4, 8, 3
+
+
+@query(
+    "q_simhash_pairs",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, {dh.sql_token_hash_list("string_split(text, ' ')")} AS hs
+      FROM documents
+    ), s AS (
+      SELECT doc_id, {dh.sql_simhash_sum('hs')} AS sh FROM h
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, sh, (sh // {(1 << (_SH_BITS_PER_BAND * j))}) % {1 << _SH_BITS_PER_BAND} AS band_val, {j} AS band_id FROM s"
+        for j in range(_SH_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.sh AS sh_a, b.sh AS sh_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INTEGER) AS hamming
+    FROM cand
+    WHERE bit_count(xor(sh_a, sh_b)) <= {_SH_MAX_HAMMING}
+    """,
+    doc=(
+        "SimHash near-dup pairs: band the 32-bit fingerprint into 4x8-bit "
+        "keys, bucket-join candidates, verify exact Hamming distance <= 3 "
+        "(pigeonhole: any pair within distance 3 shares at least one of 4 "
+        "bands — recall is exact, not probabilistic). Fingerprints are 8 "
+        "bytes/doc, so the candidate stage shuffles fingerprints, never "
+        "documents — the cheapest of the near-dup families at scale."
+    ),
+)
+def q_simhash_pairs(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    hashed = docs.select(
+        "doc_id", F.transform(F.split(F.col("text"), " "), dh.token_hash).alias("hs")
+    )
+    s = hashed.select("doc_id", dh.simhash(F.col("hs")).alias("sh"))
+    bands = s.select(
+        "doc_id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("sh"), _SH_BITS_PER_BAND * j)
+                    .bitwiseAND(F.lit((1 << _SH_BITS_PER_BAND) - 1))
+                    .alias(f"b{j}")
+                    for j in range(_SH_BANDS)
+                ]
+            )
+        ).alias("band_id", "band_val"),
+    )
+    buckets = (
+        bands.groupBy("band_id", "band_val")
+        .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ds"))
+        .filter(F.size("ds") >= 2)
+    )
+    pairs = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("ds"),
+                lambda a, i: F.transform(
+                    F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                    lambda b: F.struct(
+                        a["doc_id"].alias("doc_a"),
+                        b["doc_id"].alias("doc_b"),
+                        a["sh"].alias("sh_a"),
+                        b["sh"].alias("sh_b"),
+                    ),
+                ),
+            )
+        )
+    )
+    cand = (
+        buckets.select(pairs.alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sh_a", "p.sh_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.withColumn("hamming", hamming.cast("int"))
+        .filter(F.col("hamming") <= _SH_MAX_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
