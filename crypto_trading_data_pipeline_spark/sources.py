@@ -109,3 +109,37 @@ def file_json_stream(spark: SparkSession, path: str) -> DataFrame:
         .load(path)
         .withColumnRenamed("value", "value")
     )
+
+
+def jdbc_table(
+    spark: SparkSession,
+    *,
+    url: str,
+    table: str,
+    partition_column: str | None = None,
+    num_partitions: int = 8,
+    lower_bound=None,
+    upper_bound=None,
+    **options: str,
+) -> DataFrame:
+    """Batch JDBC read — the read twin of the reference's JDBC staging write
+    (reference spark_processor/processor.py:126-135).
+
+    Without ``partition_column`` the whole table arrives through ONE
+    connection on one task — fine for dims, fatal for facts. With it, Spark
+    issues ``num_partitions`` range-bounded queries in parallel; pick an
+    indexed, roughly-uniform column (a serial PK) and real bounds.
+    Untested in this container (no JDBC driver/server) — logic is config
+    assembly only.
+    """
+    reader = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    if partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", partition_column)
+            .option("numPartitions", str(num_partitions))
+            .option("lowerBound", str(lower_bound))
+            .option("upperBound", str(upper_bound))
+        )
+    for k, v in options.items():
+        reader = reader.option(k, v)
+    return reader.load()
