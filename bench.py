@@ -33,6 +33,7 @@ HEADLINE = [
     "q_rollup",
     "q_dedup_exact",
     "q_token_stats",
+    "q_chunk_docs",
     "q_cosine_topk",
     "q_sliding_window",
     "q_session_window",
