@@ -813,3 +813,104 @@ def q_stats_profile(spark: SparkSession, sf_dir: str):
         F.round(F.corr("l_extendedprice", "l_quantity"), 6).alias("corr_pq"),
         F.round(F.covar_samp("l_extendedprice", "l_discount"), 6).alias("cov_pd"),
     )
+
+
+@query(
+    "q_set_ops_all",
+    oracle="""
+    SELECT o_custkey, count(*) AS n FROM (
+      SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+      UNION ALL
+      SELECT o_custkey FROM orders WHERE o_totalprice > 100000
+      EXCEPT ALL
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    GROUP BY o_custkey
+    """,
+    doc=(
+        "Bag-semantics set ops (UNION ALL / EXCEPT ALL): multiplicity is "
+        "preserved, so EXCEPT ALL subtracts per-occurrence — a different "
+        "operator from set-semantics EXCEPT (q_set_ops), planned as a "
+        "count-and-subtract aggregate, not a distinct."
+    ),
+)
+def q_set_ops_all(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    b = orders.filter(F.col("o_totalprice") > 100000).select("o_custkey")
+    c = orders.filter(F.col("o_orderpriority") == "1-URGENT").select("o_custkey")
+    return (
+        a.unionAll(b).exceptAll(c)
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+@query(
+    "q_window_funcs",
+    oracle="""
+    SELECT o_orderkey, o_custkey,
+           round(o_totalprice, 2)                                          AS price,
+           lead(o_orderkey) OVER w                                         AS next_order,
+           CAST(ntile(4) OVER w AS INTEGER)                                AS spend_quartile,
+           first_value(o_orderkey) OVER w                                  AS first_order,
+           round(percent_rank() OVER w, 6)                                 AS pr
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey)
+    """,
+    doc=(
+        "Analytic-function breadth in one keyed window: lead, ntile, "
+        "first_value, percent_rank share a single (partition, sort) pass — "
+        "Spark plans ONE Window operator for all four, so adding functions "
+        "to an existing window spec is free of extra shuffles."
+    ),
+)
+def q_window_funcs(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderkey")
+    return orders.select(
+        "o_orderkey",
+        "o_custkey",
+        F.round("o_totalprice", 2).alias("price"),
+        F.lead("o_orderkey").over(w).alias("next_order"),
+        F.ntile(4).over(w).alias("spend_quartile"),
+        F.first_value("o_orderkey").over(w).alias("first_order"),
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+    )
+
+
+@query(
+    "q_datetime_funcs",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INTEGER)                      AS y,
+           CAST(month(o_orderdate) AS INTEGER)                     AS m,
+           CAST(day(o_orderdate) AS INTEGER)                       AS d,
+           CAST(date_trunc('month', o_orderdate) AS TIMESTAMP)     AS month_start,
+           CAST(last_day(CAST(o_orderdate AS DATE)) AS TIMESTAMP)  AS month_end,
+           CAST(date_diff('day', CAST(o_orderdate AS DATE),
+                          DATE '2024-12-31') AS BIGINT)            AS days_to_eoy,
+           CAST(o_orderdate + INTERVAL 3 MONTH AS TIMESTAMP)       AS plus_3m
+    FROM orders
+    """,
+    doc=(
+        "Date/time function parity sweep (year/month/day, month bounds, "
+        "day arithmetic, calendar-aware month addition). These are the "
+        "expressions most prone to cross-engine drift (week numbering and "
+        "dow bases differ between engines and are deliberately excluded — "
+        "standardize on ISO expressions before porting queries that use them)."
+    ),
+)
+def q_datetime_funcs(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    d = F.col("o_orderdate")
+    return orders.select(
+        "o_orderkey",
+        F.year(d).alias("y"),
+        F.month(d).alias("m"),
+        F.dayofmonth(d).alias("d"),
+        F.date_trunc("month", d).alias("month_start"),
+        F.last_day(d).cast("timestamp_ntz").alias("month_end"),
+        F.datediff(F.lit("2024-12-31").cast("date"), d.cast("date")).cast("long").alias("days_to_eoy"),
+        (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
+    )
