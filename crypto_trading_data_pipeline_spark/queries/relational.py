@@ -914,3 +914,75 @@ def q_datetime_funcs(spark: SparkSession, sf_dir: str):
         F.datediff(F.lit("2024-12-31").cast("date"), d.cast("date")).cast("long").alias("days_to_eoy"),
         (d + F.expr("INTERVAL 3 MONTH")).alias("plus_3m"),
     )
+
+
+@query(
+    "q_string_funcs",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name)                         AS up,
+           lower(c_mktsegment)                   AS lo,
+           substr(c_name, 1, 8)                  AS pre,
+           lpad(CAST(c_custkey AS VARCHAR), 8, '0') AS padded,
+           replace(c_name, '#', '-')             AS repl,
+           reverse(c_mktsegment)                 AS rev,
+           CAST(length(c_name) AS INTEGER)       AS n_chars,
+           CAST(position('1' IN c_name) AS INTEGER) AS pos1,
+           starts_with(c_name, 'Customer')       AS is_cust
+    FROM customer
+    """,
+    doc=(
+        "String function parity sweep (case, substring, padding, replace, "
+        "reverse, position, prefix test) — all whole-stage-codegen "
+        "expressions; the subset chosen is identical across engines "
+        "(initcap/soundex/regexp flavors are the ones that drift)."
+    ),
+)
+def q_string_funcs(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.upper("c_name").alias("up"),
+        F.lower("c_mktsegment").alias("lo"),
+        F.substring("c_name", 1, 8).alias("pre"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("padded"),
+        F.replace(F.col("c_name"), F.lit("#"), F.lit("-")).alias("repl"),
+        F.reverse("c_mktsegment").alias("rev"),
+        F.length("c_name").alias("n_chars"),
+        F.instr(F.col("c_name"), "1").alias("pos1"),
+        F.startswith(F.col("c_name"), F.lit("Customer")).alias("is_cust"),
+    )
+
+
+@query(
+    "q_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           nullif(o_orderstatus, 'O')                         AS status_or_null,
+           coalesce(nullif(o_orderstatus, 'O'), 'OPEN')       AS status_filled,
+           (nullif(o_orderstatus, 'O') IS NOT DISTINCT FROM
+            nullif(o_orderpriority, o_orderpriority))         AS both_null_eq,
+           CAST(count(nullif(o_orderstatus, 'O'))
+                OVER (PARTITION BY o_custkey) AS BIGINT)      AS non_open_cnt
+    FROM orders
+    """,
+    doc=(
+        "NULL-semantics operators: nullif/coalesce, null-safe equality "
+        "(Spark <=> / eqNullSafe == SQL IS NOT DISTINCT FROM — TRUE when "
+        "both sides are NULL, where plain = yields NULL), and COUNT's "
+        "null-skipping under a window. The semantics that silently corrupt "
+        "ported queries when engines disagree."
+    ),
+)
+def q_null_semantics(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    s_null = F.nullif(F.col("o_orderstatus"), F.lit("O"))
+    p_null = F.nullif(F.col("o_orderpriority"), F.col("o_orderpriority"))
+    w = Window.partitionBy("o_custkey")
+    return orders.select(
+        "o_orderkey",
+        s_null.alias("status_or_null"),
+        F.coalesce(s_null, F.lit("OPEN")).alias("status_filled"),
+        s_null.eqNullSafe(p_null).alias("both_null_eq"),
+        F.count(s_null).over(w).alias("non_open_cnt"),
+    )
