@@ -501,3 +501,40 @@ def q_pack_greedy(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_toks").alias("pack_tokens"),
     )
+
+
+@query(
+    "q_array_funcs",
+    oracle="""
+    SELECT vec_id,
+           CAST(len(v) AS INTEGER)                                   AS dim,
+           round(list_aggregate(v, 'min'), 6)                        AS vmin,
+           round(list_aggregate(v, 'max'), 6)                        AS vmax,
+           CAST(len(list_filter(v, x -> x > 0)) AS INTEGER)          AS n_pos,
+           round(list_sort(v)[1], 6)                                 AS smallest,
+           round(list_aggregate(list_transform(v, x -> x * x), 'sum'), 6) AS sq_sum
+    FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+    """,
+    doc=(
+        "Array higher-order-function sweep over embedding vectors: size, "
+        "element extremes, lambda filter count, sort+index, transform+"
+        "aggregate — all JVM-side codegen (the primitives every vector "
+        "operator in this engine composes from), zero Python, zero shuffle."
+    ),
+)
+def q_array_funcs(spark: SparkSession, sf_dir: str):
+    from ..operators.similarity import as_double_vec
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    v = as_double_vec(F.col("embedding"))
+    return emb.select(
+        "vec_id",
+        F.size(v).alias("dim"),
+        F.round(F.array_min(v), 6).alias("vmin"),
+        F.round(F.array_max(v), 6).alias("vmax"),
+        F.size(F.filter(v, lambda x: x > 0)).alias("n_pos"),
+        F.round(F.sort_array(v)[0], 6).alias("smallest"),
+        F.round(
+            F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
+        ).alias("sq_sum"),
+    )

@@ -986,3 +986,35 @@ def q_null_semantics(spark: SparkSession, sf_dir: str):
         s_null.eqNullSafe(p_null).alias("both_null_eq"),
         F.count(s_null).over(w).alias("non_open_cnt"),
     )
+
+
+@query(
+    "q_filter_agg",
+    oracle="""
+    SELECT l_returnflag,
+           count(*)                                              AS n_all,
+           count(*) FILTER (WHERE l_discount > 0.05)             AS n_discounted,
+           round(coalesce(sum(l_extendedprice)
+                 FILTER (WHERE l_quantity >= 25), 0.0), 2)       AS big_qty_revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    doc=(
+        "SQL FILTER clause on aggregates: per-aggregate predicates in ONE "
+        "HashAggregate pass — the declarative form of conditional "
+        "aggregation (equivalent to CASE WHEN inputs, planned identically)."
+    ),
+)
+def q_filter_agg(spark: SparkSession, sf_dir: str):
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_fa")
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               count(*)                                              AS n_all,
+               count(*) FILTER (WHERE l_discount > 0.05)             AS n_discounted,
+               round(coalesce(sum(l_extendedprice)
+                     FILTER (WHERE l_quantity >= 25), 0.0), 2)       AS big_qty_revenue
+        FROM lineitem_fa
+        GROUP BY l_returnflag
+        """
+    )
