@@ -1018,3 +1018,100 @@ def q_filter_agg(spark: SparkSession, sf_dir: str):
         GROUP BY l_returnflag
         """
     )
+
+
+@query(
+    "q_funnel",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    )
+    SELECT f.user_id,
+           CAST(f.signup_ts AS TIMESTAMP) AS signup_ts,
+           CAST(count(e.event_id) AS BIGINT) AS n_purchases_1h,
+           count(e.event_id) > 0 AS converted
+    FROM first_signup f
+    LEFT JOIN events e
+      ON e.user_id = f.user_id AND e.event_type = 'purchase'
+     AND e.ts >= f.signup_ts AND e.ts < f.signup_ts + INTERVAL 1 HOUR
+    GROUP BY f.user_id, f.signup_ts
+    """,
+    doc=(
+        "Funnel conversion: first signup per user, purchases within the "
+        "following hour. Aggregate-then-join (the signup side collapses to "
+        "one row per user BEFORE the range join) + event-type filters pushed "
+        "to the scan — the range condition only ever sees one anchor row "
+        "per user."
+    ),
+)
+def q_funnel(spark: SparkSession, sf_dir: str):
+    events = read_table(spark, sf_dir, "events")
+    first_signup = (
+        events.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"), F.col("event_id"), F.col("ts").alias("p_ts")
+    )
+    return (
+        first_signup.join(
+            purchases,
+            (F.col("user_id") == F.col("p_user"))
+            & (F.col("p_ts") >= F.col("signup_ts"))
+            & (F.col("p_ts") < F.col("signup_ts") + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("user_id", "signup_ts")
+        .agg(
+            F.count("event_id").alias("n_purchases_1h"),
+            (F.count("event_id") > 0).alias("converted"),
+        )
+    )
+
+
+@query(
+    "q_retention_cohort",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+      FROM events GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, f.cohort_week,
+             CAST(date_diff('day', CAST(f.cohort_week AS DATE),
+                            CAST(date_trunc('week', e.ts) AS DATE)) // 7 AS BIGINT) AS week_offset
+      FROM events e JOIN firsts f ON e.user_id = f.user_id
+    )
+    SELECT CAST(cohort_week AS TIMESTAMP) AS cohort_week, week_offset,
+           count(*) AS n_active_users
+    FROM activity
+    GROUP BY cohort_week, week_offset
+    """,
+    doc=(
+        "Cohort retention: users grouped by first-activity week, counted in "
+        "each later week they were active. Two aggregations + one join; the "
+        "firsts side is |users| rows (broadcastable at any corpus size "
+        "where user count << event count). Week bucketing is ISO-Monday "
+        "date_trunc in both engines."
+    ),
+)
+def q_retention_cohort(spark: SparkSession, sf_dir: str):
+    events = read_table(spark, sf_dir, "events")
+    firsts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    offset = (
+        F.datediff(
+            F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week").cast("date")
+        )
+        / 7
+    ).cast("long")
+    activity = (
+        events.join(F.broadcast(firsts), "user_id")
+        .select("user_id", "cohort_week", offset.alias("week_offset"))
+        .distinct()
+    )
+    return activity.groupBy("cohort_week", "week_offset").agg(
+        F.count(F.lit(1)).alias("n_active_users")
+    )
