@@ -1115,3 +1115,192 @@ def q_retention_cohort(spark: SparkSession, sf_dir: str):
     return activity.groupBy("cohort_week", "week_offset").agg(
         F.count(F.lit(1)).alias("n_active_users")
     )
+
+
+@query(
+    "q_ship_priority",
+    oracle="""
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           CAST(o_orderdate AS TIMESTAMP) AS o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1998-06-01'
+      AND l_shipdate  > TIMESTAMP '1998-06-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+    doc=(
+        "TPC-H Q3 shape (shipping priority): selective filters on both fact "
+        "sides BEFORE the joins (pushed to the parquet scans), customer dim "
+        "broadcast, then agg + global top-10 via TakeOrderedAndProject — no "
+        "full sort of the aggregate output. Tie-broken by unique l_orderkey "
+        "so LIMIT is deterministic across engines."
+    ),
+)
+def q_ship_priority(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(REVENUE()), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q_exists_subquery",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q4 shape: correlated EXISTS. Catalyst rewrites it to a "
+        "LEFT SEMI join on l_orderkey (RewritePredicateSubquery) — one pass "
+        "over each table, never a per-row subquery. The date filter "
+        "pre-shrinks the probe side at the scan."
+    ),
+)
+def q_exists_subquery(spark: SparkSession, sf_dir: str):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ex")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ex")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_ex o
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate <  TIMESTAMP '1996-07-01'
+          AND EXISTS (
+            SELECT 1 FROM lineitem_ex l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_having_in",
+    oracle="""
+    SELECT c_name, o_orderkey, CAST(o_orderdate AS TIMESTAMP) AS o_orderdate,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE o_orderkey IN (
+      SELECT l_orderkey FROM lineitem
+      GROUP BY l_orderkey HAVING sum(l_quantity) > 260
+    )
+    GROUP BY c_name, o_orderkey, o_orderdate
+    """,
+    doc=(
+        "TPC-H Q18 shape (large-quantity orders): HAVING-filtered aggregate "
+        "as an IN-subquery. DataFrame route: aggregate lineitem once, filter "
+        "(the HAVING), then LEFT SEMI join orders against the ~1% survivor "
+        "set — the expensive customer join only ever sees surviving orders."
+    ),
+)
+def q_having_in(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("tq"))
+        .filter(F.col("tq") > 260)
+        .select("l_orderkey")
+    )
+    surviving = orders.join(
+        big, orders.o_orderkey == big.l_orderkey, "left_semi"
+    )
+    return (
+        li.join(surviving, li.l_orderkey == surviving.o_orderkey)
+        .join(F.broadcast(cust), surviving.o_custkey == cust.c_custkey)
+        .groupBy("c_name", "o_orderkey", "o_orderdate")
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "q_window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           count(*) OVER w AS n_events_1h,
+           round(sum(value) OVER w, 2) AS sum_value_1h
+    FROM events
+    WINDOW w AS (
+      PARTITION BY user_id
+      ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW
+    )
+    """,
+    doc=(
+        "Time-based RANGE window frame: per-user rolling 1-hour count/sum "
+        "without a self-join — one shuffle on user_id, one sort, a sliding "
+        "frame over epoch seconds. The self-join formulation of the same "
+        "query is O(rows x window_rows); this is O(rows log rows) and the "
+        "frame state is bounded by the hour, independent of history length."
+    ),
+)
+def q_window_range_frame(spark: SparkSession, sf_dir: str):
+    events = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, 0)
+    )
+    return events.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    )
+
+
+@query(
+    "q_unpivot",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, measure, amount
+    FROM (SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_tax
+          FROM lineitem)
+    UNPIVOT (amount FOR measure IN (l_quantity, l_extendedprice, l_tax))
+    """,
+    doc=(
+        "Unpivot (long layout): wide measure columns to (measure, amount) "
+        "rows. Spark's Expand node emits 3 rows per input row in a single "
+        "narrow pass — no shuffle, no UDF; values pass through bit-exact."
+    ),
+)
+def q_unpivot(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice", "l_tax"
+    ).unpivot(
+        ["l_orderkey", "l_linenumber"],
+        ["l_quantity", "l_extendedprice", "l_tax"],
+        "measure",
+        "amount",
+    )
