@@ -538,3 +538,63 @@ def q_array_funcs(spark: SparkSession, sf_dir: str):
             F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0), lambda a, x: a + x), 6
         ).alias("sq_sum"),
     )
+
+
+@query(
+    "q_sample_hash",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 1000 < 100
+    """,
+    doc=(
+        "Deterministic 10% Bernoulli sample by stable id-hash: a pure "
+        "narrow filter — no shuffle, no RNG state, reproducible across "
+        "runs/engines/partitionings, and composable with q_split_assign "
+        "(disjoint hash ranges give disjoint samples). At 100 TB this is "
+        "the only sampling that survives re-runs and appends unchanged."
+    ),
+)
+def q_sample_hash(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string")) % 1000
+    return docs.filter(h < 100).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_sample_stratified",
+    oracle=f"""
+    SELECT doc_id, lang
+    FROM (
+      SELECT doc_id, lang,
+             row_number() OVER (
+               PARTITION BY lang
+               ORDER BY {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk,
+             count(*) OVER (PARTITION BY lang) AS n
+      FROM documents
+    ) WHERE rk <= ceil(0.05 * n)
+    """,
+    doc=(
+        "Stratified exact-fraction sample: 5% per lang, selected by "
+        "hash-order rank so the draw is deterministic and uniform within "
+        "each stratum. One shuffle on the stratum key; per-stratum EXACT "
+        "counts (unlike Bernoulli, which only hits the fraction in "
+        "expectation) — what eval-set construction needs."
+    ),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("lang").orderBy(h.asc(), F.col("doc_id"))
+    wc = Window.partitionBy("lang")
+    return (
+        docs.select(
+            "doc_id",
+            "lang",
+            F.row_number().over(w).alias("rk"),
+            F.count(F.lit(1)).over(wc).alias("n"),
+        )
+        .filter(F.col("rk") <= F.ceil(0.05 * F.col("n")))
+        .select("doc_id", "lang")
+    )

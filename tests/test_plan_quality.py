@@ -108,3 +108,39 @@ def test_sql_broadcast_hint(spark):
         assert "BroadcastHashJoin" in plan, plan
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+
+
+def test_exists_decorrelates_to_semi_join(spark):
+    """Correlated EXISTS must plan as one LEFT SEMI join, not a per-row
+    subquery (RewritePredicateSubquery)."""
+    plan = plan_of(spark, "q_exists_subquery")
+    assert "LeftSemi" in plan, plan
+
+
+def test_having_in_plans_semi_join(spark):
+    plan = plan_of(spark, "q_having_in")
+    assert "LeftSemi" in plan, plan
+
+
+def test_ship_priority_topk_and_broadcast(spark):
+    """Q3 shape: global top-10 must be TakeOrderedAndProject and the
+    customer dim must broadcast."""
+    plan = plan_of(spark, "q_ship_priority")
+    assert "TakeOrderedAndProject" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+
+
+def test_unpivot_is_narrow(spark):
+    """Unpivot is an Expand — 3 output rows per input row, zero shuffles."""
+    plan = plan_of(spark, "q_unpivot")
+    assert "Expand" in plan, plan
+    assert "Exchange" not in plan, "unpivot must not shuffle"
+
+
+def test_range_frame_single_shuffle(spark):
+    """Rolling 1-hour window: one exchange on user_id, one Window node —
+    never a time self-join."""
+    plan = plan_of(spark, "q_window_range_frame")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Window" in plan, plan
+    assert "Join" not in plan, "range frame degraded to self-join"
