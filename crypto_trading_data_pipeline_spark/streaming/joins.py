@@ -44,3 +44,26 @@ def time_bounded_join(
         & (rw[right_ts] <= lw[left_ts])
     )
     return lw.join(rw, cond, how).drop(rw[key])
+
+
+def static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    on: str | list[str],
+    *,
+    how: str = "left",
+    broadcast: bool = True,
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a (small) dimension table.
+
+    Unlike stream-stream joins this is STATELESS — the static side is
+    re-planned every micro-batch (so a file/Delta-backed dim picks up new
+    files between triggers), and broadcasting it means the stream side is
+    never shuffled: enrichment stays a narrow per-partition map regardless
+    of stream rate. Left join by default so unknown keys pass through with
+    NULL dim columns instead of silently dropping events.
+
+    Works identically on a batch DataFrame (the batch-twin testing pattern).
+    """
+    d = F.broadcast(dim) if broadcast else dim
+    return stream.join(d, on, how)

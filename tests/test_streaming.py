@@ -359,3 +359,42 @@ def test_sessionize_event_time_timeout(spark, tmp_path):
     assert by_user["B"].session_start == BASE_MS == by_user["B"].session_end
     # A kept receiving events -> its session is still open, never emitted.
     assert rows and all(r.user == "B" for r in rows)
+
+
+def test_stream_static_enrich(spark, tmp_path):
+    """Stream-static broadcast join: each micro-batch is enriched from the
+    dim without shuffling the stream; unknown symbols survive with NULLs."""
+    from crypto_trading_data_pipeline_spark.streaming.joins import static_enrich
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(str(indir), TRADES_1, "b1.json")
+
+    dim = spark.createDataFrame(
+        [("BTCUSDT", "BTC", "USDT"), ("SOLUSDT", "SOL", "USDT")],
+        ["symbol", "base_asset", "quote_asset"],
+    )
+    trades = parse_trades(file_json_stream(spark, str(indir)))
+    enriched = static_enrich(trades, dim, "symbol")
+
+    rows = []
+    q = (
+        enriched.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    by_id = {r.trade_id: r for r in rows}
+    assert by_id[1].base_asset == "BTC" and by_id[1].quote_asset == "USDT"
+    assert by_id[3].base_asset is None  # ETHUSDT not in dim -> NULL passthrough
+
+    # batch twin + plan gate: same call on a batch frame broadcasts the dim
+    tb = parse_trades(spark.createDataFrame([(t,) for t in TRADES_1], ["value"]))
+    eb = static_enrich(tb, dim, "symbol")
+    assert {r.trade_id: r.base_asset for r in eb.collect()}[2] == "BTC"
+    plan = eb._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
