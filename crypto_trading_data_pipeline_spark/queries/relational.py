@@ -1304,3 +1304,101 @@ def q_unpivot(spark: SparkSession, sf_dir: str):
         "measure",
         "amount",
     )
+
+
+@query(
+    "q_not_exists",
+    oracle="""
+    SELECT o_orderpriority, count(*) AS n
+    FROM orders o
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-07-01'
+      AND NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      )
+    GROUP BY o_orderpriority
+    """,
+    doc=(
+        "TPC-H Q21 shape: correlated NOT EXISTS with an inequality on the "
+        "correlated row. Catalyst rewrites to a LEFT ANTI join — unlike "
+        "q_join_anti's bare key anti-join, the extra correlated predicate "
+        "rides along as the join condition, still one pass per table."
+    ),
+)
+def q_not_exists(spark: SparkSession, sf_dir: str):
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView("orders_ne")
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_ne")
+    return spark.sql(
+        """
+        SELECT o_orderpriority, count(*) AS n
+        FROM orders_ne o
+        WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o_orderdate <  TIMESTAMP '1997-07-01'
+          AND NOT EXISTS (
+            SELECT 1 FROM lineitem_ne l
+            WHERE l.l_orderkey = o.o_orderkey
+              AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+          )
+        GROUP BY o_orderpriority
+        """
+    )
+
+
+@query(
+    "q_scd2_intervals",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(ts AS TIMESTAMP) AS valid_from,
+           CAST(lead(ts) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+           ) AS TIMESTAMP) AS valid_to
+    FROM events
+    """,
+    doc=(
+        "SCD2 validity intervals: each event's state is valid from its "
+        "timestamp until the user's next event (NULL = still current). One "
+        "lead() pass — shuffle on user_id, sort by (ts, event_id) — turns "
+        "an append-only event log into a point-in-time-queryable dimension; "
+        "the self-join formulation this replaces is quadratic per key."
+    ),
+)
+def q_scd2_intervals(spark: SparkSession, sf_dir: str):
+    events = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+    )
+
+
+@query(
+    "q_dq_profile",
+    oracle="""
+    SELECT count(*) AS n_rows,
+           count(*) FILTER (l_quantity IS NULL) AS l_quantity_nulls,
+           count(DISTINCT l_quantity) AS l_quantity_distinct,
+           min(l_quantity) AS l_quantity_min,
+           max(l_quantity) AS l_quantity_max,
+           count(*) FILTER (l_discount IS NULL) AS l_discount_nulls,
+           count(DISTINCT l_discount) AS l_discount_distinct,
+           min(l_discount) AS l_discount_min,
+           max(l_discount) AS l_discount_max
+    FROM lineitem
+    """,
+    doc=(
+        "Data-quality profile gate (operators/quality.py): per-column "
+        "nulls / exact distincts / min / max in ONE aggregation pass — the "
+        "batch generalization of the reference monitor DAG's freshness "
+        "check. min/max/count are plain declarative aggs; the distincts "
+        "expand-and-dedup; at 100 TB swap in approx_count_distinct."
+    ),
+)
+def q_dq_profile(spark: SparkSession, sf_dir: str):
+    from ..operators.quality import numeric_profile
+
+    li = read_table(spark, sf_dir, "lineitem")
+    return numeric_profile(li, ["l_quantity", "l_discount"])

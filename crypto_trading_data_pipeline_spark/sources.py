@@ -143,3 +143,43 @@ def jdbc_table(
     for k, v in options.items():
         reader = reader.option(k, v)
     return reader.load()
+
+
+def to_kafka_records(df: DataFrame, *, key_col: str | None = None) -> DataFrame:
+    """Serialize every column into the Kafka wire shape the producer uses
+    (reference producer/producer.py:22-25: one JSON object per message) —
+    a (key, value) pair of strings, JVM-side via to_json(struct(*)).
+
+    ``key_col`` (e.g. symbol) keys the messages so Kafka partitioning
+    co-locates a key's trades in one partition — preserving the per-symbol
+    arrival order the reference's open/close semantics rely on. Without a
+    key, messages round-robin.
+    """
+    value = F.to_json(F.struct(*[F.col(c) for c in df.columns]))
+    key = (
+        F.col(key_col).cast("string")
+        if key_col is not None
+        else F.lit(None).cast("string")
+    )
+    return df.select(key.alias("key"), value.alias("value"))
+
+
+def kafka_sink(
+    df: DataFrame,
+    *,
+    topic: str,
+    brokers: str,
+    checkpoint: str,
+    key_col: str | None = None,
+):
+    """writeStream half of the producer (reference producer/producer.py:60,
+    rebuilt Spark-side): JSON records to a topic, exactly-once per epoch via
+    the checkpoint. Returns the started StreamingQuery."""
+    return (
+        to_kafka_records(df, key_col=key_col)
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("topic", topic)
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )

@@ -117,3 +117,23 @@ def test_csv_roundtrip(spark, tmp_path, sf_dir):
     assert sorted(r.n_name for r in back.collect()) == sorted(
         r.n_name for r in nation.collect()
     )
+
+
+def test_to_kafka_records_roundtrip(spark):
+    """Kafka wire serialization: to_json(struct(*)) must round-trip through
+    the trade parser bit-exactly, and the key must carry the symbol."""
+    from crypto_trading_data_pipeline_spark.sources import parse_trades, to_kafka_records
+
+    src = spark.createDataFrame(
+        [(9, "BTCUSDT", "42000.10", "0.5", 1_700_000_000_000, False)],
+        "trade_id LONG, symbol STRING, price STRING, quantity STRING, "
+        "trade_time LONG, is_buyer_maker BOOLEAN",
+    )
+    rec = to_kafka_records(src, key_col="symbol")
+    assert rec.columns == ["key", "value"]
+    row = rec.collect()[0]
+    assert row.key == "BTCUSDT"
+    back = parse_trades(spark.createDataFrame([(row.value,)], ["value"])).collect()[0]
+    assert back.trade_id == 9 and str(back.price) == "42000.10000000"
+    plan = rec._jdf.queryExecution().executedPlan().toString()
+    assert "BatchEvalPython" not in plan  # serialization stays JVM-side

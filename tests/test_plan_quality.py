@@ -144,3 +144,17 @@ def test_range_frame_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, "range frame degraded to self-join"
+
+
+def test_not_exists_plans_anti_join(spark):
+    """Correlated NOT EXISTS must rewrite to one LEFT ANTI join with the
+    inequality riding in the join condition."""
+    plan = plan_of(spark, "q_not_exists")
+    assert "LeftAnti" in plan, plan
+
+
+def test_scd2_single_shuffle(spark):
+    """lead() intervals: one exchange on user_id, no self-join."""
+    plan = plan_of(spark, "q_scd2_intervals")
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+    assert "Join" not in plan, plan
