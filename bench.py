@@ -20,6 +20,7 @@ from crypto_trading_data_pipeline_spark.session import get_spark
 
 HEADLINE = [
     "q_ohlcv_1min",
+    "q_candle_gap_fill",
     "q_pricing_summary",
     "q_revenue_by_nation",
     "q_join_inner",

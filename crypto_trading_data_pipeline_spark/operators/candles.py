@@ -20,7 +20,7 @@ the right plan: no sort, bounded state, no skew beyond key skew (use
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -126,3 +126,53 @@ def rollup_candles(
         "n_trades",
         "vwap",
     )
+
+
+def gap_fill_candles(
+    candles: DataFrame,
+    *,
+    key_col: str = "symbol",
+    start_col: str = "window_start",
+    step: str = "1 minute",
+    close_col: str = "close_price",
+    ohlc_cols: tuple[str, ...] = (
+        "open_price",
+        "high_price",
+        "low_price",
+        "close_price",
+    ),
+    zero_cols: tuple[str, ...] = ("n_trades",),
+) -> DataFrame:
+    """Fill missing candle windows per key with flat carry-forward candles
+    (TimescaleDB time_bucket_gapfill + locf, rebuilt on stock Spark).
+
+    Empty minutes happen whenever a symbol has no trades in a window — a
+    chartable series needs every minute present. For each key the full
+    [first, last] window grid is generated (sequence + explode — narrow,
+    sized by time span not by trade count), left-joined against the real
+    candles, and gaps become zero-volume flat candles at the last observed
+    close (last(ignorenulls) running frame — one sort per key partition,
+    no self-join). ``is_gap`` marks synthesized rows.
+
+    Scale: grid rows = span/step per key — independent of trade volume, so
+    at 100 TB of trades the grid side stays tiny; the join shuffles on
+    (key, window) with AQE free to broadcast the grid.
+    """
+    lo, hi = F.min(start_col), F.max(start_col)
+    bounds = candles.groupBy(key_col).agg(lo.alias("__lo"), hi.alias("__hi"))
+    grid = bounds.select(
+        key_col,
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr(f"INTERVAL {step}"))
+        ).alias(start_col),
+    )
+    joined = grid.join(candles, [key_col, start_col], "left")
+    w = Window.partitionBy(key_col).orderBy(start_col)
+    out = joined.withColumn(
+        "is_gap", F.col(zero_cols[0] if zero_cols else close_col).isNull()
+    ).withColumn("__ff", F.last(F.col(close_col), ignorenulls=True).over(w))
+    for c in ohlc_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.col("__ff")))
+    for c in zero_cols:
+        out = out.withColumn(c, F.coalesce(F.col(c), F.lit(0)))
+    return out.drop("__ff")

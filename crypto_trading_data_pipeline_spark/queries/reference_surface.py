@@ -334,3 +334,67 @@ def q_candle_rollup_5min(spark: SparkSession, sf_dir: str):
         qty_col=None, window_duration="1 minute", round_digits=4,
     )
     return rollup_candles(c1, window_duration="5 minutes", round_digits=4)
+
+
+@query(
+    "q_candle_gap_fill",
+    oracle="""
+    WITH candles AS (
+      SELECT event_type                                  AS symbol,
+             CAST(date_trunc('minute', ts) AS TIMESTAMP) AS window_start,
+             arg_min(value, ts)                          AS open_price,
+             max(value)                                  AS high_price,
+             min(value)                                  AS low_price,
+             arg_max(value, ts)                          AS close_price,
+             count(*)                                    AS n_trades
+      FROM events GROUP BY 1, 2
+    ), bounds AS (
+      SELECT symbol, min(window_start) AS lo, max(window_start) AS hi
+      FROM candles GROUP BY symbol
+    ), grid AS (
+      SELECT symbol,
+             unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS window_start
+      FROM bounds
+    ), joined AS (
+      SELECT g.symbol, g.window_start,
+             c.open_price, c.high_price, c.low_price, c.close_price,
+             c.n_trades,
+             last_value(c.close_price IGNORE NULLS) OVER (
+               PARTITION BY g.symbol ORDER BY g.window_start
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS ff
+      FROM grid g LEFT JOIN candles c USING (symbol, window_start)
+    )
+    SELECT symbol, CAST(window_start AS TIMESTAMP) AS window_start,
+           coalesce(open_price, ff)             AS open_price,
+           coalesce(high_price, ff)             AS high_price,
+           coalesce(low_price, ff)              AS low_price,
+           coalesce(close_price, ff)            AS close_price,
+           CAST(coalesce(n_trades, 0) AS BIGINT) AS n_trades,
+           n_trades IS NULL                     AS is_gap
+    FROM joined
+    """,
+    doc=(
+        "Gap-filled candle series (TimescaleDB time_bucket_gapfill + locf): "
+        "empty minutes become zero-volume flat candles at the last observed "
+        "close, so every (symbol, minute) exists. Grid = sequence+explode "
+        "sized by TIME SPAN (not trade count); carry-forward = one "
+        "last(ignorenulls) running frame — no self-join, no UDF."
+    ),
+)
+def q_candle_gap_fill(spark: SparkSession, sf_dir: str):
+    from ..operators.candles import gap_fill_candles
+
+    events = read_table(spark, sf_dir, "events")
+    c1 = ohlcv(
+        events, ts_col="ts", key_col="event_type", price_col="value",
+        qty_col=None, window_duration="1 minute",
+    ).select(
+        "symbol",
+        F.col("window_start").cast("timestamp").alias("window_start"),
+        "open_price", "high_price", "low_price", "close_price", "n_trades",
+    )
+    return gap_fill_candles(c1).select(
+        "symbol", "window_start", "open_price", "high_price", "low_price",
+        "close_price", "n_trades", "is_gap",
+    )

@@ -1402,3 +1402,52 @@ def q_dq_profile(spark: SparkSession, sf_dir: str):
 
     li = read_table(spark, sf_dir, "lineitem")
     return numeric_profile(li, ["l_quantity", "l_discount"])
+
+
+@query(
+    "q_math_funcs",
+    oracle="""
+    SELECT event_id,
+           round(ln(value + 1), 6)             AS ln_v,
+           round(log10(value + 1), 6)          AS log10_v,
+           round(exp(value / 500), 6)          AS exp_v,
+           round(sqrt(value), 6)               AS sqrt_v,
+           round(pow(value, 2), 4)             AS pow_v,
+           CAST(floor(value) AS BIGINT)        AS floor_v,
+           CAST(ceil(value) AS BIGINT)         AS ceil_v,
+           CAST(sign(value - 100) AS DOUBLE)   AS sign_v,
+           round(abs(value - 100), 4)          AS abs_v,
+           round(sin(value / 100), 6)          AS sin_v,
+           round(atan2(value, 100), 6)         AS atan2_v,
+           greatest(value, 100.0)              AS greatest_v,
+           least(value, 100.0)                 AS least_v
+    FROM events
+    """,
+    doc=(
+        "Math-function parity sweep: ln/log10/exp/sqrt/pow/floor/ceil/sign/"
+        "abs/sin/atan2/greatest/least agree with the oracle bit-for-bit "
+        "after ROUND (both engines call IEEE-754 libm). All JVM-codegen "
+        "scalar expressions — one narrow pass, no shuffle. Type parity "
+        "pinned where dialects differ: Spark floor/ceil return LONG, "
+        "DuckDB DOUBLE (cast), Spark signum DOUBLE."
+    ),
+)
+def q_math_funcs(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return e.select(
+        "event_id",
+        F.round(F.log(v + 1), 6).alias("ln_v"),
+        F.round(F.log10(v + 1), 6).alias("log10_v"),
+        F.round(F.exp(v / 500), 6).alias("exp_v"),
+        F.round(F.sqrt(v), 6).alias("sqrt_v"),
+        F.round(F.pow(v, 2), 4).alias("pow_v"),
+        F.floor(v).alias("floor_v"),
+        F.ceil(v).alias("ceil_v"),
+        F.signum(v - 100).alias("sign_v"),
+        F.round(F.abs(v - 100), 4).alias("abs_v"),
+        F.round(F.sin(v / 100), 6).alias("sin_v"),
+        F.round(F.atan2(v, F.lit(100.0)), 6).alias("atan2_v"),
+        F.greatest(v, F.lit(100.0)).alias("greatest_v"),
+        F.least(v, F.lit(100.0)).alias("least_v"),
+    )
