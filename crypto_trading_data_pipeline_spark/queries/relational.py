@@ -1451,3 +1451,75 @@ def q_math_funcs(spark: SparkSession, sf_dir: str):
         F.greatest(v, F.lit(100.0)).alias("greatest_v"),
         F.least(v, F.lit(100.0)).alias("least_v"),
     )
+
+
+@query(
+    "q_regression",
+    oracle="""
+    SELECT event_type,
+           CAST(regr_count(value, (epoch(ts) - 1704067200) / 86400) AS BIGINT)
+             AS n,
+           round(regr_slope(value, (epoch(ts) - 1704067200) / 86400), 6)
+             AS slope_per_day,
+           round(regr_intercept(value, (epoch(ts) - 1704067200) / 86400), 4)
+             AS intercept,
+           round(regr_r2(value, (epoch(ts) - 1704067200) / 86400), 6)
+             AS r2
+    FROM events
+    GROUP BY event_type
+    """,
+    doc=(
+        "Per-key linear trend via regression aggregates (regr_slope/"
+        "intercept/r2): the price-drift estimator, computed as declarative "
+        "moment aggregates — one partial+final HashAggregate, no iteration, "
+        "no ML library. The regressor is centered to days-since-epoch-start "
+        "BEFORE aggregation: regressing on raw epoch seconds squares "
+        "~1.7e9 into the moment sums and eats all double precision."
+    ),
+)
+def q_regression(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    x = (F.col("ts").cast("double") - F.lit(1704067200.0)) / 86400
+    v = F.col("value")
+    return e.groupBy("event_type").agg(
+        F.regr_count(v, x).alias("n"),
+        F.round(F.regr_slope(v, x), 6).alias("slope_per_day"),
+        F.round(F.regr_intercept(v, x), 4).alias("intercept"),
+        F.round(F.regr_r2(v, x), 6).alias("r2"),
+    )
+
+
+@query(
+    "q_anomaly_zscore",
+    oracle="""
+    SELECT event_id, event_type, z
+    FROM (
+      SELECT event_id, event_type,
+             round((value - avg(value) OVER (PARTITION BY event_type))
+                   / stddev_samp(value) OVER (PARTITION BY event_type),
+                   6) AS z
+      FROM events
+    )
+    ORDER BY abs(z) DESC, event_id
+    LIMIT 20
+    """,
+    doc=(
+        "Z-score anomaly top-k: per-key mean/stddev as window aggregates "
+        "(one shuffle on the key, NO stats-table self-join), then global "
+        "top-20 by |z| via TakeOrderedAndProject. z is rounded before "
+        "ranking so the cross-engine order is stable; event_id breaks ties "
+        "deterministically. The monitoring query that catches bad feeds "
+        "(fat-finger prints, unit mix-ups) before they hit training data."
+    ),
+)
+def q_anomaly_zscore(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type")
+    z = F.round(
+        (F.col("value") - F.avg("value").over(w)) / F.stddev_samp("value").over(w), 6
+    )
+    return (
+        e.select("event_id", "event_type", z.alias("z"))
+        .orderBy(F.abs(F.col("z")).desc(), "event_id")
+        .limit(20)
+    )
