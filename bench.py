@@ -43,6 +43,7 @@ HEADLINE = [
     "q_neardup_dedup",
     "q_simhash",
     "q_ann_ivf",
+    "q_corpus_prep",
 ]
 
 

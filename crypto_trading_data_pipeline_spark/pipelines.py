@@ -1,0 +1,148 @@
+"""End-to-end pipeline compositions: the engine's operators wired into the
+two jobs a user actually ships.
+
+Every stage is the same DataFrame-in/DataFrame-out operator the declared
+queries check individually, so the composition inherits their oracle-proven
+semantics; what these functions add is the ORDER and the contract between
+stages (which columns flow, what each stage may assume).
+
+1. ``corpus_prep`` — the LLM training-data path:
+     quality-score -> filter -> normalize+exact-dedup -> split-assign ->
+     overlapping chunk windows. Narrow except for the one dedup shuffle;
+     every stage is deterministic (hash-based splits, min-id
+     representatives), so re-runs and backfills are byte-stable.
+2. ``candle_serving`` — the reference's serving path widened into a
+     multi-resolution hypertable: 1-min OHLCV -> gap-filled continuous
+     series + 5-min rollup (re-aggregated from 1-min candles, never from
+     raw trades — reference processor.py:77-101 only ever computed the
+     single 1-min tier).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .operators import dedup_hash
+from .operators.candles import gap_fill_candles, ohlcv, rollup_candles
+from .operators.dedup import exact_dedup, normalize_text
+
+STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+def quality_score(text) -> "F.Column":
+    """Heuristic quality in [0, 1]: type-token ratio + stopword ratio +
+    length saturation (the q_quality_score expression, reusable)."""
+    toks = F.split(text, " ")
+    n = F.size(toks)
+    stop = F.array(*[F.lit(w) for w in STOPWORDS])
+    ttr = F.size(F.array_distinct(toks)).cast("double") / n
+    stop_ratio = F.size(F.filter(toks, lambda t: F.array_contains(stop, t))).cast("double") / n
+    return (
+        0.5 * ttr + 0.3 * stop_ratio + 0.2 * F.least(n.cast("double") / 100.0, F.lit(1.0))
+    )
+
+
+def split_assign(id_col, *, train_pct: int = 90, val_pct: int = 5) -> "F.Column":
+    """Deterministic train/val/test tag by stable id-hash (q_split_assign)."""
+    h = dedup_hash.token_hash(id_col.cast("string")) % 100
+    return (
+        F.when(h < train_pct, F.lit("train"))
+        .when(h < train_pct + val_pct, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def corpus_prep(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_quality: float = 0.45,
+    chunk_tokens: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """documents -> deduplicated, split-tagged, overlapping token chunks.
+
+    Output: one row per chunk with (doc_id, split, quality, chunk_id,
+    chunk_text, n_chunk_tokens). Stage order matters at scale: score+filter
+    first (narrow, shrinks everything downstream), dedup second (the only
+    shuffle), chunk last (explode AFTER dedup so duplicates are never
+    chunked). ``stride < chunk_tokens`` gives overlapping windows.
+    """
+    scored = docs.withColumn("quality", quality_score(F.col(text_col)))
+    kept = scored.filter(F.col("quality") >= min_quality)
+
+    deduped = exact_dedup(
+        kept.withColumn("__norm", normalize_text(F.col(text_col))),
+        key_cols=["__norm"],
+        order_col=id_col,
+    ).drop("__norm")
+
+    tagged = deduped.withColumn("split", split_assign(F.col(id_col)))
+
+    toks = F.split(F.col(text_col), " ")
+    n_chunks = F.ceil(
+        F.greatest(F.size(toks) - F.lit(chunk_tokens - stride), F.lit(1))
+        / F.lit(float(stride))
+    )
+    chunk = F.explode(
+        F.transform(
+            F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
+            lambda i: F.struct(
+                i.alias("chunk_id"),
+                F.slice(toks, i * stride + 1, chunk_tokens).alias("toks"),
+            ),
+        )
+    )
+    return tagged.select(
+        id_col,
+        "split",
+        "quality",
+        chunk.alias("c"),
+    ).select(
+        id_col,
+        "split",
+        "quality",
+        F.col("c.chunk_id").alias("chunk_id"),
+        F.concat_ws(" ", F.col("c.toks")).alias("chunk_text"),
+        F.size(F.col("c.toks")).alias("n_chunk_tokens"),
+    )
+
+
+def candle_serving(
+    trades: DataFrame,
+    *,
+    ts_col: str = "trade_time",
+    key_col: str = "symbol",
+    price_col: str = "price",
+    qty_col: str | None = "quantity",
+) -> dict[str, DataFrame]:
+    """trades -> {"1min": gap-filled continuous candles, "5min": rollup}.
+
+    The 5-min tier reads the 1-min AGGREGATE (cost ∝ candle count, not
+    trade count); the gap-filled tier guarantees every (symbol, minute)
+    exists for chart/monitor consumers. Works unchanged on a streaming
+    input for the 1-min tier (gap fill and rollup are batch/foreachBatch
+    consumers of the sink table).
+    """
+    c1 = ohlcv(
+        trades,
+        ts_col=ts_col,
+        key_col=key_col,
+        price_col=price_col,
+        qty_col=qty_col,
+        window_duration="1 minute",
+    )
+    filled = gap_fill_candles(
+        c1.select(
+            "symbol",
+            F.col("window_start").cast("timestamp").alias("window_start"),
+            "open_price",
+            "high_price",
+            "low_price",
+            "close_price",
+            "n_trades",
+        )
+    )
+    c5 = rollup_candles(c1, window_duration="5 minutes")
+    return {"1min": filled, "5min": c5}

@@ -598,3 +598,62 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str):
         .filter(F.col("rk") <= F.ceil(0.05 * F.col("n")))
         .select("doc_id", "lang")
     )
+
+
+@query(
+    "q_corpus_prep",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             0.5 * (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.3 * (CAST(len(list_filter(string_split(text, ' '),
+                          t -> list_contains(['the','a','of','and','to','in','is','it'], t))) AS DOUBLE)
+                    / len(string_split(text, ' ')))
+           + 0.2 * least(CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0, 1.0)
+             AS quality
+      FROM documents
+    ), kept AS (
+      SELECT * FROM scored WHERE quality >= 0.45
+    ), norm AS (
+      SELECT doc_id, text, quality,
+             lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS nrm
+      FROM kept
+    ), dedup AS (
+      SELECT doc_id, text, quality FROM norm
+      QUALIFY doc_id = min(doc_id) OVER (PARTITION BY nrm)
+    ), tagged AS (
+      SELECT doc_id, text, quality,
+             CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM (
+        SELECT *, {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+        FROM dedup
+      )
+    ), toks AS (
+      SELECT doc_id, split, quality, string_split(text, ' ') AS t FROM tagged
+    ), chunks AS (
+      SELECT doc_id, split, quality,
+             CAST(i AS INTEGER)                       AS chunk_id,
+             list_slice(t, i * 24 + 1, i * 24 + 32)   AS ctoks
+      FROM toks,
+           UNNEST(range(0, CAST(ceil(greatest(len(t) - 8, 1) / 24.0) AS BIGINT))) AS u(i)
+    )
+    SELECT doc_id, split, quality, chunk_id,
+           array_to_string(ctoks, ' ')        AS chunk_text,
+           CAST(len(ctoks) AS INTEGER)        AS n_chunk_tokens
+    FROM chunks
+    """,
+    doc=(
+        "The COMPOSED training-data pipeline (pipelines.corpus_prep) "
+        "oracle-checked end to end: quality-score -> filter -> "
+        "normalize+exact-dedup -> hash split-assign -> overlapping 32/24 "
+        "chunk windows. Each stage is individually proven by its own query; "
+        "this one proves the composition (column contracts, stage order) "
+        "with one shuffle total (the dedup) — everything else narrow."
+    ),
+)
+def q_corpus_prep(spark: SparkSession, sf_dir: str):
+    from ..pipelines import corpus_prep
+
+    return corpus_prep(read_table(spark, sf_dir, "documents"))
