@@ -1,0 +1,67 @@
+"""Iterative graph operators — connected components for duplicate-cluster
+resolution.
+
+Spark has no native CC (GraphX is Scala-only, GraphFrames is an external
+package), but near-dup dedup needs it: LSH+verify emits PAIRS, and a
+transitive chain a~b~c must collapse to ONE cluster even though (a,c) was
+never directly verified. q_neardup_dedup's one-hop representative pick is
+the single-pass approximation; this is the exact version.
+
+Algorithm: iterative min-label propagation (the standard Pregel-style
+formulation). Each round every node adopts the smallest label among itself
+and its neighbors; convergence in O(graph diameter) rounds — for near-dup
+clusters the diameter is tiny (duplicates of one source form near-cliques).
+Each round is one join + one partial+final min-aggregate, fully
+distributed; the driver only sees a changed-label COUNT (the convergence
+test), never the data. Lineage is truncated per round with an eager
+localCheckpoint, or the plan would grow by two shuffles per iteration.
+
+At 100 TB scale with adversarial diameters, swap the propagation loop for
+alternating large-star/small-star (Kiveris et al., "Connected Components
+in MapReduce and Beyond") — same per-round primitives, O(log^2 n) rounds;
+the loop-with-checkpoint skeleton below is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """(src, dst) edge list -> (node, component) where component is the
+    smallest node id reachable from ``node``. Undirected; isolated nodes
+    absent from ``edges`` are absent from the output (callers coalesce)."""
+    und = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+        .distinct()
+    )
+    labels = und.select(F.col("a").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    labels = labels.localCheckpoint(eager=True)
+    for _ in range(max_iter):
+        msgs = und.join(labels, und.b == labels.node).select(
+            und.a.alias("node"), labels.lbl
+        )
+        new_labels = (
+            msgs.unionAll(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select("node", F.col("lbl").alias("component"))

@@ -91,6 +91,27 @@ def _lsh_candidate_pairs(docs):
     return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
+def _verified_neardup_pairs(docs):
+    """LSH candidates verified by exact shingle Jaccard >= 0.8 — the edge
+    list shared by q_neardup_dedup (one-hop reps) and
+    q_neardup_components (exact clusters)."""
+    cand = _lsh_candidate_pairs(docs)
+    sh = (
+        fan_out(docs.select("doc_id", "text"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (
+        cand.join(sa, "doc_a").join(sb, "doc_b")
+        .filter(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+
+
 @query(
     "q_lsh_pairs",
     oracle=f"""
@@ -520,21 +541,7 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str):
     # measured a wash at sf0.1 (codegen-warm) and a 2.3x win only on a cold
     # JVM. At 100 TB the signature table is CHECKPOINTED once and reused
     # across dedup runs, which is the durable form of the same trade.
-    cand = _lsh_candidate_pairs(docs)
-    sh = (
-        fan_out(docs.select("doc_id", "text"))
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    ver = (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b")
-    )
+    ver = _verified_neardup_pairs(docs)
     nb = ver.select(F.col("doc_a").alias("doc"), F.col("doc_b").alias("nbr")).unionAll(
         ver.select(F.col("doc_b").alias("doc"), F.col("doc_a").alias("nbr"))
     )
@@ -726,4 +733,65 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .select("doc_a", "doc_b", (matches / F.lit(16.0)).alias("est_jaccard"))
+    )
+
+
+@query(
+    "q_neardup_components",
+    oracle=f"""
+    WITH RECURSIVE sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), sig AS (
+      SELECT doc_id, {_SQL_SIG_SELECT.replace(chr(10), ' ')}
+      FROM sh
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), ver AS (
+      SELECT doc_a, doc_b
+      FROM cand
+      JOIN sh sa ON sa.doc_id = doc_a
+      JOIN sh sb ON sb.doc_id = doc_b
+      WHERE {_JACCARD_SQL} >= 0.8
+    ), und AS (
+      SELECT doc_a AS a, doc_b AS b FROM ver
+      UNION
+      SELECT doc_b AS a, doc_a AS b FROM ver
+    ), reach AS (
+      SELECT a AS node, a AS lbl FROM und
+      UNION
+      SELECT u.a AS node, r.lbl FROM und u JOIN reach r ON u.b = r.node
+    ), comp AS (
+      SELECT node, min(lbl) AS lbl FROM reach GROUP BY node
+    )
+    SELECT d.doc_id, CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS component
+    FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
+    """,
+    doc=(
+        "EXACT near-dup clusters: verified LSH pairs -> connected "
+        "components via iterative min-label propagation "
+        "(operators/graph.py) — a transitive chain a~b~c lands in ONE "
+        "cluster even though (a,c) was never compared. Each round is one "
+        "join + one min-aggregate with lineage checkpointed; the oracle is "
+        "DuckDB's recursive CTE computing the same min-reachable-label "
+        "fixpoint. Docs in no verified pair are their own singleton "
+        "component."
+    ),
+)
+def q_neardup_components(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components
+
+    docs = read_table(spark, sf_dir, "documents")
+    ver = _verified_neardup_pairs(docs)
+    comp = connected_components(ver, src="doc_a", dst="doc_b")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
