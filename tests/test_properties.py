@@ -142,3 +142,41 @@ def test_candle_rollup_matches_direct(spark, recs):
         assert d.n_trades == r.n_trades
         assert math.isclose(d.total_volume, r.total_volume, abs_tol=5e-4)
         assert math.isclose(d.total_value, r.total_value, abs_tol=5e-4)
+
+
+# --- connected components vs pure-Python union-find ------------------------
+
+
+def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # Canonical label = min node id in the component.
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    from crypto_trading_data_pipeline_spark.operators.graph import connected_components
+
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: r.component for r in connected_components(df).collect()}
+    assert got == py_components(edges)
