@@ -1,0 +1,99 @@
+"""Deterministic Lloyd's k-means — the IVF centroid trainer.
+
+q_ann_ivf partitions the corpus with a fixed centroid subset (every 50th
+vector); this trains REAL centroids with the classic iterative refinement,
+as a driver-coordinated loop over fully distributed steps:
+
+- **assignment** is a narrow codegen'd pass: the k×dim centroid matrix is
+  inlined as an array literal (at IVF scale k≤65k, a few MB — broadcast
+  territory), and argmin-distance is `array_min` over a
+  struct<dist,idx> array, JVM-side, no shuffle, no Python;
+- **update** is one partial+final aggregate: posexplode to (cluster, pos,
+  x), mean per coordinate, regroup — shuffle rows = k×dim, independent of
+  corpus size;
+- the driver only ever holds the k×dim centroid matrix and the SSE scalar
+  (the convergence signal) — never data rows.
+
+Determinism: seeds are the k vectors with the smallest portable id-hash
+(ties by id), every argmin tie-breaks toward the lowest centroid index,
+and coordinate means are averaged in Spark's pairwise-merge order — so
+re-runs produce identical clusters (the property random-init k-means
+lacks, and the one that matters for reproducible index builds).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from . import dedup_hash
+
+
+def _sq_dist(v, c):
+    return F.aggregate(
+        F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _assign(vecs: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c, i: F.struct(
+            _sq_dist(F.col(vec_col), c).alias("d"), i.alias("i")
+        ),
+    )
+    best = F.array_min(scored)  # struct ordering: distance, then index
+    return vecs.withColumn("cluster", best["i"]).withColumn("__d", best["d"])
+
+
+def kmeans_train(
+    vecs: DataFrame,
+    *,
+    k: int = 8,
+    max_iter: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "v",
+) -> tuple[DataFrame, list[list[float]], list[float]]:
+    """Returns (assignments, centroids, sse_history).
+
+    ``assignments`` adds a ``cluster`` index column to ``vecs``;
+    ``sse_history`` has one entry per iteration and is non-increasing
+    (Lloyd's monotonicity — asserted in tests).
+    """
+    h = dedup_hash.token_hash(F.col(id_col).cast("string"))
+    seeds = (
+        vecs.select(vec_col, h.alias("__h"), F.col(id_col))
+        .orderBy("__h", id_col)
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r[vec_col]) for r in seeds]
+
+    sse_history: list[float] = []
+    for _ in range(max_iter):
+        assigned = _assign(vecs, vec_col, centroids)
+        stats = (
+            assigned.select(
+                "cluster", F.col("__d"), F.posexplode(vec_col).alias("pos", "x")
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.avg("x").alias("m"), F.sum("__d").alias("dsum"))
+            .groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct("pos", "m"))
+                ).alias("pm"),
+                # __d was replicated once per coordinate by the explode.
+                (F.sum("dsum") / F.count(F.lit(1))).alias("sse"),
+            )
+            .collect()
+        )
+        sse_history.append(float(sum(r.sse for r in stats)))
+        for r in stats:  # empty clusters keep their previous centroid
+            centroids[r.cluster] = [p.m for p in r.pm]
+    return _assign(vecs, vec_col, centroids).drop("__d"), centroids, sse_history

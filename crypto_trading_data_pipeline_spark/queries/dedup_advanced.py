@@ -795,3 +795,30 @@ def q_neardup_components(spark: SparkSession, sf_dir: str):
     return docs.join(comp, docs.doc_id == comp.node, "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )
+
+
+@query(
+    "q_kmeans_ivf",
+    oracle=None,  # iterative refinement is not single-statement SQL; driver
+    # records the rows-only check, invariants proven in tests/test_scale_ops.py
+    doc=(
+        "IVF index build with TRAINED centroids: deterministic Lloyd's "
+        "k-means (operators/cluster.py — driver-coordinated loop, each "
+        "round a narrow argmin assignment + one k x dim mean aggregate), "
+        "then per-cluster population counts. Upgrades q_ann_ivf's fixed "
+        "centroid subset to refined centroids; determinism (hash-seeded "
+        "init, index tie-breaks) makes the index build reproducible."
+    ),
+)
+def q_kmeans_ivf(spark: SparkSession, sf_dir: str):
+    from ..operators.cluster import kmeans_train
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    assigned, _cents, _sse = kmeans_train(emb, k=16, max_iter=3)
+    return (
+        assigned.groupBy("cluster")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+        .orderBy("cluster")
+    )

@@ -95,3 +95,33 @@ def test_connected_components_transitive_chain(spark):
     got = {r.node: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10,
                    20: 20, 21: 20, 22: 20, 23: 20, 24: 20}
+
+
+def test_kmeans_train_lloyd_invariants(spark):
+    """Deterministic k-means: SSE non-increasing (Lloyd's monotonicity),
+    re-runs identical, final assignment self-consistent (each point sits
+    in its argmin-distance cluster)."""
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.operators.cluster import kmeans_train
+    from crypto_trading_data_pipeline_spark.operators.similarity import as_double_vec
+    from pyspark.sql import functions as F
+
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    out, cents, sse = kmeans_train(emb, k=8, max_iter=4)
+    assert len(sse) == 4 and all(a >= b - 1e-9 for a, b in zip(sse, sse[1:]))
+    assert len(cents) == 8 and all(len(c) == 64 for c in cents)
+
+    rows = out.collect()
+    assert len(rows) == 500 and {r.cluster for r in rows} <= set(range(8))
+
+    def sqd(v, c):
+        return sum((a - b) ** 2 for a, b in zip(v, c))
+
+    for r in rows[:50]:
+        dists = [sqd(r.v, c) for c in cents]
+        assert dists[r.cluster] == min(dists)
+
+    out2, cents2, sse2 = kmeans_train(emb, k=8, max_iter=4)
+    assert cents == cents2 and sse == sse2
