@@ -1523,3 +1523,24 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str):
         .orderBy(F.abs(F.col("z")).desc(), "event_id")
         .limit(20)
     )
+
+
+@query(
+    "q_approx_percentile",
+    oracle=None,  # sketch-based: not engine-portable; accuracy vs the exact
+    # percentiles is bounded in tests/test_scale_ops.py
+    doc=(
+        "Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4): "
+        "p50/p90/p99 of price per return flag. The sketches merge "
+        "associatively — partial+final aggregate, one tiny shuffle — where "
+        "EXACT percentiles (q_percentiles) need a sort per group. At 100 TB "
+        "the sketch is the only affordable form; q_percentiles is the "
+        "small-data/oracle tier."
+    ),
+)
+def q_approx_percentile(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    return li.groupBy("l_returnflag").agg(
+        pct[0].alias("p50"), pct[1].alias("p90"), pct[2].alias("p99")
+    )

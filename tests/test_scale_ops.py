@@ -125,3 +125,28 @@ def test_kmeans_train_lloyd_invariants(spark):
 
     out2, cents2, sse2 = kmeans_train(emb, k=8, max_iter=4)
     assert cents == cents2 and sse == sse2
+
+
+def test_approx_percentile_within_tolerance(spark):
+    """The sketch answer must sit within 1% relative of the exact
+    percentile at sf0.001 (accuracy parameter 10k on ~6k rows per flag
+    is near-exact)."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    sf = "/root/testdata/sf0.001"
+    approx = {
+        r.l_returnflag: (r.p50, r.p90, r.p99)
+        for r in REGISTRY["q_approx_percentile"].fn(spark, sf).collect()
+    }
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from pyspark.sql import functions as F
+
+    exact = read_table(spark, sf, "lineitem").groupBy("l_returnflag").agg(
+        F.expr("percentile(l_extendedprice, array(0.5, 0.9, 0.99))").alias("p")
+    )
+    checked = 0
+    for r in exact.collect():
+        for i in range(3):
+            assert abs(approx[r.l_returnflag][i] - r.p[i]) <= 0.01 * abs(r.p[i])
+            checked += 1
+    assert checked >= 6
