@@ -1544,3 +1544,76 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str):
     return li.groupBy("l_returnflag").agg(
         pct[0].alias("p50"), pct[1].alias("p90"), pct[2].alias("p99")
     )
+
+
+@query(
+    "q_histogram",
+    oracle="""
+    SELECT CAST(CASE WHEN value < 0.0 THEN 0
+                     WHEN value >= 500.0 THEN 21
+                     ELSE floor(value / 25.0) + 1 END AS BIGINT) AS bucket,
+           count(*) AS n,
+           round(min(value), 4) AS lo,
+           round(max(value), 4) AS hi
+    FROM events
+    GROUP BY 1
+    """,
+    doc=(
+        "Value histogram via width_bucket (20 equal bins over [0, 500); "
+        "DuckDB has no width_bucket, so the oracle spells out the same "
+        "under/overflow-bucket arithmetic): "
+        "binning is a pure codegen'd expression, so the histogram is one "
+        "partial+final aggregate — the distribution-profiling pass at any "
+        "scale. Bin edges are declared literals: data-dependent edges "
+        "(equi-depth) would need a percentile pre-pass."
+    ),
+)
+def q_histogram(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.width_bucket("value", F.lit(0.0), F.lit(500.0), F.lit(20)).alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 4).alias("lo"),
+            F.round(F.max("value"), 4).alias("hi"),
+        )
+    )
+
+
+@query(
+    "q_cumsum",
+    oracle="""
+    SELECT event_id, user_id,
+           round(sum(value) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ), 2) AS running_value,
+           count(*) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS n_so_far
+    FROM events
+    """,
+    doc=(
+        "Per-key cumulative sum/count (running balance): growing-frame "
+        "window — one shuffle on the key, one sort, O(1) state per row "
+        "(Spark plans UNBOUNDED PRECEDING..CURRENT ROW as a running "
+        "accumulator, not a re-scan per row). Ordered by (ts, event_id) so "
+        "the prefix — and therefore every emitted row — is deterministic."
+    ),
+)
+def q_cumsum(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("n_so_far"),
+    )
