@@ -1617,3 +1617,46 @@ def q_cumsum(spark: SparkSession, sf_dir: str):
         F.round(F.sum("value").over(w), 2).alias("running_value"),
         F.count(F.lit(1)).over(w).alias("n_so_far"),
     )
+
+
+@query(
+    "q_new_vs_returning",
+    oracle="""
+    WITH firsts AS (
+      SELECT user_id, date_trunc('day', min(ts)) AS first_day
+      FROM events GROUP BY user_id
+    ), daily AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    )
+    SELECT CAST(d.day AS TIMESTAMP) AS day,
+           count(*) AS active_users,
+           CAST(count(*) FILTER (f.first_day = d.day) AS BIGINT) AS new_users,
+           CAST(count(*) FILTER (f.first_day < d.day) AS BIGINT) AS returning_users
+    FROM daily d JOIN firsts f USING (user_id)
+    GROUP BY d.day
+    """,
+    doc=(
+        "Daily active users split new vs returning: dedup to (day, user) "
+        "first (the DISTINCT collapses event volume to at most "
+        "days x users rows), then a broadcast join against the per-user "
+        "first-day table — the growth dashboard query, shaped so the "
+        "event-volume table is touched exactly twice and never self-joined."
+    ),
+)
+def q_new_vs_returning(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    firsts = e.groupBy("user_id").agg(
+        F.date_trunc("day", F.min("ts")).alias("first_day")
+    )
+    daily = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    return (
+        daily.join(F.broadcast(firsts), "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).alias("active_users"),
+            F.count(F.when(F.col("first_day") == F.col("day"), 1)).alias("new_users"),
+            F.count(F.when(F.col("first_day") < F.col("day"), 1)).alias(
+                "returning_users"
+            ),
+        )
+    )
