@@ -822,3 +822,70 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str):
         .agg(F.count(F.lit(1)).alias("n_vectors"))
         .orderBy("cluster")
     )
+
+
+@query(
+    "q_kmeans_assign",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, e.v, cent.cent_id,
+             round(list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, cent.cv)
+                   + list_dot_product(cent.cv, cent.cv), 6) AS d2
+      FROM e CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, v, cent_id, d2 FROM (
+        SELECT *, row_number() OVER (
+                    PARTITION BY vec_id ORDER BY d2 ASC, cent_id ASC) AS rc
+        FROM scored
+      ) WHERE rc = 1
+    )
+    SELECT cent_id                 AS cluster,
+           count(*)                AS n_vectors,
+           round(avg(d2), 4)       AS avg_sq_dist,
+           round(avg(v[1]), 6)     AS mean_x0
+    FROM assign GROUP BY cent_id
+    """,
+    doc=(
+        "One Lloyd's round with FIXED centroids (vec_id < 8): argmin "
+        "squared-distance assignment + per-cluster count / mean-distance / "
+        "coordinate mean. This is the value oracle for the k-means trainer "
+        "math (q_kmeans_ivf's iterative loop is not one SQL statement, but "
+        "a single round is): centroid side broadcast, corpus never shuffled "
+        "except the final k-row aggregate. Tie-breaks on rounded distance "
+        "then centroid id, so assignment is reproducible across engines."
+    ),
+)
+def q_kmeans_assign(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    cent = F.broadcast(
+        emb.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
+        )
+    )
+    d2 = F.round(
+        F.aggregate(
+            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        ),
+        6,
+    )
+    wc = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
+    assign = (
+        emb.crossJoin(cent)
+        .withColumn("d2", d2)
+        .withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") == 1)
+    )
+    return assign.groupBy(F.col("cent_id").alias("cluster")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(F.avg("d2"), 4).alias("avg_sq_dist"),
+        F.round(F.avg(F.col("v")[0]), 6).alias("mean_x0"),
+    )

@@ -457,6 +457,8 @@ def q_chunk_docs(spark: SparkSession, sf_dir: str):
 
 
 _PACK_BUDGET = 256
+_PACK_SHARDS = 16
+_PACK_SHARD_STRIDE = 1 << 40  # pack_id = shard * stride + local_pack
 
 
 @query(
@@ -467,35 +469,48 @@ _PACK_BUDGET = 256
            CAST(sum(n_toks) AS BIGINT)     AS pack_tokens
     FROM (
       SELECT doc_id, n_toks,
-             CAST(floor((cum - n_toks) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
+             shard * {_PACK_SHARD_STRIDE}
+               + CAST(floor((cum - n_toks) / {_PACK_BUDGET}.0) AS BIGINT) AS pack_id
       FROM (
-        SELECT doc_id, n_toks,
-               sum(n_toks) OVER (ORDER BY doc_id
+        SELECT doc_id, n_toks, shard,
+               sum(n_toks) OVER (PARTITION BY shard ORDER BY doc_id
                                  ROWS UNBOUNDED PRECEDING) AS cum
-        FROM (SELECT doc_id, len(string_split(text, ' ')) AS n_toks FROM documents)
+        FROM (SELECT doc_id,
+                     {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")}
+                       % {_PACK_SHARDS} AS shard,
+                     len(string_split(text, ' ')) AS n_toks
+              FROM documents)
       )
     )
     GROUP BY pack_id
     """,
     doc=(
-        f"Greedy sequence packing: docs in doc_id order accumulate into "
-        f"{_PACK_BUDGET}-token bins via running-sum bucketing (pack_id = "
-        "floor((cumsum - n)/budget)) — one window pass + one aggregate, no "
-        "per-bin iteration. Bins can overflow by at most one document; at "
-        "scale, partition the window by a shard key so the running sum "
-        "never serializes through a single task."
+        f"Greedy sequence packing: docs accumulate into {_PACK_BUDGET}-token "
+        "bins via running-sum bucketing (pack_id = floor((cumsum-n)/budget)) "
+        f"— one window pass + one aggregate, no per-bin iteration. The "
+        f"running sum is SHARDED on a stable doc_id hash ({_PACK_SHARDS} "
+        "shards), so no single task ever serializes the whole table (the "
+        "scale-killer of a global ORDER BY window); pack ids stay globally "
+        f"unique as shard*2^40 + local_pack. Bins can overflow by at most "
+        "one document, per shard."
     ),
 )
 def q_pack_greedy(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     n_toks = F.size(F.split(F.col("text"), " "))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    sized = docs.select("doc_id", n_toks.alias("n_toks")).withColumn(
-        "cum", F.sum("n_toks").over(w)
+    shard = dedup_hash.token_hash(F.col("doc_id").cast("string")) % _PACK_SHARDS
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
+    sized = docs.select(
+        "doc_id", shard.alias("shard"), n_toks.alias("n_toks")
+    ).withColumn("cum", F.sum("n_toks").over(w))
     packed = sized.withColumn(
         "pack_id",
-        F.floor((F.col("cum") - F.col("n_toks")) / F.lit(float(_PACK_BUDGET))).cast("long"),
+        F.col("shard") * F.lit(_PACK_SHARD_STRIDE)
+        + F.floor((F.col("cum") - F.col("n_toks")) / F.lit(float(_PACK_BUDGET))).cast("long"),
     )
     return packed.groupBy("pack_id").agg(
         F.count(F.lit(1)).alias("n_docs"),

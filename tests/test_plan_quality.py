@@ -146,6 +146,15 @@ def test_range_frame_single_shuffle(spark):
     assert "Join" not in plan, "range frame degraded to self-join"
 
 
+def test_pack_greedy_sharded_window(spark):
+    """The packing running sum must be sharded: a global ORDER BY window
+    plans an Exchange SinglePartition and serializes the table through one
+    task — the r1 scale-killer, fixed by hash-sharding the window key."""
+    plan = plan_of(spark, "q_pack_greedy")
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Window" in plan, plan
+
+
 def test_not_exists_plans_anti_join(spark):
     """Correlated NOT EXISTS must rewrite to one LEFT ANTI join with the
     inequality riding in the join condition."""
