@@ -44,6 +44,13 @@ HEADLINE = [
     "q_simhash",
     "q_ann_ivf",
     "q_corpus_prep",
+    # r2 breadth: the relational tail + the reworked sharded packing +
+    # the k-means assignment round (VERDICT r1 #6).
+    "q_retention_cohort",
+    "q_scd2_intervals",
+    "q_window_range_frame",
+    "q_pack_greedy",
+    "q_kmeans_assign",
 ]
 
 

@@ -11,7 +11,7 @@ index-backed COUNT (reference postgres/init/init.sql:20).
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timezone
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -33,7 +33,14 @@ def fresh_row_count(
     if now is None:
         anchor = F.current_timestamp()
     elif isinstance(now, datetime):
-        anchor = F.lit(now.strftime("%Y-%m-%d %H:%M:%S")).cast("timestamp")
+        # Aware datetimes must be normalized to UTC before the cast: the
+        # string literal is reinterpreted in the session timezone (pinned
+        # UTC), so a non-UTC tzinfo would silently shift the cutoff by the
+        # whole UTC offset. Sub-second precision is kept (isoformat, not a
+        # seconds-only strftime).
+        if now.tzinfo is not None:
+            now = now.astimezone(timezone.utc).replace(tzinfo=None)
+        anchor = F.lit(now.isoformat(sep=" ", timespec="microseconds")).cast("timestamp")
     else:
         anchor = now
     cutoff = anchor - F.expr(f"INTERVAL {max_staleness}")

@@ -34,10 +34,18 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     max_iter: int = 25,
+    strict: bool = True,
 ) -> DataFrame:
     """(src, dst) edge list -> (node, component) where component is the
     smallest node id reachable from ``node``. Undirected; isolated nodes
-    absent from ``edges`` are absent from the output (callers coalesce)."""
+    absent from ``edges`` are absent from the output (callers coalesce).
+
+    Min-label propagation needs O(graph diameter) rounds, so a path longer
+    than ``max_iter`` cannot converge in time. ``strict=True`` (default)
+    raises rather than returning partially-propagated labels that callers
+    would mistake for exact components; ``strict=False`` returns the
+    best-effort labels (every node still maps to SOME member of its
+    component's prefix — useful as a seeding pass)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -47,6 +55,7 @@ def connected_components(
         "lbl", F.col("node")
     )
     labels = labels.localCheckpoint(eager=True)
+    changed = -1
     for _ in range(max_iter):
         msgs = und.join(labels, und.b == labels.node).select(
             und.a.alias("node"), labels.lbl
@@ -64,4 +73,10 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if changed != 0 and strict:
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iter} rounds "
+            f"({changed} labels still changing) — the graph diameter exceeds "
+            "max_iter; raise max_iter or use strict=False for best-effort labels"
+        )
     return labels.select("node", F.col("lbl").alias("component"))

@@ -67,6 +67,37 @@ def attach_media(df: DataFrame, *, id_col: str, bytes_col: str, kind: str, mime:
     )
 
 
+def pil_image_decode(payload: pd.Series) -> pd.DataFrame:
+    """REAL image decoder — used automatically when PIL is installed
+    (``decoder="pil"``), raises NotImplementedError otherwise. Same
+    signature/output contract as the fake, so swapping it in changes zero
+    Spark plumbing: width/height from the decoded header, mean_luma from
+    the grayscale pixel mean."""
+    try:
+        from PIL import Image
+    except ImportError as e:
+        raise NotImplementedError(
+            "real image decoding requires PIL; not installed in this environment"
+        ) from e
+    import io as _io
+
+    import numpy as np
+
+    ws, hs, lumas = [], [], []
+    for b in payload:
+        img = Image.open(_io.BytesIO(bytes(b)))
+        ws.append(img.size[0])
+        hs.append(img.size[1])
+        lumas.append(int(np.asarray(img.convert("L")).mean()))
+    return pd.DataFrame(
+        {
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "mean_luma": pd.Series(lumas, dtype="int32"),
+        }
+    )
+
+
 def _fake_image_decode(payload: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for a real image decoder: derives pseudo
     width/height/luma from the payload bytes. Replaced wholesale by a real
@@ -86,19 +117,21 @@ def _fake_image_decode(payload: pd.Series) -> pd.DataFrame:
 def extract_image_features(
     media: DataFrame,
     *,
-    decoder: Callable[[pd.Series], pd.DataFrame] | None = None,
+    decoder: Callable[[pd.Series], pd.DataFrame] | str | None = None,
     parallelism: int | None = None,
 ) -> DataFrame:
     """Decode + featurize images via mapInPandas (Arrow-batched).
 
     ``decoder`` maps a pandas Series of payload bytes to a DataFrame with
-    width/height/mean_luma. None -> deterministic fake (container has no
-    image libs); the real-decoder path raises until one is installed.
+    width/height/mean_luma. None -> deterministic fake (safe on arbitrary
+    bytes); ``"pil"`` -> pil_image_decode, the real path when PIL is
+    installed (raises NotImplementedError when it isn't — the payloads must
+    then be genuine encoded images).
     """
     if decoder is None:
         decoder = _fake_image_decode
-    elif getattr(decoder, "__name__", "") == "pil_decode":  # pragma: no cover
-        raise NotImplementedError("real image decoding requires PIL; not in this container")
+    elif decoder == "pil":
+        decoder = pil_image_decode
 
     src = media.select("media_id", "payload")
     if parallelism is not None:

@@ -62,7 +62,19 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
     return _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
 
 
-def _lsh_candidate_pairs(docs):
+#: Per-bucket candidate cap. A band bucket of n docs expands to C(n,2)
+#: pairs, so one pathological bucket (thousands of byte-identical docs all
+#: sharing every band) would dominate the whole job: 10k copies = 50M pairs
+#: from ONE collect_set row. Capping keeps expansion bounded at C(cap,2);
+#: the kept subset is deterministic (lowest doc_ids of the sorted bucket).
+#: Exact duplicates should be removed BEFORE near-dup LSH (the standard
+#: pipeline order — q_dedup_exact, and what corpus_prep does), which makes
+#: genuine cap overflow vanish; observed max bucket size on the fixtures is
+#: 4 (sf0.1), so 64 never binds there and oracles stay exact.
+_LSH_BUCKET_CAP = 64
+
+
+def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP):
     """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket — the
     shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup."""
     sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
@@ -72,7 +84,7 @@ def _lsh_candidate_pairs(docs):
     )
     buckets = (
         bands.groupBy("band_id", "band_hash")
-        .agg(F.sort_array(F.collect_set("doc_id")).alias("ids"))
+        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, bucket_cap).alias("ids"))
         .filter(F.size("ids") >= 2)
     )
     # ids is sorted, so pairing each element with everything after it emits
@@ -138,8 +150,10 @@ def _verified_neardup_pairs(docs):
         "One groupBy on the band digest + in-bucket pair expansion — the "
         "signature pipeline runs ONCE (a self-join would execute the md5 "
         "hashing twice, once per side) and there is no O(n^2) comparison. "
-        "Bucket skew (thousands of identical docs) would fatten collect_set; "
-        "then: cap bucket size or salt the band key."
+        "Bucket skew (thousands of identical docs) is bounded by a "
+        "per-bucket candidate cap: expansion never exceeds C(64,2) pairs "
+        "per bucket, and exact dups are expected to be removed upstream "
+        "(q_dedup_exact) so the cap never binds on a clean corpus."
     ),
 )
 def q_lsh_pairs(spark: SparkSession, sf_dir: str):

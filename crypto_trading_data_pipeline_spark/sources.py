@@ -34,33 +34,58 @@ _BINANCE_RENAME = [
 ]
 
 
+def kafka_source_options(
+    *,
+    topic: str,
+    brokers: str,
+    starting_offsets: str | None = "latest",
+    fail_on_data_loss: bool | None = None,
+    max_offsets_per_trigger: int | None = None,
+) -> dict[str, str]:
+    """The exact Kafka source option map the reference builds
+    (processor.py:54-60: bootstrap servers, subscribe, startingOffsets) —
+    assembled as a pure function so the mapping is testable without a
+    broker or the connector JAR on the classpath.
+
+    ``fail_on_data_loss=False`` tolerates aged-out offsets on restart (the
+    retention-vs-checkpoint race every long-lived consumer hits);
+    ``max_offsets_per_trigger`` bounds a catch-up batch so recovery after
+    downtime doesn't produce one giant micro-batch.
+    """
+    opts = {
+        "kafka.bootstrap.servers": brokers,
+        "subscribe": topic,
+    }
+    if starting_offsets is not None:
+        opts["startingOffsets"] = starting_offsets
+    if fail_on_data_loss is not None:
+        opts["failOnDataLoss"] = "true" if fail_on_data_loss else "false"
+    if max_offsets_per_trigger is not None:
+        opts["maxOffsetsPerTrigger"] = str(max_offsets_per_trigger)
+    return opts
+
+
 def kafka_stream(
     spark: SparkSession,
     *,
     topic: str,
     brokers: str,
     starting_offsets: str = "latest",
+    **extra,
 ) -> DataFrame:
     """Streaming Kafka source (reference processor.py:54-60). Requires the
     spark-sql-kafka connector JARs on the classpath (shipped via spark-submit
     --jars in production, as the reference's submit DAG does)."""
-    return (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .option("startingOffsets", starting_offsets)
-        .load()
+    opts = kafka_source_options(
+        topic=topic, brokers=brokers, starting_offsets=starting_offsets, **extra
     )
+    return spark.readStream.format("kafka").options(**opts).load()
 
 
 def kafka_batch(spark: SparkSession, *, topic: str, brokers: str) -> DataFrame:
     """Batch twin of the Kafka source — same columns, bounded read."""
-    return (
-        spark.read.format("kafka")
-        .option("kafka.bootstrap.servers", brokers)
-        .option("subscribe", topic)
-        .load()
-    )
+    opts = kafka_source_options(topic=topic, brokers=brokers, starting_offsets=None)
+    return spark.read.format("kafka").options(**opts).load()
 
 
 def parse_trades(raw: DataFrame, *, value_col: str = "value") -> DataFrame:

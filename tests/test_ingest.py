@@ -137,3 +137,29 @@ def test_to_kafka_records_roundtrip(spark):
     assert back.trade_id == 9 and str(back.price) == "42000.10000000"
     plan = rec._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan  # serialization stays JVM-side
+
+
+def test_kafka_source_options_match_reference():
+    """The option map must be byte-for-byte what the reference passes to
+    readStream (spark_processor/processor.py:54-60): bootstrap servers,
+    subscribe topic, startingOffsets=latest. No broker/connector exists in
+    this container, so the assembly is the testable unit (T8)."""
+    from crypto_trading_data_pipeline_spark.sources import kafka_source_options
+
+    opts = kafka_source_options(topic="crypto_trades", brokers="kafka:9092")
+    assert opts == {
+        "kafka.bootstrap.servers": "kafka:9092",
+        "subscribe": "crypto_trades",
+        "startingOffsets": "latest",
+    }
+    # Offset-management knobs (T8): data-loss tolerance and catch-up cap.
+    opts = kafka_source_options(
+        topic="t",
+        brokers="b:9092",
+        starting_offsets="earliest",
+        fail_on_data_loss=False,
+        max_offsets_per_trigger=100_000,
+    )
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "false"
+    assert opts["maxOffsetsPerTrigger"] == "100000"

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pandas as pd
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_trading_data_pipeline_spark.operators.multimodal import (
@@ -111,3 +112,61 @@ def test_video_frame_sampling_fan_out(spark):
     assert len(by_id[3]) == 1          # short payload still yields one frame
     f0 = sorted(by_id[1], key=lambda r: r.frame_idx)[0]
     assert bytes(f0.frame_payload) == bytes(range(64))
+
+
+def _pil_available() -> bool:
+    try:
+        import PIL  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+def test_pil_decoder_gated_without_pil(spark):
+    """decoder='pil' resolves to the real path; without PIL it must raise
+    NotImplementedError at decode time, never silently fall back."""
+    import pytest as _pytest
+
+    if _pil_available():
+        _pytest.skip("PIL installed; the gate test is for its absence")
+    from crypto_trading_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    df = spark.createDataFrame([(1, b"notanimage")], ["id", "raw"])
+    media = attach_media(df, id_col="id", bytes_col="raw", kind="image", mime="image/png")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises((NotImplementedError, Py4JJavaError, Exception)) as exc:
+        extract_image_features(media, decoder="pil").collect()
+    assert "requires PIL" in str(exc.value)
+
+
+def test_pil_decoder_real_path(spark):
+    """With PIL installed, decoder='pil' decodes genuine PNGs: exact
+    dimensions and the analytic gray-value mean."""
+    import pytest as _pytest
+
+    if not _pil_available():
+        _pytest.skip("PIL not installed in this container")
+    import io as _io
+
+    from PIL import Image
+
+    from crypto_trading_data_pipeline_spark.operators.multimodal import (
+        extract_image_features,
+    )
+
+    def png(w, h, val):
+        buf = _io.BytesIO()
+        Image.new("L", (w, h), val).save(buf, format="PNG")
+        return buf.getvalue()
+
+    df = spark.createDataFrame(
+        [(1, png(20, 10, 100)), (2, png(7, 7, 255))], ["id", "raw"]
+    )
+    media = attach_media(df, id_col="id", bytes_col="raw", kind="image", mime="image/png")
+    rows = {r.media_id: r for r in extract_image_features(media, decoder="pil").collect()}
+    assert (rows[1].width, rows[1].height, rows[1].mean_luma) == (20, 10, 100)
+    assert (rows[2].width, rows[2].height, rows[2].mean_luma) == (7, 7, 255)

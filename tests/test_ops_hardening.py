@@ -1,0 +1,140 @@
+"""Operational-glue hardening: generated serving-table DDL matches the
+reference's hand-written shape, merge SQL is injection-safe, the parquet
+upsert swap survives a crash at any point, CC refuses to return
+unconverged labels, and freshness cutoffs respect timezones."""
+
+from __future__ import annotations
+
+import os
+from datetime import datetime, timedelta, timezone
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from crypto_trading_data_pipeline_spark.monitor import fresh_row_count
+from crypto_trading_data_pipeline_spark.operators.graph import connected_components
+from crypto_trading_data_pipeline_spark.streaming.sinks import (
+    JdbcUpsertSink,
+    ParquetUpsertSink,
+    serving_table_ddl,
+)
+
+# The candle serving schema — the engine's analog of the reference's
+# trades_1min_agg table (postgres/init/init.sql:6-20).
+CANDLE_SCHEMA = T.StructType(
+    [
+        T.StructField("window_start", T.TimestampType(), False),
+        T.StructField("window_end", T.TimestampType(), False),
+        T.StructField("symbol", T.StringType(), False),
+        T.StructField("open_price", T.DecimalType(20, 8), True),
+        T.StructField("high_price", T.DecimalType(20, 8), True),
+        T.StructField("low_price", T.DecimalType(20, 8), True),
+        T.StructField("close_price", T.DecimalType(20, 8), True),
+        T.StructField("total_volume", T.DecimalType(20, 8), True),
+        T.StructField("vwap", T.DecimalType(20, 8), True),
+    ]
+)
+
+
+def test_serving_ddl_matches_reference_shape():
+    """Same shape as reference init.sql: PRIMARY KEY on (symbol,
+    window_start), NUMERIC(20,8) prices, DESCENDING window_start index."""
+    create, index = serving_table_ddl(
+        CANDLE_SCHEMA,
+        table="trades_1min_agg",
+        keys=["symbol", "window_start"],
+        order_col="window_start",
+    )
+    assert create.startswith("CREATE TABLE IF NOT EXISTS trades_1min_agg")
+    assert "PRIMARY KEY (symbol, window_start)" in create
+    assert "open_price NUMERIC(20,8)" in create
+    assert "window_end TIMESTAMP NOT NULL" in create
+    assert "ON trades_1min_agg (window_start DESC)" in index
+
+
+def test_serving_ddl_rejects_unknown_type_and_missing_key():
+    arr = T.StructType([T.StructField("v", T.ArrayType(T.FloatType()), True)])
+    with pytest.raises(ValueError, match="no serving-table mapping"):
+        serving_table_ddl(arr, table="t", keys=["v"])
+    with pytest.raises(ValueError, match="not in schema"):
+        serving_table_ddl(CANDLE_SCHEMA, table="t", keys=["nope"])
+
+
+def _sink(**kw):
+    base = dict(
+        host="db",
+        dbname="crypto_data",
+        user="u",
+        password="p",
+        table="trades_1min_agg",
+        keys=["symbol", "window_start"],
+    )
+    base.update(kw)
+    return JdbcUpsertSink(**base)
+
+
+def test_jdbc_sink_merge_sql_and_url():
+    s = _sink()
+    assert s.jdbc_url == "jdbc:postgresql://db:5432/crypto_data"
+    sql = s._merge_sql("trades_1min_agg_staging_7", ["symbol", "window_start", "vwap"])
+    assert "ON CONFLICT (symbol, window_start) DO UPDATE SET" in sql
+    assert "vwap = EXCLUDED.vwap" in sql
+    # key columns never appear in the update list
+    assert "symbol = EXCLUDED" not in sql
+
+
+def test_jdbc_sink_rejects_hostile_identifiers():
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        _sink(table="t; DROP TABLE users")
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        _sink(keys=['sym"bol'])
+    s = _sink()
+    with pytest.raises(ValueError, match="invalid SQL identifier"):
+        s._merge_sql("stage", ["ok_col", "bad col"])
+
+
+def test_parquet_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
+    path = str(tmp_path / "serving")
+    sink = ParquetUpsertSink(path, keys=["k"], order_col="ord")
+    df = spark.createDataFrame([(1, 10), (2, 20)], ["k", "ord"])
+    sink(df, epoch_id=0)
+    # Simulate a crash between rename-aside and move-in: the table dir is
+    # gone, only .old survives.
+    os.rename(path, path + ".old")
+    assert not os.path.exists(path)
+    got = {(r.k, r.ord) for r in sink.read(spark).collect()}
+    assert got == {(1, 10), (2, 20)}
+    assert os.path.exists(path) and not os.path.exists(path + ".old")
+    # And the next write after recovery merges normally.
+    sink(spark.createDataFrame([(2, 30)], ["k", "ord"]), epoch_id=1)
+    got = {(r.k, r.ord) for r in sink.read(spark).collect()}
+    assert got == {(1, 10), (2, 30)}
+
+
+def test_connected_components_strict_raises_on_nonconvergence(spark):
+    # A 12-node path graph has diameter 11 > max_iter=3 rounds.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(11)], ["src", "dst"])
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(edges, max_iter=3)
+    # Non-strict returns best-effort labels instead.
+    out = connected_components(edges, max_iter=3, strict=False)
+    assert out.count() == 12
+    # And with enough rounds the same graph is exact: all one component.
+    ok = connected_components(edges, max_iter=15)
+    assert {r.component for r in ok.collect()} == {0}
+
+
+def test_freshness_cutoff_is_timezone_correct(spark):
+    base = datetime(2026, 1, 1, 12, 0, 0)
+    rows = [(base - timedelta(minutes=m),) for m in (0, 1, 2, 10)]
+    df = spark.createDataFrame(rows, ["window_start"])
+    # Naive UTC anchor: 3 rows within the 3-minute horizon.
+    assert fresh_row_count(df, now=base) == 3
+    # The SAME instant expressed in UTC+5 must give the same answer — the
+    # r1 bug reinterpreted the local wall time as UTC, shifting the cutoff
+    # 5 hours into the future.
+    aware = base.replace(tzinfo=timezone.utc).astimezone(timezone(timedelta(hours=5)))
+    assert fresh_row_count(df, now=aware) == 3
+    # Sub-second precision survives (strftime('%S') used to truncate it).
+    assert fresh_row_count(df, now=base + timedelta(microseconds=1500)) == 3

@@ -150,3 +150,27 @@ def test_approx_percentile_within_tolerance(spark):
             assert abs(approx[r.l_returnflag][i] - r.p[i]) <= 0.01 * abs(r.p[i])
             checked += 1
     assert checked >= 6
+
+
+def test_lsh_bucket_cap_bounds_skew(spark):
+    """1000 byte-identical docs share every LSH band bucket. Without the
+    per-bucket cap that is C(1000,2)=499500 pairs from ONE collect_set row;
+    the cap bounds expansion at C(cap,2) per band and keeps the kept subset
+    deterministic (lowest doc_ids)."""
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _LSH_BUCKET_CAP,
+        _lsh_candidate_pairs,
+    )
+
+    docs = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim").alias("text"),
+    )
+    pairs = _lsh_candidate_pairs(docs)
+    n = pairs.count()
+    cap_pairs = _LSH_BUCKET_CAP * (_LSH_BUCKET_CAP - 1) // 2
+    # All 4 bands hold the identical bucket, so the DISTINCT pair set is one
+    # bucket's expansion: exactly C(cap,2), never the half-million all-pairs.
+    assert n == cap_pairs, n
+    kept = {r.doc_a for r in pairs.collect()} | {r.doc_b for r in pairs.collect()}
+    assert kept == set(range(_LSH_BUCKET_CAP))
