@@ -30,9 +30,19 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
 
     ``factor`` multiplies the target (use >1 when downstream work per row is
     very uneven, so stragglers smooth out).
+
+    The already-parallel probe uses ``inputFiles()`` (pure metadata), not
+    ``df.rdd.getNumPartitions()`` — the latter forces a DataFrame->RDD plan
+    conversion on every call. File count slightly undercounts splits for
+    multi-row-group files, which only makes the check conservative: a scan
+    wide enough to exceed core count by files alone never needed help.
     """
     target = df.sparkSession.sparkContext.defaultParallelism * factor
-    if df.rdd.getNumPartitions() >= target:
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file source: assume skinny, let repartition decide
+        n_files = 0
+    if n_files >= target:
         return df
     return df.repartition(target)
 

@@ -878,27 +878,43 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
-    cent = F.broadcast(
-        emb.filter(F.col("vec_id") < 8).select(
-            F.col("vec_id").alias("cent_id"), F.col("v").alias("cv")
-        )
+    # Inline the k x dim centroid matrix as an array literal (same move as
+    # cluster._assign): k=8 centroids fit the driver by construction, and
+    # the argmin then runs NARROW — no 8x-row crossJoin shuffle, no
+    # per-vec_id window; the only exchange left is the final k-row agg.
+    cents = (
+        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "v").collect()
     )
-    d2 = F.round(
-        F.aggregate(
-            F.zip_with(F.col("v"), F.col("cv"), lambda a, b: (a - b) * (a - b)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+            c["cent_id"].alias("cent_id"),
         ),
-        6,
     )
-    wc = Window.partitionBy("vec_id").orderBy(F.col("d2").asc(), F.col("cent_id").asc())
-    assign = (
-        emb.crossJoin(cent)
-        .withColumn("d2", d2)
-        .withColumn("rc", F.row_number().over(wc))
-        .filter(F.col("rc") == 1)
+    # struct ordering = (rounded d2, cent_id) — identical tie-break to the
+    # oracle's ORDER BY d2, cent_id.
+    best = F.array_min(scored)
+    assign = emb.select(
+        "v", best["cent_id"].cast("long").alias("cluster"), best["d2"].alias("d2")
     )
-    return assign.groupBy(F.col("cent_id").alias("cluster")).agg(
+    return assign.groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 4).alias("avg_sq_dist"),
         F.round(F.avg(F.col("v")[0]), 6).alias("mean_x0"),

@@ -672,3 +672,133 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str):
     from ..pipelines import corpus_prep
 
     return corpus_prep(read_table(spark, sf_dir, "documents"))
+
+
+@query(
+    "q_tfidf",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    )
+    SELECT doc_id, term, tfidf, CAST(rnk AS INTEGER) AS rnk
+    FROM (
+      SELECT tf.doc_id, tf.term,
+             round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) AS tfidf,
+             row_number() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY round(tf * ln(CAST(n.n AS DOUBLE) / df.df), 6) DESC,
+                        tf.term
+             ) AS rnk
+      FROM tf JOIN df USING (term) CROSS JOIN n
+      WHERE tf.doc_id < 50
+    ) WHERE rnk <= 3
+    """,
+    doc=(
+        "TF-IDF top-3 terms per document: one explode -> (doc, term) "
+        "count, document frequency derived FROM the tf aggregate (no "
+        "second corpus pass), corpus size as a one-row broadcast. The df "
+        "side is |vocab| rows — broadcast — so the per-doc ranking "
+        "shuffles only the tf table once. Ties break on rounded score "
+        "then term, reproducible across engines."
+    ),
+)
+def q_tfidf(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = docs.agg(F.count(F.lit(1)).alias("n"))
+    tfidf = F.round(
+        F.col("tf") * F.log(F.col("n").cast("double") / F.col("df")), 6
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df), "term")
+        .join(F.broadcast(n))
+        .withColumn("tfidf", tfidf)
+        .withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tfidf", "rnk")
+    )
+
+
+@query(
+    "q_repetition_ratio",
+    oracle="""
+    WITH tf AS (
+      SELECT doc_id, term, count(*) AS c
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      GROUP BY doc_id, term
+    )
+    SELECT doc_id,
+           CAST(sum(c) AS BIGINT)                    AS n_tokens,
+           CAST(max(c) AS BIGINT)                    AS top_term_count,
+           round(CAST(max(c) AS DOUBLE) / sum(c), 6) AS repetition_ratio
+    FROM tf GROUP BY doc_id
+    """,
+    doc=(
+        "Repetition ratio (most-frequent-term share of tokens) — the "
+        "boilerplate/template-spam signal LLM corpus filters threshold "
+        "on. Two partial+final aggregates over the exploded tokens; "
+        "nothing wider than (doc, term) ever shuffles."
+    ),
+)
+def q_repetition_ratio(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("c"))
+    return tf.groupBy("doc_id").agg(
+        F.sum("c").alias("n_tokens"),
+        F.max("c").alias("top_term_count"),
+        F.round(F.max("c").cast("double") / F.sum("c"), 6).alias("repetition_ratio"),
+    )
+
+
+@query(
+    "q_bigram_freq",
+    oracle="""
+    SELECT bigram, count(*) AS n
+    FROM (
+      SELECT unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM (SELECT string_split(text, ' ') AS t FROM documents)
+      WHERE len(t) >= 2
+    )
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20
+    """,
+    doc=(
+        "Corpus bigram frequency top-20 — the n-gram LM / contamination "
+        "screen statistic. Bigrams built with a narrow sequence+transform "
+        "(no self-join of token positions), one partial+final count, and "
+        "the global top-k plans as TakeOrderedAndProject (per-partition "
+        "heap + driver merge), never a full sort."
+    ),
+)
+def q_bigram_freq(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t = F.split(F.col("text"), " ")
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.size(t) - 1),
+        lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+    )
+    return (
+        fan_out(docs)
+        .filter(F.size(t) >= 2)
+        .select(F.explode(bigrams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "bigram")
+        .limit(20)
+    )

@@ -1660,3 +1660,83 @@ def q_new_vs_returning(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@query(
+    "q_disjunctive_filter",
+    oracle="""
+    SELECT count(*)                                          AS n_items,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1  AND 15 AND l_quantity BETWEEN 1  AND 11)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc=(
+        "TPC-H Q19-shaped disjunctive predicate: an OR of brand/size/"
+        "quantity conjunctions across both join sides. The planner must "
+        "split the disjunction — per-side implied predicates (l_quantity "
+        "BETWEEN 1 AND 30, p_size BETWEEN 1 AND 50, brand IN set) push to "
+        "the scans, the cross-side residual rides the join — instead of "
+        "evaluating the whole OR post-join. Part side broadcasts."
+    ),
+)
+def q_disjunctive_filter(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    part = F.broadcast(read_table(spark, sf_dir, "part"))
+    qty, size, brand = F.col("l_quantity"), F.col("p_size"), F.col("p_brand")
+    disj = (
+        ((brand == "Brand#1") & size.between(1, 15) & qty.between(1, 11))
+        | ((brand == "Brand#2") & size.between(10, 30) & qty.between(10, 20))
+        | ((brand == "Brand#3") & size.between(20, 50) & qty.between(20, 30))
+    )
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .filter(disj)
+        .agg(
+            F.count(F.lit(1)).alias("n_items"),
+            F.round(F.sum(REVENUE()), 2).alias("revenue"),
+        )
+    )
+
+
+@query(
+    "q_idle_customers",
+    oracle="""
+    WITH cutoff AS (
+      SELECT avg(c_acctbal) AS m FROM customer WHERE c_acctbal > 0.0
+    )
+    SELECT c_nationkey,
+           count(*)                   AS n_cust,
+           round(sum(c_acctbal), 2)   AS total_bal
+    FROM customer, cutoff
+    WHERE c_acctbal > cutoff.m
+      AND NOT EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 400000
+      )
+    GROUP BY c_nationkey
+    """,
+    doc=(
+        "TPC-H Q22-shaped: wealthy-but-idle customers — above-average "
+        "account balance (uncorrelated scalar subquery -> one-row "
+        "broadcast) with no high-value order (anti join with the price "
+        "predicate pushed into the orders scan, shrinking the build side "
+        "before the join). Per-nation count + balance rollup."
+    ),
+)
+def q_idle_customers(spark: SparkSession, sf_dir: str):
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    cutoff = cust.filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("m"))
+    big_orders = orders.filter(F.col("o_totalprice") > 400000).select("o_custkey")
+    return (
+        cust.join(F.broadcast(cutoff))
+        .filter(F.col("c_acctbal") > F.col("m"))
+        .join(big_orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+        )
+    )

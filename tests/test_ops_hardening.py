@@ -138,3 +138,61 @@ def test_freshness_cutoff_is_timezone_correct(spark):
     assert fresh_row_count(df, now=aware) == 3
     # Sub-second precision survives (strftime('%S') used to truncate it).
     assert fresh_row_count(df, now=base + timedelta(microseconds=1500)) == 3
+
+
+def test_spark_submit_argv_matches_reference_shape():
+    """Same argv shape as the reference submit DAG (spark-submit --master
+    <url> --jars <csv> --name <app> <file>), with conf pairs sorted for
+    deterministic commands."""
+    from crypto_trading_data_pipeline_spark.submit import build_spark_submit
+
+    cmd = build_spark_submit(
+        "/opt/app/job.py",
+        master="spark://spark-master:7077",
+        name="CryptoAnalytics",
+        jars=["a.jar", "b.jar"],
+        conf={"spark.sql.shuffle.partitions": "256", "spark.executor.memory": "8g"},
+        app_args=["--topic", "raw_trades"],
+    )
+    assert cmd[:5] == [
+        "spark-submit",
+        "--master",
+        "spark://spark-master:7077",
+        "--name",
+        "CryptoAnalytics",
+    ]
+    assert cmd[cmd.index("--jars") + 1] == "a.jar,b.jar"
+    confs = [cmd[i + 1] for i, t in enumerate(cmd) if t == "--conf"]
+    assert confs == sorted(confs)
+    assert cmd[-3:] == ["/opt/app/job.py", "--topic", "raw_trades"]
+
+
+def test_submit_retries_with_backoff_and_health_gate():
+    from crypto_trading_data_pipeline_spark.submit import submit_with_retry
+
+    calls, naps = [], []
+    rcs = iter([1, 1, 0])
+    out = submit_with_retry(
+        ["spark-submit", "x"],
+        retries=3,
+        backoff_s=5.0,
+        runner=lambda c: (calls.append(list(c)), next(rcs))[1],
+        sleep=naps.append,
+    )
+    assert out.ok and out.attempts == 3
+    assert naps == [5.0, 10.0]  # exponential, only between attempts
+    # Health gate: exit 0 but probe fails every time -> not ok, all retries.
+    health = iter([False, False, True])
+    out = submit_with_retry(
+        ["s"],
+        retries=2,
+        backoff_s=1.0,
+        runner=lambda c: 0,
+        health_check=lambda: next(health),
+        sleep=lambda s: None,
+    )
+    assert out.ok and out.attempts == 3
+    out = submit_with_retry(
+        ["s"], retries=1, runner=lambda c: 7, sleep=lambda s: None
+    )
+    assert not out.ok and out.returncode == 7 and out.attempts == 2
