@@ -160,6 +160,47 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str):
     return _lsh_candidate_pairs(read_table(spark, sf_dir, "documents"))
 
 
+def _length_blocked_join(df, *, payload: dict[str, str], tol: int):
+    """Blocked self-join on (lang, length bucket): every same-lang pair with
+    |Δn_chars| <= tol meets in EXACTLY one join key.
+
+    Joining on lang alone (with the length predicate as a residual) makes
+    the join KEY a handful of languages — guaranteed hot keys once the
+    corpus is large. Bucketing n_chars at width tol+1 and exploding the
+    right side into {b-1, b, b+1} lifts key cardinality to
+    lang x length-distribution while preserving the output set: bucket
+    width > tol means qualifying buckets differ by at most 1, and the three
+    exploded values are distinct, so each pair matches exactly once.
+
+    ``payload`` maps suffix -> source column ({"sh": "sh"} yields
+    sh_a/sh_b). Returns doc_a/doc_b/nc_a/nc_b + payload columns, filtered
+    to doc_a < doc_b and the length tolerance.
+    """
+    w = tol + 1
+    bkt = F.floor(F.col("n_chars") / w)
+    a = df.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("lang").alias("lang_a"),
+        F.col("n_chars").alias("nc_a"),
+        bkt.alias("bkt_a"),
+        *[F.col(src).alias(f"{suf}_a") for suf, src in payload.items()],
+    )
+    b = df.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("lang").alias("lang_b"),
+        F.col("n_chars").alias("nc_b"),
+        F.explode(F.array(bkt - 1, bkt, bkt + 1)).alias("bkt_b"),
+        *[F.col(src).alias(f"{suf}_b") for suf, src in payload.items()],
+    )
+    return a.join(
+        b,
+        (F.col("lang_a") == F.col("lang_b"))
+        & (F.col("bkt_a") == F.col("bkt_b"))
+        & (F.col("doc_a") < F.col("doc_b"))
+        & (F.abs(F.col("nc_a") - F.col("nc_b")) <= tol),
+    )
+
+
 @query(
     "q_ngram_jaccard",
     oracle=f"""
@@ -183,23 +224,12 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
         "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
     )
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-    union = F.size(F.col("a.sh")) + F.size(F.col("b.sh")) - inter
+    joined = _length_blocked_join(sh, payload={"sh": "sh"}, tol=5)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.col("sh_a")) + F.size(F.col("sh_b")) - inter
     jac = inter.cast("double") / union
-    return (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.doc_id") < F.col("b.doc_id"))
-            & (F.abs(F.col("a.n_chars") - F.col("b.n_chars")) <= 5),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            jac.alias("jaccard"),
-        )
-        .filter(F.col("jaccard") >= 0.1)
+    return joined.select("doc_a", "doc_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= 0.1
     )
 
 
@@ -587,23 +617,12 @@ def q_neardup_dedup(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_edit_distance(spark: SparkSession, sf_dir: str):
-    docs = fan_out(read_table(spark, sf_dir, "documents"))
-    a = docs.select(
-        F.col("doc_id").alias("doc_a"), F.col("lang").alias("lang_a"),
-        F.col("n_chars").alias("nc_a"), F.substring("text", 1, 48).alias("pref_a"),
+    docs = fan_out(read_table(spark, sf_dir, "documents")).select(
+        "doc_id", "lang", "n_chars", F.substring("text", 1, 48).alias("pref")
     )
-    b = docs.select(
-        F.col("doc_id").alias("doc_b"), F.col("lang").alias("lang_b"),
-        F.col("n_chars").alias("nc_b"), F.substring("text", 1, 48).alias("pref_b"),
-    )
+    joined = _length_blocked_join(docs, payload={"pref": "pref"}, tol=2)
     return (
-        a.join(
-            b,
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("doc_a") < F.col("doc_b"))
-            & (F.abs(F.col("nc_a") - F.col("nc_b")) <= 2),
-        )
-        .withColumn("dist", F.levenshtein("pref_a", "pref_b"))
+        joined.withColumn("dist", F.levenshtein("pref_a", "pref_b"))
         .filter(F.col("dist") <= 8)
         .select("doc_a", "doc_b", "dist")
     )
@@ -918,4 +937,108 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str):
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(F.avg("d2"), 4).alias("avg_sq_dist"),
         F.round(F.avg(F.col("v")[0]), 6).alias("mean_x0"),
+    )
+
+
+_SQL_SHINGLES5 = dh.sql_word_shingles("text", k=5)
+
+
+@query(
+    "q_containment",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, lang, n_chars, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    )
+    SELECT doc_a, doc_b, containment_a, containment_b
+    FROM (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 6)
+               AS containment_a,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 6)
+               AS containment_b
+      FROM sh a JOIN sh b
+        ON a.lang = b.lang AND a.doc_id < b.doc_id
+       AND abs(a.n_chars - b.n_chars) <= 5
+    )
+    WHERE greatest(containment_a, containment_b) >= 0.2
+    """,
+    doc=(
+        "Shingle containment |A∩B|/|A| (and /|B|) over the same blocked "
+        "candidate pairs as q_ngram_jaccard: the asymmetric twin of "
+        "Jaccard that catches SUBSET duplicates — a doc quoted or "
+        "excerpted inside a larger one scores near-1 containment but low "
+        "Jaccard, so a Jaccard-only dedup pipeline ships the excerpt "
+        "twice. Same blocking, same cost envelope."
+    ),
+)
+def q_containment(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
+        "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
+    )
+    joined = _length_blocked_join(sh, payload={"sh": "sh"}, tol=5)
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    ca = F.round(inter.cast("double") / F.size("sh_a"), 6)
+    cb = F.round(inter.cast("double") / F.size("sh_b"), 6)
+    return (
+        joined.select(
+            "doc_a", "doc_b",
+            ca.alias("containment_a"), cb.alias("containment_b"),
+        )
+        .filter(F.greatest("containment_a", "containment_b") >= 0.2)
+    )
+
+
+@query(
+    "q_contamination",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES5} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 5
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS g FROM sh WHERE doc_id < 20
+    ), corpus AS (
+      SELECT doc_id, len(sh) AS n_shingles, unnest(sh) AS g
+      FROM sh WHERE doc_id >= 20
+    )
+    SELECT doc_id,
+           CAST(n_shingles AS INTEGER)                      AS n_shingles,
+           count(*)                                         AS n_overlap,
+           round(CAST(count(*) AS DOUBLE) / n_shingles, 6)  AS contamination
+    FROM corpus JOIN bench USING (g)
+    GROUP BY doc_id, n_shingles
+    """,
+    doc=(
+        "Benchmark-contamination screen: 5-gram shingle overlap between "
+        "each corpus document and a benchmark set (stand-in: doc_id<20). "
+        "The benchmark shingle set is exploded+distinct'd once and "
+        "BROADCAST — the corpus side streams through the join and only "
+        "matching (doc, shingle) rows reach the aggregate, so cost is "
+        "O(matches), never a doc-by-doc comparison. The decontamination "
+        "step every LLM training corpus runs against eval sets."
+    ),
+)
+def q_contamination(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5).select(
+        "doc_id", dh.word_shingles(F.col("text"), 5).alias("sh")
+    )
+    bench = F.broadcast(
+        sh.filter(F.col("doc_id") < 20)
+        .select(F.explode("sh").alias("g"))
+        .distinct()
+    )
+    corpus = sh.filter(F.col("doc_id") >= 20).select(
+        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    )
+    return (
+        corpus.join(bench, "g")
+        .groupBy("doc_id", "n_shingles")
+        .agg(
+            F.count(F.lit(1)).alias("n_overlap"),
+            F.round(
+                F.count(F.lit(1)).cast("double") / F.col("n_shingles"), 6
+            ).alias("contamination"),
+        )
     )

@@ -1740,3 +1740,100 @@ def q_idle_customers(spark: SparkSession, sf_dir: str):
             F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
         )
     )
+
+
+@query(
+    "q_sessionize_islands",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800 * 1000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS session_no
+      FROM ordered
+    )
+    SELECT user_id,
+           CAST(session_no AS BIGINT) AS session_no,
+           count(*)                   AS n_events,
+           min(ts)                    AS session_start,
+           max(ts)                    AS session_end
+    FROM sess GROUP BY user_id, session_no
+    """,
+    doc=(
+        "Gaps-and-islands sessionization: a new session starts after a "
+        ">30 min silence; the island number is a running sum over the "
+        "boundary flags. One shuffle on user_id feeds BOTH window passes "
+        "(lag + running sum share the partition/order spec, one Window "
+        "node) and the session rollup — the explicit-session-id twin of "
+        "q_session_window, for when downstream needs a stable join key "
+        "per session. Ties broken by event_id so ordering is reproducible."
+    ),
+)
+def q_sessionize_islands(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    prev = F.lag("ts").over(w)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    new_sess = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
+    sess_no = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        e.select("user_id", "ts", "event_id")
+        .withColumn("session_no", sess_no)
+        .groupBy("user_id", "session_no")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+    )
+
+
+@query(
+    "q_event_paths",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             lead(event_type, 1) OVER w AS e2,
+             lead(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           count(*) AS n
+    FROM seq WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY path
+    ORDER BY n DESC, path
+    LIMIT 10
+    """,
+    doc=(
+        "Top-10 three-step behavioral paths: per-user event sequences via "
+        "two lead() offsets in ONE window pass (a self-join-per-step "
+        "formulation would shuffle the event table three times), then a "
+        "partial+final count and TakeOrderedAndProject top-k. The "
+        "path-mining primitive behind funnels/Markov transition models."
+    ),
+)
+def q_event_paths(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        seq.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .select(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), "path")
+        .limit(10)
+    )

@@ -167,3 +167,13 @@ def test_scd2_single_shuffle(spark):
     plan = plan_of(spark, "q_scd2_intervals")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
+
+
+def test_blocked_pair_joins_key_on_length_bucket(spark):
+    """Candidate-pair self-joins must shuffle on (lang, length-bucket), not
+    lang alone: a handful of languages as the only equi-key is a guaranteed
+    hot-key shuffle at corpus scale. bkt_a/bkt_b exist solely as join keys,
+    so their presence proves the bucketed key reached the physical join."""
+    for q in ["q_ngram_jaccard", "q_edit_distance", "q_containment"]:
+        plan = plan_of(spark, q)
+        assert "bkt_a" in plan and "bkt_b" in plan, q

@@ -398,3 +398,53 @@ def test_stream_static_enrich(spark, tmp_path):
     assert {r.trade_id: r.base_asset for r in eb.collect()}[2] == "BTC"
     plan = eb._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
+    """Left-outer stream-stream join: an unmatched left event must emit a
+    null-padded row — but only once the watermark proves no future right
+    event can still match (the eviction-driven outer emission contract).
+    Until then it sits in state; emitting early would be wrong, never
+    emitting would leak state forever."""
+    from crypto_trading_data_pipeline_spark.streaming.joins import time_bounded_join
+
+    ldir, rdir = tmp_path / "l", tmp_path / "r"
+    ldir.mkdir(); rdir.mkdir()
+
+    # Batch 1: BTC trade has a quote in window; ETH trade has none.
+    _write_batch(str(ldir), [trade(1, "BTCUSDT", "100", "1", 60),
+                             trade(2, "ETHUSDT", "10", "1", 60)], "l1.json")
+    _write_batch(str(rdir), [trade(91, "BTCUSDT", "99", "1", 30)], "r1.json")
+
+    lt = parse_trades(file_json_stream(spark, str(ldir))).select(
+        "symbol", F.col("trade_time").alias("lt"), F.col("price").alias("trade_px"))
+    rt = parse_trades(file_json_stream(spark, str(rdir))).select(
+        "symbol", F.col("trade_time").alias("rt"), F.col("price").alias("quote_px"))
+
+    joined = time_bounded_join(
+        lt, rt, key="symbol", left_ts="lt", right_ts="rt",
+        tolerance="1 minute", how="leftOuter",
+    )
+    rows = []
+    q = (
+        joined.writeStream.outputMode("append")
+        .foreachBatch(lambda df, eid: rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Only the matched row can have emitted; the ETH row must still be
+        # held in state (watermark hasn't passed its join window).
+        assert [(r.symbol, str(r.quote_px)) for r in rows] == [("BTCUSDT", "99.00000000")]
+        # Batches 2+3: watermark pushers far past ETH's window (watermark
+        # for batch N comes from batch N-1, so eviction needs two rounds).
+        _write_batch(str(ldir), [trade(3, "ZZZUSDT", "1", "1", 600)], "l2.json")
+        _write_batch(str(rdir), [trade(93, "ZZZUSDT", "1", "1", 600)], "r2.json")
+        q.processAllAvailable()
+        _write_batch(str(ldir), [trade(4, "ZZZUSDT", "1", "1", 610)], "l3.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    eth = [r for r in rows if r.symbol == "ETHUSDT"]
+    assert len(eth) == 1 and eth[0].quote_px is None, rows
