@@ -129,3 +129,53 @@ def distribute_by(df: DataFrame, *, cols: list[str], n: int | None = None) -> Da
     return df.repartition(n, *[F.col(c) for c in cols]) if n else df.repartition(
         *[F.col(c) for c in cols]
     )
+
+
+def compact_files(
+    spark,
+    path: str,
+    *,
+    target_file_bytes: int = 128 * 1024 * 1024,
+    sort_by: list[str] | None = None,
+) -> int:
+    """Rewrite a parquet directory into ~target-sized files; returns the
+    output file count.
+
+    The small-files problem is the silent killer of long-lived ingest
+    tables: a streaming sink emitting one file per micro-batch per
+    partition turns a year of 60 s triggers into ~500k tiny files, and
+    every reader pays open/footer/seek costs per file plus a scheduler
+    task per split. Compaction = one read + coalesce to
+    ceil(bytes/target) + atomic swap. ``sort_by`` additionally clusters
+    rows so min/max row-group stats prune (cheap Z-order stand-in for a
+    single key).
+
+    Uses coalesce (narrow, no shuffle) unless sorting is requested —
+    sortWithinPartitions after repartition gives globally useful file
+    clustering at the cost of one shuffle.
+    """
+    import math
+    import os
+    import shutil
+    import tempfile
+
+    total = sum(
+        os.path.getsize(os.path.join(root, f))
+        for root, _, fs in os.walk(path)
+        for f in fs
+        if f.endswith(".parquet")
+    )
+    n_out = max(1, math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(path)
+    parent = os.path.dirname(os.path.abspath(path))
+    staging = tempfile.mkdtemp(prefix="compact_", dir=parent)
+    if sort_by:
+        out = df.repartition(n_out).sortWithinPartitions(*sort_by)
+    else:
+        out = df.coalesce(n_out)
+    out.write.mode("overwrite").parquet(staging)
+    old = path + ".old"
+    os.rename(path, old)
+    shutil.move(staging, path)
+    shutil.rmtree(old)
+    return n_out

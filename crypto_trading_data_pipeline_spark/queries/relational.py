@@ -1837,3 +1837,42 @@ def q_event_paths(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("n").desc(), "path")
         .limit(10)
     )
+
+
+@query(
+    "q_rolling_dau",
+    oracle="""
+    WITH du AS (
+      SELECT DISTINCT date_trunc('day', ts) AS day, user_id FROM events
+    ), grid AS (
+      SELECT DISTINCT day FROM du
+    )
+    SELECT CAST(g.day AS TIMESTAMP)   AS day,
+           count(DISTINCT du.user_id) AS dau_7d
+    FROM grid g JOIN du
+      ON du.day BETWEEN g.day - INTERVAL 6 DAY AND g.day
+    GROUP BY g.day
+    """,
+    doc=(
+        "Trailing 7-day distinct active users per day: window COUNT "
+        "DISTINCT doesn't exist, so the right shape is dedup-first "
+        "(events collapse to at most days x users rows BEFORE any join), "
+        "then a range join against the tiny broadcast day grid and one "
+        "distinct-agg. The event table is touched once; the expensive "
+        "side of the range join is already deduplicated."
+    ),
+)
+def q_rolling_dau(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    du = e.select(F.date_trunc("day", "ts").alias("day"), "user_id").distinct()
+    grid = F.broadcast(du.select(F.col("day").alias("gday")).distinct())
+    return (
+        du.join(
+            grid,
+            F.col("day").between(
+                F.col("gday") - F.expr("INTERVAL 6 DAYS"), F.col("gday")
+            ),
+        )
+        .groupBy(F.col("gday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("dau_7d"))
+    )

@@ -174,3 +174,28 @@ def test_lsh_bucket_cap_bounds_skew(spark):
     assert n == cap_pairs, n
     kept = {r.doc_a for r in pairs.collect()} | {r.doc_b for r in pairs.collect()}
     assert kept == set(range(_LSH_BUCKET_CAP))
+
+
+def test_compact_files_merges_small_files(spark, tmp_path):
+    """32 micro-batch-sized files compact to one target-sized file with
+    identical contents — the maintenance pass every streaming parquet sink
+    needs (open/footer cost scales with file count, not bytes)."""
+    from crypto_trading_data_pipeline_spark.operators.scale import compact_files
+
+    path = str(tmp_path / "t")
+    df = spark.range(10_000).withColumn("k", F.col("id") % 7)
+    df.repartition(32).write.parquet(path)
+    import os
+
+    n_before = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_before == 32
+    n_out = compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    n_after = sum(f.endswith(".parquet") for f in os.listdir(path))
+    assert n_out == n_after == 1
+    back = spark.read.parquet(path)
+    assert back.count() == 10_000
+    assert back.groupBy().sum("k").collect()[0][0] == df.groupBy().sum("k").collect()[0][0]
+    # sorted variant clusters rows for min/max pruning
+    df.repartition(8).write.mode("overwrite").parquet(path)
+    compact_files(spark, path, target_file_bytes=64 * 1024 * 1024, sort_by=["k"])
+    assert spark.read.parquet(path).count() == 10_000
