@@ -91,6 +91,13 @@ def minhash_signature(hashes: Column) -> list[Column]:
     ``withColumn('hs', F.transform(shingles, token_hash))`` first): passing
     the hash expression tree directly would duplicate the md5 work into all
     16 permutation expressions — a 16x slowdown measured at sf0.1.
+
+    Alternative considered and rejected: folding all 16 minima in one
+    array traversal (16-wide accumulator via aggregate + zip_with/least).
+    Measured SLOWER than 16 independent array_min passes on the full
+    query (1.07 s vs 0.87 s warm at sf0.1) — the per-element accumulator
+    array allocation outweighs the saved traversals, and the independent
+    passes stay simple codegen loops.
     """
     return [
         F.array_min(F.transform(hashes, lambda h: (F.lit(a) * h + F.lit(b)) % MINHASH_P)).alias(

@@ -59,6 +59,7 @@ from . import reference_surface  # noqa: E402,F401
 from . import relational  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401
+from . import finance  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.

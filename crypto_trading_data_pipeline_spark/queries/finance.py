@@ -1,0 +1,175 @@
+"""Technical-indicator queries over the candle stream (the reference's
+domain: crypto OHLCV serving — reference spark_processor/processor.py:77-101
+stops at raw candles; these are the consumer-side indicators every trading
+dashboard derives from them).
+
+All built from per-(symbol, minute) closes — one aggregate over events —
+then window frames partitioned by symbol: the shuffle is one exchange on
+symbol for the whole indicator family, and frames are row-bounded so state
+per partition is O(frame), independent of history length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from . import query
+
+_SQL_CLOSES = """
+      SELECT event_type                  AS symbol,
+             date_trunc('minute', ts)    AS minute,
+             arg_max(value, ts)          AS close
+      FROM events GROUP BY 1, 2
+"""
+
+
+def _closes(spark, sf_dir):
+    """Per-(symbol, minute) close prices — deterministic last-by-ts."""
+    e = read_table(spark, sf_dir, "events")
+    return e.groupBy(
+        F.col("event_type").alias("symbol"),
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).agg(F.max_by("value", "ts").alias("close"))
+
+
+@query(
+    "q_rsi",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), diffs AS (
+      SELECT symbol, minute,
+             close - lag(close) OVER (PARTITION BY symbol ORDER BY minute) AS d
+      FROM closes
+    ), gl AS (
+      SELECT symbol, minute,
+             avg(CASE WHEN d > 0 THEN d  ELSE 0.0 END) OVER w14 AS avg_gain,
+             avg(CASE WHEN d < 0 THEN -d ELSE 0.0 END) OVER w14 AS avg_loss,
+             count(d) OVER w14 AS n_d
+      FROM diffs
+      WINDOW w14 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           round(CASE WHEN avg_loss = 0.0 THEN 100.0
+                      ELSE 100.0 - 100.0 / (1.0 + avg_gain / avg_loss) END, 4) AS rsi
+    FROM gl WHERE n_d >= 14
+    """,
+    doc=(
+        "14-period RSI over 1-minute closes: gain/loss split of close "
+        "diffs, frame-averaged (ROWS 13 PRECEDING), 100-100/(1+RS). One "
+        "exchange on symbol serves the lag AND both frame averages; the "
+        "zero-loss branch pins RSI at 100 instead of dividing by zero. "
+        "Rows emitted only once the frame holds 14 diffs (warm-up "
+        "suppressed, matching how trading systems report it)."
+    ),
+)
+def q_rsi(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("minute")
+    w14 = wl.rowsBetween(-13, 0)
+    d = F.col("close") - F.lag("close").over(wl)
+    diffs = closes.select("symbol", "minute", d.alias("d"))
+    gain = F.when(F.col("d") > 0, F.col("d")).otherwise(F.lit(0.0))
+    loss = F.when(F.col("d") < 0, -F.col("d")).otherwise(F.lit(0.0))
+    gl = diffs.select(
+        "symbol",
+        "minute",
+        F.avg(gain).over(w14).alias("avg_gain"),
+        F.avg(loss).over(w14).alias("avg_loss"),
+        F.count("d").over(w14).alias("n_d"),
+    )
+    rsi = F.when(F.col("avg_loss") == 0.0, F.lit(100.0)).otherwise(
+        F.lit(100.0) - F.lit(100.0) / (F.lit(1.0) + F.col("avg_gain") / F.col("avg_loss"))
+    )
+    return gl.filter(F.col("n_d") >= 14).select(
+        "symbol", "minute", F.round(rsi, 4).alias("rsi")
+    )
+
+
+@query(
+    "q_bollinger",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), stats AS (
+      SELECT symbol, minute, close,
+             avg(close)         OVER w20 AS sma,
+             stddev_samp(close) OVER w20 AS sd,
+             count(*)           OVER w20 AS n
+      FROM closes
+      WINDOW w20 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           round(sma, 4)            AS sma20,
+           round(sma + 2 * sd, 4)   AS upper_band,
+           round(sma - 2 * sd, 4)   AS lower_band
+    FROM stats WHERE n >= 20
+    """,
+    doc=(
+        "20-period Bollinger bands: frame mean +/- 2 frame stddevs over "
+        "1-minute closes. Same single symbol-exchange as q_rsi (the whole "
+        "indicator family co-partitions); warm-up rows suppressed until "
+        "the frame is full."
+    ),
+)
+def q_bollinger(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    w20 = Window.partitionBy("symbol").orderBy("minute").rowsBetween(-19, 0)
+    stats = closes.select(
+        "symbol",
+        "minute",
+        F.avg("close").over(w20).alias("sma"),
+        F.stddev_samp("close").over(w20).alias("sd"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    return stats.filter(F.col("n") >= 20).select(
+        "symbol",
+        "minute",
+        F.round("sma", 4).alias("sma20"),
+        F.round(F.col("sma") + 2 * F.col("sd"), 4).alias("upper_band"),
+        F.round(F.col("sma") - 2 * F.col("sd"), 4).alias("lower_band"),
+    )
+
+
+@query(
+    "q_returns_volatility",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), ret AS (
+      SELECT symbol,
+             ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY minute)) AS r
+      FROM closes
+    )
+    SELECT symbol,
+           count(r)                   AS n_returns,
+           round(avg(r), 6)           AS mean_ret,
+           round(stddev_samp(r), 6)   AS volatility
+    FROM ret WHERE r IS NOT NULL
+    GROUP BY symbol
+    """,
+    doc=(
+        "Per-symbol log-return mean and volatility over minute closes — "
+        "the annualizable risk statistic. lag + one partial+final "
+        "aggregate; log returns (not simple returns) so multi-period "
+        "aggregation is additive."
+    ),
+)
+def q_returns_volatility(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("minute")
+    r = F.log(F.col("close") / F.lag("close").over(wl))
+    return (
+        closes.select("symbol", r.alias("r"))
+        .filter(F.col("r").isNotNull())
+        .groupBy("symbol")
+        .agg(
+            F.count("r").alias("n_returns"),
+            F.round(F.avg("r"), 6).alias("mean_ret"),
+            F.round(F.stddev_samp("r"), 6).alias("volatility"),
+        )
+    )

@@ -802,3 +802,29 @@ def q_bigram_freq(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("n").desc(), "bigram")
         .limit(20)
     )
+
+
+@query(
+    "q_sample_weighted",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE ({dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 1000000) / 1000000.0
+          < least(n_chars / 1000.0, 1.0)
+    """,
+    doc=(
+        "Deterministic WEIGHTED sampling: keep probability proportional to "
+        "document length (capped at 1), decided by stable id-hash vs the "
+        "weight — the quality/length-weighted corpus downsampling step. "
+        "Same reproducibility contract as q_sample_hash (engine-invariant, "
+        "append-stable, re-run-stable), still a pure narrow filter: the "
+        "weight just moves the per-row hash threshold."
+    ),
+)
+def q_sample_weighted(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    frac = (
+        dedup_hash.token_hash(F.col("doc_id").cast("string")) % 1_000_000
+    ) / F.lit(1_000_000.0)
+    weight = F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0))
+    return docs.filter(frac < weight).select("doc_id", "lang", "n_chars")

@@ -448,3 +448,55 @@ def test_stream_stream_left_outer_emits_after_watermark(spark, tmp_path):
         q.stop()
     eth = [r for r in rows if r.symbol == "ETHUSDT"]
     assert len(eth) == 1 and eth[0].quote_px is None, rows
+
+
+def test_streaming_ema_matches_batch_fold(spark, tmp_path):
+    """The O(1)-state streaming EMA must equal a from-scratch full-history
+    fold (ema_batch) after draining the same in-order trades across two
+    micro-batches — the incremental-vs-recompute equivalence that justifies
+    carrying custom state instead of re-reading history."""
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        ema_batch,
+        streaming_ema,
+    )
+
+    b1 = [trade(1, "BTCUSDT", "100", "1", 0),
+          trade(2, "BTCUSDT", "110", "1", 10),
+          trade(3, "ETHUSDT", "20", "1", 5)]
+    b2 = [trade(4, "BTCUSDT", "90", "1", 20),
+          trade(5, "ETHUSDT", "30", "1", 15),
+          trade(6, "ETHUSDT", "25", "1", 25)]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    _write_batch(str(indir), b1, "b1.json")
+
+    latest = {}
+    q = (
+        streaming_ema(parse_trades(file_json_stream(spark, str(indir))))
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, eid: latest.update({r.symbol: r for r in df.collect()}))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(indir), b2, "b2.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    batch = parse_trades(
+        spark.createDataFrame([(t,) for t in b1 + b2], ["value"])
+    )
+    expect = {r.symbol: r for r in ema_batch(batch).collect()}
+    assert set(latest) == {"BTCUSDT", "ETHUSDT"}
+    for sym in latest:
+        assert latest[sym].n_obs == expect[sym].n_obs, sym
+        assert abs(latest[sym].ema - expect[sym].ema) < 1e-9, sym
+    # spot-check the math: BTC = fold(100,110,90) with alpha=2/11
+    a = 2.0 / 11
+    e = 100.0
+    for p in (110.0, 90.0):
+        e = a * p + (1 - a) * e
+    assert abs(latest["BTCUSDT"].ema - e) < 1e-9
