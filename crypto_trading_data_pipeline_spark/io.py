@@ -117,3 +117,24 @@ def read_csv(spark: SparkSession, path: str, schema, *, header: bool = True, sep
     strings)."""
     apply_runtime_conf(spark)
     return spark.read.schema(schema).option("header", header).option("sep", sep).csv(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (built into Spark, no extra jars): the columnar
+    interchange format of Hive-era warehouses. Same pushdown/pruning
+    behavior as parquet — PushedFilters and ReadSchema both apply."""
+    apply_runtime_conf(spark)
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    df.write.mode(mode).orc(path)
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register the fixture tables as temp views so the full engine surface
+    is reachable from plain SQL (spark.sql('SELECT ... FROM lineitem')) —
+    the same names the DuckDB oracle uses, so any oracle statement is also
+    runnable against Spark directly."""
+    for n in names or TABLES:
+        read_table(spark, sf_dir, n).createOrReplaceTempView(n)

@@ -9,6 +9,8 @@ from __future__ import annotations
 
 import json
 
+from pyspark.sql import functions as F
+
 from crypto_trading_data_pipeline_spark.ingest import (
     backoff_schedule,
     normalize_trade_message,
@@ -163,3 +165,37 @@ def test_kafka_source_options_match_reference():
     assert opts["startingOffsets"] == "earliest"
     assert opts["failOnDataLoss"] == "false"
     assert opts["maxOffsetsPerTrigger"] == "100000"
+
+
+def test_orc_roundtrip_with_pushdown(spark, tmp_path, sf_dir):
+    """ORC round-trip preserves values and pushes predicates to the scan
+    (same pushdown contract as parquet, no extra jars)."""
+    from crypto_trading_data_pipeline_spark.io import read_orc, read_table, write_orc
+
+    nation = read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out)
+    back = read_orc(spark, out)
+    assert sorted(r.n_name for r in back.collect()) == sorted(
+        r.n_name for r in nation.collect()
+    )
+    plan = (
+        back.filter(F.col("n_regionkey") == 1)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "EqualTo" in plan, plan
+
+
+def test_register_views_sql_surface(spark, sf_dir):
+    """After register_views, oracle-shaped SQL runs directly on Spark."""
+    from crypto_trading_data_pipeline_spark.io import register_views
+
+    register_views(spark, sf_dir, "nation", "region")
+    got = spark.sql(
+        """
+        SELECT r_name, count(*) AS n FROM nation
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY r_name ORDER BY r_name
+        """
+    ).collect()
+    assert sum(r.n for r in got) == 25
