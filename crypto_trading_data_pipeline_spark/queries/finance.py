@@ -173,3 +173,39 @@ def q_returns_volatility(spark: SparkSession, sf_dir: str):
             F.round(F.stddev_samp("r"), 6).alias("volatility"),
         )
     )
+
+
+@query(
+    "q_max_drawdown",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), dd AS (
+      SELECT symbol,
+             1.0 - close / max(close) OVER (PARTITION BY symbol ORDER BY minute
+                                            ROWS UNBOUNDED PRECEDING) AS dd
+      FROM closes
+    )
+    SELECT symbol, round(max(dd), 6) AS max_drawdown
+    FROM dd GROUP BY symbol
+    """,
+    doc=(
+        "Maximum drawdown per symbol: 1 - close/running-peak, maximized. "
+        "The running max is a growing window frame (one pass, no "
+        "self-join against all prior rows) on the same symbol exchange as "
+        "the rest of the indicator family."
+    ),
+)
+def q_max_drawdown(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dd = F.lit(1.0) - F.col("close") / F.max("close").over(w)
+    return (
+        closes.select("symbol", dd.alias("dd"))
+        .groupBy("symbol")
+        .agg(F.round(F.max("dd"), 6).alias("max_drawdown"))
+    )

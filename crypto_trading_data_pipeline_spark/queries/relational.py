@@ -1876,3 +1876,82 @@ def q_rolling_dau(spark: SparkSession, sf_dir: str):
         .groupBy(F.col("gday").alias("day"))
         .agg(F.countDistinct("user_id").alias("dau_7d"))
     )
+
+
+@query(
+    "q_winsorize",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             quantile_cont(value, 0.05) AS lo,
+             quantile_cont(value, 0.95) AS hi
+      FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           count(*) FILTER (e.value < b.lo)                          AS n_low,
+           count(*) FILTER (e.value > b.hi)                          AS n_high,
+           round(avg(least(greatest(e.value, b.lo), b.hi)), 6)       AS clipped_mean
+    FROM events e JOIN b USING (event_type)
+    GROUP BY e.event_type
+    """,
+    doc=(
+        "Winsorization (clip to p05/p95 per key): the outlier-robust "
+        "preprocessing step for training features. Bounds are one exact-"
+        "percentile aggregate per key — a |keys|-row table, broadcast back "
+        "onto the fact side — so the clip itself is a narrow map + one "
+        "final aggregate; the fact table shuffles once."
+    ),
+)
+def q_winsorize(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    bounds = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.05)").alias("lo"),
+        F.expr("percentile(value, 0.95)").alias("hi"),
+    )
+    clipped = F.least(F.greatest(F.col("value"), F.col("lo")), F.col("hi"))
+    return (
+        e.join(F.broadcast(bounds), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.when(F.col("value") < F.col("lo"), 1)).alias("n_low"),
+            F.count(F.when(F.col("value") > F.col("hi"), 1)).alias("n_high"),
+            F.round(F.avg(clipped), 6).alias("clipped_mean"),
+        )
+    )
+
+
+@query(
+    "q_equidepth",
+    oracle="""
+    SELECT o_orderpriority, decile,
+           count(*)                    AS n,
+           round(min(o_totalprice), 2) AS lo,
+           round(max(o_totalprice), 2) AS hi
+    FROM (
+      SELECT o_orderpriority, o_totalprice, o_orderkey,
+             ntile(10) OVER (PARTITION BY o_orderpriority
+                             ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    GROUP BY o_orderpriority, decile
+    """,
+    doc=(
+        "Equi-depth deciles per priority class (ntile + per-bin min/max/"
+        "count): the histogram variant that adapts bin edges to the "
+        "distribution — q_histogram's fixed-width complement. Partitioned "
+        "ntile keeps every window keyed (no global sort / single-task "
+        "Exchange); ties broken by o_orderkey for cross-engine determinism."
+    ),
+)
+def q_equidepth(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return (
+        o.select("o_orderpriority", "o_totalprice", F.ntile(10).over(w).alias("decile"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )
