@@ -51,6 +51,12 @@ HEADLINE = [
     "q_window_range_frame",
     "q_pack_greedy",
     "q_kmeans_assign",
+    # r2 additions: corpus hygiene, event analytics, indicators.
+    "q_tfidf",
+    "q_contamination",
+    "q_sessionize_islands",
+    "q_rolling_dau",
+    "q_rsi",
 ]
 
 

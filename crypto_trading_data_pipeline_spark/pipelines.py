@@ -85,7 +85,12 @@ def corpus_prep(
         F.greatest(F.size(toks) - F.lit(chunk_tokens - stride), F.lit(1))
         / F.lit(float(stride))
     )
-    chunk = F.explode(
+    # explode_outer, not explode: plain explode makes Catalyst infer a
+    # size(<chunk transform>) > 0 predicate and push the WHOLE chunking
+    # expression into the parquet scan filter, re-evaluating it per input
+    # row inside the scan task (the q_contamination lesson). Every doc
+    # yields >= 1 chunk (greatest(...,1)), so outer + notNull is identical.
+    chunk = F.explode_outer(
         F.transform(
             F.sequence(F.lit(0), (n_chunks - 1).cast("int")),
             lambda i: F.struct(
@@ -99,7 +104,7 @@ def corpus_prep(
         "split",
         "quality",
         chunk.alias("c"),
-    ).select(
+    ).filter(F.col("c").isNotNull()).select(
         id_col,
         "split",
         "quality",

@@ -1024,13 +1024,23 @@ def q_contamination(spark: SparkSession, sf_dir: str):
     sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5).select(
         "doc_id", dh.word_shingles(F.col("text"), 5).alias("sh")
     )
+    # explode_outer, NOT explode: plain explode makes Catalyst infer
+    # size(sh) > 0 and push it into the parquet scan's filter — which
+    # re-evaluates the whole 5-gram shingle expression per row INSIDE the
+    # single-split scan task, serializing the dominant cost before the
+    # fan_out repartition can spread it (measured 10.6 s -> sub-second at
+    # sf0.1). explode_outer infers nothing; the g filter below runs on the
+    # generated column, above the shuffle, fully parallel.
     bench = F.broadcast(
         sh.filter(F.col("doc_id") < 20)
-        .select(F.explode("sh").alias("g"))
+        .select(F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
         .distinct()
     )
-    corpus = sh.filter(F.col("doc_id") >= 20).select(
-        "doc_id", F.size("sh").alias("n_shingles"), F.explode("sh").alias("g")
+    corpus = (
+        sh.filter(F.col("doc_id") >= 20)
+        .select("doc_id", F.size("sh").alias("n_shingles"), F.explode_outer("sh").alias("g"))
+        .filter(F.col("g").isNotNull())
     )
     return (
         corpus.join(bench, "g")

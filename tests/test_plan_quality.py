@@ -177,3 +177,52 @@ def test_blocked_pair_joins_key_on_length_bucket(spark):
     for q in ["q_ngram_jaccard", "q_edit_distance", "q_containment"]:
         plan = plan_of(spark, q)
         assert "bkt_a" in plan and "bkt_b" in plan, q
+
+
+#: Queries allowed an Exchange SinglePartition: each computes a global
+#: scalar aggregate somewhere in the plan (a one-row exchange is the
+#: correct way to finalize it). Everything else must stay key-partitioned.
+_SINGLE_PARTITION_OK = {
+    "q_count_rows",        # global count
+    "q_count_filtered",    # global count
+    "q_dq_profile",        # whole-table profile row
+    "q_disjunctive_filter",# global revenue scalar
+    "q_idle_customers",    # uncorrelated avg(acctbal) scalar subquery
+    "q_tfidf",             # corpus-size scalar
+}
+
+
+def test_no_unjustified_single_partition_or_cartesian(spark):
+    """Global sweep: Exchange SinglePartition only where a one-row scalar
+    aggregate justifies it (the q_pack_greedy lesson, enforced registry-
+    wide), and CartesianProduct nowhere — a cross join must ride a
+    broadcast nested-loop, never a full shuffle product."""
+    for name in REGISTRY:
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        if name not in _SINGLE_PARTITION_OK:
+            assert "Exchange SinglePartition" not in plan, name
+
+
+def test_no_expensive_expressions_in_scan_filters(spark):
+    """InferFiltersFromGenerate can push a size(<expensive expr>) > 0
+    predicate from an explode() all the way into the parquet scan filter,
+    re-evaluating the whole array expression per input row inside the scan
+    task — measured 4x+ on q_contamination before switching to
+    explode_outer. Gate: no scan DataFilter may contain an array
+    transform/distinct expression.
+
+    q_corpus_prep is exempt: its scan filter IS the user-written quality
+    predicate (ttr needs array_distinct) — a genuinely selective filter
+    that must run somewhere, and earliest is cheapest; the gate targets
+    only REDUNDANT inferred predicates that duplicate a downstream
+    projection."""
+    for name in REGISTRY:
+        if name == "q_corpus_prep":
+            continue
+        plan = plan_of(spark, name)
+        for line in plan.splitlines():
+            s = line.strip()
+            if "FileScan" in s and "DataFilters" in s:
+                assert "transform(" not in s, (name, s[:200])
+                assert "array_distinct(" not in s, (name, s[:200])
