@@ -1955,3 +1955,38 @@ def q_equidepth(spark: SparkSession, sf_dir: str):
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+@query(
+    "q_hll_union",
+    oracle=None,  # Datasketches HLL internals are engine-specific; driver
+    # records the rows-only check, accuracy bounded vs exact in pytest.
+    doc=(
+        "Mergeable HLL sketches (Apache DataSketches via hll_sketch_agg): "
+        "one sketch per lang partition, then hll_union_agg collapses them "
+        "into the GLOBAL distinct estimate without touching rows again — "
+        "the pattern that makes distinct counts incremental at 100 TB "
+        "(per-day/per-partition sketches persisted, any rollup = sketch "
+        "union, never a re-scan). Exact countDistinct alongside for the "
+        "accuracy comparison; pytest bounds relative error at lgK=14."
+    ),
+)
+def q_hll_union(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    per_lang = docs.groupBy("lang").agg(
+        F.hll_sketch_agg(F.col("text"), F.lit(14)).alias("sk"),
+        F.countDistinct("text").alias("exact_distinct"),
+    )
+    lang_rows = per_lang.select(
+        "lang",
+        "exact_distinct",
+        F.hll_sketch_estimate("sk").alias("estimate"),
+    )
+    total = per_lang.agg(
+        F.lit("__all__").alias("lang"),
+        F.sum(F.lit(0)).alias("_z"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("estimate"),
+    ).join(
+        docs.agg(F.countDistinct("text").alias("exact_distinct"))
+    ).select("lang", "exact_distinct", "estimate")
+    return lang_rows.unionByName(total)

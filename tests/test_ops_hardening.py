@@ -196,3 +196,50 @@ def test_submit_retries_with_backoff_and_health_gate():
         ["s"], retries=1, runner=lambda c: 7, sleep=lambda s: None
     )
     assert not out.ok and out.returncode == 7 and out.attempts == 2
+
+
+def _union_find_components(edges):
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # resolve to min-id representative
+    return {n: find(n) for n in parent}
+
+
+def test_star_cc_matches_union_find_on_random_graphs(spark):
+    """large-star/small-star CC equals a driver-side union-find on seeded
+    random graphs — including a 200-node path whose diameter would need
+    200 propagation rounds but converges in O(log^2 n) star rounds."""
+    import random
+
+    from crypto_trading_data_pipeline_spark.operators.graph import (
+        connected_components_star,
+    )
+
+    cases = []
+    rng = random.Random(42)
+    for n, m in [(60, 40), (100, 160), (30, 5)]:
+        cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
+    cases.append([(i, i + 1) for i in range(200)])  # the propagation-killer
+
+    for edges in cases:
+        edges = [(a, b) for a, b in edges if a != b]
+        if not edges:
+            continue
+        df = spark.createDataFrame(edges, ["src", "dst"])
+        got = {
+            r.node: r.component
+            for r in connected_components_star(df, max_iter=40).collect()
+        }
+        want = _union_find_components(edges)
+        assert got == want

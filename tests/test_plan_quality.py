@@ -189,6 +189,7 @@ _SINGLE_PARTITION_OK = {
     "q_disjunctive_filter",# global revenue scalar
     "q_idle_customers",    # uncorrelated avg(acctbal) scalar subquery
     "q_tfidf",             # corpus-size scalar
+    "q_hll_union",         # global sketch-union row (|langs| sketches -> 1)
 }
 
 

@@ -199,3 +199,16 @@ def test_compact_files_merges_small_files(spark, tmp_path):
     df.repartition(8).write.mode("overwrite").parquet(path)
     compact_files(spark, path, target_file_bytes=64 * 1024 * 1024, sort_by=["k"])
     assert spark.read.parquet(path).count() == 10_000
+
+
+def test_hll_union_accuracy_bounded(spark, sf_dir):
+    """The unioned sketch estimate must sit within HLL lgK=14 error bounds
+    of exact (~0.8% typical; assert a loose 5%), and per-lang estimates
+    likewise — otherwise sketch persistence would silently corrupt
+    downstream rollups."""
+    from crypto_trading_data_pipeline_spark.queries.relational import q_hll_union
+
+    for r in q_hll_union(spark, sf_dir).collect():
+        assert r.exact_distinct > 0
+        rel = abs(r.estimate - r.exact_distinct) / r.exact_distinct
+        assert rel < 0.05, (r.lang, r.estimate, r.exact_distinct)
