@@ -179,3 +179,30 @@ def compact_files(
     shutil.move(staging, path)
     shutil.rmtree(old)
     return n_out
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: list[str],
+    *,
+    buckets: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the BIG side, replicate the SMALL
+    side across all salt values, join on (keys + salt).
+
+    A hot join key puts its entire fact-side volume into one shuffle
+    partition; AQE's skew split helps sort-merge joins but cannot split a
+    hash partition consumed by a single stateful consumer. Salting spreads
+    each key over ``buckets`` partitions deterministically; the small side
+    is exploded x buckets (bounded: |small| * buckets rows), so the join
+    result is identical while the worst partition shrinks ~buckets-fold.
+    Semantics-preserving for inner/left joins on equi-keys.
+    """
+    salted_big = with_salt(big, buckets=buckets)
+    replicated = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    ).withColumn("__salt", F.col("__salt").cast("bigint"))
+    out = salted_big.join(replicated, [*on, "__salt"], how)
+    return out.drop("__salt")

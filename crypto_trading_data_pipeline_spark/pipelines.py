@@ -60,6 +60,7 @@ def corpus_prep(
     min_quality: float = 0.45,
     chunk_tokens: int = 32,
     stride: int = 24,
+    observation=None,
 ) -> DataFrame:
     """documents -> deduplicated, split-tagged, overlapping token chunks.
 
@@ -79,6 +80,18 @@ def corpus_prep(
     ).drop("__norm")
 
     tagged = deduped.withColumn("split", split_assign(F.col(id_col)))
+    if observation is not None:
+        # Pipeline instrumentation rides the job itself (df.observe):
+        # per-run survivor count / mean quality / split distribution with
+        # ZERO extra passes — the metrics accumulate during the action
+        # that materializes the output, unlike a .count() probe which
+        # would re-run the whole plan.
+        tagged = tagged.observe(
+            observation,
+            F.count(F.lit(1)).alias("docs_kept"),
+            F.round(F.avg("quality"), 6).alias("mean_quality"),
+            F.count(F.when(F.col("split") == "train", 1)).alias("n_train"),
+        )
 
     toks = F.split(F.col(text_col), " ")
     n_chunks = F.ceil(

@@ -1990,3 +1990,81 @@ def q_hll_union(spark: SparkSession, sf_dir: str):
         docs.agg(F.countDistinct("text").alias("exact_distinct"))
     ).select("lang", "exact_distinct", "estimate")
     return lang_rows.unionByName(total)
+
+
+@query(
+    "q_map_funcs",
+    oracle="""
+    WITH e AS (
+      SELECT doc_id,
+             list_transform(
+               list_distinct(string_split(text, ' ')),
+               t -> struct_pack(
+                      k := t,
+                      v := len(list_filter(string_split(text, ' '), x -> x = t)))
+             ) AS entries
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(entries) AS INTEGER)                                  AS n_types,
+           CAST(list_filter(entries, x -> x.k = 'the')[1].v AS INTEGER)   AS cnt_the,
+           CAST(len(list_filter(entries, x -> x.v = 1)) AS INTEGER)       AS n_singletons,
+           CAST(list_aggregate(list_transform(entries, x -> x.v), 'max') AS INTEGER)
+                                                                          AS max_cnt
+    FROM e
+    """,
+    doc=(
+        "MapType surface parity: per-doc term-count map built row-locally "
+        "(map_from_entries over distinct tokens), then map cardinality, "
+        "key lookup (element_at, null-safe), map_filter (singleton terms), "
+        "map_values + array_max — all codegen'd, zero shuffle. Maps are "
+        "the third collection type (after array/struct) an engine must "
+        "cover; the oracle mirrors the semantics over entry lists since "
+        "DuckDB's map surface differs."
+    ),
+)
+def q_map_funcs(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    entries = F.transform(
+        F.array_distinct(toks),
+        lambda t: F.struct(
+            t.alias("k"),
+            F.size(F.filter(toks, lambda x: x == t)).alias("v"),
+        ),
+    )
+    m = F.map_from_entries(entries)
+    return docs.select(
+        "doc_id",
+        F.size(m).alias("n_types"),
+        F.element_at(m, "the").alias("cnt_the"),
+        F.size(F.map_filter(m, lambda k, v: v == 1)).alias("n_singletons"),
+        F.array_max(F.map_values(m)).alias("max_cnt"),
+    )
+
+
+@query(
+    "q_variant_json",
+    oracle="""
+    SELECT event_id,
+           json_extract(props, '$.k')::INTEGER  AS k_val,
+           json_extract(props, '$.nope') IS NULL AS missing_is_null
+    FROM events
+    """,
+    doc=(
+        "VARIANT semi-structured path (Spark 4): parse_json once into a "
+        "binary variant, then typed variant_get extraction — the "
+        "schema-on-read shape for heterogeneous props at scale (parse "
+        "cost paid once per row, every extraction reads the variant's "
+        "internal dictionary instead of re-parsing text, and missing "
+        "paths are NULL via try_variant_get, not errors)."
+    ),
+)
+def q_variant_json(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return e.select(
+        "event_id",
+        F.variant_get(v, "$.k", "int").alias("k_val"),
+        F.try_variant_get(v, "$.nope", "int").isNull().alias("missing_is_null"),
+    )

@@ -91,3 +91,23 @@ def test_candle_serving_tiers(spark):
         five.agg(F.sum("n_trades")).first()[0]
         == one.agg(F.sum("n_trades")).first()[0]
     )
+
+
+def test_corpus_prep_observation_metrics(spark, sf_dir):
+    """df.observe metrics accumulate during the materializing action (no
+    second pass) and report the prep run's health: survivor count, mean
+    quality, split sizes."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.pipelines import corpus_prep
+
+    docs = read_table(spark, sf_dir, "documents")
+    obs = Observation("corpus_prep")
+    out = corpus_prep(docs, observation=obs)
+    n_chunks = out.count()  # the action that drives the metrics
+    m = obs.get
+    assert 0 < m["docs_kept"] <= docs.count()
+    assert 0.0 < m["mean_quality"] <= 1.0
+    assert 0 < m["n_train"] <= m["docs_kept"]
+    assert n_chunks >= m["docs_kept"]  # every kept doc yields >= 1 chunk

@@ -212,3 +212,31 @@ def test_hll_union_accuracy_bounded(spark, sf_dir):
         assert r.exact_distinct > 0
         rel = abs(r.estimate - r.exact_distinct) / r.exact_distinct
         assert rel < 0.05, (r.lang, r.estimate, r.exact_distinct)
+
+
+def test_salted_join_matches_plain_join(spark, sf_dir):
+    """Salting + small-side replication must not change join results —
+    checked on a deliberately skewed key distribution (one hot key holding
+    most rows)."""
+    from crypto_trading_data_pipeline_spark.operators.scale import salted_join
+
+    big = spark.range(20_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit("HOT")).otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 100).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("HOT", 1.0), ("k5", 2.0), ("k42", 3.0), ("missing", 9.9)], ["k", "w"]
+    )
+    plain = big.join(small, ["k"]).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    salted = salted_join(big, small, ["k"], buckets=8).groupBy("k").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+    # left join keeps unmatched big rows exactly once
+    pl = big.join(small, ["k"], "left").count()
+    sl = salted_join(big, small, ["k"], buckets=8, how="left").count()
+    assert pl == sl == 20_000
