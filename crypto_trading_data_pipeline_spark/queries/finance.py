@@ -21,17 +21,27 @@ _SQL_CLOSES = """
       SELECT event_type                  AS symbol,
              date_trunc('minute', ts)    AS minute,
              arg_max(value, ts)          AS close
-      FROM events GROUP BY 1, 2
+      FROM events WHERE value > 0.0 GROUP BY 1, 2
 """
 
 
 def _closes(spark, sf_dir):
-    """Per-(symbol, minute) close prices — deterministic last-by-ts."""
+    """Per-(symbol, minute) close prices — deterministic last-by-ts.
+
+    Non-positive ticks are excluded BEFORE aggregation: a 0.0 price is a
+    degenerate quote that poisons every derived indicator (log returns
+    divide by the previous close — ANSI mode correctly refuses close/0;
+    caught by the sf0.1 parity sweep where such a tick exists). The filter
+    is in the shared stage so all indicators agree with their oracles."""
     e = read_table(spark, sf_dir, "events")
-    return e.groupBy(
-        F.col("event_type").alias("symbol"),
-        F.date_trunc("minute", "ts").alias("minute"),
-    ).agg(F.max_by("value", "ts").alias("close"))
+    return (
+        e.filter(F.col("value") > 0.0)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(F.max_by("value", "ts").alias("close"))
+    )
 
 
 @query(

@@ -828,3 +828,41 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str):
     ) / F.lit(1_000_000.0)
     weight = F.least(F.col("n_chars") / F.lit(1000.0), F.lit(1.0))
     return docs.filter(frac < weight).select("doc_id", "lang", "n_chars")
+
+
+@query(
+    "q_dedup_incremental",
+    oracle="""
+    SELECT n.doc_id, n.lang, n.n_chars
+    FROM documents n
+    WHERE n.doc_id >= 400
+      AND NOT EXISTS (
+        SELECT 1 FROM documents o
+        WHERE o.doc_id < 400 AND md5(o.text) = md5(n.text)
+      )
+      AND n.doc_id = (
+        SELECT min(doc_id) FROM documents x
+        WHERE x.doc_id >= 400 AND md5(x.text) = md5(n.text)
+      )
+    """,
+    doc=(
+        "Incremental append dedup: a NEW batch (doc_id>=400 stands in) is "
+        "deduplicated (a) against the EXISTING corpus by content "
+        "fingerprint — an anti join against the fingerprint index, "
+        "touching no text — and (b) within itself (keep-lowest). This is "
+        "the steady-state ingest shape at 100 TB: the corpus is never "
+        "re-deduplicated, only the delta joins against a persisted "
+        "fingerprint table; cost is O(|batch|) + one broadcast or "
+        "bucketed join, independent of corpus size."
+    ),
+)
+def q_dedup_incremental(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    fp = F.md5(F.col("text").cast("binary"))
+    existing_fps = docs.filter(F.col("doc_id") < 400).select(fp.alias("fp"))
+    batch = docs.filter(F.col("doc_id") >= 400).withColumn("fp", fp)
+    fresh = batch.join(existing_fps, "fp", "left_anti")
+    return (
+        exact_dedup(fresh, key_cols=["fp"], order_col="doc_id")
+        .select("doc_id", "lang", "n_chars")
+    )

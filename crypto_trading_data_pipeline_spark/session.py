@@ -31,6 +31,13 @@ RUNTIME_CONF = {
     # Parquet TIMESTAMP(NANOS) (events.ts fixture) is rejected by Spark's
     # schema converter; read as epoch-nanos LONG and convert in read_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Split size for file scans. 128 MB (the default, pinned deliberately):
+    # big enough that per-task overhead amortizes, small enough that a
+    # task's working set fits executor memory alongside shuffle buffers.
+    # Raise toward 256-512 MB only for narrow scan-heavy jobs on fat
+    # executors; lower it when per-row compute dominates (see
+    # scale.fan_out for the under-split case).
+    "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
 }
 
 #: Configs that must be set before the JVM starts.
