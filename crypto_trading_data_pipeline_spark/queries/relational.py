@@ -2068,3 +2068,94 @@ def q_variant_json(spark: SparkSession, sf_dir: str):
         F.variant_get(v, "$.k", "int").alias("k_val"),
         F.try_variant_get(v, "$.nope", "int").isNull().alias("missing_is_null"),
     )
+
+
+@query(
+    "q_mode_per_group",
+    oracle="""
+    SELECT event_type, top_value AS mode_value, n AS mode_count
+    FROM (
+      SELECT event_type, value AS top_value, count(*) AS n,
+             row_number() OVER (PARTITION BY event_type
+                                ORDER BY count(*) DESC, value) AS rk
+      FROM events GROUP BY event_type, value
+    ) WHERE rk = 1
+    """,
+    doc=(
+        "Deterministic per-group mode: count per (group, value), rank by "
+        "(count desc, value) — two partial+final aggregates, the second "
+        "over the already-collapsed (group, value) table, so nothing "
+        "wider than the distinct-value set ever shuffles. Built-in "
+        "mode() is tie-nondeterministic across engines; the explicit "
+        "tie-break makes the answer reproducible."
+    ),
+)
+def q_mode_per_group(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    counts = e.groupBy("event_type", "value").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy(F.col("n").desc(), F.col("value"))
+    return (
+        counts.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("event_type", F.col("value").alias("mode_value"), F.col("n").alias("mode_count"))
+    )
+
+
+@query(
+    "q_asof_nearest",
+    oracle="""
+    WITH anchors AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), cand AS (
+      SELECT a.event_id, a.user_id, e.event_id AS near_id,
+             abs(epoch_us(e.ts) - epoch_us(a.ts)) AS gap_us,
+             row_number() OVER (
+               PARTITION BY a.event_id
+               ORDER BY abs(epoch_us(e.ts) - epoch_us(a.ts)), e.event_id
+             ) AS rk
+      FROM anchors a JOIN events e
+        ON e.user_id = a.user_id
+       AND e.event_id <> a.event_id
+       AND e.ts BETWEEN a.ts - INTERVAL 5 MINUTE AND a.ts + INTERVAL 5 MINUTE
+    )
+    SELECT event_id, user_id, near_id, CAST(gap_us AS BIGINT) AS gap_us
+    FROM cand WHERE rk = 1
+    """,
+    doc=(
+        "Nearest-in-time join (BOTH directions): for each purchase, the "
+        "closest same-user event within ±5 minutes — the bidirectional "
+        "complement of the backward-only as-of join (operators/joins.py). "
+        "The time tolerance makes the join a bounded range join (each "
+        "anchor meets O(rate x window) candidates, never the user's full "
+        "history); rank on (|gap|, event_id) is engine-reproducible."
+    ),
+)
+def q_asof_nearest(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    anchors = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("a_id"),
+        F.col("user_id").alias("a_user"),
+        F.col("ts").alias("a_ts"),
+    )
+    cand = anchors.join(
+        e,
+        (F.col("user_id") == F.col("a_user"))
+        & (F.col("event_id") != F.col("a_id"))
+        & F.col("ts").between(
+            F.col("a_ts") - F.expr("INTERVAL 5 MINUTES"),
+            F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"),
+        ),
+    )
+    gap = F.abs(F.unix_micros("ts") - F.unix_micros("a_ts"))
+    w = Window.partitionBy("a_id").orderBy(gap.asc(), F.col("event_id").asc())
+    return (
+        cand.withColumn("gap_us", gap)
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            F.col("a_id").alias("event_id"),
+            F.col("a_user").alias("user_id"),
+            F.col("event_id").alias("near_id"),
+            "gap_us",
+        )
+    )
