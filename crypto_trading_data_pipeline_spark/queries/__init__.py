@@ -71,6 +71,19 @@ from . import finance  # noqa: E402,F401
 # (plus the new q_kmeans_assign) into the window so round 2 gets hard
 # driver signal on the LLM-data north-star set; the r1-green head retains
 # the identical DuckDB-oracle check in tests/test_oracle_parity.py.
+#
+# ROUND 3 PLAN: once CORRECTNESS_r02 lands green for this window, rotate
+# again — replace _R2_WINDOW with the queries that have never had a driver
+# row: everything registered AFTER the window (r2 additions: q_tfidf,
+# q_repetition_ratio, q_bigram_freq, q_disjunctive_filter,
+# q_idle_customers, q_sessionize_islands, q_event_paths, q_containment,
+# q_contamination, q_rolling_dau, q_rsi, q_bollinger,
+# q_returns_volatility, q_max_drawdown, q_winsorize, q_equidepth,
+# q_sample_weighted, q_map_funcs, q_variant_json, q_hll_union,
+# q_dedup_incremental, q_mode_per_group, q_asof_nearest, ...), padding the
+# remainder of the 50 with r1-head entries. Keep
+# tests/test_properties.py::test_driver_window_holds_rotated_queries in
+# sync.
 # ---------------------------------------------------------------------------
 _R2_WINDOW = [
     # dedup / near-dup family
