@@ -126,8 +126,8 @@ def connected_components_star(
     Same contract as connected_components: (node, component=min reachable
     id), isolated nodes absent. Each round is two groupBy-min + join
     passes, lineage truncated with an eager localCheckpoint; convergence =
-    the canonical edge set stops changing (checked with a cheap count +
-    anti-join, driver sees two scalars per round)."""
+    the canonical edge set stops changing (one isEmpty() action on the
+    symmetric difference — the driver sees a single boolean per round)."""
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
@@ -143,8 +143,12 @@ def connected_components_star(
         ls = _large_star(sym)
         ls_sym = ls.unionAll(ls.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
         nxt = _small_star(ls_sym).localCheckpoint(eager=True)
-        same_size = nxt.count() == cur.count()
-        if same_size and nxt.join(cur, ["a", "b"], "left_anti").count() == 0:
+        # Convergence = canonical edge set unchanged. One action: the
+        # symmetric difference (both anti-join directions unioned) is empty.
+        sym_diff = nxt.join(cur, ["a", "b"], "left_anti").unionAll(
+            cur.join(nxt, ["a", "b"], "left_anti")
+        )
+        if sym_diff.isEmpty():
             cur = nxt
             break
         cur = nxt

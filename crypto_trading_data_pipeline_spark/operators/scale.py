@@ -159,6 +159,19 @@ def compact_files(
     import shutil
     import tempfile
 
+    # Crash recovery BEFORE touching anything (same protocol as
+    # streaming.sinks.ParquetUpsertSink._recover, ADVICE r2): a prior run
+    # that died between rename-aside and move-in leaves the table at
+    # <path>.old and nothing at <path> — restore it; a leftover .old next
+    # to an intact table is completed-swap garbage — clear it, or the
+    # rename below raises on the non-empty directory.
+    old = path + ".old"
+    if os.path.exists(old):
+        if os.path.exists(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+
     total = sum(
         os.path.getsize(os.path.join(root, f))
         for root, _, fs in os.walk(path)
@@ -174,7 +187,6 @@ def compact_files(
     else:
         out = df.coalesce(n_out)
     out.write.mode("overwrite").parquet(staging)
-    old = path + ".old"
     os.rename(path, old)
     shutil.move(staging, path)
     shutil.rmtree(old)
@@ -198,8 +210,22 @@ def salted_join(
     each key over ``buckets`` partitions deterministically; the small side
     is exploded x buckets (bounded: |small| * buckets rows), so the join
     result is identical while the worst partition shrinks ~buckets-fold.
-    Semantics-preserving for inner/left joins on equi-keys.
+
+    Semantics-preserving ONLY for big-side-preserving joins (inner/left/
+    semi/anti on equi-keys): with how='right'/'full' every UNMATCHED
+    small-side row would survive once per salt replica — buckets-fold
+    duplicated output — so those are rejected rather than silently wrong
+    (ADVICE r2). For right/full skew, swap the sides or fall back to AQE
+    skew-join.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join(how={how!r}) would duplicate unmatched small-side "
+            f"rows once per salt bucket; only big-side-preserving joins are "
+            f"supported: {sorted(allowed)}"
+        )
     salted_big = with_salt(big, buckets=buckets)
     replicated = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))

@@ -65,50 +65,54 @@ from . import finance  # noqa: E402,F401
 # Driver correctness-window rotation.
 #
 # The driver hash-checks only the FIRST 50 registry entries per round.
-# Round 1 (CORRECTNESS_r01.json) covered insertion-order entries 0-49 —
-# all green — leaving the entire llmdata/dedup_advanced set and the
-# relational tail with local-pytest oracle coverage only. Rotate those 49
-# (plus the new q_kmeans_assign) into the window so round 2 gets hard
-# driver signal on the LLM-data north-star set; the r1-green head retains
-# the identical DuckDB-oracle check in tests/test_oracle_parity.py.
-#
-# ROUND 3 PLAN: once CORRECTNESS_r02 lands green for this window, rotate
-# again — replace _R2_WINDOW with the queries that have never had a driver
-# row: everything registered AFTER the window (r2 additions: q_tfidf,
-# q_repetition_ratio, q_bigram_freq, q_disjunctive_filter,
-# q_idle_customers, q_sessionize_islands, q_event_paths, q_containment,
-# q_contamination, q_rolling_dau, q_rsi, q_bollinger,
-# q_returns_volatility, q_max_drawdown, q_winsorize, q_equidepth,
-# q_sample_weighted, q_map_funcs, q_variant_json, q_hll_union,
-# q_dedup_incremental, q_mode_per_group, q_asof_nearest, ...), padding the
-# remainder of the 50 with r1-head entries. Keep
+# Round 1 covered insertion-order entries 0-49; round 2 rotated the
+# llmdata/dedup_advanced set + relational tail into the window
+# (CORRECTNESS_r02.json: 47 green / 3 no_oracle-by-contract, zero
+# mismatches). Round 3 (this window) rotates in the 23 queries that have
+# never had a driver row — the whole finance family plus the r2-session
+# additions — and every query NEWLY registered this round, padded to 50
+# with r1-head entries (re-confirming the reference surface). Queries
+# outside the window retain the identical DuckDB-oracle check in
+# tests/test_oracle_parity.py. Keep
 # tests/test_properties.py::test_driver_window_holds_rotated_queries in
-# sync.
+# sync (it asserts the first 50 == _DRIVER_WINDOW).
 # ---------------------------------------------------------------------------
-_R2_WINDOW = [
-    # dedup / near-dup family
-    "q_dedup_exact", "q_dedup_norm", "q_dedup_keep_best",
-    "q_minhash_sig", "q_lsh_pairs", "q_ngram_jaccard", "q_simhash",
-    "q_simhash_pairs", "q_minhash_est_jaccard", "q_embed_neardup",
-    "q_neardup_dedup", "q_neardup_components",
-    # similarity search / clustering
-    "q_cosine_topk", "q_cosine_topk_pandas", "q_ann_ivf", "q_ann_lsh",
-    "q_kmeans_assign", "q_kmeans_ivf",
-    # text analysis
-    "q_token_stats", "q_token_regex", "q_term_freq", "q_doc_fingerprint",
-    "q_fingerprint_rolling", "q_lang_id", "q_quality_score",
-    "q_edit_distance",
-    # chunking / packing / sampling / e2e
-    "q_chunk_docs", "q_pack_greedy", "q_split_assign", "q_sample_hash",
-    "q_sample_stratified", "q_corpus_prep", "q_array_funcs",
-    "q_multimodal_features",
-    # relational tail unchecked in r1
-    "q_retention_cohort", "q_ship_priority", "q_exists_subquery",
-    "q_having_in", "q_window_range_frame", "q_unpivot", "q_not_exists",
-    "q_scd2_intervals", "q_dq_profile", "q_math_funcs", "q_regression",
-    "q_anomaly_zscore", "q_approx_percentile", "q_histogram", "q_cumsum",
-    "q_new_vs_returning",
+_R3_NEVER_CHECKED = [
+    # finance family — the only SURVEY §2 component (X22) with zero hard
+    # driver signal before this round
+    "q_rsi", "q_bollinger", "q_returns_volatility", "q_max_drawdown",
+    # r2-session additions, registered after the r2 window cut
+    "q_tfidf", "q_repetition_ratio", "q_bigram_freq", "q_containment",
+    "q_contamination", "q_dedup_incremental", "q_map_funcs",
+    "q_variant_json", "q_mode_per_group", "q_asof_nearest", "q_hll_union",
+    "q_sessionize_islands", "q_event_paths", "q_rolling_dau",
+    "q_winsorize", "q_equidepth", "q_sample_weighted",
+    "q_disjunctive_filter", "q_idle_customers",
 ]
+
+#: Queries first registered in round 3 — go straight into the window so
+#: their first driver row lands the same round they ship.
+_R3_NEW = [
+    "q_neardup_components_star",
+]
+
+#: r1-head entries used to pad the window to 50 (all driver-green in r1;
+#: re-checking them re-confirms the reference surface stayed green).
+_R1_PAD = [
+    "q_ohlcv_1min", "q_scan_events", "q_cast_string", "q_json_extract",
+    "q_decimal_cast_arith", "q_epoch_to_ts", "q_filter_eq",
+    "q_filter_ts_range", "q_count_rows", "q_count_filtered", "q_group_sum",
+    "q_open_close_minby", "q_upsert_last_wins", "q_candle_rollup_5min",
+    "q_candle_gap_fill", "q_join_inner", "q_join_broadcast", "q_join_semi",
+    "q_join_anti", "q_join_range", "q_join_range_asof", "q_topk_per_group",
+    "q_topk_global", "q_set_ops", "q_rollup", "q_cube",
+    "q_window_moving_avg", "q_count_distinct", "q_sliding_window",
+    "q_session_window", "q_grouping_sets", "q_pricing_summary",
+]
+
+_WINDOW_SIZE = 50
+_prio = _R3_NEVER_CHECKED + _R3_NEW
+_DRIVER_WINDOW = (_prio + [n for n in _R1_PAD if n not in _prio])[:_WINDOW_SIZE]
 
 
 def _rotate_window(priority: list[str]) -> None:
@@ -119,4 +123,4 @@ def _rotate_window(priority: list[str]) -> None:
     REGISTRY.update(ordered)
 
 
-_rotate_window(_R2_WINDOW)
+_rotate_window(_DRIVER_WINDOW)

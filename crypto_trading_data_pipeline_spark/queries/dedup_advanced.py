@@ -9,6 +9,8 @@ from the same constants as the Spark code, so the two sides cannot drift.
 
 from __future__ import annotations
 
+from itertools import count
+
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -74,9 +76,24 @@ def q_minhash_sig(spark: SparkSession, sf_dir: str):
 _LSH_BUCKET_CAP = 64
 
 
-def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP):
+#: Monotonic suffix making each CollectMetrics node name unique — a plan
+#: that embeds _lsh_candidate_pairs twice must not collide on the name.
+_LSH_OBSERVE_SEQ = count()
+
+
+def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=None):
     """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket — the
-    shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup."""
+    shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup.
+
+    Cap overflow is OBSERVABLE, not silent: a CollectMetrics node counts
+    buckets whose uncapped membership exceeded ``bucket_cap`` (and the max
+    uncapped bucket size), emitted to the Spark UI / QueryExecutionListener
+    on every action — zero extra passes, the stats ride the aggregate that
+    already built the bucket. Pass a ``pyspark.sql.Observation`` to read
+    the metrics programmatically (tests do; production monitors listen).
+    A non-zero truncated_buckets means real candidate pairs were dropped —
+    the fix is upstream exact dedup, not a bigger cap.
+    """
     sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
@@ -84,9 +101,18 @@ def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP):
     )
     buckets = (
         bands.groupBy("band_id", "band_hash")
-        .agg(F.slice(F.sort_array(F.collect_set("doc_id")), 1, bucket_cap).alias("ids"))
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("all_ids"))
+        .withColumn("ids", F.slice(F.col("all_ids"), 1, bucket_cap))
         .filter(F.size("ids") >= 2)
     )
+    metrics = [
+        F.sum((F.size("all_ids") > bucket_cap).cast("long")).alias("truncated_buckets"),
+        F.max(F.size("all_ids")).alias("max_bucket_size"),
+    ]
+    if observation is not None:
+        buckets = buckets.observe(observation, *metrics)
+    else:
+        buckets = buckets.observe(f"lsh_bucket_cap_{next(_LSH_OBSERVE_SEQ)}", *metrics)
     # ids is sorted, so pairing each element with everything after it emits
     # each unordered pair exactly once with doc_a < doc_b.
     pairs = F.explode(
@@ -254,6 +280,12 @@ def q_simhash(spark: SparkSession, sf_dir: str):
     return hashed.select("doc_id", dh.simhash(F.col("hs")).alias("simhash"))
 
 
+#: q_embed_neardup is an exact O(n^2) baseline for validating the ANN
+#: paths; above this corpus size the quadratic expansion is a job-killer
+#: (100k rows = 5e9 pairs), so the operator refuses rather than running.
+_EMBED_EXACT_MAX_ROWS = 100_000
+
+
 @query(
     "q_embed_neardup",
     oracle="""
@@ -267,10 +299,24 @@ def q_simhash(spark: SparkSession, sf_dir: str):
     FROM n a JOIN n b ON a.vec_id < b.vec_id
     WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= 0.99
     """,
-    doc="Embedding-cosine near-duplicate pairs (sim >= 0.99). Exact all-pairs baseline; the LSH/IVF variants are the scale path.",
+    doc=(
+        "Embedding-cosine near-duplicate pairs (sim >= 0.99). Exact "
+        "all-pairs baseline — O(n^2) BY DESIGN, kept only to validate the "
+        "ANN paths. Guarded: refuses above _EMBED_EXACT_MAX_ROWS so it "
+        "cannot be lifted into a production pipeline accidentally; callers "
+        "over the cap are pointed at q_ann_ivf / q_ann_lsh."
+    ),
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n_rows = emb.count()
+    if n_rows > _EMBED_EXACT_MAX_ROWS:
+        raise ValueError(
+            f"q_embed_neardup is the EXACT all-pairs baseline: {n_rows} rows "
+            f"would expand to ~{n_rows * (n_rows - 1) // 2} comparisons "
+            f"(cap {_EMBED_EXACT_MAX_ROWS}). Use q_ann_ivf or q_ann_lsh — "
+            "the bucketed scale paths validated against this baseline."
+        )
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
@@ -769,9 +815,10 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
     )
 
 
-@query(
-    "q_neardup_components",
-    oracle=f"""
+#: Oracle shared by q_neardup_components and q_neardup_components_star:
+#: both must produce the identical (doc_id, component=min reachable id)
+#: labeling, so one recursive-CTE fixpoint checks both algorithms.
+_COMPONENTS_ORACLE = f"""
     WITH RECURSIVE sh AS (
       SELECT doc_id, {_SQL_SHINGLES} AS sh
       FROM documents WHERE len(string_split(text, ' ')) >= 3
@@ -807,7 +854,12 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
     )
     SELECT d.doc_id, CAST(coalesce(c.lbl, d.doc_id) AS BIGINT) AS component
     FROM documents d LEFT JOIN comp c ON d.doc_id = c.node
-    """,
+    """
+
+
+@query(
+    "q_neardup_components",
+    oracle=_COMPONENTS_ORACLE,
     doc=(
         "EXACT near-dup clusters: verified LSH pairs -> connected "
         "components via iterative min-label propagation "
@@ -825,6 +877,32 @@ def q_neardup_components(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
     ver = _verified_neardup_pairs(docs)
     comp = connected_components(ver, src="doc_a", dst="doc_b")
+    return docs.join(comp, docs.doc_id == comp.node, "left").select(
+        "doc_id", F.coalesce("component", "doc_id").alias("component")
+    )
+
+
+@query(
+    "q_neardup_components_star",
+    oracle=_COMPONENTS_ORACLE,
+    doc=(
+        "Same contract as q_neardup_components — (doc_id, component=min "
+        "reachable id) over the verified near-dup graph — computed by the "
+        "alternating large-star/small-star algorithm (Kiveris et al.) "
+        "instead of min-label propagation. O(log^2 n) rounds regardless of "
+        "graph DIAMETER: the scale path for adversarial shapes (long "
+        "chains, deep trees) where propagation needs O(diameter) rounds. "
+        "Shares the recursive-CTE oracle with q_neardup_components, so a "
+        "green driver row proves both algorithms produce the identical "
+        "labeling on the same fixture graph."
+    ),
+)
+def q_neardup_components_star(spark: SparkSession, sf_dir: str):
+    from ..operators.graph import connected_components_star
+
+    docs = read_table(spark, sf_dir, "documents")
+    ver = _verified_neardup_pairs(docs)
+    comp = connected_components_star(ver, src="doc_a", dst="doc_b")
     return docs.join(comp, docs.doc_id == comp.node, "left").select(
         "doc_id", F.coalesce("component", "doc_id").alias("component")
     )

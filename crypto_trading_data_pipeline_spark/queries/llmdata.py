@@ -703,9 +703,14 @@ def q_corpus_prep(spark: SparkSession, sf_dir: str):
         "TF-IDF top-3 terms per document: one explode -> (doc, term) "
         "count, document frequency derived FROM the tf aggregate (no "
         "second corpus pass), corpus size as a one-row broadcast. The df "
-        "side is |vocab| rows — broadcast — so the per-doc ranking "
-        "shuffles only the tf table once. Ties break on rounded score "
-        "then term, reproducible across engines."
+        "side is |vocab| rows — a web-scale corpus's distinct-term table "
+        "is tens of GB (typos, unicode, code tokens), far over Spark's "
+        "broadcast cap, so it is deliberately NOT broadcast: both sides "
+        "are term-keyed aggregates and the shuffle hash join on term is "
+        "the plan that survives 100 TB (plan-gated in "
+        "tests/test_plan_quality.py). Only the one-row corpus count is "
+        "broadcast. Ties break on rounded score then term, reproducible "
+        "across engines."
     ),
 )
 def q_tfidf(spark: SparkSession, sf_dir: str):
@@ -722,7 +727,7 @@ def q_tfidf(spark: SparkSession, sf_dir: str):
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
     return (
         tf.filter(F.col("doc_id") < 50)
-        .join(F.broadcast(df), "term")
+        .join(df, "term")
         .join(F.broadcast(n))
         .withColumn("tfidf", tfidf)
         .withColumn("rnk", F.row_number().over(w))

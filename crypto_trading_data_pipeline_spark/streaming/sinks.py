@@ -227,9 +227,13 @@ class JdbcUpsertSink:
         cols = ", ".join(_check_ident(c) for c in columns)
         key_cols = ", ".join(self.keys)
         updates = ", ".join(f"{c} = EXCLUDED.{c}" for c in columns if c not in self.keys)
+        # Key-only tables (presence sets) have nothing to update on
+        # conflict; "DO UPDATE SET" with an empty list is malformed SQL
+        # (ADVICE r2), and DO NOTHING is the correct idempotent merge.
+        action = f"DO UPDATE SET {updates}" if updates else "DO NOTHING"
         return (
             f"INSERT INTO {self.table} ({cols}) SELECT {cols} FROM {staging} "
-            f"ON CONFLICT ({key_cols}) DO UPDATE SET {updates}"
+            f"ON CONFLICT ({key_cols}) {action}"
         )
 
     def ensure_table(self, schema) -> None:

@@ -214,15 +214,21 @@ _EMA_STATE = StructType(
 def _ema_update_factory(alpha: float):
     def update(key, pdfs, state: GroupState):
         """Fold this batch's prices (event-time order) into the running EMA.
-        Late rows (older than the last folded event) are skipped rather than
-        folded out of order — EMA is order-sensitive, unlike sum/max."""
+
+        applyInPandasWithState delivers the group's batch as MULTIPLE
+        Arrow chunks with no cross-chunk ordering guarantee, so all chunks
+        are concatenated and sorted ONCE before folding (ADVICE r2:
+        per-chunk sorting silently dropped same-batch rows that landed in
+        a later chunk with earlier timestamps). The late-row guard then
+        applies only to genuinely cross-BATCH late data — EMA is
+        order-sensitive, so folding an older-than-state row would corrupt
+        the recursion; skipping it matches watermark-drop semantics."""
         n, last_ms, ema = state.get if state.exists else (0, -(1 << 62), None)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
-            pdf = pdf.sort_values("ts")
-            ms = pdf["ts"].astype("int64") // 1_000_000
-            for m, p in zip(ms.tolist(), pdf["price"].astype("float64").tolist()):
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+            ms = batch["ts"].astype("int64") // 1_000_000
+            for m, p in zip(ms.tolist(), batch["price"].astype("float64").tolist()):
                 if m < last_ms:
                     continue
                 ema = p if ema is None else alpha * p + (1.0 - alpha) * ema

@@ -84,6 +84,16 @@ def test_jdbc_sink_merge_sql_and_url():
     assert "symbol = EXCLUDED" not in sql
 
 
+def test_jdbc_sink_merge_sql_key_only_table():
+    """Every batch column being a key (a presence set) must emit DO NOTHING:
+    'DO UPDATE SET' with an empty assignment list is malformed Postgres
+    (ADVICE r2), and DO NOTHING is the idempotent merge for key-only rows."""
+    s = _sink()
+    sql = s._merge_sql("trades_1min_agg_staging_7", ["symbol", "window_start"])
+    assert sql.endswith("ON CONFLICT (symbol, window_start) DO NOTHING"), sql
+    assert "DO UPDATE" not in sql
+
+
 def test_jdbc_sink_rejects_hostile_identifiers():
     with pytest.raises(ValueError, match="invalid SQL identifier"):
         _sink(table="t; DROP TABLE users")

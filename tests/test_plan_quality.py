@@ -205,6 +205,32 @@ def test_no_unjustified_single_partition_or_cartesian(spark):
             assert "Exchange SinglePartition" not in plan, name
 
 
+def test_tfidf_vocab_join_not_hint_broadcast(spark):
+    """The term->document-frequency aggregate is |vocab| rows — tens of GB
+    on a web corpus, over Spark's broadcast cap — so q_tfidf must NOT pin
+    it with a broadcast hint (the r2 scale-killer). A hint forces
+    BroadcastHashJoin even with auto-broadcast off; a stats-driven choice
+    reverts to a shuffled term join. Assert the revert happens: with the
+    threshold at -1 the vocab join plans as SortMergeJoin and no
+    BroadcastHashJoin appears (the one-row corpus-count broadcast rides a
+    BroadcastNestedLoopJoin and is fine).
+
+    Conf is flipped AFTER building the DataFrame: read_table re-applies the
+    engine runtime conf (including the 64 MB threshold), so setting it
+    first would be silently undone; planning reads the conf lazily at
+    executedPlan access."""
+    df = REGISTRY["q_tfidf"].fn(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "BroadcastHashJoin" not in plan, (
+        "vocab aggregate is hint-broadcast — dies at web-corpus scale:\n" + plan
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_no_expensive_expressions_in_scan_filters(spark):
     """InferFiltersFromGenerate can push a size(<expensive expr>) > 0
     predicate from an explode() all the way into the parquet scan filter,

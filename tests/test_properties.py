@@ -183,14 +183,24 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 def test_driver_window_holds_rotated_queries():
-    """The driver hash-checks only the FIRST 50 registry entries. Round 2
-    rotated the r1-unchecked set into that window; this guard fails if a
-    future registration reorders them back out (new queries must append
-    AFTER the window)."""
-    from crypto_trading_data_pipeline_spark.queries import _R2_WINDOW, REGISTRY
+    """The driver hash-checks only the FIRST 50 registry entries. Round 3
+    rotated the never-driver-checked set (finance family + r2 additions +
+    round-3 registrations) into that window; this guard fails if a future
+    registration reorders them back out (new queries must be added to
+    _R3_NEW or land after the window)."""
+    from crypto_trading_data_pipeline_spark.queries import (
+        _DRIVER_WINDOW,
+        _R3_NEVER_CHECKED,
+        _R3_NEW,
+        REGISTRY,
+    )
 
     first50 = list(REGISTRY)[:50]
-    assert first50 == [n for n in _R2_WINDOW if n in REGISTRY]
+    assert first50 == [n for n in _DRIVER_WINDOW if n in REGISTRY]
+    # Every never-checked / new query must actually be inside the window —
+    # padding must never displace a priority entry.
+    missing = [n for n in _R3_NEVER_CHECKED + _R3_NEW if n not in first50]
+    assert missing == [], f"priority queries fell out of the driver window: {missing}"
 
 
 def test_pack_greedy_conserves_tokens(spark, sf_dir):

@@ -3,6 +3,7 @@ aggregation; partitioned writes round-trip with pruning-friendly layout."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import functions as F
 
 from crypto_trading_data_pipeline_spark.io import read_table
@@ -176,6 +177,49 @@ def test_lsh_bucket_cap_bounds_skew(spark):
     assert kept == set(range(_LSH_BUCKET_CAP))
 
 
+def test_lsh_bucket_cap_overflow_is_observable(spark):
+    """Cap truncation must be a metric, not a silent drop (ADVICE r2): the
+    CollectMetrics node riding the bucket aggregate reports how many
+    buckets exceeded the cap and the max uncapped size. Overflow fixture ->
+    4 truncated band buckets of 1000; clean fixture -> zero truncated, so
+    the capped result is provably oracle-exact there."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _lsh_candidate_pairs,
+    )
+
+    hot = spark.range(1000).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim").alias("text"),
+    )
+    obs = Observation("lsh_cap_hot")
+    _lsh_candidate_pairs(hot, observation=obs).count()
+    m = obs.get
+    assert m["truncated_buckets"] == 4, m  # all 4 bands hold the one hot bucket
+    assert m["max_bucket_size"] == 1000, m
+
+    clean = spark.range(40).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("unique document body number "), F.col("id").cast("string"),
+                 F.lit(" with distinct trailing words")).alias("text"),
+    )
+    obs2 = Observation("lsh_cap_clean")
+    _lsh_candidate_pairs(clean, observation=obs2).count()
+    assert obs2.get["truncated_buckets"] == 0, obs2.get
+
+
+def test_embed_neardup_guard_refuses_large_corpus(spark, monkeypatch, sf_dir):
+    """q_embed_neardup is the exact O(n^2) baseline; above the row cap it
+    must refuse with a pointer to the ANN paths instead of launching a
+    quadratic join (VERDICT r2 #3). At fixture scale it still runs."""
+    import crypto_trading_data_pipeline_spark.queries.dedup_advanced as da
+
+    monkeypatch.setattr(da, "_EMBED_EXACT_MAX_ROWS", 10)
+    with pytest.raises(ValueError, match="q_ann_ivf"):
+        da.q_embed_neardup(spark, sf_dir)
+
+
 def test_compact_files_merges_small_files(spark, tmp_path):
     """32 micro-batch-sized files compact to one target-sized file with
     identical contents — the maintenance pass every streaming parquet sink
@@ -240,3 +284,45 @@ def test_salted_join_matches_plain_join(spark, sf_dir):
     pl = big.join(small, ["k"], "left").count()
     sl = salted_join(big, small, ["k"], buckets=8, how="left").count()
     assert pl == sl == 20_000
+
+
+def test_salted_join_rejects_small_side_preserving_how(spark):
+    """right/full joins would emit each unmatched small-side row once PER
+    SALT REPLICA — buckets-fold duplication. The operator must refuse
+    (ADVICE r2), not document-and-hope."""
+    from crypto_trading_data_pipeline_spark.operators.scale import salted_join
+
+    big = spark.range(10).select(F.col("id").alias("k"), F.col("id").alias("v"))
+    small = spark.createDataFrame([(1, 1.0), (99, 2.0)], ["k", "w"])
+    for how in ("right", "full", "outer", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="salt bucket"):
+            salted_join(big, small, ["k"], buckets=4, how=how)
+    # allowlisted hows still work
+    assert salted_join(big, small, ["k"], buckets=4, how="left_anti").count() == 9
+
+
+def test_compact_files_recovers_from_mid_swap_crash(spark, tmp_path):
+    """compact_files must run the same crash-recovery protocol as
+    ParquetUpsertSink (ADVICE r2): a prior run that died between
+    rename-aside and move-in leaves only <path>.old — the next compaction
+    restores it instead of failing on the missing table; leftover .old
+    beside an intact table is cleared instead of breaking the rename."""
+    import os
+    import shutil
+
+    from crypto_trading_data_pipeline_spark.operators.scale import compact_files
+
+    path = str(tmp_path / "t")
+    spark.range(5_000).withColumn("k", F.col("id") % 5).repartition(8).write.parquet(path)
+    # Crash case 1: swap died after rename-aside — table missing, .old present.
+    os.rename(path, path + ".old")
+    n_out = compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert n_out == 1
+    assert spark.read.parquet(path).count() == 5_000
+    assert not os.path.exists(path + ".old")
+    # Crash case 2: stale .old beside an intact table must not break the
+    # rename-aside (os.rename onto a non-empty dir raises).
+    shutil.copytree(path, path + ".old")
+    compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
+    assert spark.read.parquet(path).count() == 5_000
+    assert not os.path.exists(path + ".old")

@@ -500,3 +500,54 @@ def test_streaming_ema_matches_batch_fold(spark, tmp_path):
     for p in (110.0, 90.0):
         e = a * p + (1 - a) * e
     assert abs(latest["BTCUSDT"].ema - e) < 1e-9
+
+
+def test_ema_update_orders_across_chunks():
+    """applyInPandasWithState may split one micro-batch into several Arrow
+    chunks with NO cross-chunk ordering. The fold must concatenate and sort
+    the whole batch first (ADVICE r2): chunk-local sorting silently dropped
+    same-batch rows arriving in a later chunk with earlier timestamps.
+    Drives the raw update function with adversarial chunking."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        _ema_update_factory,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.value = v
+
+    def chunk(ts_ms, prices):
+        return pd.DataFrame(
+            {"ts": pd.to_datetime(ts_ms, unit="ms"), "price": prices}
+        )
+
+    alpha = 0.5
+    update = _ema_update_factory(alpha)
+    # Batch = [t=0:100, t=10:110, t=20:90] delivered as chunks [t=10, t=20]
+    # then [t=0]: the t=0 row lands in a LATER chunk with an EARLIER ts.
+    state = FakeState()
+    out = list(update(("SYM",), [chunk([10, 20], [110.0, 90.0]), chunk([0], [100.0])], state))
+    e = 100.0
+    for p in (110.0, 90.0):
+        e = alpha * p + (1 - alpha) * e
+    assert state.value[0] == 3, "out-of-order chunk row was dropped"
+    assert abs(state.value[2] - e) < 1e-12
+    assert out[0]["n_obs"][0] == 3
+
+    # Cross-BATCH late rows are still guarded: a second batch entirely
+    # older than the folded state must be skipped, not folded.
+    class ExistingState(FakeState):
+        exists = True
+
+        @property
+        def get(self):
+            return self.value
+
+    st2 = ExistingState()
+    st2.value = state.value
+    list(update(("SYM",), [chunk([5], [999.0])], st2))
+    assert st2.value[0] == 3 and abs(st2.value[2] - e) < 1e-12
