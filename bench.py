@@ -119,6 +119,62 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
+#: Queries whose best time lands under this get a 3rd run — sub-second
+#: plans are where 60-130 ms of scheduler/GC jitter reads as regression.
+_EXTRA_RUN_BELOW_SEC = 1.5
+
+#: A query is flagged as a regression only when it is slower than the
+#: previous recorded round by BOTH bounds — relative (>15 %) and absolute
+#: (>0.2 s) — so millisecond noise on sub-second plans never trips it.
+_REGRESSION_REL = 0.15
+_REGRESSION_ABS_SEC = 0.2
+
+
+def _load_previous_round() -> dict:
+    """Per-query timings from the latest driver-recorded BENCH_r{N}.json
+    next to this script, plus its round tag under "_round". Empty dict when
+    no prior round exists (round 1) — every comparison is then skipped."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for p in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", p)
+        if m:
+            rounds.append((int(m.group(1)), p))
+    if not rounds:
+        return {}
+    n, path = max(rounds)
+    try:
+        with open(path) as f:
+            rec = json.load(f)
+    except (OSError, ValueError):
+        return {}
+    # The driver wraps our JSON line under "parsed" (alongside rc/tail).
+    rec = rec.get("parsed", rec)
+    return {"_round": n, **rec.get("queries", {})}
+
+
+def _compare_to_previous(timings: dict, prev: dict):
+    """(deltas, regressions): per-query seconds vs the previous round for
+    every query present in both, and the subset slower by both the relative
+    and absolute regression bounds."""
+    deltas: dict[str, float] = {}
+    regressions: list[dict] = []
+    for name, now in timings.items():
+        before = prev.get(name)
+        if not isinstance(before, (int, float)) or before <= 0:
+            continue
+        delta = round(now - before, 3)
+        deltas[name] = delta
+        if delta > _REGRESSION_ABS_SEC and now > before * (1 + _REGRESSION_REL):
+            regressions.append(
+                {"query": name, "prev_sec": before, "now_sec": now, "delta_sec": delta}
+            )
+    return deltas, regressions
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -137,20 +193,30 @@ def main() -> None:
     spark.range(8).write.mode("overwrite").format("noop").save()
 
     names = [n for n in HEADLINE if n in REGISTRY]
-    # Best of 2 runs per query: run 1 pays one-time whole-stage-codegen
-    # compilation for that plan shape (a fixed cost, irrelevant at scale);
-    # run 2 measures the steady-state engine cost we actually optimize.
+    # Run 1 pays one-time whole-stage-codegen compilation for that plan
+    # shape (a fixed cost, irrelevant at scale); later runs measure the
+    # steady-state engine cost we actually optimize. Sub-second queries get
+    # a third run: their round-over-round jitter (60-130 ms scheduler/GC
+    # noise) was reading as regression at best-of-2, so tighten the floor
+    # exactly where noise dominates and keep multi-second queries at 2 runs
+    # (their signal already swamps the jitter).
     timings: dict[str, float] = {}
     for name in names:
         fn = REGISTRY[name].fn
         best = float("inf")
-        for _ in range(2):
+        runs = 0
+        while runs < 3:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
             best = min(best, time.perf_counter() - t0)
+            runs += 1
+            if runs == 2 and best >= _EXTRA_RUN_BELOW_SEC:
+                break
         timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
+    prev = _load_previous_round()
+    deltas, regressions = _compare_to_previous(timings, prev)
     stream_stats = bench_streaming(spark, sf_dir)
     print(
         json.dumps(
@@ -158,9 +224,12 @@ def main() -> None:
                 "metric": "headline_queries_total_wall",
                 "value": total,
                 "unit": "sec",
-                "runs_per_query": 2,
+                "runs_per_query": "2-3",
                 "timing": "best_of_runs",
                 "queries": timings,
+                "prev_round": prev.get("_round"),
+                "deltas_vs_prev": deltas,
+                "regressions": regressions,
                 "sf": sf,
                 **stream_stats,
             }
