@@ -1,0 +1,156 @@
+"""Measured scale step for the dedup pipeline and TF-IDF (SCALE.md).
+
+The 100 TB claims elsewhere in this repo are plan-shape arguments (shuffle
+counts, bucketed candidate generation, no broadcast of unbounded sides).
+This probe adds a measured point: synthesize a ~10x corpus by duplicating
+and perturbing the sf0.1 documents table, run the near-dup pipeline
+(q_minhash_sig -> q_lsh_pairs -> q_neardup_dedup) and q_tfidf at 1x and
+10x, and report wall time plus per-stage task-skew quantiles from the
+Spark status REST API. Near-linear wall growth + a stable max/median task
+ratio is the evidence that the blocking/sharding actually holds when the
+data grows, not just that the plan looks right.
+
+Usage: python scripts/scale_probe.py [--mult 10] [--out SCALE_PROBE.json]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from crypto_trading_data_pipeline_spark.io import read_table  # noqa: E402
+from crypto_trading_data_pipeline_spark.session import get_spark  # noqa: E402
+
+QUERIES = ["q_minhash_sig", "q_lsh_pairs", "q_neardup_dedup", "q_tfidf"]
+
+
+def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
+    """documents x mult: copy 0 is verbatim; copies 1..mult-1 get fresh
+    doc_ids (offset by a stride above the real id range) and a
+    deterministic perturbation — one word in three gets a per-copy suffix —
+    so the synthetic corpus holds a realistic mix of near-duplicates (the
+    LSH recall workload) rather than only byte-identical rows that exact
+    dedup would remove upstream."""
+    docs = read_table(spark, src_dir, "documents")
+    stride = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
+    copies = [docs]
+    for i in range(1, mult):
+        perturbed = (
+            F.array_join(
+                F.transform(
+                    F.split(F.col("text"), " "),
+                    lambda w, idx: F.when(
+                        (idx + F.lit(i)) % 3 == 0, F.concat(w, F.lit(f"~{i}"))
+                    ).otherwise(w),
+                ),
+                " ",
+            )
+        )
+        copies.append(
+            docs.withColumn("doc_id", F.col("doc_id") + F.lit(i * stride))
+            .withColumn("text", perturbed)
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(dst_dir, "documents.parquet"))
+    return out.count()
+
+
+def _stage_task_stats(spark, stage_ids):
+    """Max task duration and max/median skew ratio over the given stages,
+    via the status REST API (local-mode UI). Returns {} when the UI is off."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        if not base:
+            return {}
+        worst = {"max_task_sec": 0.0, "max_over_median": 0.0, "stage": None}
+        for sid in stage_ids:
+            url = f"{base}/api/v1/applications/{app_id}/stages/{sid}/0/taskSummary?quantiles=0.5,1.0"
+            try:
+                with urllib.request.urlopen(url, timeout=10) as r:
+                    q = json.load(r)
+            except Exception:
+                continue  # skipped/tiny stages have no summary
+            med, mx = (v / 1000.0 for v in q["duration"])
+            if mx > worst["max_task_sec"]:
+                worst.update(
+                    max_task_sec=round(mx, 3),
+                    max_over_median=round(mx / med, 2) if med > 0 else None,
+                    stage=sid,
+                )
+        return worst
+    except Exception:
+        return {}
+
+
+def _all_stage_ids(spark):
+    """Completed stage ids from the status REST API (the py4j StatusTracker
+    only exposes ACTIVE stages). Empty when the UI is disabled."""
+    try:
+        base = spark.sparkContext.uiWebUrl
+        app_id = spark.sparkContext.applicationId
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app_id}/stages", timeout=10
+        ) as r:
+            return {s["stageId"] for s in json.load(r)}
+    except Exception:
+        return set()
+
+
+def run_one(spark, name: str, sf_dir: str) -> dict:
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    fn = REGISTRY[name].fn
+    # Warm run: codegen + parquet footers, so the measured run is engine cost.
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    before = _all_stage_ids(spark)
+    t0 = time.perf_counter()
+    fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
+    wall = time.perf_counter() - t0
+    new_stages = sorted(_all_stage_ids(spark) - before)
+    return {"wall_sec": round(wall, 3), **_stage_task_stats(spark, new_stages)}
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--mult", type=int, default=10)
+    ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    spark = get_spark(app_name="ctdp-scale-probe")
+    spark.sparkContext.setLogLevel("WARN")
+
+    big_dir = tempfile.mkdtemp(prefix="ctdp_scale10_")
+    try:
+        n1 = read_table(spark, args.sf_dir, "documents").count()
+        n10 = synthesize(spark, args.sf_dir, big_dir, args.mult)
+        report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
+        for name in QUERIES:
+            one = run_one(spark, name, args.sf_dir)
+            ten = run_one(spark, name, big_dir)
+            ratio = round(ten["wall_sec"] / one["wall_sec"], 2) if one["wall_sec"] else None
+            report["queries"][name] = {"x1": one, f"x{args.mult}": ten, "wall_ratio": ratio}
+        line = json.dumps(report)
+        print(line)
+        if args.out:
+            with open(args.out, "w") as f:
+                f.write(line + "\n")
+    finally:
+        shutil.rmtree(big_dir, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
