@@ -60,6 +60,7 @@ from . import relational  # noqa: E402,F401
 from . import llmdata  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401
 from . import finance  # noqa: E402,F401
+from . import corpus_ops  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
@@ -94,6 +95,10 @@ _R3_NEVER_CHECKED = [
 #: their first driver row lands the same round they ship.
 _R3_NEW = [
     "q_neardup_components_star",
+    "q_quality_gopher",
+    "q_mixture_sample",
+    "q_corpus_profile",
+    "q_embed_outliers",
 ]
 
 #: r1-head entries used to pad the window to 50 (all driver-green in r1;

@@ -1,0 +1,286 @@
+"""Corpus-curation operators: rule-based quality gating, source-mixture
+sampling, per-slice profiling, and embedding-space outlier screening.
+
+These are the training-data curation steps downstream of dedup (the
+reference pipeline stops at serving candles, reference
+spark_processor/processor.py:77-101; an LLM-data pipeline at 100 TB runs
+these over every shard before packing). All four are expressed with
+built-in columnar functions — rule evaluation and norms are row-local
+(narrow, codegen'd), and each query's only shuffle is the aggregate or
+window on its natural grouping key (source / (lang, source) / label), so
+the plans scale with the slice sizes, never the corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..io import read_table
+from ..operators import dedup_hash
+from ..operators.similarity import as_double_vec
+from . import query
+
+#: Gopher-style hard-filter bounds (Rae et al. 2021 table A1 shape —
+#: thresholds tuned to the fixture's vocabulary, same rule structure).
+_GOPHER_MIN_TOKENS, _GOPHER_MAX_TOKENS = 20, 1000
+_GOPHER_MIN_WORDLEN, _GOPHER_MAX_WORDLEN = 2.0, 10.0
+_GOPHER_MIN_STOP_HITS = 2
+_GOPHER_MAX_TOP_SHARE = 0.30
+_GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
+
+
+@query(
+    "q_quality_gopher",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), m AS (
+      SELECT doc_id,
+             len(toks) AS n_tokens,
+             CAST(list_aggregate(list_transform(toks, w -> len(w)), 'sum') AS DOUBLE)
+               / len(toks) AS mean_wordlen,
+             len(list_filter(list_distinct(toks),
+                 w -> list_contains({_GOPHER_STOPWORDS!r}, w))) AS stop_hits,
+             CAST(list_aggregate(list_transform(list_distinct(toks),
+                    w -> len(list_filter(toks, x -> x = w))), 'max') AS DOUBLE)
+               / len(toks) AS top_share
+      FROM t
+    )
+    SELECT doc_id, n_tokens, mean_wordlen, stop_hits, top_share,
+           CAST(n_tokens BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS} AS INTEGER) AS ok_len,
+           CAST(mean_wordlen BETWEEN {_GOPHER_MIN_WORDLEN} AND {_GOPHER_MAX_WORDLEN} AS INTEGER) AS ok_wordlen,
+           CAST(stop_hits >= {_GOPHER_MIN_STOP_HITS} AS INTEGER) AS ok_stop,
+           CAST(top_share <= {_GOPHER_MAX_TOP_SHARE} AS INTEGER) AS ok_rep,
+           CAST(n_tokens BETWEEN {_GOPHER_MIN_TOKENS} AND {_GOPHER_MAX_TOKENS}
+                AND mean_wordlen BETWEEN {_GOPHER_MIN_WORDLEN} AND {_GOPHER_MAX_WORDLEN}
+                AND stop_hits >= {_GOPHER_MIN_STOP_HITS}
+                AND top_share <= {_GOPHER_MAX_TOP_SHARE} AS INTEGER) AS keep
+    FROM m
+    """,
+    doc=(
+        "Gopher-style rule-based quality gate: token-count bounds, mean "
+        "word length bounds, minimum distinct-stopword hits (natural-"
+        "language evidence), and top-token share cap (template/spam "
+        "repetition). Emits each rule verdict separately plus the combined "
+        "keep flag so curation can audit WHY a document was dropped — the "
+        "per-rule rejection histogram is the standard curation report. "
+        "Entirely row-local (one narrow pass, no shuffle); ratios are "
+        "single integer divisions, bit-identical across engines."
+    ),
+)
+def q_quality_gopher(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    stop = F.array(*[F.lit(w) for w in _GOPHER_STOPWORDS])
+    n = F.size("toks")
+    mean_wl = (
+        F.aggregate("toks", F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n
+    )
+    stop_hits = F.size(F.filter(F.array_distinct("toks"), lambda w: F.array_contains(stop, w)))
+    top_share = (
+        F.array_max(
+            F.transform(
+                F.array_distinct("toks"),
+                lambda w: F.size(F.filter("toks", lambda x: x == w)),
+            )
+        ).cast("double")
+        / n
+    )
+    m = docs.withColumn("toks", toks).select(
+        "doc_id",
+        n.alias("n_tokens"),
+        mean_wl.alias("mean_wordlen"),
+        stop_hits.alias("stop_hits"),
+        top_share.alias("top_share"),
+    )
+    ok_len = F.col("n_tokens").between(_GOPHER_MIN_TOKENS, _GOPHER_MAX_TOKENS)
+    ok_wl = F.col("mean_wordlen").between(_GOPHER_MIN_WORDLEN, _GOPHER_MAX_WORDLEN)
+    ok_stop = F.col("stop_hits") >= _GOPHER_MIN_STOP_HITS
+    ok_rep = F.col("top_share") <= _GOPHER_MAX_TOP_SHARE
+    return m.select(
+        "doc_id",
+        "n_tokens",
+        "mean_wordlen",
+        "stop_hits",
+        "top_share",
+        ok_len.cast("int").alias("ok_len"),
+        ok_wl.cast("int").alias("ok_wordlen"),
+        ok_stop.cast("int").alias("ok_stop"),
+        ok_rep.cast("int").alias("ok_rep"),
+        (ok_len & ok_wl & ok_stop & ok_rep).cast("int").alias("keep"),
+    )
+
+
+#: Mixture target: the sampled corpus is MIX_FRACTION of the input, spread
+#: uniformly across sources (each source's quota = budget / n_sources,
+#: capped by availability) — the "data mixing" step that rebalances
+#: over-represented crawls before training.
+_MIX_FRACTION = 0.4
+
+
+@query(
+    "q_mixture_sample",
+    oracle=f"""
+    WITH t AS (
+      SELECT CAST(ceil(ceil({_MIX_FRACTION} * count(*))
+                       / count(DISTINCT source)) AS BIGINT) AS quota
+      FROM documents
+    ), r AS (
+      SELECT doc_id, source,
+             row_number() OVER (
+               PARTITION BY source
+               ORDER BY {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")}, doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT doc_id, source FROM r, t WHERE rk <= quota
+    """,
+    doc=(
+        "Source-mixture sampling (data mixing): draw a 40%-of-corpus "
+        "budget spread UNIFORMLY across sources — each source contributes "
+        "min(quota, available) documents, chosen by deterministic id-hash "
+        "rank so the draw is reproducible and append-stable per source. "
+        "This is the rebalancing step that stops one over-crawled source "
+        "from dominating a training mix. One shuffle on source for the "
+        "rank; the corpus-wide budget/quota is a one-row aggregate "
+        "broadcast (never a global window — no SinglePartition exchange)."
+    ),
+)
+def q_mixture_sample(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    totals = docs.agg(
+        F.ceil(
+            F.ceil(F.lit(_MIX_FRACTION) * F.count(F.lit(1)))
+            / F.countDistinct("source")
+        ).alias("quota")
+    )
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
+    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
+    return (
+        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
+        .join(F.broadcast(totals))
+        .filter(F.col("rk") <= F.col("quota"))
+        .select("doc_id", "source")
+    )
+
+
+@query(
+    "q_corpus_profile",
+    oracle="""
+    WITH r AS (
+      SELECT lang, source, n_chars,
+             len(string_split(text, ' ')) AS n_toks,
+             row_number() OVER (PARTITION BY lang, source
+                                ORDER BY n_chars, doc_id) AS rk,
+             count(*)    OVER (PARTITION BY lang, source) AS n
+      FROM documents
+    )
+    SELECT lang, source,
+           count(*)                          AS n_docs,
+           CAST(sum(n_toks) AS BIGINT)       AS total_tokens,
+           round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+           min(n_chars)                      AS min_chars,
+           max(n_chars)                      AS max_chars,
+           max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN n_chars END) AS p50_chars,
+           max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN n_chars END) AS p90_chars
+    FROM r GROUP BY lang, source
+    """,
+    doc=(
+        "Per-(lang, source) corpus profile: doc count, token volume, char "
+        "length mean/min/max and EXACT discrete p50/p90 — the shard "
+        "report a curation run publishes per slice. Percentiles come from "
+        "a rank-within-group window (value at rank ceil(p*n)), not an "
+        "interpolating percentile whose convention differs across "
+        "engines; the rank and the final aggregate share one (lang, "
+        "source) exchange. At 100 TB the same plan holds: slice "
+        "cardinality is what grows, and both the window and the aggregate "
+        "key on it."
+    ),
+)
+def q_corpus_profile(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    wo = Window.partitionBy("lang", "source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("lang", "source")
+    r = docs.select(
+        "lang",
+        "source",
+        "n_chars",
+        F.size(F.split("text", " ")).alias("n_toks"),
+        F.row_number().over(wo).alias("rk"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    at = lambda p: F.max(  # noqa: E731
+        F.when(F.col("rk") == F.ceil(p * F.col("n")), F.col("n_chars"))
+    )
+    return r.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        at(F.lit(0.5)).alias("p50_chars"),
+        at(F.lit(0.9)).alias("p90_chars"),
+    )
+
+
+#: |z| above this flags an embedding outlier (degenerate/corrupt vectors —
+#: clipped, near-one-hot, or wrongly-scaled — surface as extreme component
+#: concentration; the cheap pre-ANN sanity screen).
+_EMBED_Z_THRESHOLD = 2.0
+
+
+@query(
+    "q_embed_outliers",
+    oracle=f"""
+    WITH n AS (
+      SELECT vec_id, label,
+             CAST(list_aggregate(list_transform(embedding, x -> abs(x)), 'max')
+                  AS DOUBLE) AS peak
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, peak,
+             avg(peak)         OVER (PARTITION BY label) AS mu,
+             stddev_samp(peak) OVER (PARTITION BY label) AS sd
+      FROM n
+    )
+    SELECT vec_id, label, round(peak, 6) AS peak,
+           round((peak - mu) / sd, 4) AS z,
+           CAST(abs((peak - mu) / sd) > {_EMBED_Z_THRESHOLD} AS INTEGER) AS is_outlier
+    FROM s
+    """,
+    doc=(
+        "Embedding-space quality screen: per-label z-score of vector "
+        "PEAKEDNESS (max |component|); |z| > 2 flags degenerate vectors — "
+        "clipped, near-one-hot, or mis-scaled embeddings concentrate mass "
+        "in few components and stand out long before any ANN search "
+        "breaks. (The L2 norm is NOT the statistic: these fixtures, like "
+        "production embedding stores, are unit-normalized, so norms carry "
+        "only float noise.) The peak is a row-local fold with no "
+        "summation, so it is bit-identical across engines; the only "
+        "shuffle is the per-label moment window — at extreme scale swap "
+        "the window for a tiny per-label aggregate broadcast join, same "
+        "key. z is rounded at 4 because group-moment summation order "
+        "differs between engines."
+    ),
+)
+def q_embed_outliers(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    peak = F.array_max(F.transform(as_double_vec(F.col("embedding")), F.abs))
+    n = emb.select("vec_id", "label", peak.alias("peak"))
+    w = Window.partitionBy("label")
+    s = n.select(
+        "vec_id",
+        "label",
+        "peak",
+        F.avg("peak").over(w).alias("mu"),
+        F.stddev_samp("peak").over(w).alias("sd"),
+    )
+    z = (F.col("peak") - F.col("mu")) / F.col("sd")
+    return s.select(
+        "vec_id",
+        "label",
+        F.round("peak", 6).alias("peak"),
+        F.round(z, 4).alias("z"),
+        (F.abs(z) > _EMBED_Z_THRESHOLD).cast("int").alias("is_outlier"),
+    )

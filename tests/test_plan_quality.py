@@ -190,6 +190,7 @@ _SINGLE_PARTITION_OK = {
     "q_idle_customers",    # uncorrelated avg(acctbal) scalar subquery
     "q_tfidf",             # corpus-size scalar
     "q_hll_union",         # global sketch-union row (|langs| sketches -> 1)
+    "q_mixture_sample",    # corpus budget/quota scalar (one-row broadcast)
 }
 
 
