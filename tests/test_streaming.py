@@ -551,3 +551,49 @@ def test_ema_update_orders_across_chunks():
     st2.value = state.value
     list(update(("SYM",), [chunk([5], [999.0])], st2))
     assert st2.value[0] == 3 and abs(st2.value[2] - e) < 1e-12
+
+
+def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
+    """Streaming exact-dedup (dropDuplicatesWithinWatermark): a trade_id
+    redelivered in the SAME and in a LATER micro-batch (within the
+    watermark horizon) must land exactly once; distinct ids all survive.
+    This is the at-least-once ingest guard the serving tables rely on."""
+    from crypto_trading_data_pipeline_spark.streaming.dedup import dedup_stream
+
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+    # Batch 1: ids 1,2,3 with id 2 duplicated in-batch.
+    _write_batch(indir, [
+        trade(1, "BTCUSDT", "100.0", "1", 0),
+        trade(2, "BTCUSDT", "101.0", "1", 5),
+        trade(2, "BTCUSDT", "101.0", "1", 5),      # in-batch duplicate
+        trade(3, "ETHUSDT", "200.0", "1", 10),
+    ], "b1.json")
+    # Batch 2: id 1 redelivered (cross-batch, within watermark) + new id 4.
+    _write_batch(indir, [
+        trade(1, "BTCUSDT", "100.0", "1", 0),      # redelivery
+        trade(4, "ETHUSDT", "201.0", "1", 20),
+    ], "b2.json")
+
+    seen: list = []
+
+    def sink(df, epoch_id):
+        seen.extend(df.select("trade_id").collect())
+
+    deduped = dedup_stream(
+        parse_trades(file_json_stream(spark, indir)),
+        ["trade_id"],
+        ts_col="trade_time",
+        watermark="2 minutes",
+    )
+    q = (
+        deduped.writeStream.outputMode("append")
+        .foreachBatch(sink)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    ids = sorted(r.trade_id for r in seen)
+    assert ids == [1, 2, 3, 4], ids
