@@ -99,6 +99,7 @@ _R3_NEW = [
     "q_mixture_sample",
     "q_corpus_profile",
     "q_embed_outliers",
+    "q_semdedup",
 ]
 
 #: r1-head entries used to pad the window to 50 (all driver-green in r1;

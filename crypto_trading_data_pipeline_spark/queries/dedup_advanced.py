@@ -335,6 +335,29 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str):
     )
 
 
+def _ivf_assign(n):
+    """Nearest-centroid assignment over a normalized (vec_id, v, nrm) frame:
+    deterministic centroid subset (vec_id % 50 == 0) broadcast against the
+    corpus, best cluster by (rounded cosine desc, cent_id) — shared by
+    q_ann_ivf and q_semdedup, and the oracle SQL mirrors it verbatim."""
+    cent = F.broadcast(
+        n.filter(F.col("vec_id") % 50 == 0).select(
+            F.col("vec_id").alias("cent_id"),
+            F.col("v").alias("cv"),
+            F.col("nrm").alias("cnrm"),
+        )
+    )
+    csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
+    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
+    return (
+        n.crossJoin(cent)
+        .withColumn("csim", csim)
+        .withColumn("rc", F.row_number().over(wc))
+        .filter(F.col("rc") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+
+
 @query(
     "q_ann_ivf",
     oracle="""
@@ -381,22 +404,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str):
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    cent = F.broadcast(
-        n.filter(F.col("vec_id") % 50 == 0).select(
-            F.col("vec_id").alias("cent_id"),
-            F.col("v").alias("cv"),
-            F.col("nrm").alias("cnrm"),
-        )
-    )
-    csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
-    wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    assign = (
-        n.crossJoin(cent)
-        .withColumn("csim", csim)
-        .withColumn("rc", F.row_number().over(wc))
-        .filter(F.col("rc") == 1)
-        .select("vec_id", "v", "nrm", "cent_id")
-    )
+    assign = _ivf_assign(n)
     q = assign.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -414,6 +422,80 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str):
         .withColumn("rnk", F.row_number().over(wr))
         .filter(F.col("rnk") <= 3)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rnk")
+    )
+
+
+#: SemDeDup drop threshold — tuned to the fixture's similarity range (max
+#: within-cluster cosine ≈ 0.48 on random unit vectors; real embedding
+#: corpora use 0.95+). The MACHINERY is what scales, not the constant.
+_SEMDEDUP_TAU = 0.30
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, v, nrm, cent_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                          cent.cent_id
+               ) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    )
+    SELECT a.vec_id, a.cent_id AS cluster,
+           CAST(NOT EXISTS (
+             SELECT 1 FROM assign b
+             WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+               AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_TAU}
+           ) AS INTEGER) AS keep
+    FROM assign a
+    """,
+    doc=(
+        "SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in "
+        "embedding space, CLUSTER-BLOCKED — assign every vector to its "
+        "nearest centroid (the q_ann_ivf assignment, shared code), then "
+        "drop any vector whose cosine to a LOWER-id vector in the SAME "
+        "cluster reaches the threshold (the standard one-pass greedy "
+        "representative rule, deterministic by id order). Pairwise cost is "
+        "sum of squared CLUSTER sizes, not corpus², and the cluster count "
+        "is the knob that bounds it — the exact reason SemDeDup clusters "
+        "first at web scale. Emits every vector with its cluster and keep "
+        "flag so the drop rate per cluster is auditable."
+    ),
+)
+def q_semdedup(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    assign = _ivf_assign(n)
+    a = assign.select(
+        "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
+    )
+    b = assign.select(
+        "cent_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    )
+    sim = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    dropped = (
+        a.join(b, "cent_id")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select(F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    return assign.join(dropped.withColumn("dropped", F.lit(1)), "vec_id", "left").select(
+        "vec_id",
+        F.col("cent_id").alias("cluster"),
+        F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
     )
 
 
