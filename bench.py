@@ -57,6 +57,14 @@ HEADLINE = [
     "q_sessionize_islands",
     "q_rolling_dau",
     "q_rsi",
+    # r3 additions: curation family, SemDeDup, star components, bands.
+    "q_quality_gopher",
+    "q_mixture_sample",
+    "q_corpus_profile",
+    "q_embed_outliers",
+    "q_semdedup",
+    "q_bollinger",
+    "q_max_drawdown",
 ]
 
 
