@@ -100,6 +100,7 @@ _R3_NEW = [
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",
+    "q_ann_pq",
 ]
 
 #: r1-head entries used to pad the window to 50 (all driver-green in r1;

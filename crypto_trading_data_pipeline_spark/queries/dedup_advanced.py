@@ -425,6 +425,158 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str):
     )
 
 
+#: PQ geometry: 64-dim vectors -> 4 subspaces x 16 dims, 8 codewords per
+#: subspace (vec_id < 8's subvectors — same deterministic-codebook move as
+#: q_kmeans_assign). A vector compresses to 4 codes (3 bits each): the
+#: memory-side ANN answer — 64 floats -> half a byte, distances served
+#: from an 8-entry lookup table per (query, subspace).
+_PQ_M, _PQ_DSUB, _PQ_K = 4, 16, 8
+_PQ_N_QUERIES = 5
+
+
+@query(
+    "q_ann_pq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), sub AS (
+      SELECT vec_id, j, v[1+{_PQ_DSUB}*j : {_PQ_DSUB}*(j+1)] AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS j)
+    ), cb AS (
+      SELECT j, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {_PQ_K}
+    ), enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, cb.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                           i -> (s.sv[i]-cb.cw[i])*(s.sv[i]-cb.cw[i])), 'sum'), 6),
+                          cb.code
+               ) AS rc
+        FROM sub s JOIN cb ON s.j = cb.j
+      ) WHERE rc = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(sum(round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                   i -> (q.sv[i]-cb.cw[i])*(q.sv[i]-cb.cw[i])), 'sum'), 6)), 6) AS adist
+      FROM sub q
+      JOIN enc x ON q.j = x.j AND x.vec_id <> q.vec_id
+      JOIN cb ON cb.j = x.j AND cb.code = x.code
+      WHERE q.vec_id < {_PQ_N_QUERIES}
+      GROUP BY q.vec_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "Product-quantization ANN (Jégou et al. 2011): each vector is "
+        "encoded as 4 sub-codes (nearest of 8 fixed codewords per 16-dim "
+        "subspace), and query distance is ASYMMETRIC — the query's exact "
+        "subvectors against the neighbor's codewords, served from a "
+        "4x8-entry lookup table per query. Both encoding and the ADC scan "
+        "are NARROW in Spark: the codebook (k x m x dsub floats) and the "
+        "per-query LUTs are inlined literals, so the corpus is never "
+        "joined or shuffled until the final top-k window over "
+        "|queries| x |corpus| scored rows. This is the memory story the "
+        "other ANN paths lack: 64 floats -> 4 codes means the index for a "
+        "trillion vectors fits a cluster's RAM; IVF bounds compute, PQ "
+        "bounds bytes, IVF+PQ at 100 TB composes the two (compose "
+        "q_ann_ivf's assignment with this encoding)."
+    ),
+)
+def q_ann_pq(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+
+    # Codebook: k x m subvectors, collected once (k=8 rows by construction).
+    cb_rows = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in n.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    cb = [
+        [cb_rows[code][j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for code in range(_PQ_K)]
+        for j in range(_PQ_M)
+    ]
+
+    # Encode: per subspace, argmin over the 8 inlined codewords — narrow.
+    def sub_d2(j: int, code: int):
+        sv = [F.col("v")[j * _PQ_DSUB + i] for i in range(_PQ_DSUB)]
+        acc = F.lit(0.0)
+        for i in range(_PQ_DSUB):
+            diff = sv[i] - F.lit(cb[j][code][i])
+            acc = acc + diff * diff
+        return F.round(acc, 6)
+
+    def code_for(j: int):
+        scored = F.array(
+            *[
+                F.struct(sub_d2(j, code).alias("d2"), F.lit(code).alias("code"))
+                for code in range(_PQ_K)
+            ]
+        )
+        return F.array_min(scored)["code"]
+
+    enc = n.select(
+        "vec_id", *[code_for(j).alias(f"c{j}") for j in range(_PQ_M)]
+    )
+
+    # Per-query ADC lookup tables, computed driver-side in the same
+    # left-to-right float64 fold order as both engines' array sums.
+    q_rows = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in n.filter(F.col("vec_id") < _PQ_N_QUERIES).collect()
+    }
+
+    def lut_entry(qv: list[float], j: int, code: int) -> float:
+        acc = 0.0
+        for i in range(_PQ_DSUB):
+            d = qv[j * _PQ_DSUB + i] - cb[j][code][i]
+            acc += d * d
+        return round(acc, 6)
+
+    queries_lit = F.array(
+        *[
+            F.struct(
+                F.lit(qid).alias("query_id"),
+                F.array(
+                    *[
+                        F.array(*[F.lit(lut_entry(qv, j, code)) for code in range(_PQ_K)])
+                        for j in range(_PQ_M)
+                    ]
+                ).alias("lut"),
+            )
+            for qid, qv in sorted(q_rows.items())
+        ]
+    )
+
+    scored = (
+        enc.withColumn("q", F.explode(queries_lit))
+        .filter(F.col("vec_id") != F.col("q.query_id"))
+        .select(
+            F.col("q.query_id").alias("query_id"),
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(
+                sum(
+                    F.element_at(
+                        F.element_at(F.col("q.lut"), j + 1), F.col(f"c{j}") + 1
+                    )
+                    for j in range(_PQ_M)
+                ),
+                6,
+            ).alias("adist"),
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
+    return (
+        scored.withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select("query_id", "neighbor_id", "adist", "rnk")
+    )
+
+
 #: SemDeDup drop threshold — tuned to the fixture's similarity range (max
 #: within-cluster cosine ≈ 0.48 on random unit vectors; real embedding
 #: corpora use 0.95+). The MACHINERY is what scales, not the constant.
