@@ -66,7 +66,13 @@ _GOPHER_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "it"]
         "keep flag so curation can audit WHY a document was dropped — the "
         "per-rule rejection histogram is the standard curation report. "
         "Entirely row-local (one narrow pass, no shuffle); ratios are "
-        "single integer divisions, bit-identical across engines."
+        "single integer divisions, bit-identical across engines. The "
+        "top-token count is LINEAR per row: sort the tokens, then one "
+        "fold over the sorted array tracking the longest equal-run — the "
+        "max run of a sorted array IS the max term frequency. (The naive "
+        "distinct x len counting transform is O(d*n) per row: a 100k-token "
+        "doc costs ~10^10 comparisons inside ONE task with no parallelism "
+        "to hide it; the oracle keeps that form as the readable spec.)"
     ),
 )
 def q_quality_gopher(spark: SparkSession, sf_dir: str):
@@ -78,12 +84,23 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str):
         F.aggregate("toks", F.lit(0), lambda acc, w: acc + F.length(w)).cast("double") / n
     )
     stop_hits = F.size(F.filter(F.array_distinct("toks"), lambda w: F.array_contains(stop, w)))
+    # Max term frequency = longest run in the sorted token array: one
+    # O(n log n) sort + one O(n) fold, all row-local codegen.
+    run_step = lambda acc, w: F.when(w == acc["prev"], acc["run"] + 1).otherwise(F.lit(1))  # noqa: E731
     top_share = (
-        F.array_max(
-            F.transform(
-                F.array_distinct("toks"),
-                lambda w: F.size(F.filter("toks", lambda x: x == w)),
-            )
+        F.aggregate(
+            F.array_sort("toks"),
+            F.struct(
+                F.lit(None).cast("string").alias("prev"),
+                F.lit(0).alias("run"),
+                F.lit(0).alias("best"),
+            ),
+            lambda acc, w: F.struct(
+                w.alias("prev"),
+                run_step(acc, w).alias("run"),
+                F.greatest(acc["best"], run_step(acc, w)).alias("best"),
+            ),
+            lambda acc: acc["best"],
         ).cast("double")
         / n
     )
@@ -118,6 +135,12 @@ def q_quality_gopher(spark: SparkSession, sf_dir: str):
 #: over-represented crawls before training.
 _MIX_FRACTION = 0.4
 
+#: Hash-range buckets for the two-phase quota selection. The boundary
+#: bucket of a source holds ~1/_MIX_BUCKETS of its rows (md5-uniform), so
+#: the only sorted partition is bounded at source_size/_MIX_BUCKETS.
+_MIX_BUCKETS = 256
+_MIX_BUCKET_WIDTH = -(-dedup_hash.MINHASH_P // _MIX_BUCKETS)  # ceil div
+
 
 @query(
     "q_mixture_sample",
@@ -142,9 +165,20 @@ _MIX_FRACTION = 0.4
         "min(quota, available) documents, chosen by deterministic id-hash "
         "rank so the draw is reproducible and append-stable per source. "
         "This is the rebalancing step that stops one over-crawled source "
-        "from dominating a training mix. One shuffle on source for the "
-        "rank; the corpus-wide budget/quota is a one-row aggregate "
-        "broadcast (never a global window — no SinglePartition exchange)."
+        "from dominating a training mix.\n\n"
+        "Scale shape: NOT a per-source row_number over the whole corpus — "
+        "with O(100) sources at 100 TB that window sends ~1 TB per source "
+        "through one sort task. Instead a two-phase distributed selection: "
+        "(1) a per-(source, hash-range-bucket) histogram (tiny: sources x "
+        f"{_MIX_BUCKETS} rows) whose running sum locates each source's "
+        "boundary bucket and the residual rows needed from it; (2) rows in "
+        "buckets strictly below the boundary are kept with a broadcast "
+        "semi-join check (narrow), and only the boundary bucket — "
+        f"~1/{_MIX_BUCKETS} of one source — is ranked, in a window keyed "
+        "on (source, bucket). Bucket order is hash order, so the kept set "
+        "is bit-identical to the single-sort rank's first-quota rows. The "
+        "oracle states the semantics with the plain rank; the Spark plan "
+        "is the scaled equivalent."
     ),
 )
 def q_mixture_sample(spark: SparkSession, sf_dir: str):
@@ -156,12 +190,43 @@ def q_mixture_sample(spark: SparkSession, sf_dir: str):
         ).alias("quota")
     )
     h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
-    w = Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id"))
-    return (
-        docs.select("doc_id", "source", F.row_number().over(w).alias("rk"))
-        .join(F.broadcast(totals))
-        .filter(F.col("rk") <= F.col("quota"))
-        .select("doc_id", "source")
+    base = docs.select(
+        "doc_id", "source", h.alias("h"), (h / _MIX_BUCKET_WIDTH).cast("int").alias("b")
+    )
+
+    # Phase 1: per-(source, bucket) histogram -> boundary bucket + residual.
+    # |hist| <= n_sources * _MIX_BUCKETS, so the cumulative window is tiny.
+    hist = base.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source", "b", "cnt", F.coalesce(F.sum("cnt").over(wcum), F.lit(0)).alias("below")
+    ).join(F.broadcast(totals))
+    # Exactly one bucket per source straddles the quota (sources smaller
+    # than the quota have none -> every row kept via the null boundary).
+    bound = cum.filter(
+        (F.col("below") < F.col("quota")) & (F.col("below") + F.col("cnt") >= F.col("quota"))
+    ).select(
+        "source",
+        F.col("b").alias("b_star"),
+        (F.col("quota") - F.col("below")).alias("need"),
+    )
+
+    # Phase 2: whole buckets below the boundary keep without sorting; only
+    # the boundary bucket is ranked (bounded at ~source_size/_MIX_BUCKETS).
+    j = base.join(F.broadcast(bound), "source", "left")
+    keep_whole = j.filter(F.col("b_star").isNull() | (F.col("b") < F.col("b_star")))
+    wb = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    boundary = (
+        j.filter(F.col("b") == F.col("b_star"))
+        .withColumn("rk", F.row_number().over(wb))
+        .filter(F.col("rk") <= F.col("need"))
+    )
+    return keep_whole.select("doc_id", "source").unionAll(
+        boundary.select("doc_id", "source")
     )
 
 
