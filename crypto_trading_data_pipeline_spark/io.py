@@ -8,9 +8,9 @@ Kafka/file/rate sources for streaming (see sources.py / streaming/).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType
+from pyspark.sql.types import LongType, TimestampNTZType
 
 from .session import apply_runtime_conf
 
@@ -39,6 +39,51 @@ BROADCAST_TABLES = frozenset({"region", "nation", "supplier"})
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
+def _as_timestamp(col: Column | str) -> Column:
+    """Type-agnostic TIMESTAMP view of a timestamp-ish column.
+
+    A no-op on TimestampType; on TIMESTAMP_NTZ it reinterprets the wall
+    clock in the session timezone (pinned UTC in RUNTIME_CONF, so values
+    are identical). Lets epoch math (unix_micros/unix_millis, long/double
+    casts) work regardless of which type the parquet reader produced —
+    those expressions reject NTZ inputs at plan time on Spark >= 3.4.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    return c.cast("timestamp")
+
+
+def ts_micros(col: Column | str) -> Column:
+    """Epoch microseconds of a TIMESTAMP or TIMESTAMP_NTZ column (UTC)."""
+    return F.unix_micros(_as_timestamp(col))
+
+
+def ts_millis(col: Column | str) -> Column:
+    """Epoch milliseconds of a TIMESTAMP or TIMESTAMP_NTZ column (UTC)."""
+    return F.unix_millis(_as_timestamp(col))
+
+
+def ts_seconds(col: Column | str) -> Column:
+    """Epoch seconds (LONG, truncated) of a timestamp-ish column (UTC)."""
+    return _as_timestamp(col).cast("long")
+
+
+def ts_seconds_d(col: Column | str) -> Column:
+    """Epoch seconds (DOUBLE, fractional) of a timestamp-ish column (UTC)."""
+    return _as_timestamp(col).cast("double")
+
+
+def _normalize_ntz(df: DataFrame) -> DataFrame:
+    """Cast any TIMESTAMP_NTZ column to TIMESTAMP (session tz is UTC, so
+    values are unchanged). Normally dead: inferTimestampNTZ=false makes the
+    scan produce TIMESTAMP directly, which also keeps filter pushdown on the
+    raw column. This is the fallback for sessions where that conf is static
+    or pre-set — a post-scan cast beats a plan-time AnalysisException."""
+    ntz = [f.name for f in df.schema.fields if isinstance(f.dataType, TimestampNTZType)]
+    for name in ntz:
+        df = df.withColumn(name, F.col(name).cast("timestamp"))
+    return df
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Applies engine runtime conf (UTC tz, AQE) so
     queries behave identically whether the session is ours or the driver's."""
@@ -47,7 +92,7 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
-    return df
+    return _normalize_ntz(df)
 
 
 def read_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
@@ -84,11 +129,14 @@ def events_between(
         if ts_to is not None:
             df = df.filter(F.col("ts") < F.lit(_ns(ts_to)))
         return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    # Literal cast to the column's OWN type so the comparison stays on the
+    # raw scan column and pushes down (a cast on the column side would not).
+    ts_type = "timestamp_ntz" if isinstance(df.schema["ts"].dataType, TimestampNTZType) else "timestamp"
     if ts_from is not None:
-        df = df.filter(F.col("ts") >= F.lit(ts_from).cast("timestamp"))
+        df = df.filter(F.col("ts") >= F.lit(ts_from).cast(ts_type))
     if ts_to is not None:
-        df = df.filter(F.col("ts") < F.lit(ts_to).cast("timestamp"))
-    return df
+        df = df.filter(F.col("ts") < F.lit(ts_to).cast(ts_type))
+    return _normalize_ntz(df)
 
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:

@@ -11,7 +11,7 @@ from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import DecimalType
 
-from ..io import events_between, read_table
+from ..io import events_between, read_table, ts_millis
 from ..operators.candles import ohlcv
 from . import query
 
@@ -147,7 +147,7 @@ def q_decimal_cast_arith(spark: SparkSession, sf_dir: str):
 )
 def q_epoch_to_ts(spark: SparkSession, sf_dir: str):
     e = read_table(spark, sf_dir, "events")
-    ms = F.unix_millis(F.col("ts"))
+    ms = ts_millis("ts")
     return e.select(
         "event_id",
         ms.alias("epoch_millis"),

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import read_table, ts_micros, ts_seconds, ts_seconds_d
 from ..operators.joins import asof_join
 from . import query
 
@@ -1269,7 +1269,7 @@ def q_window_range_frame(spark: SparkSession, sf_dir: str):
     events = read_table(spark, sf_dir, "events")
     w = (
         Window.partitionBy("user_id")
-        .orderBy(F.col("ts").cast("long"))
+        .orderBy(ts_seconds("ts"))
         .rangeBetween(-3600, 0)
     )
     return events.select(
@@ -1479,7 +1479,7 @@ def q_math_funcs(spark: SparkSession, sf_dir: str):
 )
 def q_regression(spark: SparkSession, sf_dir: str):
     e = read_table(spark, sf_dir, "events")
-    x = (F.col("ts").cast("double") - F.lit(1704067200.0)) / 86400
+    x = (ts_seconds_d("ts") - F.lit(1704067200.0)) / 86400
     v = F.col("value")
     return e.groupBy("event_type").agg(
         F.regr_count(v, x).alias("n"),
@@ -1779,7 +1779,7 @@ def q_sessionize_islands(spark: SparkSession, sf_dir: str):
     e = read_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     prev = F.lag("ts").over(w)
-    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(prev)
+    gap_us = ts_micros("ts") - ts_micros(prev)
     new_sess = F.when(prev.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0)
     sess_no = F.sum(new_sess).over(w.rowsBetween(Window.unboundedPreceding, 0))
     return (
@@ -2146,7 +2146,7 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str):
             F.col("a_ts") + F.expr("INTERVAL 5 MINUTES"),
         ),
     )
-    gap = F.abs(F.unix_micros("ts") - F.unix_micros("a_ts"))
+    gap = F.abs(ts_micros("ts") - ts_micros("a_ts"))
     w = Window.partitionBy("a_id").orderBy(gap.asc(), F.col("event_id").asc())
     return (
         cand.withColumn("gap_us", gap)

@@ -31,6 +31,14 @@ RUNTIME_CONF = {
     # Parquet TIMESTAMP(NANOS) (events.ts fixture) is rejected by Spark's
     # schema converter; read as epoch-nanos LONG and convert in read_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Parquet timestamp[us] with isAdjustedToUTC=false would otherwise infer
+    # as TIMESTAMP_NTZ (Spark >= 3.4 default true), and TIMESTAMP-only
+    # expressions (unix_micros/unix_millis, long casts) reject NTZ at plan
+    # time. Session tz is pinned UTC above, so reading NTZ fixtures as
+    # TIMESTAMP is value-identical and keeps the whole epoch-math surface
+    # available. read_table additionally normalizes any NTZ column that
+    # slips through (e.g. a session where this conf is static).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
     # Split size for file scans. 128 MB (the default, pinned deliberately):
     # big enough that per-task overhead amortizes, small enough that a
     # task's working set fits executor memory alongside shuffle buffers.
