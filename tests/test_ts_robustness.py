@@ -1,0 +1,113 @@
+"""Timestamp-flavor robustness: every registered query must PLAN no matter
+which flavor the parquet fixtures carry.
+
+Round 4's defining defect: the driver regenerated the fixtures with
+``timestamp[us]`` / ``isAdjustedToUTC=false``, Spark >= 3.4 inferred
+TIMESTAMP_NTZ, and five queries died at plan time on TIMESTAMP-only
+expressions (unix_micros/unix_millis, long/double casts). The engine now
+defends in io.read_table (inferTimestampNTZ=false + a NTZ->TIMESTAMP
+normalization cast) and with type-agnostic epoch helpers; this test is the
+tripwire that catches the NEXT environment shift of this class before the
+driver does.
+
+The sweep runs with ``spark.sql.parquet.inferTimestampNTZ.enabled=true``
+monkeypatched into RUNTIME_CONF — the HOSTILE world where our primary
+defense (the conf) is absent, so NTZ columns really reach the DataFrames
+and only the normalization cast + helpers stand between a query and an
+AnalysisException. Both fixture flavors are swept:
+
+- ntz: timestamp[us], isAdjustedToUTC=false (today's driver fixtures)
+- ltz: timestamp[us, tz=UTC]                (the r1-r3 world)
+"""
+
+from __future__ import annotations
+
+import os
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from crypto_trading_data_pipeline_spark import session
+from crypto_trading_data_pipeline_spark.io import TABLES
+from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+SF = "/root/testdata/sf0.001"
+
+#: Fixture tables carrying a timestamp column (events.ts, orders.o_orderdate,
+#: lineitem.l_shipdate at the current fixtures) get rewritten per flavor;
+#: everything else is symlinked.
+_FLAVORS = ("ntz", "ltz")
+
+
+def _retype(table: pa.Table, flavor: str) -> pa.Table:
+    target = pa.timestamp("us") if flavor == "ntz" else pa.timestamp("us", tz="UTC")
+    for i, field in enumerate(table.schema):
+        if pa.types.is_timestamp(field.type):
+            col = table.column(i)
+            if field.type.tz is None and flavor == "ltz":
+                # naive -> UTC-annotated: same instant, wall clock read as UTC
+                col = col.cast(pa.timestamp("us")).cast(target)
+            else:
+                col = col.cast(target)
+            table = table.set_column(i, pa.field(field.name, target), col)
+    return table
+
+
+@pytest.fixture(scope="module")
+def flavor_dirs(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ts_flavors")
+    dirs = {}
+    for flavor in _FLAVORS:
+        d = root / flavor
+        d.mkdir()
+        for t in TABLES:
+            src = f"{SF}/{t}.parquet"
+            table = pq.read_table(src)
+            if any(pa.types.is_timestamp(f.type) for f in table.schema):
+                pq.write_table(_retype(table, flavor), str(d / f"{t}.parquet"))
+            else:
+                os.symlink(src, str(d / f"{t}.parquet"))
+        dirs[flavor] = str(d)
+    return dirs
+
+
+@pytest.mark.parametrize("flavor", _FLAVORS)
+def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatch, flavor):
+    """Sweep REGISTRY building the executed plan against one flavor with the
+    inferTimestampNTZ defense DISABLED — would have caught all five r4
+    breaks (and catches regressions to raw unix_micros/long-cast usage)."""
+    monkeypatch.setitem(
+        session.RUNTIME_CONF, "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+    )
+    sf_dir = flavor_dirs[flavor]
+    failures: list[str] = []
+    for name in REGISTRY:
+        try:
+            df = REGISTRY[name].fn(spark, sf_dir)
+            df._jdf.queryExecution().executedPlan()
+        except Exception as exc:  # noqa: BLE001 — the failure IS the finding
+            failures.append(f"{name}: {str(exc).splitlines()[0][:200]}")
+    if failures:
+        pytest.fail(
+            f"{len(failures)}/{len(REGISTRY)} queries fail to plan on "
+            f"{flavor} fixtures:\n" + "\n".join(failures)
+        )
+
+
+def test_epoch_helpers_value_identical_across_flavors(spark, flavor_dirs, monkeypatch):
+    """The helpers must not just plan — they must return the SAME epoch
+    values for the same wall clock on both flavors (session tz pinned UTC)."""
+    from crypto_trading_data_pipeline_spark.io import read_table, ts_micros
+
+    monkeypatch.setitem(
+        session.RUNTIME_CONF, "spark.sql.parquet.inferTimestampNTZ.enabled", "true"
+    )
+    vals = {}
+    for flavor in _FLAVORS:
+        df = read_table(spark, flavor_dirs[flavor], "events")
+        vals[flavor] = {
+            r["event_id"]: r["us"]
+            for r in df.select("event_id", ts_micros("ts").alias("us")).limit(50).collect()
+        }
+    assert vals["ntz"] == vals["ltz"]
