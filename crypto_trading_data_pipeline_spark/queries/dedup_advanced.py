@@ -309,7 +309,15 @@ _EMBED_EXACT_MAX_ROWS = 100_000
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    n_rows = emb.count()
+    # Guard on the parquet footer's row count (driver-side, O(footer read))
+    # rather than emb.count(): an eager count here ran a full Spark job for
+    # every plan-only consumer of this DataFrame (.explain, plan gates).
+    try:
+        import pyarrow.parquet as _pq
+
+        n_rows = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
+    except Exception:  # noqa: BLE001 — non-file layout: pay the exact count
+        n_rows = emb.count()
     if n_rows > _EMBED_EXACT_MAX_ROWS:
         raise ValueError(
             f"q_embed_neardup is the EXACT all-pairs baseline: {n_rows} rows "
@@ -531,11 +539,16 @@ def q_ann_pq(spark: SparkSession, sf_dir: str):
     }
 
     def lut_entry(qv: list[float], j: int, code: int) -> float:
+        # HALF_UP to match Spark's F.round / DuckDB's round on the other
+        # side of the comparison — Python's built-in round is banker's
+        # (half-to-even) and disagrees on exact .5 boundaries.
+        from decimal import ROUND_HALF_UP, Decimal
+
         acc = 0.0
         for i in range(_PQ_DSUB):
             d = qv[j * _PQ_DSUB + i] - cb[j][code][i]
             acc += d * d
-        return round(acc, 6)
+        return float(Decimal(repr(acc)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
     queries_lit = F.array(
         *[
@@ -616,8 +629,10 @@ _SEMDEDUP_TAU = 0.30
         "embedding space, CLUSTER-BLOCKED — assign every vector to its "
         "nearest centroid (the q_ann_ivf assignment, shared code), then "
         "drop any vector whose cosine to a LOWER-id vector in the SAME "
-        "cluster reaches the threshold (the standard one-pass greedy "
-        "representative rule, deterministic by id order). Pairwise cost is "
+        "cluster reaches the threshold (dominance-by-lower-id: unlike the "
+        "sequential greedy scan, a vector already marked dropped can still "
+        "dominate later ones — a deterministic, fully-parallel variant "
+        "that keeps at most as many vectors as greedy). Pairwise cost is "
         "sum of squared CLUSTER sizes, not corpus², and the cluster count "
         "is the knob that bounds it — the exact reason SemDeDup clusters "
         "first at web scale. Emits every vector with its cluster and keep "
@@ -626,6 +641,36 @@ _SEMDEDUP_TAU = 0.30
 )
 def q_semdedup(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    return semdedup_flags(emb)
+
+
+#: Monotonic suffix for the SemDeDup CollectMetrics node (same rationale
+#: as _LSH_OBSERVE_SEQ: node names must be unique within one plan).
+_SEMDEDUP_OBSERVE_SEQ = count()
+
+
+def semdedup_flags(emb, observation=None):
+    """SemDeDup keep-flags for an embeddings frame (the q_semdedup core,
+    callable with a ``pyspark.sql.Observation`` for programmatic metrics).
+
+    Cluster skew is OBSERVABLE, not silent (the same contract as the LSH
+    bucket cap at _lsh_candidate_pairs): the pairwise stage costs
+    sum(|cluster|^2), so one degenerate giant cluster — a collapsed
+    embedding space, a bad centroid draw — silently re-creates the
+    quadratic corpus blowup SemDeDup exists to avoid. A CollectMetrics
+    node reports max/p99 cluster size, the EXACT pairwise row count (sum
+    over vectors of their cluster's size = sum of squared sizes) and the
+    cluster count. Placement is load-bearing: metrics inside a subtree
+    that AQE turns into a broadcast stage come back EMPTY (broadcast jobs
+    bypass the observed-metrics flow), and the dropped-id set — which
+    contains the whole pair join — broadcasts exactly in the small/benign
+    regime. The window+observe therefore ride the LEFT side of the final
+    left-outer join: Spark can only build-right a left-outer broadcast
+    join, so that side is always streamed and the metrics always fire, at
+    the cost of one narrow (vec_id, cent_id) exchange. A max_cluster_size
+    near the corpus size means the centroid set must be re-drawn or k
+    raised; that is a data decision, so the engine surfaces the number
+    instead of silently capping pairs."""
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
@@ -644,7 +689,26 @@ def q_semdedup(spark: SparkSession, sf_dir: str):
         .select(F.col("a_id").alias("vec_id"))
         .distinct()
     )
-    return assign.join(dropped.withColumn("dropped", F.lit(1)), "vec_id", "left").select(
+    flagged = assign.select("vec_id", "cent_id").withColumn(
+        "csize", F.count(F.lit(1)).over(Window.partitionBy("cent_id"))
+    )
+    metrics = [
+        F.max("csize").alias("max_cluster_size"),
+        F.expr("approx_percentile(csize, 0.99)").alias("p99_cluster_size"),
+        F.sum("csize").alias("pairwise_rows"),
+        # DISTINCT aggregates are rejected inside CollectMetrics; the HLL
+        # sketch is exact at any plausible cluster-count cardinality.
+        F.approx_count_distinct(F.col("cent_id")).alias("n_clusters"),
+    ]
+    if observation is not None:
+        flagged = flagged.observe(observation, *metrics)
+    else:
+        flagged = flagged.observe(
+            f"semdedup_cluster_stats_{next(_SEMDEDUP_OBSERVE_SEQ)}", *metrics
+        )
+    return flagged.drop("csize").join(
+        dropped.withColumn("dropped", F.lit(1)), "vec_id", "left"
+    ).select(
         "vec_id",
         F.col("cent_id").alias("cluster"),
         F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),

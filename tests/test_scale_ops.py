@@ -326,3 +326,43 @@ def test_compact_files_recovers_from_mid_swap_crash(spark, tmp_path):
     compact_files(spark, path, target_file_bytes=64 * 1024 * 1024)
     assert spark.read.parquet(path).count() == 5_000
     assert not os.path.exists(path + ".old")
+
+
+def test_semdedup_cluster_skew_is_observable(spark):
+    """A degenerate giant cluster silently re-creates the corpus-quadratic
+    pairwise cost SemDeDup exists to avoid (VERDICT r3 #5 / r4 #5): the
+    CollectMetrics node riding the pair join's build side must report it.
+    Degenerate fixture (every vector nearest the single centroid) -> one
+    cluster of 10, pairwise_rows = 10^2; balanced two-centroid fixture ->
+    two clusters of 50, pairwise_rows = 2 * 50^2."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        semdedup_flags,
+    )
+
+    # _ivf_assign draws centroids at vec_id % 50 == 0: ids 0..9 -> only
+    # vec_id 0 is a centroid, so every vector lands in its cluster.
+    degen = spark.createDataFrame(
+        [(i, [1.0, 0.01 * i]) for i in range(10)], "vec_id: long, embedding: array<double>"
+    )
+    obs = Observation("semdedup_degen")
+    semdedup_flags(degen, observation=obs).count()
+    m = obs.get
+    assert m["n_clusters"] == 1, m
+    assert m["max_cluster_size"] == 10, m
+    assert m["pairwise_rows"] == 100, m
+
+    # ids 0..99 -> centroids {0, 50}; group A hugs [1, 0] (centroid 0),
+    # group B hugs [0, 1] (centroid 50): two balanced clusters of 50.
+    balanced = spark.createDataFrame(
+        [(i, [1.0, 0.001 * i]) for i in range(50)]
+        + [(i, [0.001 * (i - 50), 1.0]) for i in range(50, 100)],
+        "vec_id: long, embedding: array<double>",
+    )
+    obs2 = Observation("semdedup_balanced")
+    semdedup_flags(balanced, observation=obs2).count()
+    m2 = obs2.get
+    assert m2["n_clusters"] == 2, m2
+    assert m2["max_cluster_size"] == 50, m2
+    assert m2["pairwise_rows"] == 5000, m2
