@@ -57,6 +57,8 @@ HEADLINE = [
     "q_sessionize_islands",
     "q_rolling_dau",
     "q_rsi",
+    # r5 addition: the composed IVF+PQ index (the real 100 TB ANN path).
+    "q_ann_ivfpq",
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
     "q_mixture_sample",

@@ -491,25 +491,39 @@ _PQ_N_QUERIES = 5
         "|queries| x |corpus| scored rows. This is the memory story the "
         "other ANN paths lack: 64 floats -> 4 codes means the index for a "
         "trillion vectors fits a cluster's RAM; IVF bounds compute, PQ "
-        "bounds bytes, IVF+PQ at 100 TB composes the two (compose "
-        "q_ann_ivf's assignment with this encoding)."
+        "bounds bytes, IVF+PQ at 100 TB composes the two — q_ann_ivfpq is "
+        "that composition."
     ),
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
     n = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    cb = _pq_codebook(n)
+    enc = _pq_encode(n, cb)
+    probed = enc.withColumn("q", F.explode(_pq_query_structs(n, cb))).filter(
+        F.col("vec_id") != F.col("q.query_id")
+    )
+    return _pq_adc_topk(probed)
 
-    # Codebook: k x m subvectors, collected once (k=8 rows by construction).
+
+def _pq_codebook(n):
+    """k x m x dsub codebook from the deterministic vec_id < k subvectors —
+    collected once (k=8 rows by construction, bounded driver traffic)."""
     cb_rows = {
         int(r.vec_id): [float(x) for x in r.v]
-        for r in n.filter(F.col("vec_id") < _PQ_K).collect()
+        for r in n.select("vec_id", "v").filter(F.col("vec_id") < _PQ_K).collect()
     }
-    cb = [
+    return [
         [cb_rows[code][j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for code in range(_PQ_K)]
         for j in range(_PQ_M)
     ]
 
-    # Encode: per subspace, argmin over the 8 inlined codewords — narrow.
+
+def _pq_encode(df, cb, keep=("vec_id",)):
+    """PQ-encode the ``v`` column against an inlined codebook: per subspace,
+    argmin over the k codewords — a NARROW projection (no join, no shuffle);
+    ``keep`` columns ride along (e.g. the IVF cluster id for q_ann_ivfpq)."""
+
     def sub_d2(j: int, code: int):
         sv = [F.col("v")[j * _PQ_DSUB + i] for i in range(_PQ_DSUB)]
         acc = F.lit(0.0)
@@ -527,15 +541,19 @@ def q_ann_pq(spark: SparkSession, sf_dir: str):
         )
         return F.array_min(scored)["code"]
 
-    enc = n.select(
-        "vec_id", *[code_for(j).alias(f"c{j}") for j in range(_PQ_M)]
+    return df.select(
+        *keep, *[code_for(j).alias(f"c{j}") for j in range(_PQ_M)]
     )
 
-    # Per-query ADC lookup tables, computed driver-side in the same
-    # left-to-right float64 fold order as both engines' array sums.
+
+def _pq_query_structs(n, cb, qcent=None):
+    """Array literal of per-query ADC lookup tables, computed driver-side in
+    the same left-to-right float64 fold order as both engines' array sums.
+    With ``qcent`` (query id -> IVF cluster id), each struct also carries
+    the query's cluster so the probe can filter to it row-locally."""
     q_rows = {
         int(r.vec_id): [float(x) for x in r.v]
-        for r in n.filter(F.col("vec_id") < _PQ_N_QUERIES).collect()
+        for r in n.select("vec_id", "v").filter(F.col("vec_id") < _PQ_N_QUERIES).collect()
     }
 
     def lut_entry(qv: list[float], j: int, code: int) -> float:
@@ -550,37 +568,39 @@ def q_ann_pq(spark: SparkSession, sf_dir: str):
             acc += d * d
         return float(Decimal(repr(acc)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
-    queries_lit = F.array(
-        *[
-            F.struct(
-                F.lit(qid).alias("query_id"),
-                F.array(
-                    *[
-                        F.array(*[F.lit(lut_entry(qv, j, code)) for code in range(_PQ_K)])
-                        for j in range(_PQ_M)
-                    ]
-                ).alias("lut"),
-            )
-            for qid, qv in sorted(q_rows.items())
-        ]
-    )
-
-    scored = (
-        enc.withColumn("q", F.explode(queries_lit))
-        .filter(F.col("vec_id") != F.col("q.query_id"))
-        .select(
-            F.col("q.query_id").alias("query_id"),
-            F.col("vec_id").alias("neighbor_id"),
-            F.round(
-                sum(
-                    F.element_at(
-                        F.element_at(F.col("q.lut"), j + 1), F.col(f"c{j}") + 1
-                    )
+    structs = []
+    for qid, qv in sorted(q_rows.items()):
+        fields = [
+            F.lit(qid).alias("query_id"),
+            F.array(
+                *[
+                    F.array(*[F.lit(lut_entry(qv, j, code)) for code in range(_PQ_K)])
                     for j in range(_PQ_M)
-                ),
-                6,
-            ).alias("adist"),
-        )
+                ]
+            ).alias("lut"),
+        ]
+        if qcent is not None:
+            fields.append(F.lit(int(qcent[qid])).alias("qcent"))
+        structs.append(F.struct(*fields))
+    return F.array(*structs)
+
+
+def _pq_adc_topk(probed):
+    """ADC scoring + per-query top-3 over an exploded (codes, q-struct)
+    frame: distance is 4 lookups into the query's LUT literal — row-local —
+    and the only shuffle in the whole PQ path is this final rank window."""
+    scored = probed.select(
+        F.col("q.query_id").alias("query_id"),
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(
+            sum(
+                F.element_at(
+                    F.element_at(F.col("q.lut"), j + 1), F.col(f"c{j}") + 1
+                )
+                for j in range(_PQ_M)
+            ),
+            6,
+        ).alias("adist"),
     )
     wr = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
@@ -588,6 +608,100 @@ def q_ann_pq(spark: SparkSession, sf_dir: str):
         .filter(F.col("rnk") <= 3)
         .select("query_id", "neighbor_id", "adist", "rnk")
     )
+
+
+@query(
+    "q_ann_ivfpq",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, cent_id FROM (
+        SELECT n.vec_id, cent.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                          cent.cent_id
+               ) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ), sub AS (
+      SELECT vec_id, j, v[1+{_PQ_DSUB}*j : {_PQ_DSUB}*(j+1)] AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS j)
+    ), cb AS (
+      SELECT j, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {_PQ_K}
+    ), enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, cb.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                           i -> (s.sv[i]-cb.cw[i])*(s.sv[i]-cb.cw[i])), 'sum'), 6),
+                          cb.code
+               ) AS rc
+        FROM sub s JOIN cb ON s.j = cb.j
+      ) WHERE rc = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(sum(round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                   i -> (q.sv[i]-cb.cw[i])*(q.sv[i]-cb.cw[i])), 'sum'), 6)), 6) AS adist
+      FROM sub q
+      JOIN assign qa ON qa.vec_id = q.vec_id
+      JOIN enc x ON q.j = x.j AND x.vec_id <> q.vec_id
+      JOIN assign xa ON xa.vec_id = x.vec_id AND xa.cent_id = qa.cent_id
+      JOIN cb ON cb.j = x.j AND cb.code = x.code
+      WHERE q.vec_id < {_PQ_N_QUERIES}
+      GROUP BY q.vec_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "IVF+PQ composed ANN (the FAISS IVFPQ layout, Jégou et al. 2011 "
+        "§V): the coarse quantizer (q_ann_ivf's nearest-centroid "
+        "assignment, shared _ivf_assign) partitions the corpus, PQ codes "
+        "(shared _pq_encode) compress it, and a query probes ONLY its own "
+        "cluster with the ADC lookup-table scan. This is the index that "
+        "actually serves 100 TB: IVF divides the scan by |clusters|, PQ "
+        "divides the bytes by ~128x, and both sides of the probe are "
+        "narrow — centroids broadcast, LUTs inlined literals, the "
+        "cluster filter evaluated row-locally against the query structs "
+        "(explode of the per-row-filtered 5-element literal), so the only "
+        "shuffle is the final per-query top-k window."
+    ),
+)
+def q_ann_ivfpq(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    assign = _ivf_assign(n)
+    cb = _pq_codebook(n)
+    # Query->cluster map: bounded collect (5 rows; the vec_id filter pushes
+    # through the assignment window because vec_id is its partition key).
+    qcent = {
+        int(r.vec_id): int(r.cent_id)
+        for r in assign.select("vec_id", "cent_id")
+        .filter(F.col("vec_id") < _PQ_N_QUERIES)
+        .collect()
+    }
+    enc = _pq_encode(assign, cb, keep=("vec_id", "cent_id"))
+    queries_lit = _pq_query_structs(n, cb, qcent=qcent)
+    # Inverted-list probe, row-local: keep only the queries assigned to
+    # THIS row's cluster (filter over the 5-element literal), then explode.
+    # Plain explode (not outer) drops out-of-cluster rows — IVF semantics.
+    probed = enc.withColumn(
+        "q",
+        F.explode(F.filter(queries_lit, lambda s: s["qcent"] == F.col("cent_id"))),
+    ).filter(F.col("vec_id") != F.col("q.query_id"))
+    return _pq_adc_topk(probed)
 
 
 #: SemDeDup drop threshold — tuned to the fixture's similarity range (max
