@@ -52,6 +52,11 @@ RUNTIME_CONF = {
 STARTUP_CONF = {
     "spark.serializer": "org.apache.spark.serializer.KryoSerializer",
     "spark.sql.shuffle.partitions": os.environ.get("SPARK_GRAFT_CPUS", "32"),
+    # local[32] runs all 32 task threads inside ONE JVM whose default heap
+    # is 1 GB — 32 MB/thread, an OOM waiting for the first wide stage (the
+    # 10x scale probe found it). On a cluster this is per-executor memory
+    # and spark-submit overrides it; locally size it to the thread count.
+    "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "12g"),
 }
 
 

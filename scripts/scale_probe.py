@@ -31,16 +31,29 @@ from pyspark.sql import functions as F  # noqa: E402
 from crypto_trading_data_pipeline_spark.io import read_table  # noqa: E402
 from crypto_trading_data_pipeline_spark.session import get_spark  # noqa: E402
 
-QUERIES = ["q_minhash_sig", "q_lsh_pairs", "q_neardup_dedup", "q_tfidf"]
+QUERIES = [
+    "q_minhash_sig",
+    "q_lsh_pairs",
+    "q_neardup_dedup",
+    "q_tfidf",
+    # r5 extension (VERDICT r3 #8 / r4 #8): the rewritten curation pair,
+    # SemDeDup, and the PQ ANN paths measured at 10x, not just argued.
+    "q_quality_gopher",
+    "q_mixture_sample",
+    "q_semdedup",
+    "q_ann_pq",
+    "q_ann_ivfpq",
+]
 
 
 def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
-    """documents x mult: copy 0 is verbatim; copies 1..mult-1 get fresh
-    doc_ids (offset by a stride above the real id range) and a
-    deterministic perturbation — one word in three gets a per-copy suffix —
-    so the synthetic corpus holds a realistic mix of near-duplicates (the
-    LSH recall workload) rather than only byte-identical rows that exact
-    dedup would remove upstream."""
+    """documents & embeddings x mult: copy 0 is verbatim; copies 1..mult-1
+    get fresh ids (offset by a stride above the real id range) and a
+    deterministic perturbation — one word in three gets a per-copy suffix
+    (documents), a per-copy epsilon on every component (embeddings) — so
+    the synthetic corpus holds a realistic mix of near-duplicates (the
+    LSH / SemDeDup recall workload) rather than only byte-identical rows
+    that exact dedup would remove upstream."""
     docs = read_table(spark, src_dir, "documents")
     stride = (docs.agg(F.max("doc_id")).collect()[0][0] or 0) + 1
     copies = [docs]
@@ -64,6 +77,22 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
     for c in copies[1:]:
         out = out.unionByName(c)
     out.write.mode("overwrite").parquet(os.path.join(dst_dir, "documents.parquet"))
+
+    emb = read_table(spark, src_dir, "embeddings")
+    estride = (emb.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    ecopies = [emb]
+    for i in range(1, mult):
+        eperturbed = F.transform(
+            F.col("embedding"), lambda x: x + F.lit(i * 1e-3)
+        ).cast("array<float>")
+        ecopies.append(
+            emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * estride))
+            .withColumn("embedding", eperturbed)
+        )
+    eout = ecopies[0]
+    for c in ecopies[1:]:
+        eout = eout.unionByName(c)
+    eout.write.mode("overwrite").parquet(os.path.join(dst_dir, "embeddings.parquet"))
     return out.count()
 
 
