@@ -496,65 +496,87 @@ _PQ_N_QUERIES = 5
     ),
 )
 def q_ann_pq(spark: SparkSession, sf_dir: str):
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    n = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
-    cb = _pq_codebook(n)
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, q_rows = _pq_collect_cb_queries(emb)
+    n = fan_out(emb).select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     enc = _pq_encode(n, cb)
-    probed = enc.withColumn("q", F.explode(_pq_query_structs(n, cb))).filter(
+    probed = enc.withColumn("q", F.explode(_pq_query_structs(q_rows, cb))).filter(
         F.col("vec_id") != F.col("q.query_id")
     )
     return _pq_adc_topk(probed)
 
 
-def _pq_codebook(n):
-    """k x m x dsub codebook from the deterministic vec_id < k subvectors —
-    collected once (k=8 rows by construction, bounded driver traffic)."""
-    cb_rows = {
+def _pq_collect_cb_queries(emb):
+    """ONE bounded collect serves both the codebook (vec_id < k) and the
+    query vectors (vec_id < n_queries): max(k, nq) = 8 rows through a plain
+    narrow scan with the id predicate pushed to parquet. The collect path
+    deliberately skips fan_out — a repartition shuffle of the whole corpus
+    to fetch 8 rows was most of q_ann_pq's construction cost."""
+    hi = max(_PQ_K, _PQ_N_QUERIES)
+    rows = {
         int(r.vec_id): [float(x) for x in r.v]
-        for r in n.select("vec_id", "v").filter(F.col("vec_id") < _PQ_K).collect()
+        for r in emb.select(
+            "vec_id", as_double_vec(F.col("embedding")).alias("v")
+        )
+        .filter(F.col("vec_id") < hi)
+        .collect()
     }
-    return [
-        [cb_rows[code][j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for code in range(_PQ_K)]
+    cb = [
+        [rows[code][j * _PQ_DSUB : (j + 1) * _PQ_DSUB] for code in range(_PQ_K)]
         for j in range(_PQ_M)
     ]
+    q_rows = {qid: v for qid, v in rows.items() if qid < _PQ_N_QUERIES}
+    return cb, q_rows
 
 
 def _pq_encode(df, cb, keep=("vec_id",)):
     """PQ-encode the ``v`` column against an inlined codebook: per subspace,
     argmin over the k codewords — a NARROW projection (no join, no shuffle);
-    ``keep`` columns ride along (e.g. the IVF cluster id for q_ann_ivfpq)."""
+    ``keep`` columns ride along (e.g. the IVF cluster id for q_ann_ivfpq).
 
-    def sub_d2(j: int, code: int):
-        sv = [F.col("v")[j * _PQ_DSUB + i] for i in range(_PQ_DSUB)]
-        acc = F.lit(0.0)
-        for i in range(_PQ_DSUB):
-            diff = sv[i] - F.lit(cb[j][code][i])
-            acc = acc + diff * diff
-        return F.round(acc, 6)
+    The distances are computed with higher-order functions over a codebook
+    LITERAL (slice -> zip_with -> aggregate): the fold is the same
+    left-to-right float64 sum as the unrolled form, but the expression tree
+    is O(m) instead of O(m*k*dsub) — the 512-term unrolled projection blew
+    past whole-stage-codegen limits and ran interpreted at ~1 ms/row.
+    Argmin keeps the lowest-code tie-break via first-position-of-min."""
+    cb_lit = F.array(
+        *[
+            F.array(
+                *[
+                    F.array(*[F.lit(float(c)) for c in cb[j][code]])
+                    for code in range(_PQ_K)
+                ]
+            )
+            for j in range(_PQ_M)
+        ]
+    )
 
     def code_for(j: int):
-        scored = F.array(
-            *[
-                F.struct(sub_d2(j, code).alias("d2"), F.lit(code).alias("code"))
-                for code in range(_PQ_K)
-            ]
+        sub = F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB)
+        d2s = F.transform(
+            F.element_at(cb_lit, j + 1),
+            lambda cw: F.round(
+                F.aggregate(
+                    F.zip_with(sub, cw, lambda x, c: (x - c) * (x - c)),
+                    F.lit(0.0),
+                    lambda acc, y: acc + y,
+                ),
+                6,
+            ),
         )
-        return F.array_min(scored)["code"]
+        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
     return df.select(
         *keep, *[code_for(j).alias(f"c{j}") for j in range(_PQ_M)]
     )
 
 
-def _pq_query_structs(n, cb, qcent=None):
+def _pq_query_structs(q_rows, cb, qcent=None):
     """Array literal of per-query ADC lookup tables, computed driver-side in
     the same left-to-right float64 fold order as both engines' array sums.
     With ``qcent`` (query id -> IVF cluster id), each struct also carries
     the query's cluster so the probe can filter to it row-locally."""
-    q_rows = {
-        int(r.vec_id): [float(x) for x in r.v]
-        for r in n.select("vec_id", "v").filter(F.col("vec_id") < _PQ_N_QUERIES).collect()
-    }
 
     def lut_entry(qv: list[float], j: int, code: int) -> float:
         # HALF_UP to match Spark's F.round / DuckDB's round on the other
@@ -678,22 +700,28 @@ def _pq_adc_topk(probed):
     ),
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str):
-    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    n = emb.select(
-        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
-    ).withColumn("nrm", l2_norm(F.col("v")))
-    assign = _ivf_assign(n)
-    cb = _pq_codebook(n)
-    # Query->cluster map: bounded collect (5 rows; the vec_id filter pushes
-    # through the assignment window because vec_id is its partition key).
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, q_rows = _pq_collect_cb_queries(emb)
+
+    def normed(df):
+        return df.select(
+            F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+        ).withColumn("nrm", l2_norm(F.col("v")))
+
+    assign = _ivf_assign(normed(fan_out(emb)))
+    # Query->cluster map: bounded collect (5 rows). Runs the assignment on a
+    # NON-fanned twin of the corpus — the vec_id filter pushes to the scan,
+    # so the job is 5 rows x |centroids|, not a corpus repartition; the
+    # assignment math is deterministic, so both twins agree.
     qcent = {
         int(r.vec_id): int(r.cent_id)
-        for r in assign.select("vec_id", "cent_id")
+        for r in _ivf_assign(normed(emb))
+        .select("vec_id", "cent_id")
         .filter(F.col("vec_id") < _PQ_N_QUERIES)
         .collect()
     }
     enc = _pq_encode(assign, cb, keep=("vec_id", "cent_id"))
-    queries_lit = _pq_query_structs(n, cb, qcent=qcent)
+    queries_lit = _pq_query_structs(q_rows, cb, qcent=qcent)
     # Inverted-list probe, row-local: keep only the queries assigned to
     # THIS row's cluster (filter over the 5-element literal), then explode.
     # Plain explode (not outer) drops out-of-cluster rows — IVF semantics.
