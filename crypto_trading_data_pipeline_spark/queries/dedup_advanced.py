@@ -1412,15 +1412,18 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_kmeans_assign(spark: SparkSession, sf_dir: str):
-    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+    raw = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
+    emb = fan_out(raw)
     # Inline the k x dim centroid matrix as an array literal (same move as
     # cluster._assign): k=8 centroids fit the driver by construction, and
     # the argmin then runs NARROW — no 8x-row crossJoin shuffle, no
     # per-vec_id window; the only exchange left is the final k-row agg.
+    # Collected from the NON-fanned twin: the vec_id predicate pushes to
+    # the scan instead of riding a corpus repartition shuffle.
     cents = (
-        emb.filter(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "v").collect()
+        raw.filter(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "v").collect()
     )
     cent_arr = F.array(
         *[
