@@ -343,11 +343,16 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str):
     )
 
 
-def _ivf_assign(n):
+def _ivf_assign(n, keep_top: int = 1):
     """Nearest-centroid assignment over a normalized (vec_id, v, nrm) frame:
     deterministic centroid subset (vec_id % 50 == 0) broadcast against the
-    corpus, best cluster by (rounded cosine desc, cent_id) — shared by
-    q_ann_ivf and q_semdedup, and the oracle SQL mirrors it verbatim."""
+    corpus, clusters ranked by (rounded cosine desc, cent_id) — shared by
+    q_ann_ivf and q_semdedup, and the oracle SQL mirrors it verbatim.
+
+    ``keep_top=1`` (the default) is the corpus-side assignment: one row per
+    vector with its home cluster. ``keep_top>1`` is the QUERY-side nprobe
+    expansion — the nearest ``keep_top`` clusters per vector with their
+    rank ``rc``, used to probe multiple inverted lists."""
     cent = F.broadcast(
         n.filter(F.col("vec_id") % 50 == 0).select(
             F.col("vec_id").alias("cent_id"),
@@ -357,13 +362,15 @@ def _ivf_assign(n):
     )
     csim = F.round(dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6)
     wc = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id"))
-    return (
+    ranked = (
         n.crossJoin(cent)
         .withColumn("csim", csim)
         .withColumn("rc", F.row_number().over(wc))
-        .filter(F.col("rc") == 1)
-        .select("vec_id", "v", "nrm", "cent_id")
+        .filter(F.col("rc") <= keep_top)
     )
+    if keep_top == 1:
+        return ranked.select("vec_id", "v", "nrm", "cent_id")
+    return ranked.select("vec_id", "cent_id", "rc")
 
 
 @query(
@@ -572,11 +579,12 @@ def _pq_encode(df, cb, keep=("vec_id",)):
     )
 
 
-def _pq_query_structs(q_rows, cb, qcent=None):
+def _pq_query_structs(q_rows, cb, qcents=None):
     """Array literal of per-query ADC lookup tables, computed driver-side in
     the same left-to-right float64 fold order as both engines' array sums.
-    With ``qcent`` (query id -> IVF cluster id), each struct also carries
-    the query's cluster so the probe can filter to it row-locally."""
+    With ``qcents`` (query id -> list of IVF cluster ids, nearest first),
+    each struct also carries the query's probe set so the inverted-list
+    filter runs row-locally."""
 
     def lut_entry(qv: list[float], j: int, code: int) -> float:
         # HALF_UP to match Spark's F.round / DuckDB's round on the other
@@ -601,8 +609,10 @@ def _pq_query_structs(q_rows, cb, qcent=None):
                 ]
             ).alias("lut"),
         ]
-        if qcent is not None:
-            fields.append(F.lit(int(qcent[qid])).alias("qcent"))
+        if qcents is not None:
+            fields.append(
+                F.array(*[F.lit(int(c)) for c in qcents[qid]]).alias("qcents")
+            )
         structs.append(F.struct(*fields))
     return F.array(*structs)
 
@@ -700,6 +710,85 @@ def _pq_adc_topk(probed):
     ),
 )
 def q_ann_ivfpq(spark: SparkSession, sf_dir: str):
+    return _ann_ivfpq(spark, sf_dir, nprobe=1)
+
+
+@query(
+    "q_ann_ivfpq_probe3",
+    oracle=f"""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+    ), ranked AS (
+      SELECT n.vec_id, cent.cent_id,
+             row_number() OVER (
+               PARTITION BY n.vec_id
+               ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                        cent.cent_id
+             ) AS rc
+      FROM n CROSS JOIN cent
+    ), assign AS (
+      SELECT vec_id, cent_id FROM ranked WHERE rc = 1
+    ), qassign AS (
+      SELECT vec_id, cent_id FROM ranked WHERE rc <= 3 AND vec_id < {_PQ_N_QUERIES}
+    ), sub AS (
+      SELECT vec_id, j, v[1+{_PQ_DSUB}*j : {_PQ_DSUB}*(j+1)] AS sv
+      FROM e, (SELECT unnest(range({_PQ_M})) AS j)
+    ), cb AS (
+      SELECT j, vec_id AS code, sv AS cw FROM sub WHERE vec_id < {_PQ_K}
+    ), enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, cb.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                           i -> (s.sv[i]-cb.cw[i])*(s.sv[i]-cb.cw[i])), 'sum'), 6),
+                          cb.code
+               ) AS rc
+        FROM sub s JOIN cb ON s.j = cb.j
+      ) WHERE rc = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(sum(round(list_aggregate(list_transform(range(1,{_PQ_DSUB + 1}),
+                   i -> (q.sv[i]-cb.cw[i])*(q.sv[i]-cb.cw[i])), 'sum'), 6)), 6) AS adist
+      FROM sub q
+      JOIN qassign qa ON qa.vec_id = q.vec_id
+      JOIN enc x ON q.j = x.j AND x.vec_id <> q.vec_id
+      JOIN assign xa ON xa.vec_id = x.vec_id AND xa.cent_id = qa.cent_id
+      JOIN cb ON cb.j = x.j AND cb.code = x.code
+      WHERE q.vec_id < {_PQ_N_QUERIES}
+      GROUP BY q.vec_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 3
+    """,
+    doc=(
+        "IVF+PQ with nprobe=3 — the recall/cost knob every production IVF "
+        "index exposes: scan the query's three nearest inverted lists "
+        "instead of only its home cluster. Each (query, neighbor) pair "
+        "still scores once (a neighbor lives in exactly one cluster; the "
+        "qassign join matches at most one probe row). Cost grows linearly "
+        "in nprobe — nprobe/|clusters| of the corpus per query — and "
+        "recall rises as true neighbors across cluster boundaries come "
+        "into view (measured in tests/test_ann_recall.py)."
+    ),
+)
+def q_ann_ivfpq_probe3(spark: SparkSession, sf_dir: str):
+    return _ann_ivfpq(spark, sf_dir, nprobe=3)
+
+
+def _ann_ivfpq(spark: SparkSession, sf_dir: str, nprobe: int):
+    """Shared IVF+PQ probe; ``nprobe`` is the recall/cost knob every real
+    IVF index ships — scan the query's ``nprobe`` nearest inverted lists
+    instead of only its home cluster. Cost grows linearly in nprobe
+    (nprobe/|clusters| of the corpus scanned per query); recall rises as
+    true neighbors straddling a cluster boundary come into view."""
     emb = read_table(spark, sf_dir, "embeddings")
     cb, q_rows = _pq_collect_cb_queries(emb)
 
@@ -709,25 +798,36 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str):
         ).withColumn("nrm", l2_norm(F.col("v")))
 
     assign = _ivf_assign(normed(fan_out(emb)))
-    # Query->cluster map: bounded collect (5 rows). Runs the assignment on a
-    # NON-fanned twin of the corpus — the vec_id filter pushes to the scan,
-    # so the job is 5 rows x |centroids|, not a corpus repartition; the
-    # assignment math is deterministic, so both twins agree.
-    qcent = {
-        int(r.vec_id): int(r.cent_id)
-        for r in _ivf_assign(normed(emb))
-        .select("vec_id", "cent_id")
-        .filter(F.col("vec_id") < _PQ_N_QUERIES)
-        .collect()
-    }
+    # Query->probe-set map: bounded collect (5 x nprobe rows). Runs the
+    # assignment on a NON-fanned twin of the corpus — the vec_id filter
+    # pushes through the rank window (vec_id is its partition key) to the
+    # scan, so the job is 5 rows x |centroids|, not a corpus repartition;
+    # the assignment math is deterministic, so both twins agree.
+    qassign = _ivf_assign(normed(emb), keep_top=nprobe).filter(
+        F.col("vec_id") < _PQ_N_QUERIES
+    )
+    qcents: dict[int, list[int]] = {}
+    if nprobe == 1:
+        for r in qassign.select("vec_id", "cent_id").collect():
+            qcents[int(r.vec_id)] = [int(r.cent_id)]
+    else:
+        for r in qassign.select("vec_id", "cent_id", "rc").orderBy("vec_id", "rc").collect():
+            qcents.setdefault(int(r.vec_id), []).append(int(r.cent_id))
     enc = _pq_encode(assign, cb, keep=("vec_id", "cent_id"))
-    queries_lit = _pq_query_structs(q_rows, cb, qcent=qcent)
-    # Inverted-list probe, row-local: keep only the queries assigned to
-    # THIS row's cluster (filter over the 5-element literal), then explode.
-    # Plain explode (not outer) drops out-of-cluster rows — IVF semantics.
+    queries_lit = _pq_query_structs(q_rows, cb, qcents=qcents)
+    # Inverted-list probe, row-local: keep only the queries whose probe set
+    # contains THIS row's cluster (filter over the 5-element literal), then
+    # explode. Plain explode (not outer) drops unprobed rows — IVF
+    # semantics. Each (query, neighbor) pair still appears at most once:
+    # a neighbor lives in exactly one cluster.
     probed = enc.withColumn(
         "q",
-        F.explode(F.filter(queries_lit, lambda s: s["qcent"] == F.col("cent_id"))),
+        F.explode(
+            F.filter(
+                queries_lit,
+                lambda s: F.array_contains(s["qcents"], F.col("cent_id")),
+            )
+        ),
     ).filter(F.col("vec_id") != F.col("q.query_id"))
     return _pq_adc_topk(probed)
 

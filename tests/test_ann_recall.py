@@ -80,3 +80,31 @@ def test_ann_recall_floor(spark, exact_top3, name, metric, floor):
     random_baseline = K / (n_vecs - 1)
     assert mean >= floor, (name, recalls)
     assert mean >= 10 * random_baseline, (name, mean, random_baseline)
+
+
+def test_nprobe_reduces_ivf_loss(spark):
+    """The nprobe knob's contract, isolated from PQ's own quantization
+    error: recall measured against the FULL-corpus ADC scan (q_ann_pq =
+    zero IVF loss) must rise when the probe widens from 1 cluster to 3.
+    Measured deterministic values at sf0.01: 0.267 -> 0.533."""
+
+    def result_sets(name):
+        got: dict[int, set] = {}
+        for r in REGISTRY[name].fn(spark, SF).collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return got
+
+    full = result_sets("q_ann_pq")
+
+    def recall_vs_full(name):
+        got = result_sets(name)
+        return float(
+            np.mean(
+                [len(got.get(q, set()) & full[q]) / K for q in range(N_QUERIES)]
+            )
+        )
+
+    r1 = recall_vs_full("q_ann_ivfpq")
+    r3 = recall_vs_full("q_ann_ivfpq_probe3")
+    assert r3 > r1, (r1, r3)
+    assert r3 >= 0.5, r3
