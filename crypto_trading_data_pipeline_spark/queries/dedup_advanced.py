@@ -228,6 +228,104 @@ def _length_blocked_join(df, *, payload: dict[str, str], tol: int):
 
 
 @query(
+    "q_neardup_incremental",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), sig AS (
+      SELECT doc_id,
+             {_SQL_SIG_SELECT}
+      FROM (SELECT doc_id, sh FROM sh)
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT b.doc_id AS batch_id, c.doc_id AS corpus_id
+      FROM bands b JOIN bands c
+        ON b.band_id = c.band_id AND b.band_hash = c.band_hash
+      WHERE b.doc_id >= 400 AND c.doc_id < 400
+    ), ver AS (
+      SELECT cand.batch_id, cand.corpus_id,
+             round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+               / (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jac
+      FROM cand
+      JOIN sh a ON a.doc_id = cand.batch_id
+      JOIN sh b ON b.doc_id = cand.corpus_id
+    ), best AS (
+      SELECT batch_id, min(corpus_id) AS match_id,
+             arg_min(jac, corpus_id) AS jac
+      FROM ver WHERE jac >= 0.8 GROUP BY batch_id
+    )
+    SELECT d.doc_id,
+           CAST(CASE WHEN best.batch_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           COALESCE(best.match_id, -1) AS match_id,
+           COALESCE(best.jac, -1.0)    AS jac
+    FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+    WHERE d.doc_id >= 400
+    """,
+    doc=(
+        "Incremental NEAR-dup screen: the fuzzy twin of q_dedup_incremental "
+        "— a NEW batch (doc_id>=400 stands in) is screened against the "
+        "EXISTING corpus via shared LSH band buckets, candidates verified "
+        "by exact 3-gram Jaccard >= 0.8, and every batch doc gets a keep "
+        "flag plus its lowest-id verified corpus match. The steady-state "
+        "100 TB ingest shape the batch neardup's own docstring points at: "
+        "the corpus's band table is computed once and persisted (bucketed "
+        "on band_hash), so per-batch cost is |batch| x bands rows joined "
+        "against the bucketed index + shingle fetches for candidates only "
+        "— the corpus is never re-hashed, and cost is independent of "
+        "corpus size. Hot buckets are bounded by upstream exact dedup "
+        "(q_dedup_incremental runs first in the standard pipeline order)."
+    ),
+)
+def q_neardup_incremental(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+    )
+    bb = bands.filter(F.col("doc_id") >= 400).select(
+        F.col("doc_id").alias("batch_id"), "band_id", "band_hash"
+    )
+    cbnd = bands.filter(F.col("doc_id") < 400).select(
+        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    )
+    cand = bb.join(cbnd, ["band_id", "band_hash"]).select("batch_id", "corpus_id").distinct()
+    sh = (
+        fan_out(docs.select("doc_id", "text"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    jac = F.round(
+        inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter), 6
+    )
+    ver = (
+        cand.join(sa, "batch_id")
+        .join(sb, "corpus_id")
+        .withColumn("jac", jac)
+        .filter(F.col("jac") >= 0.8)
+    )
+    best = ver.groupBy("batch_id").agg(
+        F.min("corpus_id").alias("match_id"),
+        F.min_by("jac", "corpus_id").alias("jac"),
+    )
+    batch = docs.filter(F.col("doc_id") >= 400).select("doc_id")
+    return batch.join(best, batch.doc_id == best.batch_id, "left").select(
+        "doc_id",
+        F.when(F.col("batch_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+        F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
+        F.coalesce(F.col("jac"), F.lit(-1.0)).alias("jac"),
+    )
+
+
+@query(
     "q_ngram_jaccard",
     oracle=f"""
     WITH sh AS (
