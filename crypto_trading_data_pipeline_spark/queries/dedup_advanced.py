@@ -283,18 +283,50 @@ def _length_blocked_join(df, *, payload: dict[str, str], tol: int):
 )
 def q_neardup_incremental(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
+    return neardup_incremental(docs, cutoff=400)
+
+
+def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _LSH_BUCKET_CAP):
+    """Core of q_neardup_incremental, callable with an ``Observation``.
+
+    The corpus side is materialized as a capped bucket INDEX — per
+    (band_id, band_hash), the sorted corpus doc_ids sliced to
+    ``bucket_cap`` — which is both the skew bound (one hot band bucket
+    cannot explode the batch join beyond |batch| x cap) and literally the
+    table a production deployment persists between batches. Cap overflow
+    is observable via the same CollectMetrics contract as
+    _lsh_candidate_pairs: truncated_buckets > 0 means a batch doc may have
+    been cleared against an over-cap bucket whose tail was dropped — the
+    fix is upstream exact dedup, not a bigger cap."""
     sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
     )
-    bb = bands.filter(F.col("doc_id") >= 400).select(
+    bb = bands.filter(F.col("doc_id") >= cutoff).select(
         F.col("doc_id").alias("batch_id"), "band_id", "band_hash"
     )
-    cbnd = bands.filter(F.col("doc_id") < 400).select(
-        F.col("doc_id").alias("corpus_id"), "band_id", "band_hash"
+    corpus_index = (
+        bands.filter(F.col("doc_id") < cutoff)
+        .groupBy("band_id", "band_hash")
+        .agg(F.sort_array(F.collect_set("doc_id")).alias("all_ids"))
+        .withColumn("ids", F.slice(F.col("all_ids"), 1, bucket_cap))
     )
-    cand = bb.join(cbnd, ["band_id", "band_hash"]).select("batch_id", "corpus_id").distinct()
+    metrics = [
+        F.sum((F.size("all_ids") > bucket_cap).cast("long")).alias("truncated_buckets"),
+        F.max(F.size("all_ids")).alias("max_bucket_size"),
+    ]
+    if observation is not None:
+        corpus_index = corpus_index.observe(observation, *metrics)
+    else:
+        corpus_index = corpus_index.observe(
+            f"neardup_incr_bucket_cap_{next(_LSH_OBSERVE_SEQ)}", *metrics
+        )
+    cand = (
+        bb.join(corpus_index.select("band_id", "band_hash", "ids"), ["band_id", "band_hash"])
+        .select("batch_id", F.explode("ids").alias("corpus_id"))
+        .distinct()
+    )
     sh = (
         fan_out(docs.select("doc_id", "text"))
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
@@ -316,7 +348,7 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str):
         F.min("corpus_id").alias("match_id"),
         F.min_by("jac", "corpus_id").alias("jac"),
     )
-    batch = docs.filter(F.col("doc_id") >= 400).select("doc_id")
+    batch = docs.filter(F.col("doc_id") >= cutoff).select("doc_id")
     return batch.join(best, batch.doc_id == best.batch_id, "left").select(
         "doc_id",
         F.when(F.col("batch_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),

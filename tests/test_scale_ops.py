@@ -366,3 +366,30 @@ def test_semdedup_cluster_skew_is_observable(spark):
     assert m2["n_clusters"] == 2, m2
     assert m2["max_cluster_size"] == 50, m2
     assert m2["pairwise_rows"] == 5000, m2
+
+
+def test_neardup_incremental_bucket_cap_observable(spark):
+    """Same contract as the LSH pair cap, on the incremental screen: a hot
+    corpus band bucket is sliced to the cap and the truncation is a metric,
+    not a silent drop. 100 identical corpus docs + 5 batch copies with a
+    cap of 8 -> all 4 band buckets truncated, and every batch doc still
+    matches (the kept 8 lowest-id corpus docs verify at Jaccard 1.0)."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        neardup_incremental,
+    )
+
+    docs = spark.range(105).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim").alias("text"),
+    )
+    obs = Observation("neardup_incr_hot")
+    out = neardup_incremental(docs, cutoff=100, observation=obs, bucket_cap=8)
+    rows = {r.doc_id: r for r in out.collect()}
+    m = obs.get
+    assert m["truncated_buckets"] == 4, m  # all 4 bands hold the one hot bucket
+    assert m["max_bucket_size"] == 100, m
+    assert set(rows) == {100, 101, 102, 103, 104}
+    for r in rows.values():
+        assert r.keep == 0 and r.match_id == 0 and r.jac == 1.0, r
