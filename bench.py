@@ -57,8 +57,10 @@ HEADLINE = [
     "q_sessionize_islands",
     "q_rolling_dau",
     "q_rsi",
-    # r5 addition: the composed IVF+PQ index (the real 100 TB ANN path).
+    # r5 additions: the composed IVF+PQ index (the real 100 TB ANN path)
+    # and the append-batch near-dup screen (steady-state ingest shape).
     "q_ann_ivfpq",
+    "q_neardup_incremental",
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
     "q_mixture_sample",
