@@ -349,3 +349,66 @@ def q_embed_outliers(spark: SparkSession, sf_dir: str):
         F.round(z, 4).alias("z"),
         (F.abs(z) > _EMBED_Z_THRESHOLD).cast("int").alias("is_outlier"),
     )
+
+
+#: Duplicate word-3-gram fraction cap (Rae et al. 2021 §A1.1 "duplicate
+#: n-gram fraction" — theirs over char n-grams at several n; one word-n
+#: here, same rule shape). Tuned to the fixture vocabulary.
+_DUP_NGRAM_N = 3
+_DUP_NGRAM_MAX_FRAC = 0.20
+
+
+@query(
+    "q_dup_ngrams",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), w AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {_DUP_NGRAM_N} + 2),
+               i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])) AS wins
+      FROM t WHERE len(toks) >= {_DUP_NGRAM_N}
+    )
+    SELECT doc_id,
+           len(wins) AS n_windows,
+           round(1.0 - CAST(len(list_distinct(wins)) AS DOUBLE) / len(wins), 6)
+             AS dup_ngram_frac,
+           CAST(1.0 - CAST(len(list_distinct(wins)) AS DOUBLE) / len(wins)
+                <= {_DUP_NGRAM_MAX_FRAC} AS INTEGER) AS ok_dup
+    FROM w
+    """,
+    doc=(
+        "Duplicate n-gram fraction (the Gopher repetition rule family, "
+        "Rae et al. 2021 A1.1): fraction of a document's word 3-gram "
+        "windows that are repeats — 1 - distinct/total — catching the "
+        "looping/boilerplate spam that top-token share misses (a document "
+        "cycling a 50-word paragraph has low top-token share but near-1 "
+        "duplicate n-gram fraction). Entirely row-local: the window array "
+        "is a sequence+transform projection, the fraction one "
+        "array_distinct — no shuffle anywhere, scales as a pure map."
+    ),
+)
+def q_dup_ngrams(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    n = _DUP_NGRAM_N
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - n + 1),
+        lambda i: F.concat_ws(
+            " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
+        ),
+    )
+    frac = F.round(
+        1.0 - F.size(F.array_distinct("wins")).cast("double") / F.size("wins"), 6
+    )
+    return (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= n)
+        .select("doc_id", wins.alias("wins"))
+        .select(
+            "doc_id",
+            F.size("wins").alias("n_windows"),
+            frac.alias("dup_ngram_frac"),
+            (frac <= _DUP_NGRAM_MAX_FRAC).cast("int").alias("ok_dup"),
+        )
+    )

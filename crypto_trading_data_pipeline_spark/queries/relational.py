@@ -1405,6 +1405,67 @@ def q_dq_profile(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "q_dq_orphans",
+    oracle="""
+    SELECT fk, orphans FROM (
+      SELECT 'orders->customer' AS fk, count(*) AS orphans FROM orders o
+        WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)
+      UNION ALL
+      SELECT 'lineitem->orders', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)
+      UNION ALL
+      SELECT 'lineitem->part', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)
+      UNION ALL
+      SELECT 'lineitem->supplier', count(*) FROM lineitem l
+        WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)
+      UNION ALL
+      SELECT 'customer->nation', count(*) FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)
+    )
+    """,
+    doc=(
+        "Referential-integrity orphan audit: one row per foreign-key "
+        "relationship with the count of child rows whose parent key is "
+        "missing — the cross-table half of data quality (q_dq_profile is "
+        "the single-table half), and the check that catches a partial "
+        "upstream load before it poisons every downstream join. Each "
+        "branch is a LEFT ANTI join (parent side broadcast for dims, "
+        "shuffled for fact-sized parents — Spark picks by stats) feeding "
+        "a partial+final count; the five one-row results union narrow. "
+        "All-zero on the TPC-H-shaped fixtures by construction — the "
+        "non-zero case is the alarm."
+    ),
+)
+def q_dq_orphans(spark: SparkSession, sf_dir: str):
+    t = {
+        name: read_table(spark, sf_dir, name)
+        for name in ("orders", "customer", "lineitem", "part", "supplier", "nation")
+    }
+
+    def orphans(label, child, key, parent, pkey):
+        return (
+            t[child]
+            .select(F.col(key))
+            .join(t[parent].select(F.col(pkey).alias(key)), key, "left_anti")
+            .agg(F.count(F.lit(1)).alias("orphans"))
+            .select(F.lit(label).alias("fk"), "orphans")
+        )
+
+    checks = [
+        orphans("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+        orphans("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        orphans("lineitem->part", "lineitem", "l_partkey", "part", "p_partkey"),
+        orphans("lineitem->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        orphans("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+    ]
+    out = checks[0]
+    for c in checks[1:]:
+        out = out.unionByName(c)
+    return out
+
+
+@query(
     "q_math_funcs",
     oracle="""
     SELECT event_id,

@@ -219,6 +219,7 @@ _SINGLE_PARTITION_OK = {
     "q_tfidf",             # corpus-size scalar
     "q_hll_union",         # global sketch-union row (|langs| sketches -> 1)
     "q_mixture_sample",    # corpus budget/quota scalar (one-row broadcast)
+    "q_dq_orphans",        # five global orphan-count scalars, unioned
 }
 
 
