@@ -412,3 +412,62 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str):
             (frac <= _DUP_NGRAM_MAX_FRAC).cast("int").alias("ok_dup"),
         )
     )
+
+
+#: Range-bucket count for the two-phase global permutation. Buckets are the
+#: hash's HIGH bits (order-preserving prefix), so per-bucket numbering plus
+#: bucket-count offsets reproduces the exact global ORDER BY rank.
+_SHUFFLE_BUCKETS = 256
+_SHUFFLE_BUCKET_WIDTH = (2_147_483_647 // _SHUFFLE_BUCKETS) + 1
+
+
+@query(
+    "q_global_shuffle",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(row_number() OVER (
+             ORDER BY {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")}, doc_id
+           ) AS BIGINT) AS shuffle_pos
+    FROM documents
+    """,
+    doc=(
+        "Deterministic global permutation for training-data ordering: every "
+        "doc gets its rank under ORDER BY (md5-hash of id, id) — a seeded, "
+        "reproducible shuffle any worker can recompute. The naive global "
+        "row_number is the canonical scale-killer (one task sorts the "
+        "corpus through an Exchange SinglePartition); this plan is "
+        "two-phase: range-bucket on the hash's HIGH bits (order-preserving "
+        "prefix, so bucket order == global order; md5 uniformity makes "
+        "buckets ~n/256 each), rank within each bucket in parallel, then "
+        "add broadcast per-bucket offsets (a 256-row count + cumsum). Same "
+        "exact ranks as the oracle's one-line window, corpus never passes "
+        "through a single task. The only bounded single-partition exchange "
+        "is the 256-row offset cumsum."
+    ),
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
+    keyed = docs.select("doc_id", h.alias("h")).withColumn(
+        "b", (F.col("h") / F.lit(_SHUFFLE_BUCKET_WIDTH)).cast("int")
+    )
+    within = F.row_number().over(
+        Window.partitionBy("b").orderBy("h", "doc_id")
+    )
+    counts = keyed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt"))
+    offset = (
+        F.sum("cnt").over(
+            Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+        )
+    )
+    offsets = counts.select(
+        "b", F.coalesce(offset, F.lit(0)).alias("off")
+    )
+    return (
+        keyed.withColumn("pos_in_bucket", within)
+        .join(F.broadcast(offsets), "b")
+        .select(
+            "doc_id",
+            (F.col("off") + F.col("pos_in_bucket")).cast("long").alias("shuffle_pos"),
+        )
+    )

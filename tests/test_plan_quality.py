@@ -220,6 +220,7 @@ _SINGLE_PARTITION_OK = {
     "q_hll_union",         # global sketch-union row (|langs| sketches -> 1)
     "q_mixture_sample",    # corpus budget/quota scalar (one-row broadcast)
     "q_dq_orphans",        # five global orphan-count scalars, unioned
+    "q_global_shuffle",    # 256-row bucket-offset cumsum (bounded)
 }
 
 
