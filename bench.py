@@ -269,7 +269,9 @@ def main() -> None:
                     break
             timings[name] = round(best, 3)
         except Exception as exc:  # noqa: BLE001 — record and keep measuring
-            errors[name] = f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"
+            # `or [""]`: an empty exception message must not IndexError
+            # inside the very handler that keeps the bench alive.
+            errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
 
     total = round(sum(timings.values()), 3)
     prev = _load_previous_round(sf)
@@ -277,12 +279,15 @@ def main() -> None:
     try:
         stream_stats = bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
-        stream_stats = {"streaming_err": f"{type(exc).__name__}: {str(exc).splitlines()[0][:200]}"}
+        stream_stats = {"streaming_err": f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"}
 
     record = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
+        # `value` sums only the queries that RAN — with n_err > 0 it is not
+        # comparable round-over-round (a broken query reads as a speedup).
+        "total_is_complete": not errors,
         "runs_per_query": "2-3",
         "timing": "best_of_runs",
         "queries": timings,
@@ -302,14 +307,23 @@ def main() -> None:
         json.dump(record, f, indent=1)
     # ... and a compact single line on stdout for the driver: the headline
     # metric, per-query timings, errors and the regression verdict. The
-    # driver's tail buffer keeps ~2000 chars, so the per-query deltas live
-    # in the sidecar only and the regression list is capped at the 4 worst
-    # (n_regressions carries the true count).
+    # driver's tail buffer keeps ~2000 chars (a clean 44-query line is
+    # ~1.5 KB), so the per-query deltas live in the sidecar only, the
+    # regression list is capped at the 4 worst, and error messages are
+    # truncated to their exception-type-plus-head — the exact mass-failure
+    # scenario (r4: one env shift broke 5 queries) must not push the line
+    # past the buffer and turn the whole round's metric into parsed:null.
+    # n_regressions / n_err always carry the true counts; BENCH_LOCAL.json
+    # holds the full record.
     compact = {k: v for k, v in record.items() if k != "deltas_vs_prev"}
     compact["n_regressions"] = len(regressions)
     compact["regressions"] = sorted(
         regressions, key=lambda r: -r["delta_sec"]
     )[:4]
+    compact["errors"] = {
+        name: msg[:60]
+        for name, msg in sorted(errors.items())[:4]
+    }
     print(json.dumps(compact, separators=(",", ":")))
 
 

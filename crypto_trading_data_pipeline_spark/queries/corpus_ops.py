@@ -398,9 +398,10 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str):
             " ", *[F.element_at(F.col("toks"), i + j) for j in range(n)]
         ),
     )
-    frac = F.round(
-        1.0 - F.size(F.array_distinct("wins")).cast("double") / F.size("wins"), 6
-    )
+    # Threshold on the RAW fraction, round only for display — the oracle
+    # compares unrounded, so thresholding the rounded value would disagree
+    # on documents landing inside the rounding half-ulp of the cutoff.
+    raw_frac = 1.0 - F.size(F.array_distinct("wins")).cast("double") / F.size("wins")
     return (
         docs.select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= n)
@@ -408,17 +409,19 @@ def q_dup_ngrams(spark: SparkSession, sf_dir: str):
         .select(
             "doc_id",
             F.size("wins").alias("n_windows"),
-            frac.alias("dup_ngram_frac"),
-            (frac <= _DUP_NGRAM_MAX_FRAC).cast("int").alias("ok_dup"),
+            F.round(raw_frac, 6).alias("dup_ngram_frac"),
+            (raw_frac <= _DUP_NGRAM_MAX_FRAC).cast("int").alias("ok_dup"),
         )
     )
 
 
 #: Range-bucket count for the two-phase global permutation. Buckets are the
 #: hash's HIGH bits (order-preserving prefix), so per-bucket numbering plus
-#: bucket-count offsets reproduces the exact global ORDER BY rank.
+#: bucket-count offsets reproduces the exact global ORDER BY rank. Width is
+#: derived from the hash's actual range so bucket count and uniformity
+#: survive a MINHASH_P change.
 _SHUFFLE_BUCKETS = 256
-_SHUFFLE_BUCKET_WIDTH = (2_147_483_647 // _SHUFFLE_BUCKETS) + 1
+_SHUFFLE_BUCKET_WIDTH = (dedup_hash.MINHASH_P - 1) // _SHUFFLE_BUCKETS + 1
 
 
 @query(

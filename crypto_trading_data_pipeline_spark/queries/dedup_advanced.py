@@ -81,6 +81,20 @@ _LSH_BUCKET_CAP = 64
 _LSH_OBSERVE_SEQ = count()
 
 
+def _observe_bucket_cap(buckets, bucket_cap, observation, name_prefix):
+    """Shared cap-overflow observability: CollectMetrics counting buckets
+    whose uncapped membership (column ``all_ids``) exceeded ``bucket_cap``,
+    plus the max uncapped size. One contract for every capped bucket
+    structure (LSH pair buckets, the incremental corpus band index)."""
+    metrics = [
+        F.sum((F.size("all_ids") > bucket_cap).cast("long")).alias("truncated_buckets"),
+        F.max(F.size("all_ids")).alias("max_bucket_size"),
+    ]
+    if observation is not None:
+        return buckets.observe(observation, *metrics)
+    return buckets.observe(f"{name_prefix}_{next(_LSH_OBSERVE_SEQ)}", *metrics)
+
+
 def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=None):
     """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket — the
     shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup.
@@ -105,14 +119,7 @@ def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=No
         .withColumn("ids", F.slice(F.col("all_ids"), 1, bucket_cap))
         .filter(F.size("ids") >= 2)
     )
-    metrics = [
-        F.sum((F.size("all_ids") > bucket_cap).cast("long")).alias("truncated_buckets"),
-        F.max(F.size("all_ids")).alias("max_bucket_size"),
-    ]
-    if observation is not None:
-        buckets = buckets.observe(observation, *metrics)
-    else:
-        buckets = buckets.observe(f"lsh_bucket_cap_{next(_LSH_OBSERVE_SEQ)}", *metrics)
+    buckets = _observe_bucket_cap(buckets, bucket_cap, observation, "lsh_bucket_cap")
     # ids is sorted, so pairing each element with everything after it emits
     # each unordered pair exactly once with doc_a < doc_b.
     pairs = F.explode(
@@ -312,18 +319,20 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
         .agg(F.sort_array(F.collect_set("doc_id")).alias("all_ids"))
         .withColumn("ids", F.slice(F.col("all_ids"), 1, bucket_cap))
     )
-    metrics = [
-        F.sum((F.size("all_ids") > bucket_cap).cast("long")).alias("truncated_buckets"),
-        F.max(F.size("all_ids")).alias("max_bucket_size"),
-    ]
-    if observation is not None:
-        corpus_index = corpus_index.observe(observation, *metrics)
-    else:
-        corpus_index = corpus_index.observe(
-            f"neardup_incr_bucket_cap_{next(_LSH_OBSERVE_SEQ)}", *metrics
-        )
+    corpus_index = _observe_bucket_cap(
+        corpus_index, bucket_cap, observation, "neardup_incr_bucket_cap"
+    )
+    # shuffle_hash hint: metrics inside a broadcast stage come back EMPTY
+    # (see semdedup_flags), and AQE would broadcast the index exactly in
+    # small/benign regimes — silencing the truncation alarm when it is
+    # cheapest to keep. At production scale the band index is corpus-sized
+    # and a broadcast would be wrong anyway, so the hint costs nothing
+    # where it matters and buys always-on observability where it doesn't.
     cand = (
-        bb.join(corpus_index.select("band_id", "band_hash", "ids"), ["band_id", "band_hash"])
+        bb.join(
+            corpus_index.select("band_id", "band_hash", "ids").hint("shuffle_hash"),
+            ["band_id", "band_hash"],
+        )
         .select("batch_id", F.explode("ids").alias("corpus_id"))
         .distinct()
     )

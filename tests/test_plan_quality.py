@@ -33,7 +33,7 @@ def sweep_plans(spark, check) -> None:
             plan = plan_of(spark, name)
         except Exception as exc:  # noqa: BLE001 — a broken plan IS the finding
             failures.append(
-                f"{name}: PLAN BUILD FAILED: {str(exc).splitlines()[0][:200]}"
+                f"{name}: PLAN BUILD FAILED: {(str(exc).splitlines() or [''])[0][:200]}"
             )
             continue
         try:

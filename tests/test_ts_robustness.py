@@ -87,7 +87,7 @@ def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatc
             df = REGISTRY[name].fn(spark, sf_dir)
             df._jdf.queryExecution().executedPlan()
         except Exception as exc:  # noqa: BLE001 — the failure IS the finding
-            failures.append(f"{name}: {str(exc).splitlines()[0][:200]}")
+            failures.append(f"{name}: {(str(exc).splitlines() or [''])[0][:200]}")
     if failures:
         pytest.fail(
             f"{len(failures)}/{len(REGISTRY)} queries fail to plan on "
