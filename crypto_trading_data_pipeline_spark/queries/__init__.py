@@ -65,61 +65,48 @@ from . import corpus_ops  # noqa: E402,F401
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
 #
-# The driver hash-checks only the FIRST 50 registry entries per round.
-# Round 1 covered insertion-order entries 0-49; round 2 rotated the
-# llmdata/dedup_advanced set + relational tail into the window
-# (CORRECTNESS_r02.json: 47 green / 3 no_oracle-by-contract, zero
-# mismatches). Round 3 (this window) rotates in the 23 queries that have
-# never had a driver row — the whole finance family plus the r2-session
-# additions — and every query NEWLY registered this round, padded to 50
-# with r1-head entries (re-confirming the reference surface). Queries
-# outside the window retain the identical DuckDB-oracle check in
-# tests/test_oracle_parity.py. Keep
-# tests/test_properties.py::test_driver_window_holds_rotated_queries in
-# sync (it asserts the first 50 == _DRIVER_WINDOW).
+# The driver hash-checks only the FIRST 50 registry entries per round, so
+# the window is COMPUTED from the committed CORRECTNESS_r*.json evidence at
+# import time (no frozen name lists — the r3..r5 frozen-list approach left
+# six queries unchecked for two rounds):
+#
+#   1. queries with no driver row in ANY round (this automatically includes
+#      anything newly registered this round),
+#   2. padded to 50 with the stalest-checked queries (ascending last-checked
+#      round, registry order as tiebreak).
+#
+# Queries outside the window retain the identical DuckDB-oracle check in
+# tests/test_oracle_parity.py.
+# tests/test_properties.py::test_driver_window_holds_rotated_queries asserts
+# the INVARIANT (never-checked first, then staleness order), not a name list.
 # ---------------------------------------------------------------------------
-_R3_NEVER_CHECKED = [
-    # finance family — the only SURVEY §2 component (X22) with zero hard
-    # driver signal before this round
-    "q_rsi", "q_bollinger", "q_returns_volatility", "q_max_drawdown",
-    # r2-session additions, registered after the r2 window cut
-    "q_tfidf", "q_repetition_ratio", "q_bigram_freq", "q_containment",
-    "q_contamination", "q_dedup_incremental", "q_map_funcs",
-    "q_variant_json", "q_mode_per_group", "q_asof_nearest", "q_hll_union",
-    "q_sessionize_islands", "q_event_paths", "q_rolling_dau",
-    "q_winsorize", "q_equidepth", "q_sample_weighted",
-    "q_disjunctive_filter", "q_idle_customers",
-]
-
-#: Queries first registered in round 3 — go straight into the window so
-#: their first driver row lands the same round they ship.
-_R3_NEW = [
-    "q_neardup_components_star",
-    "q_quality_gopher",
-    "q_mixture_sample",
-    "q_corpus_profile",
-    "q_embed_outliers",
-    "q_semdedup",
-    "q_ann_pq",
-]
-
-#: r1-head entries used to pad the window to 50 (all driver-green in r1;
-#: re-checking them re-confirms the reference surface stayed green).
-_R1_PAD = [
-    "q_ohlcv_1min", "q_scan_events", "q_cast_string", "q_json_extract",
-    "q_decimal_cast_arith", "q_epoch_to_ts", "q_filter_eq",
-    "q_filter_ts_range", "q_count_rows", "q_count_filtered", "q_group_sum",
-    "q_open_close_minby", "q_upsert_last_wins", "q_candle_rollup_5min",
-    "q_candle_gap_fill", "q_join_inner", "q_join_broadcast", "q_join_semi",
-    "q_join_anti", "q_join_range", "q_join_range_asof", "q_topk_per_group",
-    "q_topk_global", "q_set_ops", "q_rollup", "q_cube",
-    "q_window_moving_avg", "q_count_distinct", "q_sliding_window",
-    "q_session_window", "q_grouping_sets", "q_pricing_summary",
-]
-
 _WINDOW_SIZE = 50
-_prio = _R3_NEVER_CHECKED + _R3_NEW
-_DRIVER_WINDOW = (_prio + [n for n in _R1_PAD if n not in _prio])[:_WINDOW_SIZE]
+
+
+def _driver_check_rounds() -> dict[str, int]:
+    """query name → latest round with a driver CORRECTNESS row."""
+    import json
+    from pathlib import Path
+
+    latest: dict[str, int] = {}
+    repo_root = Path(__file__).resolve().parents[2]
+    for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(f.stem.split("_r")[1])
+            rows = json.loads(f.read_text())
+        except (ValueError, IndexError, OSError, json.JSONDecodeError):
+            continue
+        for q in rows:
+            latest[q] = max(latest.get(q, 0), rnd)
+    return latest
+
+
+def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
+    latest = _driver_check_rounds()
+    order = {n: i for i, n in enumerate(REGISTRY)}
+    never = [n for n in REGISTRY if n not in latest]
+    stale = sorted((n for n in REGISTRY if n in latest), key=lambda n: (latest[n], order[n]))
+    return (never + stale)[:size]
 
 
 def _rotate_window(priority: list[str]) -> None:
@@ -130,4 +117,5 @@ def _rotate_window(priority: list[str]) -> None:
     REGISTRY.update(ordered)
 
 
+_DRIVER_WINDOW = _compute_window()
 _rotate_window(_DRIVER_WINDOW)

@@ -183,24 +183,37 @@ def test_connected_components_matches_union_find(spark, edges):
 
 
 def test_driver_window_holds_rotated_queries():
-    """The driver hash-checks only the FIRST 50 registry entries. Round 3
-    rotated the never-driver-checked set (finance family + r2 additions +
-    round-3 registrations) into that window; this guard fails if a future
-    registration reorders them back out (new queries must be added to
-    _R3_NEW or land after the window)."""
+    """The driver hash-checks only the FIRST 50 registry entries. The window
+    is computed from CORRECTNESS_r*.json evidence; this asserts the
+    INVARIANT — every never-driver-checked query (incl. anything newly
+    registered) comes first, the rest pad in ascending staleness — rather
+    than a frozen name list (the frozen r3 list left six r5 queries
+    unchecked for two rounds)."""
     from crypto_trading_data_pipeline_spark.queries import (
         _DRIVER_WINDOW,
-        _R3_NEVER_CHECKED,
-        _R3_NEW,
+        _WINDOW_SIZE,
+        _driver_check_rounds,
         REGISTRY,
     )
 
-    first50 = list(REGISTRY)[:50]
-    assert first50 == [n for n in _DRIVER_WINDOW if n in REGISTRY]
-    # Every never-checked / new query must actually be inside the window —
-    # padding must never displace a priority entry.
-    missing = [n for n in _R3_NEVER_CHECKED + _R3_NEW if n not in first50]
-    assert missing == [], f"priority queries fell out of the driver window: {missing}"
+    window = list(REGISTRY)[: _WINDOW_SIZE]
+    assert window == [n for n in _DRIVER_WINDOW if n in REGISTRY]
+
+    latest = _driver_check_rounds()
+    never = [n for n in REGISTRY if n not in latest]
+    # Every never-checked query fits in the window and precedes every
+    # already-checked one — padding must never displace a priority entry.
+    assert len(never) <= _WINDOW_SIZE, f"never-checked set exceeds window: {never}"
+    missing = [n for n in never if n not in window]
+    assert missing == [], f"never-checked queries fell out of the driver window: {missing}"
+    if never:
+        head = window[: len(never)]
+        assert set(head) == set(never), (
+            f"never-checked queries must lead the window; head={head} never={never}"
+        )
+    # The padded tail is ordered by staleness (ascending last-checked round).
+    tail_rounds = [latest[n] for n in window[len(never):]]
+    assert tail_rounds == sorted(tail_rounds), f"window tail not staleness-ordered: {tail_rounds}"
 
 
 def test_pack_greedy_conserves_tokens(spark, sf_dir):
