@@ -60,6 +60,7 @@ HEADLINE = [
     # r5 additions: the composed IVF+PQ index (the real 100 TB ANN path)
     # and the append-batch near-dup screen (steady-state ingest shape).
     "q_ann_ivfpq",
+    "q_ann_ivfpq_probe3",
     "q_neardup_incremental",
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
@@ -135,6 +136,21 @@ def bench_streaming(spark, sf_dir: str) -> dict:
 #: plans are where 60-130 ms of scheduler/GC jitter reads as regression.
 _EXTRA_RUN_BELOW_SEC = 1.5
 
+#: A query whose two runs disagree by more than this ratio also gets a 3rd
+#: run: one contended run must not define the round (r5's driver bench read
+#: 14.9x slower than the committed local bench on identical code — external
+#: load was the prime suspect and the output carried no evidence either way).
+_EXTRA_RUN_SPREAD = 2.0
+
+
+def _loadavg() -> list[float] | None:
+    """1/5/15-min system load — contention evidence for the bench record."""
+    try:
+        with open("/proc/loadavg") as f:
+            return [float(x) for x in f.read().split()[:3]]
+    except (OSError, ValueError):
+        return None
+
 #: A query is flagged as a regression only when it is slower than the
 #: previous recorded round by BOTH bounds — relative (>15 %) and absolute
 #: (>0.2 s) — so millisecond noise on sub-second plans never trips it.
@@ -200,6 +216,13 @@ def _load_previous_round(sf: float) -> dict:
         queries = (parsed or {}).get("queries")
         if not (isinstance(queries, dict) and queries):
             queries = _salvage_tail_timings(rec.get("tail") or "")
+            # A head-truncated tail can salvage only a partial subset; a
+            # too-small set would silently exempt most queries from the
+            # regression comparison, so keep scanning older complete rounds
+            # instead (the salvage is a fallback, not a license to compare
+            # against 5 queries).
+            if len(queries) < max(10, len(HEADLINE) // 2):
+                continue
         if queries:
             return {"_round": n, **queries}
     return {}
@@ -253,25 +276,30 @@ def main() -> None:
     # round 4 shipped ZERO timings because a single plan-time
     # AnalysisException propagated out of the loop. Errors are recorded
     # (first line of the exception) and measurement continues.
+    load_before = _loadavg()
     timings: dict[str, float] = {}
+    spreads: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = REGISTRY[name].fn
-        best = float("inf")
-        runs = 0
+        run_secs: list[float] = []
         try:
-            while runs < 3:
+            while len(run_secs) < 3:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
-                best = min(best, time.perf_counter() - t0)
-                runs += 1
-                if runs == 2 and best >= _EXTRA_RUN_BELOW_SEC:
-                    break
-            timings[name] = round(best, 3)
+                run_secs.append(time.perf_counter() - t0)
+                if len(run_secs) == 2:
+                    best = min(run_secs)
+                    noisy = max(run_secs) > best * _EXTRA_RUN_SPREAD
+                    if best >= _EXTRA_RUN_BELOW_SEC and not noisy:
+                        break
+            timings[name] = round(min(run_secs), 3)
+            spreads[name] = round(max(run_secs) / max(min(run_secs), 1e-9), 2)
         except Exception as exc:  # noqa: BLE001 — record and keep measuring
             # `or [""]`: an empty exception message must not IndexError
             # inside the very handler that keeps the bench alive.
             errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+    load_after = _loadavg()
 
     total = round(sum(timings.values()), 3)
     prev = _load_previous_round(sf)
@@ -297,25 +325,28 @@ def main() -> None:
         "prev_round": prev.get("_round"),
         "deltas_vs_prev": deltas,
         "regressions": regressions,
+        # Contention evidence (r5: driver bench 3x the committed local bench
+        # on identical code — now every record carries system load and
+        # per-query run spread so a contended round is diagnosable from the
+        # file alone).
+        "load_avg_before": load_before,
+        "load_avg_after": load_after,
+        "run_spread": spreads,
         "sf": sf,
         **stream_stats,
     }
-    # Full record to a sidecar file (the driver's stdout tail buffer
-    # truncated r3's long line into parsed:null) ...
-    here = os.path.dirname(os.path.abspath(__file__))
-    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
-        json.dump(record, f, indent=1)
-    # ... and a compact single line on stdout for the driver: the headline
+    # Compact single line on stdout for the driver FIRST (a sidecar-write
+    # failure must never orphan the driver's parsed line): the headline
     # metric, per-query timings, errors and the regression verdict. The
     # driver's tail buffer keeps ~2000 chars (a clean 44-query line is
-    # ~1.5 KB), so the per-query deltas live in the sidecar only, the
-    # regression list is capped at the 4 worst, and error messages are
-    # truncated to their exception-type-plus-head — the exact mass-failure
-    # scenario (r4: one env shift broke 5 queries) must not push the line
-    # past the buffer and turn the whole round's metric into parsed:null.
-    # n_regressions / n_err always carry the true counts; BENCH_LOCAL.json
-    # holds the full record.
-    compact = {k: v for k, v in record.items() if k != "deltas_vs_prev"}
+    # ~1.5 KB), so the per-query deltas and spreads live in the sidecar
+    # only, the regression list is capped at the 4 worst, and error
+    # messages are truncated to their exception-type-plus-head — the exact
+    # mass-failure scenario (r4: one env shift broke 5 queries) must not
+    # push the line past the buffer and turn the whole round's metric into
+    # parsed:null. n_regressions / n_err always carry the true counts;
+    # BENCH_LOCAL.json holds the full record.
+    compact = {k: v for k, v in record.items() if k not in ("deltas_vs_prev", "run_spread")}
     compact["n_regressions"] = len(regressions)
     compact["regressions"] = sorted(
         regressions, key=lambda r: -r["delta_sec"]
@@ -324,7 +355,17 @@ def main() -> None:
         name: msg[:60]
         for name, msg in sorted(errors.items())[:4]
     }
-    print(json.dumps(compact, separators=(",", ":")))
+    # The worst run spread (query, ratio): >2 here + load_avg >> ncpus says
+    # "contended measurement", not "regression".
+    if spreads:
+        worst = max(spreads, key=spreads.get)
+        compact["noisiest"] = [worst, spreads[worst]]
+    print(json.dumps(compact, separators=(",", ":")), flush=True)
+    # Full record to a sidecar file (the driver's stdout tail buffer
+    # truncated r3's long line into parsed:null).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(record, f, indent=1)
 
 
 if __name__ == "__main__":
