@@ -451,8 +451,11 @@ _SHUFFLE_BUCKET_WIDTH = (dedup_hash.MINHASH_P - 1) // _SHUFFLE_BUCKETS + 1
 def q_global_shuffle(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
+    # Integer division (`div`), not float-divide-then-truncate: double
+    # division is only order-preserving while the hash fits the 2^53
+    # mantissa, so bucketing would silently break if MINHASH_P ever grew.
     keyed = docs.select("doc_id", h.alias("h")).withColumn(
-        "b", (F.col("h") / F.lit(_SHUFFLE_BUCKET_WIDTH)).cast("int")
+        "b", F.expr(f"CAST(h div {_SHUFFLE_BUCKET_WIDTH} AS INT)")
     )
     within = F.row_number().over(
         Window.partitionBy("b").orderBy("h", "doc_id")

@@ -265,12 +265,22 @@ def _length_blocked_join(df, *, payload: dict[str, str], tol: int):
       SELECT batch_id, min(corpus_id) AS match_id,
              arg_min(jac, corpus_id) AS jac
       FROM ver WHERE jac >= 0.8 GROUP BY batch_id
+    ), bsz AS (
+      SELECT band_id, band_hash FROM bands WHERE doc_id < 400
+      GROUP BY band_id, band_hash HAVING count(*) > {_LSH_BUCKET_CAP}
+    ), tflag AS (
+      SELECT DISTINCT b.doc_id AS batch_id
+      FROM bands b JOIN bsz ON b.band_id = bsz.band_id AND b.band_hash = bsz.band_hash
+      WHERE b.doc_id >= 400
     )
     SELECT d.doc_id,
            CAST(CASE WHEN best.batch_id IS NULL THEN 1 ELSE 0 END AS INTEGER) AS keep,
            COALESCE(best.match_id, -1) AS match_id,
-           COALESCE(best.jac, -1.0)    AS jac
-    FROM documents d LEFT JOIN best ON best.batch_id = d.doc_id
+           COALESCE(best.jac, -1.0)    AS jac,
+           CAST(CASE WHEN tf.batch_id IS NULL THEN 0 ELSE 1 END AS INTEGER) AS screened_truncated
+    FROM documents d
+    LEFT JOIN best ON best.batch_id = d.doc_id
+    LEFT JOIN tflag tf ON tf.batch_id = d.doc_id
     WHERE d.doc_id >= 400
     """,
     doc=(
@@ -318,6 +328,7 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
         .groupBy("band_id", "band_hash")
         .agg(F.sort_array(F.collect_set("doc_id")).alias("all_ids"))
         .withColumn("ids", F.slice(F.col("all_ids"), 1, bucket_cap))
+        .withColumn("trunc", (F.size("all_ids") > bucket_cap).cast("int"))
     )
     corpus_index = _observe_bucket_cap(
         corpus_index, bucket_cap, observation, "neardup_incr_bucket_cap"
@@ -328,14 +339,18 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
     # cheapest to keep. At production scale the band index is corpus-sized
     # and a broadcast would be wrong anyway, so the hint costs nothing
     # where it matters and buys always-on observability where it doesn't.
-    cand = (
-        bb.join(
-            corpus_index.select("band_id", "band_hash", "ids").hint("shuffle_hash"),
-            ["band_id", "band_hash"],
-        )
-        .select("batch_id", F.explode("ids").alias("corpus_id"))
-        .distinct()
+    joined = bb.join(
+        corpus_index.select("band_id", "band_hash", "ids", "trunc").hint("shuffle_hash"),
+        ["band_id", "band_hash"],
     )
+    # Per-batch-doc truncation flag: a doc cleared only against over-cap
+    # buckets whose tails were dropped is NOT the same as a doc cleared
+    # against complete buckets — downstream can quarantine flagged docs
+    # instead of trusting keep=1 blindly (silent false-keeps at scale).
+    flags = joined.groupBy("batch_id").agg(
+        F.max("trunc").alias("screened_truncated")
+    ).withColumnRenamed("batch_id", "flag_id")
+    cand = joined.select("batch_id", F.explode("ids").alias("corpus_id")).distinct()
     sh = (
         fan_out(docs.select("doc_id", "text"))
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
@@ -358,11 +373,16 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
         F.min_by("jac", "corpus_id").alias("jac"),
     )
     batch = docs.filter(F.col("doc_id") >= cutoff).select("doc_id")
-    return batch.join(best, batch.doc_id == best.batch_id, "left").select(
-        "doc_id",
-        F.when(F.col("batch_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
-        F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
-        F.coalesce(F.col("jac"), F.lit(-1.0)).alias("jac"),
+    return (
+        batch.join(best, batch.doc_id == best.batch_id, "left")
+        .join(flags, batch.doc_id == flags.flag_id, "left")
+        .select(
+            "doc_id",
+            F.when(F.col("batch_id").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+            F.coalesce(F.col("match_id"), F.lit(-1)).alias("match_id"),
+            F.coalesce(F.col("jac"), F.lit(-1.0)).alias("jac"),
+            F.coalesce(F.col("screened_truncated"), F.lit(0)).cast("int").alias("screened_truncated"),
+        )
     )
 
 
@@ -452,10 +472,23 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str):
     # rather than emb.count(): an eager count here ran a full Spark job for
     # every plan-only consumer of this DataFrame (.explain, plan gates).
     try:
+        import glob as _glob
+        import os as _os
+
         import pyarrow.parquet as _pq
 
-        n_rows = _pq.read_metadata(f"{sf_dir}/embeddings.parquet").num_rows
-    except Exception:  # noqa: BLE001 — non-file layout: pay the exact count
+        path = f"{sf_dir}/embeddings.parquet"
+        if _os.path.isdir(path):
+            # Spark-written layout (e.g. the scale-probe output) is a
+            # DIRECTORY of part files — sum their footers so the footer
+            # fast-path survives exactly the scaled layouts it exists for.
+            parts = _glob.glob(_os.path.join(path, "*.parquet"))
+            if not parts:
+                raise FileNotFoundError(path)
+            n_rows = sum(_pq.read_metadata(p).num_rows for p in parts)
+        else:
+            n_rows = _pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001 — unknown layout: pay the exact count
         n_rows = emb.count()
     if n_rows > _EMBED_EXACT_MAX_ROWS:
         raise ValueError(
