@@ -29,22 +29,34 @@ from pyspark.sql import functions as F
 from . import dedup_hash
 
 
-def _sq_dist(v, c):
+def _sq_dist(v, c, *, integer: bool = False):
+    zero = F.lit(0).cast("long") if integer else F.lit(0.0)
     return F.aggregate(
         F.zip_with(v, c, lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
+        zero,
         lambda acc, x: acc + x,
     )
 
 
-def _assign(vecs: DataFrame, vec_col: str, centroids: list[list[float]]) -> DataFrame:
-    cent_arr = F.array(
-        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-    )
+def _assign(
+    vecs: DataFrame,
+    vec_col: str,
+    centroids: list[list[float]],
+    *,
+    integer: bool = False,
+) -> DataFrame:
+    if integer:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in centroids]
+        )
+    else:
+        cent_arr = F.array(
+            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+        )
     scored = F.transform(
         cent_arr,
         lambda c, i: F.struct(
-            _sq_dist(F.col(vec_col), c).alias("d"), i.alias("i")
+            _sq_dist(F.col(vec_col), c, integer=integer).alias("d"), i.alias("i")
         ),
     )
     best = F.array_min(scored)  # struct ordering: distance, then index
@@ -58,13 +70,29 @@ def kmeans_train(
     max_iter: int = 5,
     id_col: str = "vec_id",
     vec_col: str = "v",
+    quantize: int | None = None,
 ) -> tuple[DataFrame, list[list[float]], list[float]]:
     """Returns (assignments, centroids, sse_history).
 
     ``assignments`` adds a ``cluster`` index column to ``vecs``;
     ``sse_history`` has one entry per iteration and is non-increasing
     (Lloyd's monotonicity — asserted in tests).
-    """
+
+    ``quantize`` (e.g. ``1_000_000``) switches the trainer to EXACT
+    integer arithmetic: coordinates are snapped to
+    ``round(x * quantize)`` BIGINT microunits up front, distances are
+    integer sums of squares, and centroid updates are half-up-rounded
+    integer means. Every intermediate is then bit-identical across
+    engines (no float summation-order drift), which is what lets
+    q_kmeans_ivf carry a DuckDB hash-match oracle for the full
+    iterative refinement. Quantization error is 0.5/quantize per
+    coordinate — noise at 1e-6 against unit-ish embeddings."""
+    if quantize is not None:
+        q = F.lit(float(quantize))
+        vecs = vecs.withColumn(
+            vec_col,
+            F.transform(F.col(vec_col), lambda x: F.round(x * q, 0).cast("long")),
+        )
     h = dedup_hash.token_hash(F.col(id_col).cast("string"))
     seeds = (
         vecs.select(vec_col, h.alias("__h"), F.col(id_col))
@@ -74,15 +102,17 @@ def kmeans_train(
     )
     centroids = [list(r[vec_col]) for r in seeds]
 
+    integer = quantize is not None
+    mean = F.round(F.avg("x"), 0).cast("long") if integer else F.avg("x")
     sse_history: list[float] = []
     for _ in range(max_iter):
-        assigned = _assign(vecs, vec_col, centroids)
+        assigned = _assign(vecs, vec_col, centroids, integer=integer)
         stats = (
             assigned.select(
                 "cluster", F.col("__d"), F.posexplode(vec_col).alias("pos", "x")
             )
             .groupBy("cluster", "pos")
-            .agg(F.avg("x").alias("m"), F.sum("__d").alias("dsum"))
+            .agg(mean.alias("m"), F.sum("__d").alias("dsum"))
             .groupBy("cluster")
             .agg(
                 F.array_sort(
@@ -96,4 +126,5 @@ def kmeans_train(
         sse_history.append(float(sum(r.sse for r in stats)))
         for r in stats:  # empty clusters keep their previous centroid
             centroids[r.cluster] = [p.m for p in r.pm]
-    return _assign(vecs, vec_col, centroids).drop("__d"), centroids, sse_history
+    final = _assign(vecs, vec_col, centroids, integer=integer).drop("__d")
+    return final, centroids, sse_history

@@ -1620,17 +1620,94 @@ def q_neardup_components_star(spark: SparkSession, sf_dir: str):
     )
 
 
+_KMEANS_IVF_K = 16
+_KMEANS_IVF_ITERS = 3
+_KMEANS_IVF_SCALE = 1_000_000
+
+
+def _kmeans_ivf_sql(k: int, iters: int, scale: int) -> str:
+    """Unrolled Lloyd's k-means as a single DuckDB statement.
+
+    Mirrors operators/cluster.kmeans_train in quantize mode CTE-for-step:
+    seeds = k smallest (md5-hash, id); each iteration one argmin
+    assignment (integer squared distance, ties toward the lower cluster
+    index) + one half-up-rounded integer mean update (empty clusters keep
+    their previous centroid via the LEFT JOIN COALESCE); final assignment
+    feeds the per-cluster counts. Exact integer arithmetic end-to-end is
+    what makes the iterative loop hash-matchable at all — float means
+    would drift between engines by summation order."""
+    h = dh.sql_token_hash("CAST(vec_id AS VARCHAR)")
+    dist = (
+        "list_sum(list_transform(range(1, len(e.v) + 1), "
+        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+    )
+    parts = [
+        f"""
+    WITH e AS (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {scale}.0, 0) AS BIGINT)) AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT rn - 1 AS cluster, v AS cv FROM (
+        SELECT v, row_number() OVER (ORDER BY {h}, vec_id) AS rn FROM e
+      ) WHERE rn <= {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", a{it} AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rc
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rc = 1
+    ), m{it} AS (
+      SELECT cluster, list(m ORDER BY pos) AS mv FROM (
+        SELECT cluster, pos, CAST(round(avg(x), 0) AS BIGINT) AS m
+        FROM (SELECT cluster, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS pos FROM a{it})
+        GROUP BY cluster, pos
+      ) GROUP BY cluster
+    ), c{it} AS (
+      SELECT c.cluster, COALESCE(m.mv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN m{it} m ON m.cluster = c.cluster
+    )"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""", af AS (
+      SELECT cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rc
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rc = 1
+    )
+    SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n_vectors
+    FROM af GROUP BY 1"""
+    )
+    return "".join(parts)
+
+
 @query(
     "q_kmeans_ivf",
-    oracle=None,  # iterative refinement is not single-statement SQL; driver
-    # records the rows-only check, invariants proven in tests/test_scale_ops.py
+    oracle=_kmeans_ivf_sql(_KMEANS_IVF_K, _KMEANS_IVF_ITERS, _KMEANS_IVF_SCALE),
     doc=(
         "IVF index build with TRAINED centroids: deterministic Lloyd's "
         "k-means (operators/cluster.py — driver-coordinated loop, each "
         "round a narrow argmin assignment + one k x dim mean aggregate), "
         "then per-cluster population counts. Upgrades q_ann_ivf's fixed "
         "centroid subset to refined centroids; determinism (hash-seeded "
-        "init, index tie-breaks) makes the index build reproducible."
+        "init, index tie-breaks) makes the index build reproducible. "
+        "Runs the trainer's QUANTIZE mode (1e-6 microunit grid, exact "
+        "integer distance/mean arithmetic), which upgrades this from the "
+        "rows-only tier to a full hash-match oracle: the DuckDB twin "
+        "unrolls the identical three refinement rounds as CTEs. Integer "
+        "mean exactness assumes per-cluster coordinate sums stay under "
+        "2^53 (holds through ~1e12 rows at unit-scale embeddings)."
     ),
 )
 def q_kmeans_ivf(spark: SparkSession, sf_dir: str):
@@ -1639,7 +1716,9 @@ def q_kmeans_ivf(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
-    assigned, _cents, _sse = kmeans_train(emb, k=16, max_iter=3)
+    assigned, _cents, _sse = kmeans_train(
+        emb, k=_KMEANS_IVF_K, max_iter=_KMEANS_IVF_ITERS, quantize=_KMEANS_IVF_SCALE
+    )
     return (
         assigned.groupBy("cluster")
         .agg(F.count(F.lit(1)).alias("n_vectors"))
