@@ -205,6 +205,7 @@ class JdbcUpsertSink:
         keys: list[str],
         order_col: str | None = None,
         driver: str = "org.postgresql.Driver",
+        executor=None,
     ):
         self.host = host
         self.port = port
@@ -215,6 +216,13 @@ class JdbcUpsertSink:
         self.keys = [_check_ident(k) for k in keys]
         self.order_col = order_col
         self.driver = driver
+        # Injectable driver-side SQL runner (callable taking *statements,
+        # expected to run them in ONE transaction). None = the psycopg2
+        # path. Lets the DDL + merge SQL execute against any DB with the
+        # INSERT..ON CONFLICT dialect — tests drive it against in-process
+        # DuckDB for a live round-trip the sandbox's missing Postgres
+        # can't provide.
+        self._executor = executor
 
     @property
     def jdbc_url(self) -> str:
@@ -265,6 +273,9 @@ class JdbcUpsertSink:
 
     def _exec(self, *statements: str) -> None:
         """Run statements in one driver-side transaction."""
+        if self._executor is not None:
+            self._executor(*statements)
+            return
         try:
             import psycopg2  # noqa: F401
         except ImportError as e:  # pragma: no cover - env-dependent

