@@ -43,7 +43,60 @@ QUERIES = [
     "q_semdedup",
     "q_ann_pq",
     "q_ann_ivfpq",
+    # r6 extension (VERDICT r5 #3): the three r5 queries that shipped
+    # without a measured scale point.
+    "q_global_shuffle",
+    "q_dup_ngrams",
+    "q_dq_orphans",
 ]
+
+#: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
+#: keys so referential integrity (and the all-zero answer) is preserved
+#: per copy. (table, key columns to offset, stride source table+key).
+_TPCH_SPEC = {
+    "nation": [("n_nationkey", "nation", "n_nationkey")],
+    "supplier": [("s_suppkey", "supplier", "s_suppkey")],
+    "part": [("p_partkey", "part", "p_partkey")],
+    "customer": [
+        ("c_custkey", "customer", "c_custkey"),
+        ("c_nationkey", "nation", "n_nationkey"),
+    ],
+    "orders": [
+        ("o_orderkey", "orders", "o_orderkey"),
+        ("o_custkey", "customer", "c_custkey"),
+    ],
+    "lineitem": [
+        ("l_orderkey", "orders", "o_orderkey"),
+        ("l_partkey", "part", "p_partkey"),
+        ("l_suppkey", "supplier", "s_suppkey"),
+    ],
+}
+
+
+def synthesize_tpch(spark, src_dir: str, dst_dir: str, mult: int) -> None:
+    """orders/customer/lineitem/part/supplier/nation x mult with every key
+    (primary AND foreign) offset by the same per-table stride in copy i, so
+    each copy is a self-consistent TPC-H shard and the orphan audit's
+    all-zero invariant survives the scale-up."""
+    strides = {
+        t: (
+            read_table(spark, src_dir, t).agg(F.max(spec[0][0])).collect()[0][0] or 0
+        )
+        + 1
+        for t, spec in _TPCH_SPEC.items()
+    }
+    for t, spec in _TPCH_SPEC.items():
+        base = read_table(spark, src_dir, t)
+        copies = [base]
+        for i in range(1, mult):
+            c = base
+            for col, src_t, _src_k in spec:
+                c = c.withColumn(col, F.col(col) + F.lit(i * strides[src_t]))
+            copies.append(c)
+        out = copies[0]
+        for c in copies[1:]:
+            out = out.unionByName(c)
+        out.write.mode("overwrite").parquet(os.path.join(dst_dir, f"{t}.parquet"))
 
 
 def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
@@ -166,6 +219,7 @@ def main() -> None:
     try:
         n1 = read_table(spark, args.sf_dir, "documents").count()
         n10 = synthesize(spark, args.sf_dir, big_dir, args.mult)
+        synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
         report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
         for name in QUERIES:
             one = run_one(spark, name, args.sf_dir)
