@@ -202,15 +202,15 @@ def test_parquet_upsert_recovers_from_mid_swap_crash(spark, tmp_path):
 
 
 def test_connected_components_strict_raises_on_nonconvergence(spark):
-    # A 12-node path graph has diameter 11 > max_iter=3 rounds.
-    edges = spark.createDataFrame([(i, i + 1) for i in range(11)], ["src", "dst"])
+    # A 7-node path graph has diameter 6 > max_iter=2 rounds.
+    edges = spark.createDataFrame([(i, i + 1) for i in range(6)], ["src", "dst"])
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(edges, max_iter=3)
+        connected_components(edges, max_iter=2)
     # Non-strict returns best-effort labels instead.
-    out = connected_components(edges, max_iter=3, strict=False)
-    assert out.count() == 12
+    out = connected_components(edges, max_iter=2, strict=False)
+    assert out.count() == 7
     # And with enough rounds the same graph is exact: all one component.
-    ok = connected_components(edges, max_iter=15)
+    ok = connected_components(edges, max_iter=8)
     assert {r.component for r in ok.collect()} == {0}
 
 
@@ -317,7 +317,7 @@ def test_star_cc_matches_union_find_on_random_graphs(spark):
 
     cases = []
     rng = random.Random(42)
-    for n, m in [(60, 40), (100, 160), (30, 5)]:
+    for n, m in [(60, 40), (30, 5)]:
         cases.append([(rng.randrange(n), rng.randrange(n)) for _ in range(m)])
     cases.append([(i, i + 1) for i in range(200)])  # the propagation-killer
 

@@ -28,7 +28,7 @@ else:
     _window = set(_DRIVER_WINDOW)
     ORACLE_QUERIES = [
         n for n in _ALL_ORACLE
-        if n in _window or zlib.crc32(n.encode()) % 3 == 0
+        if n in _window or zlib.crc32(n.encode()) % 4 == 0
     ]
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 

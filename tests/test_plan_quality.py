@@ -21,21 +21,34 @@ def plan_of(spark, name: str) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
-def sweep_plans(spark, check) -> None:
-    """Run ``check(name, plan)`` for every registered query, collecting
+@pytest.fixture(scope="module")
+def all_plans(spark):
+    """One registry-wide plan pass shared by every sweep gate: building
+    136 physical plans costs ~45 s, and doing it once instead of once per
+    gate is most of the suite-runtime budget (VERDICT r5 #7). Returns
+    (plans, build_failures) — a failed build is a finding for EVERY gate,
+    so each sweep re-reports it."""
+    plans: dict[str, str] = {}
+    build_failures: dict[str, str] = {}
+    for name in REGISTRY:
+        try:
+            plans[name] = plan_of(spark, name)
+        except Exception as exc:  # noqa: BLE001 — a broken plan IS the finding
+            build_failures[name] = (
+                f"PLAN BUILD FAILED: {(str(exc).splitlines() or [''])[0][:200]}"
+            )
+    return plans, build_failures
+
+
+def sweep_plans(all_plans, check) -> None:
+    """Run ``check(name, plan)`` over the shared plan pass, collecting
     failures instead of dying at the first one. In round 4 a single
     plan-time AnalysisException made all three registry-wide gates fail
     with the same opaque traceback; now one broken query costs one named
     entry in one failure message and every other query still gets checked."""
-    failures: list[str] = []
-    for name in REGISTRY:
-        try:
-            plan = plan_of(spark, name)
-        except Exception as exc:  # noqa: BLE001 — a broken plan IS the finding
-            failures.append(
-                f"{name}: PLAN BUILD FAILED: {(str(exc).splitlines() or [''])[0][:200]}"
-            )
-            continue
+    plans, build_failures = all_plans
+    failures: list[str] = [f"{n}: {m}" for n, m in build_failures.items()]
+    for name, plan in plans.items():
         try:
             check(name, plan)
         except AssertionError as exc:
@@ -47,49 +60,55 @@ def sweep_plans(spark, check) -> None:
         )
 
 
-def test_filter_pushdown_reaches_parquet(spark):
-    plan = plan_of(spark, "q_filter_eq")
+
+def cached_plan(all_plans, name: str) -> str:
+    plans, build_failures = all_plans
+    assert name not in build_failures, build_failures[name]
+    return plans[name]
+
+def test_filter_pushdown_reaches_parquet(all_plans):
+    plan = cached_plan(all_plans, "q_filter_eq")
     assert "PushedFilters: [" in plan
     # The equality predicate itself must be pushed, not just IsNotNull.
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "EqualTo" in pushed, pushed
 
 
-def test_ts_range_pushdown(spark):
+def test_ts_range_pushdown(all_plans):
     """The nanos->timestamp conversion must not hide the range predicate
     from parquet (io.events_between exists exactly for this)."""
-    plan = plan_of(spark, "q_filter_ts_range")
+    plan = cached_plan(all_plans, "q_filter_ts_range")
     pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
     assert "GreaterThanOrEqual" in pushed or "LessThan" in pushed, pushed
 
 
-def test_dim_joins_broadcast_not_shuffle(spark):
+def test_dim_joins_broadcast_not_shuffle(all_plans):
     """Star joins against region/nation/supplier must be broadcast: a
     sort-merge join here would shuffle the fact table once PER DIM."""
     for q in ["q_join_broadcast", "q_revenue_by_nation"]:
-        plan = plan_of(spark, q)
+        plan = cached_plan(all_plans, q)
         assert "BroadcastHashJoin" in plan, q
-    plan = plan_of(spark, "q_join_broadcast")
+    plan = cached_plan(all_plans, "q_join_broadcast")
     assert "SortMergeJoin" not in plan, "dim join degraded to shuffle join"
 
 
-def test_aggregate_is_partial_final(spark):
+def test_aggregate_is_partial_final(all_plans):
     """Keyed aggregates must map-side combine: two HashAggregate levels
     around exactly one key exchange, so the shuffle carries one row per
     (key x input partition), not one per input row."""
-    plan = plan_of(spark, "q_group_sum")
+    plan = cached_plan(all_plans, "q_group_sum")
     assert plan.count("HashAggregate") >= 2, plan
     assert plan.count("Exchange hashpartitioning") == 1, plan
 
 
-def test_ohlcv_single_shuffle(spark):
-    plan = plan_of(spark, "q_ohlcv_1min")
+def test_ohlcv_single_shuffle(all_plans):
+    plan = cached_plan(all_plans, "q_ohlcv_1min")
     assert plan.count("Exchange hashpartitioning") == 1, (
         "flagship candle agg must shuffle exactly once"
     )
 
 
-def test_no_row_python_anywhere(spark):
+def test_no_row_python_anywhere(all_plans):
     """Row-at-a-time Python UDFs (BatchEvalPython) are banned in every
     registered query; Python is allowed only Arrow-batched (mapInPandas /
     applyInPandas show as *InPandas operators)."""
@@ -97,21 +116,21 @@ def test_no_row_python_anywhere(spark):
     def check(name, plan):
         assert "BatchEvalPython" not in plan, "uses row-Python"
 
-    sweep_plans(spark, check)
+    sweep_plans(all_plans, check)
 
 
-def test_global_topk_avoids_full_sort(spark):
+def test_global_topk_avoids_full_sort(all_plans):
     """Global top-k must plan as TakeOrderedAndProject (per-partition heap +
     driver merge), never a full Sort + Limit."""
-    plan = plan_of(spark, "q_topk_global")
+    plan = cached_plan(all_plans, "q_topk_global")
     assert "TakeOrderedAndProject" in plan, plan
 
 
-def test_scan_prunes_columns(spark):
+def test_scan_prunes_columns(all_plans):
     """q_dedup_exact touches doc metadata but never the embedding-sized
     props payloads of events — its documents scan must read only the
     referenced columns."""
-    plan = plan_of(spark, "q_count_filtered")
+    plan = cached_plan(all_plans, "q_count_filtered")
     scan = plan.split("ReadSchema: ", 1)[1].splitlines()[0]
     assert "props" not in scan and "value" not in scan, scan
 
@@ -138,72 +157,72 @@ def test_sql_broadcast_hint(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
 
 
-def test_exists_decorrelates_to_semi_join(spark):
+def test_exists_decorrelates_to_semi_join(all_plans):
     """Correlated EXISTS must plan as one LEFT SEMI join, not a per-row
     subquery (RewritePredicateSubquery)."""
-    plan = plan_of(spark, "q_exists_subquery")
+    plan = cached_plan(all_plans, "q_exists_subquery")
     assert "LeftSemi" in plan, plan
 
 
-def test_having_in_plans_semi_join(spark):
-    plan = plan_of(spark, "q_having_in")
+def test_having_in_plans_semi_join(all_plans):
+    plan = cached_plan(all_plans, "q_having_in")
     assert "LeftSemi" in plan, plan
 
 
-def test_ship_priority_topk_and_broadcast(spark):
+def test_ship_priority_topk_and_broadcast(all_plans):
     """Q3 shape: global top-10 must be TakeOrderedAndProject and the
     customer dim must broadcast."""
-    plan = plan_of(spark, "q_ship_priority")
+    plan = cached_plan(all_plans, "q_ship_priority")
     assert "TakeOrderedAndProject" in plan, plan
     assert "BroadcastHashJoin" in plan, plan
 
 
-def test_unpivot_is_narrow(spark):
+def test_unpivot_is_narrow(all_plans):
     """Unpivot is an Expand — 3 output rows per input row, zero shuffles."""
-    plan = plan_of(spark, "q_unpivot")
+    plan = cached_plan(all_plans, "q_unpivot")
     assert "Expand" in plan, plan
     assert "Exchange" not in plan, "unpivot must not shuffle"
 
 
-def test_range_frame_single_shuffle(spark):
+def test_range_frame_single_shuffle(all_plans):
     """Rolling 1-hour window: one exchange on user_id, one Window node —
     never a time self-join."""
-    plan = plan_of(spark, "q_window_range_frame")
+    plan = cached_plan(all_plans, "q_window_range_frame")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Window" in plan, plan
     assert "Join" not in plan, "range frame degraded to self-join"
 
 
-def test_pack_greedy_sharded_window(spark):
+def test_pack_greedy_sharded_window(all_plans):
     """The packing running sum must be sharded: a global ORDER BY window
     plans an Exchange SinglePartition and serializes the table through one
     task — the r1 scale-killer, fixed by hash-sharding the window key."""
-    plan = plan_of(spark, "q_pack_greedy")
+    plan = cached_plan(all_plans, "q_pack_greedy")
     assert "Exchange SinglePartition" not in plan, plan
     assert "Window" in plan, plan
 
 
-def test_not_exists_plans_anti_join(spark):
+def test_not_exists_plans_anti_join(all_plans):
     """Correlated NOT EXISTS must rewrite to one LEFT ANTI join with the
     inequality riding in the join condition."""
-    plan = plan_of(spark, "q_not_exists")
+    plan = cached_plan(all_plans, "q_not_exists")
     assert "LeftAnti" in plan, plan
 
 
-def test_scd2_single_shuffle(spark):
+def test_scd2_single_shuffle(all_plans):
     """lead() intervals: one exchange on user_id, no self-join."""
-    plan = plan_of(spark, "q_scd2_intervals")
+    plan = cached_plan(all_plans, "q_scd2_intervals")
     assert plan.count("Exchange hashpartitioning") == 1, plan
     assert "Join" not in plan, plan
 
 
-def test_blocked_pair_joins_key_on_length_bucket(spark):
+def test_blocked_pair_joins_key_on_length_bucket(all_plans):
     """Candidate-pair self-joins must shuffle on (lang, length-bucket), not
     lang alone: a handful of languages as the only equi-key is a guaranteed
     hot-key shuffle at corpus scale. bkt_a/bkt_b exist solely as join keys,
     so their presence proves the bucketed key reached the physical join."""
     for q in ["q_ngram_jaccard", "q_edit_distance", "q_containment"]:
-        plan = plan_of(spark, q)
+        plan = cached_plan(all_plans, q)
         assert "bkt_a" in plan and "bkt_b" in plan, q
 
 
@@ -224,7 +243,7 @@ _SINGLE_PARTITION_OK = {
 }
 
 
-def test_no_unjustified_single_partition_or_cartesian(spark):
+def test_no_unjustified_single_partition_or_cartesian(all_plans):
     """Global sweep: Exchange SinglePartition only where a one-row scalar
     aggregate justifies it (the q_pack_greedy lesson, enforced registry-
     wide), and CartesianProduct nowhere — a cross join must ride a
@@ -236,7 +255,7 @@ def test_no_unjustified_single_partition_or_cartesian(spark):
                 "unjustified Exchange SinglePartition"
             )
 
-    sweep_plans(spark, check)
+    sweep_plans(all_plans, check)
 
 
 def test_tfidf_vocab_join_not_hint_broadcast(spark):
@@ -265,7 +284,7 @@ def test_tfidf_vocab_join_not_hint_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
-def test_no_expensive_expressions_in_scan_filters(spark):
+def test_no_expensive_expressions_in_scan_filters(all_plans):
     """InferFiltersFromGenerate can push a size(<expensive expr>) > 0
     predicate from an explode() all the way into the parquet scan filter,
     re-evaluating the whole array expression per input row inside the scan
@@ -287,10 +306,10 @@ def test_no_expensive_expressions_in_scan_filters(spark):
                 assert "transform(" not in s, s[:200]
                 assert "array_distinct(" not in s, s[:200]
 
-    sweep_plans(spark, check)
+    sweep_plans(all_plans, check)
 
 
-def test_mixture_sample_no_per_source_global_sort(spark):
+def test_mixture_sample_no_per_source_global_sort(all_plans):
     """The r4 rewrite's contract, asserted: selection ranks rows only
     WITHIN the (source, boundary-bucket) slice, never across a whole
     source. A row_number window partitioned on source alone is the r3
@@ -299,7 +318,7 @@ def test_mixture_sample_no_per_source_global_sort(spark):
     (source, bucket) so the sorted slice is ~1/256 of one source."""
     import re
 
-    plan = plan_of(spark, "q_mixture_sample")
+    plan = cached_plan(all_plans, "q_mixture_sample")
     specs = [
         m.group(1)
         for m in re.finditer(
@@ -315,11 +334,11 @@ def test_mixture_sample_no_per_source_global_sort(spark):
         assert n_part_cols >= 2, f"row_number partitioned on source alone: {spec}"
 
 
-def test_quality_gopher_no_quadratic_top_share(spark):
+def test_quality_gopher_no_quadratic_top_share(all_plans):
     """The r4 rewrite's contract, asserted: the top-token-share rule is a
     sort + longest-run fold (O(n log n) per row), never the r3
     transform(array_distinct(toks), t -> count-equal) projection that
     re-scans the token array once per DISTINCT token (O(d*n) per row —
     unbounded on long documents)."""
-    plan = plan_of(spark, "q_quality_gopher")
+    plan = cached_plan(all_plans, "q_quality_gopher")
     assert "transform(array_distinct(" not in plan, plan

@@ -72,6 +72,32 @@ def flavor_dirs(tmp_path_factory):
     return dirs
 
 
+#: Tables whose fixtures carry a timestamp column — the only ones whose
+#: parquet flavor can affect planning.
+_TS_TABLES = {"orders", "lineitem", "events"}
+
+
+def _flavor_sensitive_queries() -> list[str]:
+    """Queries that can see a timestamp column: those whose function source
+    reads a ts-bearing table, plus (conservatively) any query whose table
+    usage isn't statically visible as read_table literals — only a query
+    that PROVABLY reads nothing but ts-free tables is excluded from the
+    sweep. Cuts the two 38 s flavor sweeps ~40% (VERDICT r5 #7) without
+    weakening the tripwire: a documents/embeddings-only query has no
+    parquet timestamp to mis-infer."""
+    import inspect
+    import re
+
+    keep = []
+    for name, spec in REGISTRY.items():
+        src = inspect.getsource(spec.fn)
+        lits = set(re.findall(r'read_table\([^)]*"(\w+)"\)', src))
+        if lits and not (lits & _TS_TABLES):
+            continue
+        keep.append(name)
+    return keep
+
+
 @pytest.mark.parametrize("flavor", _FLAVORS)
 def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatch, flavor):
     """Sweep REGISTRY building the executed plan against one flavor with the
@@ -82,7 +108,7 @@ def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatc
     )
     sf_dir = flavor_dirs[flavor]
     failures: list[str] = []
-    for name in REGISTRY:
+    for name in _flavor_sensitive_queries():
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
             df._jdf.queryExecution().executedPlan()
@@ -90,7 +116,7 @@ def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatc
             failures.append(f"{name}: {(str(exc).splitlines() or [''])[0][:200]}")
     if failures:
         pytest.fail(
-            f"{len(failures)}/{len(REGISTRY)} queries fail to plan on "
+            f"{len(failures)} queries fail to plan on "
             f"{flavor} fixtures:\n" + "\n".join(failures)
         )
 
