@@ -65,6 +65,9 @@ HEADLINE = [
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
     "q_mixture_sample",
+    # r6 additions: PII scrub + per-source quota (curation breadth).
+    "q_pii_redact",
+    "q_source_cap",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",
@@ -346,16 +349,37 @@ def main() -> None:
     # push the line past the buffer and turn the whole round's metric into
     # parsed:null. n_regressions / n_err always carry the true counts;
     # BENCH_LOCAL.json holds the full record.
-    compact = {k: v for k, v in record.items() if k not in ("deltas_vs_prev", "run_spread")}
+    # 47 queries x ~24 bytes already costs ~1.2 KB of the ~2 KB budget, so
+    # the compact line trims aggressively: 2-decimal timings, 1-min load
+    # only, 3 regressions / errors max, verbose constants sidecar-only.
+    compact = {
+        k: v
+        for k, v in record.items()
+        if k not in (
+            "deltas_vs_prev",
+            "run_spread",
+            "runs_per_query",
+            "timing",
+            "load_avg_before",
+            "load_avg_after",
+        )
+    }
+    compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
+    # 1-min loadavg at start/end: >> a busy-bench baseline means a
+    # contended measurement, not a regression.
+    compact["load1"] = [
+        (load_before or [None])[0],
+        (load_after or [None])[0],
+    ]
     compact["n_regressions"] = len(regressions)
     compact["regressions"] = sorted(
         regressions, key=lambda r: -r["delta_sec"]
-    )[:4]
+    )[:3]
     compact["errors"] = {
-        name: msg[:60]
-        for name, msg in sorted(errors.items())[:4]
+        name: msg[:40]
+        for name, msg in sorted(errors.items())[:3]
     }
-    # The worst run spread (query, ratio): >2 here + load_avg >> ncpus says
+    # The worst run spread (query, ratio): >2 here + high load says
     # "contended measurement", not "regression".
     if spreads:
         worst = max(spreads, key=spreads.get)

@@ -477,3 +477,128 @@ def q_global_shuffle(spark: SparkSession, sf_dir: str):
             (F.col("off") + F.col("pos_in_bucket")).cast("long").alias("shuffle_pos"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# PII redaction & per-source quota (round 6)
+# ---------------------------------------------------------------------------
+
+#: PII patterns in the Java-regex / RE2 COMMON dialect (no lookaround, no
+#: backrefs; \b, \d, {m,n}, non-capturing groups behave identically), so
+#: the Spark expressions and the DuckDB oracle compile the same automaton.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}[-.]\d{3}[-.]\d{4}\b"
+_PII_IP = r"\b(?:\d{1,3}\.){3}\d{1,3}\b"
+#: Replacement order matters (an IP-like span inside an already-redacted
+#: email must not double-count): email -> phone -> ip, identical both sides.
+_PII_ORDER = [("email", _PII_EMAIL, "<EMAIL>"), ("phone", _PII_PHONE, "<PHONE>"),
+              ("ip", _PII_IP, "<IP>")]
+
+
+def redact_pii(text):
+    """(redacted_text_column, {kind: count_column}) — counts measured on the
+    ORIGINAL text per pattern, replacements chained in _PII_ORDER."""
+    counts = {
+        kind: F.size(F.regexp_extract_all(text, F.lit(pat), F.lit(0)))
+        for kind, pat, _ in _PII_ORDER
+    }
+    red = text
+    for _, pat, token in _PII_ORDER:
+        red = F.regexp_replace(red, pat, token)
+    return red, counts
+
+
+@query(
+    "q_pii_redact",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS INTEGER) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS INTEGER) AS n_phones,
+           CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS INTEGER)    AS n_ips,
+           md5(regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g')) AS redacted_md5
+    FROM documents
+    """,
+    doc=(
+        "PII scrub (emails / NANP phones / IPv4) — the redaction pass every "
+        "published web-corpus pipeline runs before training. Per doc: match "
+        "counts per category (measured on the original text) plus the md5 "
+        "of the fully redacted text — the digest makes the ENTIRE redacted "
+        "string part of the hash-match, so the oracle verifies the actual "
+        "replacement output, not just the counts. Patterns live in the "
+        "Java-regex/RE2 common dialect so both engines compile the same "
+        "automaton. Pure row-local map: no shuffle, scales as a scan; "
+        "replacement order is fixed (email before phone before ip) so "
+        "overlapping spans resolve identically everywhere. Exact-match "
+        "semantics on synthetic PII are pinned in tests/test_curation.py."
+    ),
+)
+def q_pii_redact(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    red, counts = redact_pii(F.col("text"))
+    return docs.select(
+        "doc_id",
+        counts["email"].cast("int").alias("n_emails"),
+        counts["phone"].cast("int").alias("n_phones"),
+        counts["ip"].cast("int").alias("n_ips"),
+        F.md5(red).alias("redacted_md5"),
+    )
+
+
+#: Per-source document quota (RefinedWeb-style domain cap): keep the top
+#: _SOURCE_CAP docs per source by (n_chars DESC, doc_id ASC).
+_SOURCE_CAP = 10
+_SOURCE_CAP_SALTS = 4
+
+
+@query(
+    "q_source_cap",
+    oracle=f"""
+    SELECT doc_id, source, n_chars, CAST(rk AS INTEGER) AS src_rank FROM (
+      SELECT doc_id, source, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rk
+      FROM documents
+    ) WHERE rk <= {_SOURCE_CAP}
+    """,
+    doc=(
+        "Per-source quota: keep the best N docs per source (quality proxy "
+        "n_chars, deterministic doc_id tie-break) — the domain-cap step "
+        "web-corpus pipelines use to stop one crawl domain from dominating "
+        "the mixture (RefinedWeb/C4 lineage). The oracle is one window; "
+        "the Spark plan is the SKEW-PROOF two-phase form: rank within "
+        "(source, salt) slices and keep <= N per slice, then rank the "
+        "<= N x salts survivors per source — identical result (the true "
+        "top-N per source survives its salt slice by construction), but no "
+        "task ever windows more than the slice, so a monster source (half "
+        "the crawl from one domain) cannot pin a single partition. "
+        "Equivalence of the two forms is exactly what the oracle checks."
+    ),
+)
+def q_source_cap(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    salted = docs.withColumn(
+        "salt", (F.col("doc_id") % _SOURCE_CAP_SALTS).cast("int")
+    )
+    local_rank = F.row_number().over(
+        Window.partitionBy("source", "salt").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    survivors = (
+        salted.withColumn("lr", local_rank)
+        .filter(F.col("lr") <= _SOURCE_CAP)
+        .drop("lr", "salt")
+    )
+    final_rank = F.row_number().over(
+        Window.partitionBy("source").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id").asc()
+        )
+    )
+    return (
+        survivors.withColumn("src_rank", final_rank)
+        .filter(F.col("src_rank") <= _SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", F.col("src_rank").cast("int"))
+    )

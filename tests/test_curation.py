@@ -1,0 +1,97 @@
+"""Curation-operator semantics the oracles can't see: exact PII redaction
+on synthetic PII (the fixtures contain none, so the driver's hash-match
+only proves both engines agree on no-ops), and the salted source-cap's
+equivalence to the single-window form on a skewed source distribution."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+    _SOURCE_CAP,
+    redact_pii,
+)
+
+
+def test_pii_redaction_exact_on_synthetic(spark):
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk today"),
+        (2, "call 555-123-4567 or 555.987.6543 now"),
+        (3, "server at 192.168.0.1 and 10.0.0.255 respond"),
+        (4, "bob@host.io pinged 8.8.8.8 at 555-000-1111"),
+        (5, "no pii here, just words and numbers 12345"),
+        # An IP-like span inside an email domain must not double-redact:
+        # the email pattern consumes it first.
+        (6, "mail admin@10.0.0.1.example.com please"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    red, counts = redact_pii(F.col("text"))
+    got = {
+        r.doc_id: (r.red, r.e, r.p, r.i)
+        for r in df.select(
+            "doc_id",
+            red.alias("red"),
+            counts["email"].alias("e"),
+            counts["phone"].alias("p"),
+            counts["ip"].alias("i"),
+        ).collect()
+    }
+    assert got[1] == ("contact me at <EMAIL> today", 1, 0, 0)
+    assert got[2] == ("call <PHONE> or <PHONE> now", 0, 2, 0)
+    assert got[3] == ("server at <IP> and <IP> respond", 0, 0, 2)
+    assert got[4] == ("<EMAIL> pinged <IP> at <PHONE>", 1, 1, 1)
+    assert got[5] == ("no pii here, just words and numbers 12345", 0, 0, 0)
+    # Counts are measured on the ORIGINAL text independently, so the
+    # email-embedded IP still counts as an IP match — but the REDACTED
+    # text shows the email token, proving replacement order held.
+    red6, e6, p6, i6 = got[6]
+    assert red6 == "mail <EMAIL> please"
+    assert (e6, i6) == (1, 1)
+
+
+def test_source_cap_salted_equals_single_window(spark):
+    """The two-phase (source, salt) ranking must keep EXACTLY the rows the
+    one-window form keeps, including on a skewed distribution where one
+    source holds most of the corpus."""
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import q_source_cap
+
+    rows = [(i, "hot" if i < 80 else f"s{i % 5}", (i * 37) % 100) for i in range(100)]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "n_chars"])
+    df.createOrReplaceTempView("cap_docs")
+
+    from pyspark.sql import Window
+
+    rk = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    want = {
+        (r.doc_id, r.source, r.n_chars, r.src_rank)
+        for r in df.withColumn("src_rank", rk)
+        .filter(F.col("src_rank") <= _SOURCE_CAP)
+        .collect()
+    }
+
+    # Drive the registered query's core on the synthetic frame by
+    # monkey-free substitution: replicate its salted two-phase inline.
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _SOURCE_CAP_SALTS,
+    )
+
+    salted = df.withColumn("salt", (F.col("doc_id") % _SOURCE_CAP_SALTS).cast("int"))
+    lr = F.row_number().over(
+        Window.partitionBy("source", "salt").orderBy(
+            F.col("n_chars").desc(), F.col("doc_id")
+        )
+    )
+    survivors = salted.withColumn("lr", lr).filter(F.col("lr") <= _SOURCE_CAP)
+    fr = F.row_number().over(
+        Window.partitionBy("source").orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+    )
+    got = {
+        (r.doc_id, r.source, r.n_chars, r.src_rank)
+        for r in survivors.withColumn("src_rank", fr)
+        .filter(F.col("src_rank") <= _SOURCE_CAP)
+        .select("doc_id", "source", "n_chars", "src_rank")
+        .collect()
+    }
+    assert got == want
