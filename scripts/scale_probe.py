@@ -48,6 +48,9 @@ QUERIES = [
     "q_global_shuffle",
     "q_dup_ngrams",
     "q_dq_orphans",
+    # r6 additions measured the round they ship.
+    "q_pii_redact",
+    "q_source_cap",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
