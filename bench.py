@@ -65,9 +65,16 @@ HEADLINE = [
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
     "q_mixture_sample",
-    # r6 additions: PII scrub + per-source quota (curation breadth).
+    # r6 additions: PII scrub + per-source quota (curation breadth),
+    # CDC apply (mutable-table maintenance), JL projection (ANN
+    # working-set reduction), z-order layout audit (file-skip layout).
     "q_pii_redact",
     "q_source_cap",
+    "q_cdc_apply",
+    "q_embed_project",
+    "q_zorder_layout",
+    "q_interval_join",
+    "q_pagerank",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

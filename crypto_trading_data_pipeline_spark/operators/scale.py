@@ -232,3 +232,37 @@ def salted_join(
     ).withColumn("__salt", F.col("__salt").cast("bigint"))
     out = salted_big.join(replicated, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def zorder_key(x, y, *, bits: int = 8):
+    """Morton (Z-order) interleave of two bucketized dimensions — the
+    multi-dimensional data-layout key: sorting/partitioning files by this
+    key clusters rows so per-file min/max statistics on BOTH columns stay
+    tight, and scans filtered on either dimension skip most files
+    (Delta/Iceberg OPTIMIZE ZORDER semantics, expressed as plain integer
+    arithmetic — no engine extension needed).
+
+    `x`, `y` must already be integer bucket ids in [0, 2^bits); the
+    result interleaves x into the even bit positions and y into the odd
+    ones. Pure row-local codegen'd bit math.
+    """
+    from pyspark.sql import functions as F
+
+    z = F.lit(0).cast("bigint")
+    for b in range(bits):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(x.cast("bigint"), b).bitwiseAND(F.lit(1)), 2 * b)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(y.cast("bigint"), b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        )
+    return z
+
+
+def zorder_key_sql(x: str, y: str, *, bits: int = 8) -> str:
+    """DuckDB/ANSI twin of zorder_key — textually generated from the same
+    bit layout so both engines compute the identical key."""
+    terms = []
+    for b in range(bits):
+        terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b})")
+        terms.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
+    return " | ".join(terms)

@@ -83,12 +83,21 @@ from . import corpus_ops  # noqa: E402,F401
 _WINDOW_SIZE = 50
 
 
-def _driver_check_rounds() -> dict[str, int]:
-    """query name → latest round with a driver CORRECTNESS row."""
+def _driver_check_rounds() -> tuple[dict[str, int], set[str]]:
+    """(query name → latest round with a driver CORRECTNESS row,
+    names whose evidence includes at least one real hash-match row).
+
+    The second set distinguishes a query that has only ever been
+    rows-only-checked (every row err == "no_oracle") from one with a
+    genuine value-hash row: a query UPGRADED from rows-only to a SQL
+    oracle is as unproven as a brand-new one and must re-enter the
+    window (r6 case: q_kmeans_ivf gained a hash oracle after its r2
+    rows-only row)."""
     import json
     from pathlib import Path
 
     latest: dict[str, int] = {}
+    hash_checked: set[str] = set()
     repo_root = Path(__file__).resolve().parents[2]
     for f in sorted(repo_root.glob("CORRECTNESS_r*.json")):
         try:
@@ -96,17 +105,29 @@ def _driver_check_rounds() -> dict[str, int]:
             rows = json.loads(f.read_text())
         except (ValueError, IndexError, OSError, json.JSONDecodeError):
             continue
-        for q in rows:
+        for q, row in rows.items() if isinstance(rows, dict) else []:
             latest[q] = max(latest.get(q, 0), rnd)
-    return latest
+            if isinstance(row, dict) and row.get("hash_match") is not None:
+                hash_checked.add(q)
+    return latest, hash_checked
 
 
 def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
-    latest = _driver_check_rounds()
+    latest, hash_checked = _driver_check_rounds()
     order = {n: i for i, n in enumerate(REGISTRY)}
     never = [n for n in REGISTRY if n not in latest]
-    stale = sorted((n for n in REGISTRY if n in latest), key=lambda n: (latest[n], order[n]))
-    return (never + stale)[:size]
+    # Rows-only history + an oracle now registered => the hash check has
+    # never run; prioritize like a new query.
+    upgraded = [
+        n
+        for n in REGISTRY
+        if n in latest and n not in hash_checked and REGISTRY[n].oracle is not None
+    ]
+    rest = sorted(
+        (n for n in REGISTRY if n in latest and n not in upgraded),
+        key=lambda n: (latest[n], order[n]),
+    )
+    return (never + upgraded + rest)[:size]
 
 
 def _rotate_window(priority: list[str]) -> None:

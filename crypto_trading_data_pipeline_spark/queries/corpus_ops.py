@@ -602,3 +602,119 @@ def q_source_cap(spark: SparkSession, sf_dir: str):
         .filter(F.col("src_rank") <= _SOURCE_CAP)
         .select("doc_id", "source", "n_chars", F.col("src_rank").cast("int"))
     )
+
+
+#: Blocklist terms + max fraction of a doc's tokens that may be blocked
+#: occurrences before the doc is dropped (density gate, not C4's any-hit
+#: rule — the fixture vocabulary is dense enough that any-hit would drop
+#: nearly everything, which is itself the lesson: blocklist gates must be
+#: calibrated to corpus term frequency).
+_BLOCKLIST = ["slow", "big", "merge"]
+_BLOCKLIST_MAX_FRAC = 0.05
+
+
+@query(
+    "q_blocklist_filter",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(list_filter(toks, x -> x IN ('slow', 'big', 'merge'))) AS INTEGER) AS n_hits,
+           CAST(len(toks) AS INTEGER) AS n_tokens,
+           CAST(CASE WHEN len(list_filter(toks, x -> x IN ('slow', 'big', 'merge')))
+                     < {_BLOCKLIST_MAX_FRAC} * len(toks)
+                THEN 1 ELSE 0 END AS INTEGER) AS keep
+    FROM t
+    """,
+    doc=(
+        "Blocklist density gate: count occurrences of blocked terms per "
+        "doc and keep docs where the blocked fraction stays under 5% "
+        "(C4-lineage bad-words filtering, density-calibrated). Occurrence "
+        "count via a lambda filter over the token array — NOT "
+        "array_intersect, which dedups and would undercount repeated "
+        "hits. Fully row-local (narrow, codegen'd higher-order "
+        "functions); at 100 TB this is a scan-speed map and the "
+        "blocklist, however large, broadcasts as a literal array or a "
+        "broadcast join against a terms table."
+    ),
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    blocked = F.size(
+        F.filter(toks, lambda t: t.isin(*_BLOCKLIST))
+    )
+    n_tokens = F.size(toks)
+    return docs.select(
+        "doc_id",
+        blocked.cast("int").alias("n_hits"),
+        n_tokens.cast("int").alias("n_tokens"),
+        (blocked < F.lit(_BLOCKLIST_MAX_FRAC) * n_tokens)
+        .cast("int")
+        .alias("keep"),
+    )
+
+
+def _jl_signs(k: int = 8, dim: int = 64) -> list[list[int]]:
+    """Deterministic ±1 sign matrix for the Johnson-Lindenstrauss random
+    projection — md5-seeded so both engines inline the identical
+    literals (no RNG state, reproducible across sessions and rounds)."""
+    import hashlib
+
+    return [
+        [
+            1 if hashlib.md5(f"jl:{j}:{i}".encode()).digest()[0] % 2 == 0 else -1
+            for i in range(dim)
+        ]
+        for j in range(k)
+    ]
+
+
+_JL_K, _JL_DIM = 8, 64
+_JL_SIGNS = _jl_signs(_JL_K, _JL_DIM)
+#: 1/sqrt(k) — the JL scale keeping expected norms unchanged. Written as
+#: one literal so both engines multiply by the identical double.
+_JL_SCALE = "0.35355339059327373"
+
+
+def _jl_expr(j: int, elem: str) -> str:
+    """Sum-of-signed-elements expression for output dim j; `elem` formats
+    the 1-based input element access for the target engine. Textually
+    identical term order on both sides => identical double rounding."""
+    terms = " + ".join(
+        f"({s}.0)*{elem.format(i=i + 1)}" for i, s in enumerate(_JL_SIGNS[j])
+    )
+    return f"round(({terms})*{_JL_SCALE}, 4)"
+
+
+@query(
+    "q_embed_project",
+    oracle="SELECT vec_id, "
+    + ", ".join(
+        _jl_expr(j, "CAST(embedding[{i}] AS DOUBLE)") + f" AS proj_{j}"
+        for j in range(_JL_K)
+    )
+    + " FROM embeddings",
+    doc=(
+        "Johnson-Lindenstrauss random projection 64d -> 8d: signed-sum of "
+        "components with a fixed md5-seeded +/-1 matrix, scaled 1/sqrt(8) "
+        "(Achlioptas 2003 database-friendly JL — pairwise distances "
+        "preserved within epsilon w.h.p.). Pure row-local arithmetic "
+        "(codegen'd, no shuffle, no UDF); the 100 TB use is shrinking the "
+        "ANN/cluster working set 8x before any distance computation, with "
+        "the sign matrix inlined as literals — nothing to broadcast. Both "
+        "engines evaluate the textually identical left-to-right sum, so "
+        "doubles round identically and the check is a full hash match."
+    ),
+)
+def q_embed_project(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    e = emb.withColumn("e", as_double_vec(F.col("embedding")))
+    return e.select(
+        "vec_id",
+        *[
+            F.expr(_jl_expr(j, "element_at(e, {i})")).alias(f"proj_{j}")
+            for j in range(_JL_K)
+        ],
+    )

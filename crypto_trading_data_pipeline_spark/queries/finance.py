@@ -24,6 +24,40 @@ _SQL_CLOSES = """
       FROM events WHERE value > 0.0 GROUP BY 1, 2
 """
 
+_SQL_CANDLES = """
+      SELECT event_type                  AS symbol,
+             date_trunc('minute', ts)    AS minute,
+             max(value)                  AS high,
+             min(value)                  AS low,
+             arg_max(value, ts)          AS close,
+             count(*)                    AS volume
+      FROM events WHERE value > 0.0 GROUP BY 1, 2
+"""
+
+
+def _candles(spark, sf_dir):
+    """Per-(symbol, minute) OHLC-ish bars with tick-count volume.
+
+    Same shared stage discipline as _closes (one aggregate over events,
+    value > 0.0 excluded before aggregation); high/low/close feed the
+    range indicators, tick count stands in for traded volume (the events
+    fixture carries no quantity column — deterministic and sufficient for
+    the OBV accumulation shape)."""
+    e = read_table(spark, sf_dir, "events")
+    return (
+        e.filter(F.col("value") > 0.0)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+            F.count(F.lit(1)).alias("volume"),
+        )
+    )
+
 
 def _closes(spark, sf_dir):
     """Per-(symbol, minute) close prices — deterministic last-by-ts.
@@ -218,4 +252,153 @@ def q_max_drawdown(spark: SparkSession, sf_dir: str):
         closes.select("symbol", dd.alias("dd"))
         .groupBy("symbol")
         .agg(F.round(F.max("dd"), 6).alias("max_drawdown"))
+    )
+
+
+@query(
+    "q_stochastic",
+    oracle=f"""
+    WITH candles AS (
+      {_SQL_CANDLES}
+    ), k AS (
+      SELECT symbol, minute,
+             CASE WHEN max(high) OVER w14 = min(low) OVER w14 THEN 50.0
+                  ELSE 100.0 * (close - min(low) OVER w14)
+                       / (max(high) OVER w14 - min(low) OVER w14) END AS pct_k,
+             count(*) OVER w14 AS n
+      FROM candles
+      WINDOW w14 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           round(pct_k, 4) AS pct_k,
+           round(avg(pct_k) OVER (PARTITION BY symbol ORDER BY minute
+                                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW), 4) AS pct_d
+    FROM k WHERE n >= 14
+    """,
+    doc=(
+        "14-period stochastic oscillator: %K = 100*(close - frame low) / "
+        "(frame high - frame low), %D = 3-period SMA of %K. Both window "
+        "passes share the one symbol exchange the whole indicator family "
+        "co-partitions on; the flat-range branch pins %K at 50 instead of "
+        "dividing by zero; warm-up rows suppressed until 14 bars, then %D "
+        "smooths over whatever emitted %K rows exist (standard warm-up "
+        "convention, identical on both sides)."
+    ),
+)
+def q_stochastic(spark: SparkSession, sf_dir: str):
+    candles = _candles(spark, sf_dir)
+    w14 = Window.partitionBy("symbol").orderBy("minute").rowsBetween(-13, 0)
+    hi, lo = F.max("high").over(w14), F.min("low").over(w14)
+    pct_k = F.when(hi == lo, F.lit(50.0)).otherwise(
+        F.lit(100.0) * (F.col("close") - lo) / (hi - lo)
+    )
+    k = candles.select(
+        "symbol",
+        "minute",
+        pct_k.alias("pct_k"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    ).filter(F.col("n") >= 14)
+    w3 = Window.partitionBy("symbol").orderBy("minute").rowsBetween(-2, 0)
+    return k.select(
+        "symbol",
+        "minute",
+        F.round("pct_k", 4).alias("pct_k"),
+        F.round(F.avg("pct_k").over(w3), 4).alias("pct_d"),
+    )
+
+
+@query(
+    "q_atr",
+    oracle=f"""
+    WITH candles AS (
+      {_SQL_CANDLES}
+    ), tr AS (
+      SELECT symbol, minute,
+             greatest(
+               high - low,
+               abs(high - coalesce(lag(close) OVER ws, high)),
+               abs(low  - coalesce(lag(close) OVER ws, low))
+             ) AS tr
+      FROM candles
+      WINDOW ws AS (PARTITION BY symbol ORDER BY minute)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           round(avg(tr) OVER w14, 4) AS atr
+    FROM tr
+    WINDOW w14 AS (PARTITION BY symbol ORDER BY minute
+                   ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)
+    QUALIFY count(*) OVER w14 >= 14
+    """,
+    doc=(
+        "14-period average true range: TR = greatest(high-low, "
+        "|high-prev_close|, |low-prev_close|) (first bar degrades to "
+        "high-low via coalesce), SMA-smoothed over a 14-row frame "
+        "(Wilder's recursive smoothing is EMA-shaped and belongs to the "
+        "streaming stateful path; the frame SMA is the batch-exact "
+        "variant). lag + frame average share one symbol exchange."
+    ),
+)
+def q_atr(spark: SparkSession, sf_dir: str):
+    candles = _candles(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("minute")
+    prev_close = F.lag("close").over(ws)
+    tr = F.greatest(
+        F.col("high") - F.col("low"),
+        F.abs(F.col("high") - F.coalesce(prev_close, F.col("high"))),
+        F.abs(F.col("low") - F.coalesce(prev_close, F.col("low"))),
+    )
+    w14 = ws.rowsBetween(-13, 0)
+    out = candles.select("symbol", "minute", tr.alias("tr")).select(
+        "symbol",
+        "minute",
+        F.round(F.avg("tr").over(w14), 4).alias("atr"),
+        F.count(F.lit(1)).over(w14).alias("n"),
+    )
+    return out.filter(F.col("n") >= 14).drop("n")
+
+
+@query(
+    "q_obv",
+    oracle=f"""
+    WITH candles AS (
+      {_SQL_CANDLES}
+    ), signed AS (
+      SELECT symbol, minute,
+             CASE WHEN lag(close) OVER ws IS NULL THEN 0
+                  WHEN close > lag(close) OVER ws THEN volume
+                  WHEN close < lag(close) OVER ws THEN -volume
+                  ELSE 0 END AS dv
+      FROM candles
+      WINDOW ws AS (PARTITION BY symbol ORDER BY minute)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           CAST(sum(dv) OVER (PARTITION BY symbol ORDER BY minute
+                              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS obv
+    FROM signed
+    """,
+    doc=(
+        "On-balance volume: per-bar volume signed by the close-to-close "
+        "direction, accumulated as a running sum (growing frame — one "
+        "pass, no self-join). Tick count stands in for volume (fixture "
+        "has no quantity), keeping the arithmetic exact integer math so "
+        "the oracle hash-matches without rounding."
+    ),
+)
+def q_obv(spark: SparkSession, sf_dir: str):
+    candles = _candles(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("minute")
+    prev_close = F.lag("close").over(ws)
+    dv = (
+        F.when(prev_close.isNull(), F.lit(0))
+        .when(F.col("close") > prev_close, F.col("volume"))
+        .when(F.col("close") < prev_close, -F.col("volume"))
+        .otherwise(F.lit(0))
+    )
+    signed = candles.select("symbol", "minute", dv.alias("dv"))
+    wrun = ws.rowsBetween(Window.unboundedPreceding, 0)
+    return signed.select(
+        "symbol",
+        "minute",
+        F.sum("dv").over(wrun).cast("bigint").alias("obv"),
     )

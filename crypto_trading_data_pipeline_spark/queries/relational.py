@@ -2220,3 +2220,262 @@ def q_asof_nearest(spark: SparkSession, sf_dir: str):
             "gap_us",
         )
     )
+
+
+@query(
+    "q_cdc_apply",
+    oracle="""
+    WITH log AS (
+      SELECT o_custkey AS key, o_orderdate AS ts, o_orderkey AS seq,
+             CASE WHEN o_orderstatus = 'F' THEN 'D' ELSE 'U' END AS op,
+             o_totalprice AS val
+      FROM orders
+    ), ranked AS (
+      SELECT *,
+             row_number() OVER (PARTITION BY key ORDER BY ts DESC, seq DESC) AS rk,
+             count(*)     OVER (PARTITION BY key) AS n_changes
+      FROM log
+    )
+    SELECT key AS custkey,
+           round(val, 2)           AS last_price,
+           CAST(ts AS TIMESTAMP)   AS last_ts,
+           CAST(n_changes AS BIGINT) AS n_changes
+    FROM ranked WHERE rk = 1 AND op <> 'D'
+    """,
+    doc=(
+        "Change-data-capture apply: collapse an insert/update/delete "
+        "event log (orders as the log: key=o_custkey, ts=o_orderdate, "
+        "seq=o_orderkey tiebreak, status 'F' = tombstone) into final "
+        "table state — latest change wins, keys whose latest change is a "
+        "delete vanish. The delete-tombstone half is what "
+        "q_upsert_last_wins (reference ON CONFLICT upsert, "
+        "processor.py:154-161) cannot express. One shuffle on key serves "
+        "both the rank and the change count; at 100 TB the log is "
+        "date-partitioned and the apply reads only new partitions."
+    ),
+)
+def q_cdc_apply(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    log = o.select(
+        F.col("o_custkey").alias("key"),
+        F.col("o_orderdate").alias("ts"),
+        F.col("o_orderkey").alias("seq"),
+        F.when(F.col("o_orderstatus") == "F", F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        F.col("o_totalprice").alias("val"),
+    )
+    wk = Window.partitionBy("key")
+    ranked = log.select(
+        "*",
+        F.row_number().over(wk.orderBy(F.col("ts").desc(), F.col("seq").desc())).alias("rk"),
+        F.count(F.lit(1)).over(wk).alias("n_changes"),
+    )
+    return ranked.filter((F.col("rk") == 1) & (F.col("op") != "D")).select(
+        F.col("key").alias("custkey"),
+        F.round("val", 2).alias("last_price"),
+        F.col("ts").alias("last_ts"),
+        F.col("n_changes").cast("bigint").alias("n_changes"),
+    )
+
+
+from ..operators.scale import zorder_key_sql as _zorder_key_sql  # noqa: E402
+
+
+@query(
+    "q_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT CAST(l_partkey % 256 AS BIGINT) AS px,
+             CAST(l_suppkey % 256 AS BIGINT) AS sx
+      FROM lineitem
+    ), z AS (
+      SELECT px, sx, ({_zorder_key_sql("px", "sx", bits=8)}) AS zval FROM b
+    )
+    SELECT CAST(zval >> 8 AS BIGINT) AS file_id,
+           count(*)                  AS n,
+           CAST(min(px) AS BIGINT) AS px_min, CAST(max(px) AS BIGINT) AS px_max,
+           CAST(min(sx) AS BIGINT) AS sx_min, CAST(max(sx) AS BIGINT) AS sx_max
+    FROM z GROUP BY 1
+    """,
+    doc=(
+        "Z-order (Morton) layout audit: bucketize (l_partkey, l_suppkey) "
+        "to 8 bits each, interleave into a Morton key "
+        "(operators/scale.py::zorder_key — plain codegen'd bit math, the "
+        "Delta/Iceberg OPTIMIZE ZORDER layout without an engine "
+        "extension), then group rows into 256-key 'files' and report each "
+        "file's min/max in BOTH dimensions. The output IS the file-skip "
+        "evidence: tight per-file ranges on both columns mean a scan "
+        "filtered on either one prunes most files at 100 TB, which a "
+        "single-column sort cannot give. Key computation is narrow; the "
+        "only shuffle is the audit's own groupBy."
+    ),
+)
+def q_zorder_layout(spark: SparkSession, sf_dir: str):
+    from ..operators.scale import zorder_key
+
+    li = read_table(spark, sf_dir, "lineitem")
+    b = li.select(
+        (F.col("l_partkey") % 256).cast("bigint").alias("px"),
+        (F.col("l_suppkey") % 256).cast("bigint").alias("sx"),
+    )
+    z = b.withColumn("zval", zorder_key(F.col("px"), F.col("sx"), bits=8))
+    return (
+        z.select(F.shiftright("zval", 8).cast("bigint").alias("file_id"), "px", "sx")
+        .groupBy("file_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("px").cast("bigint").alias("px_min"),
+            F.max("px").cast("bigint").alias("px_max"),
+            F.min("sx").cast("bigint").alias("sx_min"),
+            F.max("sx").cast("bigint").alias("sx_max"),
+        )
+    )
+
+
+#: Interval length AND grid pitch for the overlap join (microseconds).
+#: Equal pitch => each probe interval spans <= 3 grid cells.
+_IVL_US = 120_000_000
+
+
+@query(
+    "q_interval_join",
+    oracle=f"""
+    WITH a AS (
+      SELECT event_id AS a_id, epoch_us(ts) AS a_s
+      FROM events WHERE event_type = 'signup'
+    ), b AS (
+      SELECT event_id AS b_id, epoch_us(ts) AS b_s
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a_id, b_id,
+           CAST({_IVL_US} - abs(a_s - b_s) AS BIGINT) AS overlap_us
+    FROM a JOIN b ON abs(a_s - b_s) < {_IVL_US}
+    """,
+    doc=(
+        "Interval-overlap join with NO equality key: every "
+        "(signup, purchase) pair whose 2-minute activity windows overlap, "
+        "across all users. Naively this is a BroadcastNestedLoopJoin "
+        "(O(n*m) — the one join shape Spark cannot hash natively); the "
+        "engine grid-bucketizes time instead: the probe side explodes "
+        "onto the <= 3 grid cells an overlapping partner's START can "
+        "occupy, the build side keys on its own start cell, and the "
+        "equi-join on cell + an exact |gap| < D residual filter does the "
+        "rest. Each pair is examined exactly once (a start cell is "
+        "unique), so no distinct pass. Work is O(n x 3 + true pairs) and "
+        "shuffles hash-partition on the grid cell — time-uniform, "
+        "skew-free. All integer microsecond math (ts_micros, `div`), "
+        "exact on both engines."
+    ),
+)
+def q_interval_join(spark: SparkSession, sf_dir: str):
+    ev = read_table(spark, sf_dir, "events")
+    d = _IVL_US
+    a = ev.filter(F.col("event_type") == "signup").select(
+        F.col("event_id").alias("a_id"), ts_micros("ts").alias("a_s")
+    )
+    b = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"), ts_micros("ts").alias("b_s")
+    )
+    # Cells where an overlapping b_s can start: b_s in (a_s - D, a_s + D).
+    a_exp = a.withColumn(
+        "cell",
+        F.explode(
+            F.sequence(
+                F.expr(f"(a_s - {d} + 1) div {d}"), F.expr(f"(a_s + {d} - 1) div {d}")
+            )
+        ),
+    )
+    bk = b.withColumn("cell", F.expr(f"b_s div {d}"))
+    gap = F.abs(F.col("a_s") - F.col("b_s"))
+    return (
+        a_exp.join(bk, "cell")
+        .filter(gap < d)
+        .select("a_id", "b_id", (F.lit(d) - gap).cast("bigint").alias("overlap_us"))
+    )
+
+
+#: PageRank fixed-point scale and iteration count. Integer quantization
+#: (the q_kmeans_ivf trick): every intermediate is BIGINT, `div` truncates
+#: identically in both engines, integer sums are order-independent — so an
+#: ITERATIVE graph algorithm becomes fully hash-match oracle-checkable.
+_PR_SCALE = 1_000_000
+_PR_ITERS = 3
+
+
+def _pagerank_oracle() -> str:
+    base = 15 * _PR_SCALE // 100
+    cte = f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ), deg AS (
+      SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+    ), pr0 AS (
+      SELECT node, CAST({_PR_SCALE} AS BIGINT) AS pr FROM deg
+    )"""
+    for i in range(1, _PR_ITERS + 1):
+        cte += f""", pr{i} AS (
+      SELECT e.dst AS node,
+             CAST({base} + (85 * sum(p.pr // d.d)) // 100 AS BIGINT) AS pr
+      FROM edges e
+      JOIN pr{i - 1} p ON e.src = p.node
+      JOIN deg d      ON d.node = e.src
+      GROUP BY e.dst
+    )"""
+    return cte + f"""
+    SELECT node, pr FROM pr{_PR_ITERS}
+    """
+
+
+@query(
+    "q_pagerank",
+    oracle=_pagerank_oracle(),
+    doc=(
+        "Integer-quantized PageRank (3 unrolled iterations, damping 0.85, "
+        "unnormalized per-node teleport) over the undirected "
+        "customer-supplier trading graph (distinct (o_custkey, l_suppkey) "
+        "pairs via orders x lineitem; node space disjoint by parity). The "
+        "q_kmeans_ivf determinism trick applied to a GRAPH iteration: all "
+        "state is BIGINT, contributions use truncating `div`, sums are "
+        "integer — bit-identical across engines, so the DuckDB oracle "
+        "(the same three iterations as generated CTEs) hash-matches an "
+        "ITERATIVE algorithm exactly. Per iteration: one shuffle joining "
+        "rank state to edges (state and degree co-partition on node) and "
+        "one aggregate on dst — the Pregel message-passing shape in pure "
+        "DataFrame ops; at 100 TB the edge list is bucketed on src so the "
+        "per-iteration join is co-located, and iterations checkpoint to "
+        "parquet to cut lineage."
+    ),
+)
+def q_pagerank(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
+    state = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("pr"), "d")
+    base = 15 * _PR_SCALE // 100
+    for _ in range(_PR_ITERS):
+        contrib = edges.join(
+            state.withColumnRenamed("node", "src"), "src"
+        ).select("dst", F.expr("pr div d").alias("c"))
+        ranks = (
+            contrib.groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("c").alias("s"))
+            .select(
+                "node",
+                (F.lit(base) + F.expr("(85 * s) div 100")).cast("bigint").alias("pr"),
+            )
+        )
+        state = ranks.join(deg, "node").select("node", "pr", "d")
+    return state.select("node", "pr")

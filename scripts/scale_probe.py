@@ -51,6 +51,11 @@ QUERIES = [
     # r6 additions measured the round they ship.
     "q_pii_redact",
     "q_source_cap",
+    "q_blocklist_filter",
+    "q_embed_project",
+    "q_cdc_apply",
+    "q_zorder_layout",
+    "q_pagerank",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

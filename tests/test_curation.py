@@ -95,3 +95,70 @@ def test_source_cap_salted_equals_single_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_blocklist_counts_occurrences_not_distinct(spark):
+    """The density gate must count every blocked occurrence — a doc
+    repeating one blocked term must not be undercounted the way
+    array_intersect (distinct semantics) would."""
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _BLOCKLIST,
+        _BLOCKLIST_MAX_FRAC,
+    )
+
+    term = _BLOCKLIST[0]
+    clean = "alpha beta gamma delta " * 10  # 40 tokens, 0 hits
+    spam = (term + " ") * 5 + "alpha beta gamma delta " * 10  # 45 tokens, 5 hits
+    df = spark.createDataFrame(
+        [(1, clean.strip()), (2, spam.strip())], ["doc_id", "text"]
+    )
+    toks = F.split("text", " ")
+    hits = F.size(F.filter(toks, lambda t: t.isin(*_BLOCKLIST)))
+    rows = {
+        r.doc_id: (r.h, r.n)
+        for r in df.select("doc_id", hits.alias("h"), F.size(toks).alias("n")).collect()
+    }
+    assert rows[1] == (0, 40)
+    assert rows[2] == (5, 45)  # all five occurrences, not 1 distinct term
+    assert rows[2][0] >= _BLOCKLIST_MAX_FRAC * rows[2][1]  # spam doc is dropped
+
+
+def test_jl_projection_preserves_distances(spark, sf_dir):
+    """JL projection sanity: the 8-d projection must roughly preserve
+    pairwise distance ORDER — for sampled anchor vectors, the nearest
+    neighbor in projected space lands in the true top quartile of the
+    64-d distances (a weak, deterministic form of the JL guarantee — the
+    point is catching a broken sign matrix or scale, not proving the
+    lemma)."""
+    import numpy as np
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _JL_SIGNS,
+        q_embed_project,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").orderBy("vec_id").limit(100)
+    X = np.array([r.embedding for r in emb.collect()], dtype=np.float64)
+    S = np.array(_JL_SIGNS, dtype=np.float64)  # (8, 64)
+    proj = q_embed_project(spark, sf_dir)
+    got = {
+        r.vec_id: [r[f"proj_{j}"] for j in range(8)]
+        for r in proj.orderBy("vec_id").limit(100).collect()
+    }
+    # The registered query computes exactly X @ S.T / sqrt(8) (rounded).
+    want = X @ S.T / np.sqrt(8.0)
+    ids = sorted(got)
+    np.testing.assert_allclose(
+        np.array([got[i] for i in ids]), want[: len(ids)], atol=1e-3
+    )
+    # Distance-order preservation on 10 anchors.
+    P = want
+    ok = 0
+    for a in range(10):
+        d64 = np.linalg.norm(X - X[a], axis=1)
+        d8 = np.linalg.norm(P - P[a], axis=1)
+        d64[a] = d8[a] = np.inf
+        nn8 = int(np.argmin(d8))
+        ok += d64[nn8] <= np.quantile(d64[np.isfinite(d64)], 0.25)
+    assert ok >= 7, f"projected NN fell outside the true top quartile too often ({ok}/10)"

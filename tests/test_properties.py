@@ -199,20 +199,28 @@ def test_driver_window_holds_rotated_queries():
     window = list(REGISTRY)[: _WINDOW_SIZE]
     assert window == [n for n in _DRIVER_WINDOW if n in REGISTRY]
 
-    latest = _driver_check_rounds()
+    latest, hash_checked = _driver_check_rounds()
     never = [n for n in REGISTRY if n not in latest]
-    # Every never-checked query fits in the window and precedes every
+    # An oracle registered now but only rows-only rows in the evidence =>
+    # the hash check has never run; as unproven as a new query.
+    upgraded = [
+        n
+        for n in REGISTRY
+        if n in latest and n not in hash_checked and REGISTRY[n].oracle is not None
+    ]
+    priority = set(never) | set(upgraded)
+    # Every priority query fits in the window and precedes every
     # already-checked one — padding must never displace a priority entry.
-    assert len(never) <= _WINDOW_SIZE, f"never-checked set exceeds window: {never}"
-    missing = [n for n in never if n not in window]
-    assert missing == [], f"never-checked queries fell out of the driver window: {missing}"
-    if never:
-        head = window[: len(never)]
-        assert set(head) == set(never), (
-            f"never-checked queries must lead the window; head={head} never={never}"
+    assert len(priority) <= _WINDOW_SIZE, f"priority set exceeds window: {priority}"
+    missing = [n for n in priority if n not in window]
+    assert missing == [], f"priority queries fell out of the driver window: {missing}"
+    if priority:
+        head = window[: len(priority)]
+        assert set(head) == priority, (
+            f"priority queries must lead the window; head={head} priority={priority}"
         )
     # The padded tail is ordered by staleness (ascending last-checked round).
-    tail_rounds = [latest[n] for n in window[len(never):]]
+    tail_rounds = [latest[n] for n in window[len(priority):]]
     assert tail_rounds == sorted(tail_rounds), f"window tail not staleness-ordered: {tail_rounds}"
 
 

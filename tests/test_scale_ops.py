@@ -393,3 +393,32 @@ def test_neardup_incremental_bucket_cap_observable(spark):
     assert set(rows) == {100, 101, 102, 103, 104}
     for r in rows.values():
         assert r.keep == 0 and r.match_id == 0 and r.jac == 1.0, r
+
+
+def test_zorder_key_bit_layout(spark):
+    """Morton interleave: x occupies even bits, y odd bits — pinned on
+    hand-computed values, plus the locality property the layout exists
+    for (a file of 256 consecutive z-values has tight ranges in BOTH
+    dimensions: max spread 16 for an 8-bit 16x16 tile)."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.operators.scale import zorder_key
+
+    rows = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(rows, ["x", "y"])
+    z = df.select("x", "y", zorder_key(F.col("x"), F.col("y"), bits=4).alias("z"))
+    got = {(r.x, r.y): r.z for r in z.collect()}
+    # Hand-computed Morton codes.
+    assert got[(0, 0)] == 0
+    assert got[(1, 0)] == 1      # x -> even bits
+    assert got[(0, 1)] == 2      # y -> odd bits
+    assert got[(3, 5)] == 0b100111  # x=11 -> bits0,2; y=101 -> bits1,5
+    assert got[(15, 15)] == 255
+    # Bijectivity over the tile.
+    assert len(set(got.values())) == 256
+    # Locality: each 16-code block spans at most a 4x4 subtile.
+    by_z = sorted((v, k) for k, v in got.items())
+    for blk in range(0, 256, 16):
+        xs = [k[0] for _, k in by_z[blk : blk + 16]]
+        ys = [k[1] for _, k in by_z[blk : blk + 16]]
+        assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3

@@ -597,3 +597,76 @@ def test_dedup_stream_drops_redelivered_rows(spark, tmp_path):
     q.awaitTermination()
     ids = sorted(r.trade_id for r in seen)
     assert ids == [1, 2, 3, 4], ids
+
+
+def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
+    """Spark 4 transformWithStateInPandas twin: the ValueState fold must
+    carry state across micro-batches and agree with the
+    applyInPandasWithState operator's cumulative semantics (same keys,
+    same totals, same high/low/vwap). Requires the RocksDB state store.
+
+    skipif-gated on protobuf: the transformWithState state-server wire
+    protocol is protobuf-based (Spark's transform_with_state_driver_worker
+    imports google.protobuf at query start), and this sandbox has no
+    protobuf wheel. The operator itself is plain public API — on any
+    cluster with pyspark[connect]/protobuf installed this test runs."""
+    pytest.importorskip("pyspark.sql.streaming.stateful_processor")
+    pytest.importorskip("google.protobuf", reason="transformWithState state server needs protobuf")
+    from crypto_trading_data_pipeline_spark.streaming.job import ROCKSDB_STATE_CONF
+    from crypto_trading_data_pipeline_spark.streaming.transform_state import (
+        running_trade_stats_tws,
+    )
+
+    prev = {
+        k: spark.conf.get(k, None) for k in ROCKSDB_STATE_CONF
+    }
+    for k, v in ROCKSDB_STATE_CONF.items():
+        spark.conf.set(k, v)
+    try:
+        indir = tmp_path / "in"
+        indir.mkdir()
+        ckpt = str(tmp_path / "ckpt")
+        _write_batch(str(indir), TRADES_1, "batch1.json")
+
+        trades = parse_trades(file_json_stream(spark, str(indir)))
+        stats = running_trade_stats_tws(trades)
+
+        collected: dict[str, dict] = {}
+
+        def sink(df, epoch_id):
+            for r in df.collect():
+                collected[r.symbol] = r.asDict()
+
+        q = (
+            stats.writeStream.outputMode("update")
+            .foreachBatch(sink)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+            assert collected["BTCUSDT"]["n_trades"] == 3
+            assert collected["ETHUSDT"]["n_trades"] == 1
+            _write_batch(str(indir), TRADES_2, "batch2.json")
+            q.processAllAvailable()
+        finally:
+            q.stop()
+
+        # Identical cumulative semantics to the applyInPandasWithState
+        # operator (no watermark: the 2h-late row still counts).
+        assert collected["BTCUSDT"]["n_trades"] == 5
+        assert collected["ETHUSDT"]["n_trades"] == 2
+        assert collected["BTCUSDT"]["low"] == 40000.0
+        exp_val = (
+            42000.10 * 0.5 + 42001.00 * 0.25 + 41999.90 * 1.0
+            + 42002.00 * 0.1 + 40000.00 * 9.9
+        )
+        exp_vol = 0.5 + 0.25 + 1.0 + 0.1 + 9.9
+        assert abs(collected["BTCUSDT"]["vwap"] - exp_val / exp_vol) < 1e-9
+        assert collected["ETHUSDT"]["high"] == 2201.00
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
