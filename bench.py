@@ -75,6 +75,8 @@ HEADLINE = [
     "q_zorder_layout",
     "q_interval_join",
     "q_pagerank",
+    "q_skyline",
+    "q_media_roundtrip",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

@@ -98,6 +98,81 @@ def pil_image_decode(payload: pd.Series) -> pd.DataFrame:
     )
 
 
+#: Raw-RGB bitmap framing: 8-byte header (width uint32 LE, height uint32
+#: LE) + height*width*3 RGB8 pixels. An uncompressed interchange format the
+#: engine can decode with numpy alone — the REAL decode path that needs no
+#: external codec; PNG/JPEG slot in via decoder="pil" on clusters with PIL.
+_RGB_HEADER_BYTES = 8
+
+
+def encode_raw_rgb(arr) -> bytes:
+    """(h, w, 3) uint8 array -> framed raw-RGB payload (test/ingest helper)."""
+    import struct
+
+    import numpy as np
+
+    a = np.asarray(arr, dtype="uint8")
+    h, w = a.shape[0], a.shape[1]
+    return struct.pack("<II", w, h) + a.tobytes()
+
+
+def raw_rgb_decode(payload: pd.Series) -> pd.DataFrame:
+    """REAL image decoder for the raw-RGB framing — pure numpy, runs in
+    this sandbox. width/height from the header, mean_luma = Rec.601
+    luma (0.299R + 0.587G + 0.114B) over all pixels, truncated to int.
+    Malformed payloads (short header / size mismatch) yield width=height=0,
+    mean_luma=0 rather than poisoning the Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    ws, hs, lumas = [], [], []
+    for b in payload:
+        b = bytes(b)
+        if len(b) < _RGB_HEADER_BYTES:
+            ws.append(0), hs.append(0), lumas.append(0)
+            continue
+        w, h = struct.unpack_from("<II", b)
+        if len(b) != _RGB_HEADER_BYTES + w * h * 3 or w * h == 0:
+            ws.append(0), hs.append(0), lumas.append(0)
+            continue
+        px = np.frombuffer(b, dtype="uint8", offset=_RGB_HEADER_BYTES).reshape(h, w, 3)
+        luma = px[..., 0] * 0.299 + px[..., 1] * 0.587 + px[..., 2] * 0.114
+        ws.append(w), hs.append(h), lumas.append(int(luma.mean()))
+    return pd.DataFrame(
+        {
+            "width": pd.Series(ws, dtype="int32"),
+            "height": pd.Series(hs, dtype="int32"),
+            "mean_luma": pd.Series(lumas, dtype="int32"),
+        }
+    )
+
+
+def raw_rgb_resize(payload: pd.Series, target_wh: tuple[int, int]) -> pd.Series:
+    """REAL nearest-neighbor resize for raw-RGB payloads — numpy index
+    striding, no codec. Malformed payloads pass through unchanged (the
+    decode step downstream reports them as width=0 anyway)."""
+    import struct
+
+    import numpy as np
+
+    tw, th = target_wh
+
+    def one(b) -> bytes:
+        b = bytes(b)
+        if len(b) < _RGB_HEADER_BYTES:
+            return b
+        w, h = struct.unpack_from("<II", b)
+        if len(b) != _RGB_HEADER_BYTES + w * h * 3 or w * h == 0:
+            return b
+        px = np.frombuffer(b, dtype="uint8", offset=_RGB_HEADER_BYTES).reshape(h, w, 3)
+        yi = (np.arange(th) * h) // th
+        xi = (np.arange(tw) * w) // tw
+        return encode_raw_rgb(px[yi][:, xi])
+
+    return payload.map(one)
+
+
 def _fake_image_decode(payload: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for a real image decoder: derives pseudo
     width/height/luma from the payload bytes. Replaced wholesale by a real
@@ -132,6 +207,8 @@ def extract_image_features(
         decoder = _fake_image_decode
     elif decoder == "pil":
         decoder = pil_image_decode
+    elif decoder == "raw_rgb":
+        decoder = raw_rgb_decode
 
     src = media.select("media_id", "payload")
     if parallelism is not None:
@@ -166,6 +243,65 @@ VIDEO_FRAME_SCHEMA = StructType(
 )
 
 
+def encode_wav_pcm16(samples, sample_rate: int) -> bytes:
+    """int16 sample array -> canonical 44-byte-header mono PCM16 WAV
+    (test/ingest helper — the standard RIFF framing, no codec)."""
+    import struct
+
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<i2")
+    data = s.tobytes()
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(data))
+        + b"WAVEfmt "
+        + struct.pack("<IHHIIHH", 16, 1, 1, sample_rate, sample_rate * 2, 2, 16)
+        + b"data"
+        + struct.pack("<I", len(data))
+        + data
+    )
+
+
+def wav_audio_decode(payload: pd.Series) -> pd.DataFrame:
+    """REAL audio decoder for mono PCM16 WAV — pure numpy RIFF parse, runs
+    in this sandbox (compressed codecs slot in behind the same signature on
+    clusters with ffmpeg/librosa). sample_rate/duration from the header,
+    rms_level = int RMS of the int16 samples. Malformed/non-PCM16 payloads
+    yield zeros rather than poisoning the Arrow batch."""
+    import struct
+
+    import numpy as np
+
+    rates, durs, rms = [], [], []
+    for b in payload:
+        b = bytes(b)
+        ok = (
+            len(b) >= 44
+            and b[:4] == b"RIFF"
+            and b[8:16] == b"WAVEfmt "
+            and struct.unpack_from("<HH", b, 20) == (1, 1)  # PCM, mono
+            and struct.unpack_from("<H", b, 34)[0] == 16  # 16-bit
+            and b[36:40] == b"data"
+        )
+        if not ok:
+            rates.append(0), durs.append(0), rms.append(0)
+            continue
+        rate = struct.unpack_from("<I", b, 24)[0]
+        n_bytes = min(struct.unpack_from("<I", b, 40)[0], len(b) - 44)
+        s = np.frombuffer(b, dtype="<i2", offset=44, count=n_bytes // 2).astype("float64")
+        rates.append(rate)
+        durs.append(int(len(s) * 1000 // rate) if rate else 0)
+        rms.append(int(np.sqrt((s * s).mean())) if len(s) else 0)
+    return pd.DataFrame(
+        {
+            "sample_rate": pd.Series(rates, dtype="int32"),
+            "duration_ms": pd.Series(durs, dtype="int64"),
+            "rms_level": pd.Series(rms, dtype="int32"),
+        }
+    )
+
+
 def _fake_audio_decode(payload: pd.Series) -> pd.DataFrame:
     """Deterministic stand-in for an audio decoder (librosa/ffmpeg absent)."""
     n = payload.map(len)
@@ -190,6 +326,8 @@ def extract_audio_features(
     partitioning)."""
     if decoder is None:
         decoder = _fake_audio_decode
+    elif decoder == "wav":
+        decoder = wav_audio_decode
 
     src = media.select("media_id", "payload")
     if parallelism is not None:
@@ -230,6 +368,30 @@ def resize_images(
         for pdf in batches:
             out = pdf.copy()
             out["payload"] = resizer(pdf["payload"], target_bytes)
+            out["n_bytes"] = out["payload"].map(len).astype("int64")
+            yield out[["media_id", "kind", "payload", "mime", "n_bytes"]]
+
+    return src.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+def resize_raw_rgb_images(
+    media: DataFrame,
+    *,
+    target_wh: tuple[int, int],
+    parallelism: int | None = None,
+) -> DataFrame:
+    """REAL resize for raw-RGB payloads: nearest-neighbor to target_wh
+    (numpy striding — no codec), preserving the media record shape like
+    resize_images. The byte-budget variant (resize_images) bounds storage;
+    this bounds pixel dimensions, the thing a vision model actually wants."""
+    src = media.select("media_id", "kind", "payload", "mime")
+    if parallelism is not None:
+        src = src.repartition(parallelism)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf.copy()
+            out["payload"] = raw_rgb_resize(pdf["payload"], target_wh)
             out["n_bytes"] = out["payload"].map(len).astype("int64")
             yield out[["media_id", "kind", "payload", "mime", "n_bytes"]]
 

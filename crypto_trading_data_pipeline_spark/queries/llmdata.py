@@ -871,3 +871,85 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str):
         exact_dedup(fresh, key_cols=["fp"], order_col="doc_id")
         .select("doc_id", "lang", "n_chars")
     )
+
+
+@query(
+    "q_media_roundtrip",
+    oracle="""
+    SELECT doc_id AS media_id,
+           CAST(4 + doc_id % 13 AS INTEGER)            AS width,
+           CAST(3 + doc_id % 7 AS INTEGER)             AS height,
+           CAST(8 + (4 + doc_id % 13) * (3 + doc_id % 7) * 3 AS BIGINT) AS img_bytes,
+           CAST(floor(((doc_id * 7) % 256) * 0.299) AS INTEGER) AS mean_luma,
+           CAST(8000 AS INTEGER)                       AS sample_rate,
+           CAST((100 + doc_id % 50) * 1000 // 8000 AS BIGINT) AS duration_ms,
+           CAST(100 + doc_id % 900 AS INTEGER)         AS rms_level
+    FROM documents
+    """,
+    doc=(
+        "Multimodal ENCODE->DECODE round-trip with a full hash-match "
+        "oracle: per doc, synthesize a real raw-RGB bitmap (solid red "
+        "c = 7*doc_id mod 256, dimensions derived from doc_id) and a real "
+        "mono PCM16 WAV (constant amplitude, 8 kHz) inside an Arrow-batched "
+        "mapInPandas, then run them through the REAL numpy decoders "
+        "(operators/multimodal.py raw_rgb_decode / wav_audio_decode — RIFF "
+        "header parse, pixel-buffer reshape, Rec.601 luma, sample RMS). "
+        "Every output is integer-exact (DC signal RMS = amplitude; luma "
+        "margin to the floor boundary >= 1e-3 vs ~1e-13 fp error), so the "
+        "oracle predicts the decoded values arithmetically — the binary "
+        "framing, byte round-trip, and decoder math are all inside the "
+        "hash. Payloads never shuffle (synth + decode fuse in one narrow "
+        "stage); at 100 TB this is the scan-speed decode pass with "
+        "executor memory bounded by the Arrow batch size."
+    ),
+)
+def q_media_roundtrip(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+
+    from ..operators.multimodal import (
+        AUDIO_FEATURES_SCHEMA,
+        IMAGE_FEATURES_SCHEMA,
+        encode_raw_rgb,
+        encode_wav_pcm16,
+        raw_rgb_decode,
+        wav_audio_decode,
+    )
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+
+    out_schema = (
+        "media_id long, width int, height int, img_bytes long, mean_luma int, "
+        "sample_rate int, duration_ms long, rms_level int"
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            imgs, wavs = [], []
+            for d in ids:
+                w, h, c = 4 + d % 13, 3 + d % 7, (d * 7) % 256
+                px = np.zeros((h, w, 3), dtype="uint8")
+                px[..., 0] = c
+                imgs.append(encode_raw_rgb(px))
+                amp, n = 100 + d % 900, 100 + d % 50
+                wavs.append(
+                    encode_wav_pcm16(np.full(n, amp, dtype="int16"), 8000)
+                )
+            img_feats = raw_rgb_decode(pd.Series(imgs))
+            wav_feats = wav_audio_decode(pd.Series(wavs))
+            yield pd.DataFrame(
+                {
+                    "media_id": ids.values,
+                    "width": img_feats["width"],
+                    "height": img_feats["height"],
+                    "img_bytes": pd.Series([len(b) for b in imgs], dtype="int64"),
+                    "mean_luma": img_feats["mean_luma"],
+                    "sample_rate": wav_feats["sample_rate"],
+                    "duration_ms": wav_feats["duration_ms"],
+                    "rms_level": wav_feats["rms_level"],
+                }
+            )
+
+    return docs.mapInPandas(synth_and_decode, schema=out_schema)

@@ -2479,3 +2479,75 @@ def q_pagerank(spark: SparkSession, sf_dir: str):
         )
         state = ranks.join(deg, "node").select("node", "pr", "d")
     return state.select("node", "pr")
+
+
+#: Skyline price-bucket width: the bounded global pass runs over
+#: price_range/width rows (~50 for TPC-H retail prices), never the table.
+_SKY_BUCKET = 25.0
+
+
+@query(
+    "q_skyline",
+    oracle="""
+    SELECT p.p_partkey, p.p_retailprice, p.p_size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice >= p.p_retailprice AND q.p_size >= p.p_size
+        AND (q.p_retailprice > p.p_retailprice OR q.p_size > p.p_size)
+    )
+    """,
+    doc=(
+        "Skyline (Pareto frontier) over (p_retailprice, p_size), both "
+        "maximized: parts no other part weakly dominates. The oracle is "
+        "the O(n^2) NOT-EXISTS definition; the Spark plan is the "
+        "scale-correct bucket-pruned form — bucket prices into fixed "
+        "ranges, take per-bucket max size, run ONE bounded cumulative "
+        "pass over the ~50 bucket rows (higher bucket => strictly higher "
+        "price, so its max size dominates everything below it with "
+        "size <= it), broadcast those thresholds back to prune, then "
+        "finish the within-bucket frontier with windows PARTITIONED BY "
+        "bucket. No global sort, no self-join: the only "
+        "all-to-one exchange is the ~50-row bucket cumsum (the "
+        "q_global_shuffle pattern), everything else is key-partitioned — "
+        "at 100 TB the prune drops ~all rows before any per-bucket work."
+    ),
+)
+def q_skyline(spark: SparkSession, sf_dir: str):
+    part = read_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_retailprice",
+        "p_size",
+        F.floor(F.col("p_retailprice") / _SKY_BUCKET).cast("long").alias("bkt"),
+    )
+    # Per-bucket max size, then max over STRICTLY higher buckets (bounded
+    # single-partition window over ~price_range/width rows).
+    bmax = part.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+    w_bkt = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    thresholds = bmax.select(
+        "bkt", "bmax", F.max("bmax").over(w_bkt).alias("m_higher")
+    )
+    cand = part.join(F.broadcast(thresholds.drop("bmax")), "bkt").filter(
+        F.col("m_higher").isNull() | (F.col("p_size") > F.col("m_higher"))
+    )
+    # Within-bucket frontier: per distinct price the max size, cumulative
+    # max over strictly greater same-bucket prices — windows partitioned
+    # by bucket, so no task ever sees more than a bucket.
+    grp = cand.groupBy("bkt", "p_retailprice").agg(F.max("p_size").alias("msize"))
+    w_in = (
+        Window.partitionBy("bkt")
+        .orderBy(F.col("p_retailprice").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grp = grp.select(
+        "bkt", "p_retailprice", "msize", F.max("msize").over(w_in).alias("m_in")
+    )
+    joined = cand.join(grp, ["bkt", "p_retailprice"])
+    m1 = F.greatest(
+        F.coalesce(F.col("m_in"), F.lit(-1)), F.coalesce(F.col("m_higher"), F.lit(-1))
+    )
+    return joined.filter(
+        (m1 < F.col("p_size")) & (F.col("msize") == F.col("p_size"))
+    ).select("p_partkey", "p_retailprice", "p_size")

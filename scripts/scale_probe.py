@@ -56,6 +56,8 @@ QUERIES = [
     "q_cdc_apply",
     "q_zorder_layout",
     "q_pagerank",
+    "q_skyline",
+    "q_media_roundtrip",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

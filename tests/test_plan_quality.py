@@ -240,6 +240,7 @@ _SINGLE_PARTITION_OK = {
     "q_mixture_sample",    # corpus budget/quota scalar (one-row broadcast)
     "q_dq_orphans",        # five global orphan-count scalars, unioned
     "q_global_shuffle",    # 256-row bucket-offset cumsum (bounded)
+    "q_skyline",           # ~50-row bucket-max cumulative pass (bounded)
 }
 
 
@@ -342,3 +343,50 @@ def test_quality_gopher_no_quadratic_top_share(all_plans):
     unbounded on long documents)."""
     plan = cached_plan(all_plans, "q_quality_gopher")
     assert "transform(array_distinct(" not in plan, plan
+
+
+def test_runtime_bloom_filter_injection(spark, sf_dir):
+    """Runtime row-level filtering: with a selective filter on the build
+    side of a shuffle join, Catalyst injects a bloom filter
+    (bloom_filter_agg on the small side, might_contain on the probe side)
+    so the big side drops non-joining rows BEFORE the shuffle — at 100 TB
+    this is the difference between shuffling the whole fact table and
+    shuffling the matching slice. Thresholds are lowered to fixture scale
+    and broadcast is disabled (bloom applies to shuffle joins); both knobs
+    restored after."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+
+    # Read BEFORE setting the knobs: read_table re-applies the engine's
+    # 64 MB auto-broadcast default (apply_runtime_conf), and a creation
+    # side the optimizer considers broadcastable makes InjectRuntimeFilter
+    # classify the join as non-shuffle and skip injection. Conf is read at
+    # optimization time, so setting the knobs after reading is sufficient.
+    li = read_table(spark, sf_dir, "lineitem")
+    part = read_table(spark, sf_dir, "part").filter(F.col("p_size") == 1)
+    knobs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+    }
+    prev = {}
+    for k, v in knobs.items():
+        try:
+            prev[k] = spark.conf.get(k)
+        except Exception:
+            prev[k] = None
+        spark.conf.set(k, v)
+    try:
+        joined = li.join(part, li.l_partkey == part.p_partkey).groupBy("p_brand").agg(
+            F.sum("l_quantity").alias("qty")
+        )
+        plan = joined._jdf.queryExecution().optimizedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+    finally:
+        for k, v in prev.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -337,3 +337,76 @@ def test_finance_indicators_match_numpy_reference(spark, sf_dir):
     for s, px in series.items():
         dd = float((1.0 - px / np.maximum.accumulate(px)).max())
         assert abs(gotd[s] - round(dd, 6)) < 1e-9, (s, gotd[s], dd)
+
+
+def test_skyline_matches_bruteforce_on_adversarial_data(spark):
+    """Bucket-pruned skyline vs the O(n^2) definition on three shapes:
+    anti-correlated (EVERY point on the frontier — the prune's worst
+    case), correlated (singleton frontier), and ties/duplicates at bucket
+    boundaries. The fixture oracle can't stress these; this pins them."""
+
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.queries import relational as R
+
+    def brute(pts):
+        out = []
+        for i, (k, p, s) in enumerate(pts):
+            dominated = any(
+                (q >= p and t >= s and (q > p or t > s)) for _, q, t in pts
+            )
+            if not dominated:
+                out.append((k, p, s))
+        return sorted(out)
+
+    def run(pts):
+        df = spark.createDataFrame(pts, ["p_partkey", "p_retailprice", "p_size"])
+        part = df.select(
+            "p_partkey",
+            "p_retailprice",
+            "p_size",
+            F.floor(F.col("p_retailprice") / R._SKY_BUCKET).cast("long").alias("bkt"),
+        )
+        # Inline the registered query's core on the synthetic frame.
+        from pyspark.sql import Window
+
+        bmax = part.groupBy("bkt").agg(F.max("p_size").alias("bmax"))
+        w_bkt = Window.orderBy(F.col("bkt").desc()).rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        thresholds = bmax.select("bkt", F.max("bmax").over(w_bkt).alias("m_higher"))
+        cand = part.join(F.broadcast(thresholds), "bkt").filter(
+            F.col("m_higher").isNull() | (F.col("p_size") > F.col("m_higher"))
+        )
+        grp = cand.groupBy("bkt", "p_retailprice").agg(F.max("p_size").alias("msize"))
+        w_in = (
+            Window.partitionBy("bkt")
+            .orderBy(F.col("p_retailprice").desc())
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        grp = grp.select(
+            "bkt", "p_retailprice", "msize", F.max("msize").over(w_in).alias("m_in")
+        )
+        joined = cand.join(grp, ["bkt", "p_retailprice"])
+        m1 = F.greatest(
+            F.coalesce(F.col("m_in"), F.lit(-1)),
+            F.coalesce(F.col("m_higher"), F.lit(-1)),
+        )
+        res = joined.filter(
+            (m1 < F.col("p_size")) & (F.col("msize") == F.col("p_size"))
+        ).select("p_partkey", "p_retailprice", "p_size")
+        return sorted(tuple(r) for r in res.collect())
+
+    # Anti-correlated: price i*10.0, size N-i — every point non-dominated.
+    anti = [(i, float(i * 10), 100 - i) for i in range(100)]
+    assert run(anti) == brute(anti) and len(brute(anti)) == 100
+    # Correlated: price and size both increase — singleton frontier.
+    corr = [(i, float(i * 10), i) for i in range(100)]
+    assert run(corr) == brute(corr) and len(brute(corr)) == 1
+    # Boundary ties + duplicates: equal prices at a bucket edge (25.0),
+    # duplicate frontier points, same-price different-size.
+    ties = [
+        (1, 25.0, 5), (2, 25.0, 5), (3, 25.0, 3),
+        (4, 24.9, 6), (5, 50.0, 4), (6, 50.0, 4), (7, 10.0, 7),
+    ]
+    assert run(ties) == brute(ties)
