@@ -77,6 +77,8 @@ HEADLINE = [
     "q_pagerank",
     "q_skyline",
     "q_media_roundtrip",
+    "q_unigram_lm",
+    "q_return_corr",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

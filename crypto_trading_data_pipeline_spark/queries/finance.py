@@ -402,3 +402,58 @@ def q_obv(spark: SparkSession, sf_dir: str):
         "minute",
         F.sum("dv").over(wrun).cast("bigint").alias("obv"),
     )
+
+
+@query(
+    "q_return_corr",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), ret AS (
+      SELECT symbol, minute,
+             ln(close / lag(close) OVER (PARTITION BY symbol ORDER BY minute)) AS r
+      FROM closes
+    )
+    SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+           CAST(count(*) AS BIGINT) AS n_minutes,
+           round(corr(a.r, b.r), 4) AS corr_ret
+    FROM ret a JOIN ret b ON a.minute = b.minute AND a.symbol < b.symbol
+    WHERE a.r IS NOT NULL AND b.r IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Pairwise correlation matrix of minute log returns across symbols "
+        "(the pairs-trading / portfolio-risk statistic). Returns align via "
+        "a self-join on minute with symbol < symbol de-duplicating the "
+        "matrix's upper triangle; corr() is a single declarative aggregate "
+        "(partial+final, one shuffle on the pair key). With k symbols the "
+        "join fan-out is C(k,2) per minute — bounded by the instrument "
+        "universe, never the row count; at 100 TB the per-minute closes "
+        "tier this reads from is already ~5 orders smaller than raw ticks. "
+        "corr's sums-of-products are order-dependent doubles: rounded to 4."
+    ),
+)
+def q_return_corr(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    wl = Window.partitionBy("symbol").orderBy("minute")
+    ret = closes.select(
+        "symbol",
+        "minute",
+        F.log(F.col("close") / F.lag("close").over(wl)).alias("r"),
+    ).filter(F.col("r").isNotNull())
+    a = ret.select(
+        F.col("symbol").alias("sym_a"), "minute", F.col("r").alias("ra")
+    )
+    b = ret.select(
+        F.col("symbol").alias("sym_b"),
+        F.col("minute").alias("minute_b"),
+        F.col("r").alias("rb"),
+    )
+    return (
+        a.join(b, (F.col("minute") == F.col("minute_b")) & (F.col("sym_a") < F.col("sym_b")))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+            F.round(F.corr("ra", "rb"), 4).alias("corr_ret"),
+        )
+    )

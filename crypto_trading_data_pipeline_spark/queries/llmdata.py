@@ -953,3 +953,65 @@ def q_media_roundtrip(spark: SparkSession, sf_dir: str):
             )
 
     return docs.mapInPandas(synth_and_decode, schema=out_schema)
+
+
+@query(
+    "q_unigram_lm",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), lm AS (
+      SELECT tok, count(*) AS c FROM toks GROUP BY tok
+    ), stats AS (
+      SELECT sum(c) AS total, count(*) AS vocab FROM lm
+    ), scored AS (
+      SELECT t.doc_id,
+             count(*) AS n_tok,
+             sum(ln((lm.c + 1.0) / (stats.total + stats.vocab))) AS ll
+      FROM toks t JOIN lm ON t.tok = lm.tok CROSS JOIN stats
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           round(-ll / n_tok, 4) AS avg_nll
+    FROM scored
+    """,
+    doc=(
+        "Unigram language-model quality score (the CCNet/KenLM-shaped "
+        "signal, degree-0): train the LM IN the query — one aggregate "
+        "for token counts, add-one smoothing over (total + vocab) — then "
+        "score each doc by average negative log-likelihood of its "
+        "tokens. High avg_nll = improbable token mix = filter candidate. "
+        "Spark plan: explode once, broadcast the unigram table back onto "
+        "the token stream (vocab << corpus — at 100 TB the LM is trained "
+        "on a sample shard and broadcast as a dimension, exactly this "
+        "shape), one groupBy on doc_id. Scores are double sums of ln() "
+        "terms rounded to 4 decimals — both engines' libm agree to ~1e-13 "
+        "while the rounding step is 1e-4."
+    ),
+)
+def q_unigram_lm(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    lm = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c"))
+    stats = lm.agg(
+        F.sum("c").alias("total"), F.count(F.lit(1)).alias("vocab")
+    )
+    scored = (
+        toks.join(F.broadcast(lm), "tok")
+        .join(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.sum(
+                F.log((F.col("c") + F.lit(1.0)) / (F.col("total") + F.col("vocab")))
+            ).alias("ll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        F.round(-F.col("ll") / F.col("n_tok"), 4).alias("avg_nll"),
+    )

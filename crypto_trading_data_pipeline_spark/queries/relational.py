@@ -2551,3 +2551,50 @@ def q_skyline(spark: SparkSession, sf_dir: str):
     return joined.filter(
         (m1 < F.col("p_size")) & (F.col("msize") == F.col("p_size"))
     ).select("p_partkey", "p_retailprice", "p_size")
+
+
+@query(
+    "q_event_transitions",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type AS from_state,
+             lead(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_state
+      FROM events
+    ), pairs AS (
+      SELECT from_state, to_state, count(*) AS n
+      FROM seq WHERE to_state IS NOT NULL
+      GROUP BY 1, 2
+    )
+    SELECT from_state, to_state,
+           CAST(n AS BIGINT) AS n,
+           round(n / sum(n) OVER (PARTITION BY from_state), 4) AS p
+    FROM pairs
+    """,
+    doc=(
+        "First-order Markov transition matrix of user event sequences: "
+        "lead() per user gives consecutive (from, to) pairs, one "
+        "aggregate counts them, and a window over from_state normalizes "
+        "rows into transition probabilities — the behavioral-model "
+        "summary funnels and paths (q_funnel, q_event_paths) are special "
+        "cases of. One shuffle on user_id for the sequence pass, one on "
+        "the pair key for the count; the normalizing window runs on the "
+        "|states|^2-row aggregate, not the events. Deterministic (ts, "
+        "event_id) ordering; probabilities rounded to 4."
+    ),
+)
+def q_event_transitions(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        F.col("event_type").alias("from_state"),
+        F.lead("event_type").over(w).alias("to_state"),
+    ).filter(F.col("to_state").isNotNull())
+    pairs = seq.groupBy("from_state", "to_state").agg(F.count(F.lit(1)).alias("n"))
+    wf = Window.partitionBy("from_state")
+    return pairs.select(
+        "from_state",
+        "to_state",
+        F.col("n").cast("bigint").alias("n"),
+        F.round(F.col("n") / F.sum("n").over(wf), 4).alias("p"),
+    )

@@ -241,6 +241,7 @@ _SINGLE_PARTITION_OK = {
     "q_dq_orphans",        # five global orphan-count scalars, unioned
     "q_global_shuffle",    # 256-row bucket-offset cumsum (bounded)
     "q_skyline",           # ~50-row bucket-max cumulative pass (bounded)
+    "q_unigram_lm",        # one-row (total, vocab) LM normalizer scalar
 }
 
 
