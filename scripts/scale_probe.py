@@ -58,6 +58,7 @@ QUERIES = [
     "q_pagerank",
     "q_skyline",
     "q_media_roundtrip",
+    "q_unigram_lm",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -670,3 +670,90 @@ def test_transform_with_state_matches_apply_in_pandas(spark, tmp_path):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_to_live_db_end_to_end(spark, tmp_path):
+    """The reference's COMPLETE runtime shape against a live database:
+    file stream -> parse -> watermark -> 1-min OHLCV (update mode) ->
+    foreachBatch staging + generated merge SQL executed in a REAL
+    DuckDB (INSERT..ON CONFLICT last-wins, per-epoch staging dropped).
+    Extends the sink-level live test to the full streaming query: the
+    update-mode candle for a window the next batch re-opens must be
+    OVERWRITTEN in the database, and a row beyond the watermark must
+    never reach it."""
+    import duckdb
+
+    from crypto_trading_data_pipeline_spark.streaming.job import candle_stream
+    from crypto_trading_data_pipeline_spark.streaming.sinks import JdbcUpsertSink
+
+    con = duckdb.connect()
+
+    def ex(*stmts):
+        con.execute("BEGIN")
+        for s in stmts:
+            con.execute(s)
+        con.execute("COMMIT")
+
+    sink = JdbcUpsertSink(
+        host="unused", dbname="unused", user="u", password="p",
+        table="trades_1min_agg", keys=["symbol", "window_start"],
+        order_col="window_start", executor=ex,
+    )
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    ckpt = str(tmp_path / "ckpt")
+    _write_batch(str(indir), TRADES_1, "batch1.json")
+
+    candles = candle_stream(parse_trades(file_json_stream(spark, str(indir))))
+    sink.ensure_table(candles.schema)
+
+    def fb(batch, epoch_id):
+        # Stand-in for the Spark-JDBC staging upload (no JDBC driver in
+        # the sandbox): parquet + a DuckDB view under the exact staging
+        # name. The DDL and merge statements are the sink's real ones.
+        if batch.isEmpty():
+            return
+        staging = sink._staging_name(epoch_id)
+        p = str(tmp_path / f"stage_{epoch_id}")
+        batch.write.mode("overwrite").parquet(p)
+        con.execute(
+            f"CREATE OR REPLACE VIEW {staging} AS "
+            f"SELECT * FROM read_parquet('{p}/*.parquet')"
+        )
+        sink._exec(
+            sink._merge_sql(staging, [f.name for f in batch.schema.fields]),
+            f"DROP VIEW {staging}",
+        )
+
+    q = (
+        candles.writeStream.outputMode("update")
+        .foreachBatch(fb)
+        .option("checkpointLocation", ckpt)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        _write_batch(str(indir), TRADES_2, "batch2.json")
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = {
+        (r[0], r[1].minute): (float(r[2]), float(r[3]))
+        for r in con.execute(
+            "SELECT symbol, window_start, close_price, total_volume "
+            "FROM trades_1min_agg"
+        ).fetchall()
+    }
+    # Four candles; the late 2h-old trade (7) never created a fifth.
+    assert len(rows) == 4, rows
+    # BTC minute-1 was UPDATED in the DB by batch2's trade 5 (last-wins).
+    assert rows[("BTCUSDT", 14)] == (42002.00, 1.1)
+    assert rows[("ETHUSDT", 14)] == (2201.00, 3.0)
+    assert rows[("BTCUSDT", 13)][0] == 42001.00
+    # Staging tables/views are gone after each epoch.
+    leftover = con.execute(
+        "SELECT count(*) FROM duckdb_views() WHERE view_name LIKE '%staging%'"
+    ).fetchone()[0]
+    assert leftover == 0
