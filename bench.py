@@ -79,6 +79,8 @@ HEADLINE = [
     "q_media_roundtrip",
     "q_unigram_lm",
     "q_return_corr",
+    "q_ngram_novelty",
+    "q_ivm_merge",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

@@ -454,6 +454,15 @@ def q_return_corr(spark: SparkSession, sf_dir: str):
         .groupBy("sym_a", "sym_b")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
-            F.round(F.corr("ra", "rb"), 4).alias("corr_ret"),
+            # Zero-variance/degenerate pairs: Spark's corr yields NaN where
+            # SQL engines yield NULL — normalize so the undefined case is
+            # NULL on both sides (not hit by the fixtures, but the contract
+            # must not depend on that).
+            F.round(
+                F.when(F.isnan(F.corr("ra", "rb")), F.lit(None)).otherwise(
+                    F.corr("ra", "rb")
+                ),
+                4,
+            ).alias("corr_ret"),
         )
     )

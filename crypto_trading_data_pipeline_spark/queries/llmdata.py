@@ -1015,3 +1015,64 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str):
         F.col("n_tok").cast("bigint").alias("n_tok"),
         F.round(-F.col("ll") / F.col("n_tok"), 4).alias("avg_nll"),
     )
+
+
+@query(
+    "q_ngram_novelty",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id, sh FROM (
+        SELECT doc_id,
+               unnest(list_distinct([
+                 array_to_string(toks[i : i + 2], ' ')
+                 FOR i IN range(1, len(toks) - 1)
+               ])) AS sh
+        FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+        WHERE len(toks) >= 3
+      )
+    ), df AS (
+      SELECT sh, count(*) AS df FROM sh GROUP BY sh
+    )
+    SELECT s.doc_id,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           round(avg(CASE WHEN df.df = 1 THEN 1.0 ELSE 0.0 END), 4) AS novelty
+    FROM sh s JOIN df ON s.sh = df.sh
+    GROUP BY s.doc_id
+    """,
+    doc=(
+        "N-gram novelty: the fraction of a doc's distinct word-3-grams "
+        "that occur NOWHERE else in the corpus — high novelty marks "
+        "original text, low novelty marks boilerplate/template mass even "
+        "when no single pair crosses a near-dup threshold (the corpus-"
+        "level complement of pairwise MinHash). One explode to distinct "
+        "(doc, shingle) pairs, one aggregate for corpus df, one join "
+        "back + per-doc average. At 100 TB the df table is the standard "
+        "inverted-index build (hash-partitioned on shingle, partial+final "
+        "counts); the join back is shuffle-on-shingle, the same key the "
+        "df aggregate just produced, so AQE reuses the partitioning."
+    ),
+)
+def q_ngram_novelty(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    sh = (
+        docs.filter(F.size(toks) >= 3)
+        .select(
+            "doc_id",
+            F.explode_outer(
+                F.array_distinct(dedup_hash.word_shingles(F.col("text"), 3))
+            ).alias("sh"),
+        )
+        .filter(F.col("sh").isNotNull())
+    )
+    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(df, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+            F.round(
+                F.avg(F.when(F.col("df") == 1, F.lit(1.0)).otherwise(F.lit(0.0))), 4
+            ).alias("novelty"),
+        )
+    )

@@ -410,3 +410,35 @@ def test_skyline_matches_bruteforce_on_adversarial_data(spark):
         (4, 24.9, 6), (5, 50.0, 4), (6, 50.0, 4), (7, 10.0, 7),
     ]
     assert run(ties) == brute(ties)
+
+
+def test_ivm_merge_equals_direct_aggregate(spark, sf_dir):
+    """The IVM claim itself: merging agg(history) with agg(delta) must
+    equal aggregating everything directly — counts/min/max exactly, the
+    double sum within float-merge tolerance (summation order differs
+    between the one-pass and merged plans by construction)."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.queries.relational import q_ivm_merge
+
+    merged = {r.user_id: r for r in q_ivm_merge(spark, sf_dir).collect()}
+    direct = {
+        r.user_id: r
+        for r in read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("value").alias("sum_value"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
+        .collect()
+    }
+    assert set(merged) == set(direct)
+    for uid, d in direct.items():
+        m = merged[uid]
+        assert (m.n_events, m.first_ts, m.last_ts) == (d.n_events, d.first_ts, d.last_ts)
+        assert math.isclose(m.sum_value, d.sum_value, rel_tol=1e-9, abs_tol=1e-6)

@@ -422,3 +422,40 @@ def test_zorder_key_bit_layout(spark):
         xs = [k[0] for _, k in by_z[blk : blk + 16]]
         ys = [k[1] for _, k in by_z[blk : blk + 16]]
         assert max(xs) - min(xs) <= 3 and max(ys) - min(ys) <= 3
+
+
+def test_schema_evolution_merge_read(spark, tmp_path):
+    """Long-lived 100 TB tables evolve: files written before a column
+    existed must read as NULL alongside new files, and the scan must
+    still prune/push down on the original columns. mergeSchema=true
+    reconciles parquet footers; the assertion pins both the unified
+    schema and the per-era values."""
+    from pyspark.sql import functions as F
+
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame(
+        [(1, "a"), (2, "b")], ["id", "payload"]
+    ).write.mode("append").parquet(p)
+    # Era 2 adds a quality score column.
+    spark.createDataFrame(
+        [(3, "c", 0.9), (4, "d", 0.1)], ["id", "payload", "score"]
+    ).write.mode("append").parquet(p)
+
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert {f.name for f in df.schema.fields} == {"id", "payload", "score"}
+    rows = {r.id: (r.payload, r.score) for r in df.collect()}
+    assert rows[1] == ("a", None)  # pre-evolution file -> NULL, not error
+    assert rows[3] == ("c", 0.9)
+    # Pushdown on an original column still reaches the scan.
+    plan = (
+        df.filter(F.col("id") > 2)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "GreaterThan(id,2)" in plan, plan
+    # Aggregating the evolved column treats old files as missing data.
+    got = df.agg(
+        F.count("score").alias("n_scored"), F.count(F.lit(1)).alias("n")
+    ).collect()[0]
+    assert (got.n_scored, got.n) == (2, 4)
