@@ -81,6 +81,8 @@ HEADLINE = [
     "q_return_corr",
     "q_ngram_novelty",
     "q_ivm_merge",
+    "q_feature_hashing",
+    "q_feature_label_matrix",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

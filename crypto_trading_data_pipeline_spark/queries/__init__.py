@@ -11,6 +11,10 @@ Oracle-matching conventions (SURVEY.md §5):
 - alias every computed column identically on both sides;
 - deterministic aggregates only (min_by/max_by ↔ arg_min/arg_max; unique ts);
 - ROUND any double aggregate whose summation order differs between engines;
+  when a value can land EXACTLY on a decimal tie (round() tie-breaking is
+  engine-specific — bit one sf0.1 row of q_feature_label_matrix), use the
+  tie-proof form ``floor(x*scale + 0.5)/scale`` textually identically on
+  both sides instead;
 - timestamps emitted as TIMESTAMP_NTZ (session tz pinned UTC) ↔ DuckDB
   TIMESTAMP;
 - integer widths matched (Spark int ↔ INTEGER, long ↔ BIGINT).

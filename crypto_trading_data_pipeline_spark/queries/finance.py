@@ -466,3 +466,84 @@ def q_return_corr(spark: SparkSession, sf_dir: str):
             ).alias("corr_ret"),
         )
     )
+
+
+@query(
+    "q_feature_label_matrix",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), feat AS (
+      SELECT symbol, minute, close,
+             close / lag(close, 1) OVER ws - 1.0 AS ret1,
+             close / lag(close, 3) OVER ws - 1.0 AS ret3,
+             avg(close)         OVER w5 AS ma5,
+             stddev_samp(close) OVER w5 AS vol5,
+             lead(close, 5) OVER ws AS fwd,
+             row_number() OVER ws AS rn
+      FROM closes
+      WINDOW ws AS (PARTITION BY symbol ORDER BY minute),
+             w5 AS (PARTITION BY symbol ORDER BY minute
+                    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           floor(ret1 * 1000000.0 + 0.5) / 1000000.0 AS ret1,
+           floor(ret3 * 1000000.0 + 0.5) / 1000000.0 AS ret3,
+           floor(ma5 * 10000.0 + 0.5) / 10000.0      AS ma5,
+           floor(vol5 * 1000000.0 + 0.5) / 1000000.0 AS vol5,
+           CAST(CASE WHEN fwd > close THEN 1 WHEN fwd < close THEN -1
+                ELSE 0 END AS INTEGER) AS label
+    FROM feat WHERE rn >= 5 AND fwd IS NOT NULL
+    """,
+    doc=(
+        "Supervised feature/label matrix generation — the training-data "
+        "step between the candle tier and a model: per (symbol, minute), "
+        "lagged returns (1- and 3-bar), 5-bar moving average and "
+        "volatility as features, and the 5-bar-FORWARD price direction "
+        "as the label (lead — the lookahead lives in the label only, "
+        "features never peek). All seven columns come out of ONE "
+        "symbol-partitioned window pass (lag, lead, frame agg, and "
+        "row_number share the exchange); warm-up rows without a full "
+        "feature frame or a realized label are dropped, which is exactly "
+        "the leakage-safe truncation a backtest needs. At 100 TB this is "
+        "a narrow pass over the candle tier — feature generation scales "
+        "with bars, not ticks."
+    ),
+)
+def q_feature_label_matrix(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    ws = Window.partitionBy("symbol").orderBy("minute")
+    w5 = ws.rowsBetween(-4, 0)
+    fwd = F.lead("close", 5).over(ws)
+    feat = closes.select(
+        "symbol",
+        "minute",
+        "close",
+        (F.col("close") / F.lag("close", 1).over(ws) - 1.0).alias("ret1"),
+        (F.col("close") / F.lag("close", 3).over(ws) - 1.0).alias("ret3"),
+        F.avg("close").over(w5).alias("ma5"),
+        F.stddev_samp("close").over(w5).alias("vol5"),
+        fwd.alias("fwd"),
+        F.row_number().over(ws).alias("rn"),
+    )
+    label = (
+        F.when(F.col("fwd") > F.col("close"), F.lit(1))
+        .when(F.col("fwd") < F.col("close"), F.lit(-1))
+        .otherwise(F.lit(0))
+    )
+    # floor(x*scale + 0.5)/scale instead of round(): engines break round()
+    # ties at exact half-ulp decimals differently (one sf0.1 row landed on
+    # one), while this formula is the same double ops on both sides —
+    # bit-identical by construction.
+    def r6(c):
+        return F.floor(F.col(c) * 1000000.0 + 0.5) / 1000000.0
+
+    return feat.filter((F.col("rn") >= 5) & F.col("fwd").isNotNull()).select(
+        "symbol",
+        "minute",
+        r6("ret1").alias("ret1"),
+        r6("ret3").alias("ret3"),
+        (F.floor(F.col("ma5") * 10000.0 + 0.5) / 10000.0).alias("ma5"),
+        r6("vol5").alias("vol5"),
+        label.cast("int").alias("label"),
+    )

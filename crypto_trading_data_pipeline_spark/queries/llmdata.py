@@ -1076,3 +1076,44 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str):
             ).alias("novelty"),
         )
     )
+
+
+#: Hashing-trick dimensionality (feature buckets).
+_FEAT_BUCKETS = 32
+
+
+@query(
+    "q_feature_hashing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    )
+    SELECT doc_id,
+           CAST((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT) % 2147483647)
+                % {_FEAT_BUCKETS} AS INTEGER) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM toks
+    GROUP BY 1, 2
+    """,
+    doc=(
+        "Hashing-trick vectorization (the HashingVectorizer shape): every "
+        "token occurrence maps to one of 32 feature buckets via the "
+        "engine's portable md5 token hash (operators/dedup_hash.py), "
+        "counts aggregated per (doc, bucket) — the fixed-width, "
+        "vocabulary-free featurization step for training text models at "
+        "corpus scale (no vocab table to build, broadcast, or version). "
+        "One explode + one partial+final aggregate; bucket ids are exact "
+        "integer math shared bit-for-bit with the DuckDB twin."
+    ),
+)
+def q_feature_hashing(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
+    return (
+        toks.select("doc_id", bucket.alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
