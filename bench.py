@@ -83,6 +83,8 @@ HEADLINE = [
     "q_ivm_merge",
     "q_feature_hashing",
     "q_feature_label_matrix",
+    "q_twap",
+    "q_benford",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

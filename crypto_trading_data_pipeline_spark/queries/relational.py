@@ -2676,3 +2676,51 @@ def q_ivm_merge(spark: SparkSession, sf_dir: str):
         F.col("mn").alias("first_ts"),
         F.col("mx").alias("last_ts"),
     )
+
+
+@query(
+    "q_benford",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR), 1, 1)
+                  AS INTEGER) AS d
+      FROM orders WHERE o_totalprice >= 1.0
+    )
+    SELECT d,
+           CAST(count(*) AS BIGINT) AS n,
+           floor(count(*) * 1.0 / sum(count(*)) OVER () * 1000000.0 + 0.5)
+             / 1000000.0 AS freq,
+           floor(ln(1.0 + 1.0 / d) / ln(10.0) * 1000000.0 + 0.5)
+             / 1000000.0 AS benford_expect
+    FROM digits GROUP BY d
+    """,
+    doc=(
+        "Benford first-digit audit over order totals: observed leading-"
+        "digit frequencies next to the Benford expectation log10(1+1/d) — "
+        "the classic fraud/synthetic-data screen for financial columns "
+        "(a warehouse DQ gate on naturally-occurring magnitudes; the "
+        "fixture's uniform synthetic prices will visibly FAIL the law, "
+        "which is itself the point of publishing both columns). Leading "
+        "digit via integer-truncate-then-string on both engines — no "
+        "float formatting in the hash path; one aggregate plus a 9-row "
+        "normalizing window."
+    ),
+)
+def q_benford(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders").filter(F.col("o_totalprice") >= 1.0)
+    # floor() explicitly: DuckDB's double->BIGINT cast ROUNDS while
+    # Spark's truncates — 8999.7 would lead with 8 here and 9 there.
+    d = F.substring(
+        F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+    ).cast("int")
+    counts = o.select(d.alias("d")).groupBy("d").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    wall = Window.partitionBy()
+    tie = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    return counts.select(
+        "d",
+        "n",
+        tie(F.col("n") * 1.0 / F.sum("n").over(wall)).alias("freq"),
+        tie(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias("benford_expect"),
+    )

@@ -242,6 +242,7 @@ _SINGLE_PARTITION_OK = {
     "q_global_shuffle",    # 256-row bucket-offset cumsum (bounded)
     "q_skyline",           # ~50-row bucket-max cumulative pass (bounded)
     "q_unigram_lm",        # one-row (total, vocab) LM normalizer scalar
+    "q_benford",           # 9-row digit-frequency normalizing window
 }
 
 
