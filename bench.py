@@ -85,6 +85,7 @@ HEADLINE = [
     "q_feature_label_matrix",
     "q_twap",
     "q_benford",
+    "q_chunk_udtf",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

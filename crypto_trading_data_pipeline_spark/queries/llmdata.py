@@ -1117,3 +1117,49 @@ def q_feature_hashing(spark: SparkSession, sf_dir: str):
         .groupBy("doc_id", "bucket")
         .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
     )
+
+
+#: SQL-callable chunker token count (distinct from q_chunk_docs's window
+#: so the two surfaces are independently checkable).
+_UDTF_CHUNK = 40
+
+
+@query(
+    "q_chunk_udtf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), e AS (
+      SELECT doc_id, toks,
+             unnest(range(0, CAST(ceil(len(toks) / {_UDTF_CHUNK}.0) AS BIGINT))) AS i
+      FROM t
+    )
+    SELECT doc_id, CAST(i AS INTEGER) AS chunk_id,
+           array_to_string(toks[i * {_UDTF_CHUNK} + 1 : i * {_UDTF_CHUNK} + {_UDTF_CHUNK}], ' ') AS chunk
+    FROM e
+    """,
+    doc=(
+        "The engine's SQL extension surface: fixed-token chunking exposed "
+        "as a Python UDTF and invoked FROM SQL via LATERAL — "
+        "`SELECT ... FROM docs, LATERAL chunk_udtf(text, 40)` "
+        "(udtfs.py::ChunkUDTF, declared useArrow=True so it plans as "
+        "ArrowEvalPythonUDTF, Arrow-batched — the registry-wide "
+        "row-Python gate applies to UDTFs too). The built-in chunker "
+        "(q_chunk_docs) remains the fast path; this proves the "
+        "row-expanding SQL-callable extension point end-to-end against "
+        "the same DuckDB semantics. Narrow plan: scan -> UDTF, no "
+        "shuffle."
+    ),
+)
+def q_chunk_udtf(spark: SparkSession, sf_dir: str):
+    from ..udtfs import register_udtfs
+
+    register_udtfs(spark)
+    docs = read_table(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        f"""
+        SELECT d.doc_id, c.chunk_id, c.chunk
+        FROM _udtf_docs d, LATERAL chunk_udtf(d.text, {_UDTF_CHUNK}) c
+        """
+    )

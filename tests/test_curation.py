@@ -162,3 +162,30 @@ def test_jl_projection_preserves_distances(spark, sf_dir):
         nn8 = int(np.argmin(d8))
         ok += d64[nn8] <= np.quantile(d64[np.isfinite(d64)], 0.25)
     assert ok >= 7, f"projected NN fell outside the true top quartile too often ({ok}/10)"
+
+
+def test_chunk_udtf_edges(spark):
+    """SQL-callable chunker edge cases: empty text yields one empty
+    chunk (split('') == ['']), NULL text and non-positive size yield no
+    rows, ragged tail preserved; plan is Arrow-batched (the row-Python
+    gate's UDTF variant)."""
+    from crypto_trading_data_pipeline_spark.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, ""), (3, None)], ["id", "text"]
+    )
+    df.createOrReplaceTempView("_udtf_edge_docs")
+    out = spark.sql(
+        "SELECT d.id, c.chunk_id, c.chunk "
+        "FROM _udtf_edge_docs d, LATERAL chunk_udtf(d.text, 2) c"
+    )
+    rows = sorted((r.id, r.chunk_id, r.chunk) for r in out.collect())
+    assert rows == [(1, 0, "a b"), (1, 1, "c d"), (1, 2, "e"), (2, 0, "")]
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPythonUDTF" in plan, plan
+    # size <= 0 -> no rows, no crash.
+    none = spark.sql(
+        "SELECT c.chunk FROM _udtf_edge_docs d, LATERAL chunk_udtf(d.text, 0) c"
+    )
+    assert none.count() == 0
