@@ -86,6 +86,7 @@ HEADLINE = [
     "q_twap",
     "q_benford",
     "q_chunk_udtf",
+    "q_user_journey",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

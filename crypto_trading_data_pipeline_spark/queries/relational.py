@@ -2724,3 +2724,48 @@ def q_benford(spark: SparkSession, sf_dir: str):
         tie(F.col("n") * 1.0 / F.sum("n").over(wall)).alias("freq"),
         tie(F.log(1.0 + 1.0 / F.col("d")) / F.log(F.lit(10.0))).alias("benford_expect"),
     )
+
+
+@query(
+    "q_user_journey",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           array_to_string(evs[1:10], '>') AS journey,
+           CAST(len(evs) AS BIGINT) AS n_events
+    FROM ordered
+    """,
+    doc=(
+        "Ordered sequence aggregation: each user's first-10-event journey "
+        "string ('view>click>purchase>...') — the session-replay / "
+        "clickstream-mining materialization. collect_list is "
+        "order-nondeterministic in a distributed engine, so the elements "
+        "carry their own (ts, event_id) key: collect structs, sort_array "
+        "once per group, slice, project — deterministic on any partition "
+        "layout (the same discipline as min_by/max_by for OHLC). One "
+        "partial+final aggregate; per-group state is the event list, "
+        "bounded here by per-user activity — at 100 TB cap the collected "
+        "list (slice BEFORE the join-back, or pre-filter to the first K "
+        "by row_number) when users can be unbounded bots."
+    ),
+)
+def q_user_journey(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    evs = F.sort_array(
+        F.collect_list(F.struct("ts", "event_id", "event_type"))
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(evs.alias("evs"))
+        .select(
+            "user_id",
+            F.array_join(
+                F.transform(F.slice("evs", 1, 10), lambda s: s["event_type"]), ">"
+            ).alias("journey"),
+            F.size("evs").cast("bigint").alias("n_events"),
+        )
+    )
