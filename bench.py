@@ -87,6 +87,8 @@ HEADLINE = [
     "q_benford",
     "q_chunk_udtf",
     "q_user_journey",
+    "q_psi",
+    "q_embed_drift",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

@@ -718,3 +718,62 @@ def q_embed_project(spark: SparkSession, sf_dir: str):
             for j in range(_JL_K)
         ],
     )
+
+
+@query(
+    "q_embed_drift",
+    oracle="""
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS grp, i AS pos,
+             CAST(embedding[i] AS DOUBLE) AS x
+      FROM embeddings, unnest(range(1, 65)) AS r(i)
+    ), cent AS (
+      SELECT label, grp, pos, avg(x) AS c
+      FROM comp GROUP BY label, grp, pos
+    ), paired AS (
+      SELECT a.label, a.pos, a.c AS c0, b.c AS c1
+      FROM cent a JOIN cent b
+        ON a.label = b.label AND a.pos = b.pos AND a.grp = 0 AND b.grp = 1
+    )
+    SELECT label,
+           floor(sqrt(sum((c1 - c0) * (c1 - c0))) * 10000.0 + 0.5) / 10000.0
+             AS centroid_dist
+    FROM paired GROUP BY label
+    """,
+    doc=(
+        "Embedding-space drift per label: L2 distance between the class "
+        "centroid of cohort A (even vec_id — standing in for 'reference "
+        "snapshot') and cohort B (odd — 'current') — the vector-space "
+        "complement of q_psi's scalar drift, catching representation "
+        "shift (new encoder version, upstream text drift) that marginal "
+        "value histograms can't see. Shape: posexplode to (label, "
+        "cohort, dim) components, ONE partial+final avg — centroids are "
+        "k x 2 x 64 rows however big the corpus — then a tiny pairing "
+        "join and per-label reduce. No vector ever crosses the wire "
+        "whole; at 100 TB this is strictly aggregate-shaped."
+    ),
+)
+def q_embed_drift(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    comp = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("grp"),
+        F.posexplode(as_double_vec(F.col("embedding"))).alias("pos0", "x"),
+    ).withColumn("pos", F.col("pos0") + 1)
+    cent = comp.groupBy("label", "grp", "pos").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("grp") == 0).select("label", "pos", F.col("c").alias("c0"))
+    b = cent.filter(F.col("grp") == 1).select(
+        F.col("label").alias("label_b"), F.col("pos").alias("pos_b"), F.col("c").alias("c1")
+    )
+    paired = a.join(
+        b, (a.label == b.label_b) & (a.pos == b.pos_b)
+    )
+    d2 = (F.col("c1") - F.col("c0")) * (F.col("c1") - F.col("c0"))
+    return (
+        paired.groupBy("label")
+        .agg(
+            (F.floor(F.sqrt(F.sum(d2)) * 10000.0 + 0.5) / 10000.0).alias(
+                "centroid_dist"
+            )
+        )
+    )

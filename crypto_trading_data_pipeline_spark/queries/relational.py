@@ -2769,3 +2769,74 @@ def q_user_journey(spark: SparkSession, sf_dir: str):
             F.size("evs").cast("bigint").alias("n_events"),
         )
     )
+
+
+#: PSI split point and binning (fixed-width bins, overflow clamped).
+_PSI_SPLIT = "2024-01-16"
+_PSI_BIN_W, _PSI_MAX_BIN = 25.0, 10
+_PSI_EPS = "0.0001"  # proportion floor so empty bins don't ln(0)
+
+
+@query(
+    "q_psi",
+    oracle=f"""
+    WITH binned AS (
+      SELECT CAST(least(floor(value / {_PSI_BIN_W}), {_PSI_MAX_BIN}) AS INTEGER) AS bin,
+             CASE WHEN ts < TIMESTAMP '{_PSI_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), counts AS (
+      SELECT bin,
+             sum(is_ref)     AS n_ref,
+             sum(1 - is_ref) AS n_cur
+      FROM binned GROUP BY bin
+    ), props AS (
+      SELECT bin, n_ref, n_cur,
+             greatest(n_ref * 1.0 / sum(n_ref) OVER (), {_PSI_EPS}) AS p_ref,
+             greatest(n_cur * 1.0 / sum(n_cur) OVER (), {_PSI_EPS}) AS p_cur
+      FROM counts
+    )
+    SELECT bin,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           floor((p_cur - p_ref) * ln(p_cur / p_ref) * 1000000.0 + 0.5)
+             / 1000000.0 AS psi_term
+    FROM props
+    """,
+    doc=(
+        "Population stability index between the first and second half of "
+        "the month (reference vs current window) over fixed-width value "
+        "bins — THE production data-drift monitor for feature "
+        "distributions (sum of psi_term > 0.2 = retrain signal). "
+        "Bin-based by design, so unlike an exact KS test it needs NO "
+        "global order: one conditional aggregate produces both windows' "
+        "bin counts in a single pass, and the only all-to-one exchange "
+        "is the 11-row proportion normalizer. Empty-bin proportions are "
+        "epsilon-floored (standard PSI practice) so ln stays finite; "
+        "terms use the tie-proof floor-scale rounding."
+    ),
+)
+def q_psi(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    bin_ = F.least(
+        F.floor(F.col("value") / _PSI_BIN_W), F.lit(_PSI_MAX_BIN)
+    ).cast("int")
+    is_ref = (F.col("ts") < F.lit(_PSI_SPLIT).cast("timestamp")).cast("int")
+    counts = (
+        e.select(bin_.alias("bin"), is_ref.alias("is_ref"))
+        .groupBy("bin")
+        .agg(
+            F.sum("is_ref").alias("n_ref"),
+            F.sum(1 - F.col("is_ref")).alias("n_cur"),
+        )
+    )
+    wall = Window.partitionBy()
+    eps = F.lit(float(_PSI_EPS))
+    p_ref = F.greatest(F.col("n_ref") * 1.0 / F.sum("n_ref").over(wall), eps)
+    p_cur = F.greatest(F.col("n_cur") * 1.0 / F.sum("n_cur").over(wall), eps)
+    term = (p_cur - p_ref) * F.log(p_cur / p_ref)
+    return counts.select(
+        "bin",
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        (F.floor(term * 1000000.0 + 0.5) / 1000000.0).alias("psi_term"),
+    )

@@ -243,6 +243,7 @@ _SINGLE_PARTITION_OK = {
     "q_skyline",           # ~50-row bucket-max cumulative pass (bounded)
     "q_unigram_lm",        # one-row (total, vocab) LM normalizer scalar
     "q_benford",           # 9-row digit-frequency normalizing window
+    "q_psi",               # 11-row bin-proportion normalizing window
 }
 
 
