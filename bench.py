@@ -89,6 +89,8 @@ HEADLINE = [
     "q_user_journey",
     "q_psi",
     "q_embed_drift",
+    "q_split_audit",
+    "q_candle_patterns",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

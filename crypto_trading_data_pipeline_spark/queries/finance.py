@@ -604,3 +604,106 @@ def q_twap(spark: SparkSession, sf_dir: str):
             / 10000.0
         ).alias("twap"),
     )
+
+
+_SQL_OHLC = """
+      SELECT event_type                  AS symbol,
+             date_trunc('minute', ts)    AS minute,
+             arg_min(value, ts)          AS open,
+             max(value)                  AS high,
+             min(value)                  AS low,
+             arg_max(value, ts)          AS close
+      FROM events WHERE value > 0.0 GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_candle_patterns",
+    oracle=f"""
+    WITH ohlc AS (
+      {_SQL_OHLC}
+    ), w AS (
+      SELECT symbol, minute, open, high, low, close,
+             lag(open)  OVER ws AS p_open,
+             lag(close) OVER ws AS p_close
+      FROM ohlc
+      WINDOW ws AS (PARTITION BY symbol ORDER BY minute)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           CAST(CASE WHEN high > low
+                      AND abs(close - open) <= 0.1 * (high - low)
+                THEN 1 ELSE 0 END AS INTEGER) AS is_doji,
+           CAST(CASE
+             WHEN p_close < p_open AND close > open
+                  AND open <= p_close AND close >= p_open THEN 1
+             WHEN p_close > p_open AND close < open
+                  AND open >= p_close AND close <= p_open THEN -1
+             ELSE 0 END AS INTEGER) AS engulf
+    FROM w
+    """,
+    doc=(
+        "Candlestick pattern screen over 1-minute OHLC bars: doji (body "
+        "within 10% of the bar's range — indecision) and engulfing "
+        "(current body wraps the previous bar's body in the opposite "
+        "direction: +1 bullish, -1 bearish — the reversal signal). OHLC "
+        "from one deterministic aggregate (arg_min/arg_max by ts for "
+        "open/close, the q_ohlcv_1min discipline), then a lag on the "
+        "shared symbol exchange; every flag is a raw-double comparison — "
+        "no rounding needed, the hash is exact. Row-local after the one "
+        "window pass; at 100 TB the screen runs on the candle tier, not "
+        "ticks."
+    ),
+)
+def q_candle_patterns(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    ohlc = (
+        e.filter(F.col("value") > 0.0)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(
+            F.min_by("value", "ts").alias("open"),
+            F.max("value").alias("high"),
+            F.min("value").alias("low"),
+            F.max_by("value", "ts").alias("close"),
+        )
+    )
+    ws = Window.partitionBy("symbol").orderBy("minute")
+    w = ohlc.select(
+        "symbol",
+        "minute",
+        "open",
+        "high",
+        "low",
+        "close",
+        F.lag("open").over(ws).alias("p_open"),
+        F.lag("close").over(ws).alias("p_close"),
+    )
+    doji = (
+        (F.col("high") > F.col("low"))
+        & (F.abs(F.col("close") - F.col("open")) <= 0.1 * (F.col("high") - F.col("low")))
+    ).cast("int")
+    engulf = (
+        F.when(
+            (F.col("p_close") < F.col("p_open"))
+            & (F.col("close") > F.col("open"))
+            & (F.col("open") <= F.col("p_close"))
+            & (F.col("close") >= F.col("p_open")),
+            F.lit(1),
+        )
+        .when(
+            (F.col("p_close") > F.col("p_open"))
+            & (F.col("close") < F.col("open"))
+            & (F.col("open") >= F.col("p_close"))
+            & (F.col("close") <= F.col("p_open")),
+            F.lit(-1),
+        )
+        .otherwise(F.lit(0))
+    )
+    return w.select(
+        "symbol",
+        "minute",
+        doji.alias("is_doji"),
+        engulf.cast("int").alias("engulf"),
+    )

@@ -1163,3 +1163,75 @@ def q_chunk_udtf(spark: SparkSession, sf_dir: str):
         FROM _udtf_docs d, LATERAL chunk_udtf(d.text, {_UDTF_CHUNK}) c
         """
     )
+
+
+@query(
+    "q_split_audit",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT CASE WHEN h < 90 THEN 'train' WHEN h < 95 THEN 'val'
+                  ELSE 'test' END AS split,
+             n_chars, lang
+      FROM (
+        SELECT n_chars, lang,
+               {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 100 AS h
+        FROM documents
+      )
+    ), by_lang AS (
+      SELECT split, lang, count(*) AS nl FROM tagged GROUP BY split, lang
+    ), probs AS (
+      SELECT split,
+             nl * 1.0 / sum(nl) OVER (PARTITION BY split) AS p
+      FROM by_lang
+    ), ent AS (
+      SELECT split, -sum(p * ln(p)) AS h FROM probs GROUP BY split
+    ), base AS (
+      SELECT split, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS total_chars,
+             floor(avg(n_chars) * 10000.0 + 0.5) / 10000.0 AS avg_chars
+      FROM tagged GROUP BY split
+    )
+    SELECT b.split, CAST(b.n_docs AS BIGINT) AS n_docs, b.total_chars,
+           b.avg_chars,
+           floor(e.h * 1000000.0 + 0.5) / 1000000.0 AS lang_entropy
+    FROM base b JOIN ent e ON b.split = e.split
+    """,
+    doc=(
+        "Split audit — the dataset-card statistics proving the hash "
+        "split (q_split_assign) is BALANCED, not just deterministic: per "
+        "split, doc count, total/average characters, and the Shannon "
+        "entropy of the language distribution (near-equal entropies "
+        "across splits = no language leaked preferentially into "
+        "val/test, the thing that silently skews eval numbers). Two "
+        "small aggregates over the tagged corpus — per-(split, lang) "
+        "counts feed the entropy, a 3-row join stitches the card. "
+        "Floor-scale rounding on the double terms."
+    ),
+)
+def q_split_audit(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 90, F.lit("train")).when(h < 95, F.lit("val")).otherwise(F.lit("test"))
+    )
+    tagged = docs.select(split.alias("split"), "n_chars", "lang")
+    by_lang = tagged.groupBy("split", "lang").agg(F.count(F.lit(1)).alias("nl"))
+    wsplit = Window.partitionBy("split")
+    p = F.col("nl") * 1.0 / F.sum("nl").over(wsplit)
+    ent = (
+        by_lang.select("split", (p * F.log(p)).alias("t"))
+        .groupBy("split")
+        .agg((-F.sum("t")).alias("h"))
+    )
+    base = tagged.groupBy("split").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("total_chars"),
+        (F.floor(F.avg("n_chars") * 10000.0 + 0.5) / 10000.0).alias("avg_chars"),
+    )
+    return base.join(ent, "split").select(
+        "split",
+        "n_docs",
+        "total_chars",
+        "avg_chars",
+        (F.floor(F.col("h") * 1000000.0 + 0.5) / 1000000.0).alias("lang_entropy"),
+    )
