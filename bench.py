@@ -91,6 +91,8 @@ HEADLINE = [
     "q_embed_drift",
     "q_split_audit",
     "q_candle_patterns",
+    "q_seasonality",
+    "q_anomaly_mad",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

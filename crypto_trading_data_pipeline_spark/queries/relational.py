@@ -2840,3 +2840,115 @@ def q_psi(spark: SparkSession, sf_dir: str):
         F.col("n_cur").cast("bigint").alias("n_cur"),
         (F.floor(term * 1000000.0 + 0.5) / 1000000.0).alias("psi_term"),
     )
+
+
+@query(
+    "q_seasonality",
+    oracle="""
+    WITH hourly AS (
+      SELECT event_type AS symbol,
+             CAST(extract(hour FROM ts) AS INTEGER) AS hod,
+             count(*) AS n,
+             floor(avg(value) * 10000.0 + 0.5) / 10000.0 AS avg_value
+      FROM events GROUP BY 1, 2
+    )
+    SELECT symbol, hod, CAST(n AS BIGINT) AS n, avg_value,
+           CAST(rank() OVER (PARTITION BY symbol ORDER BY n DESC, hod)
+                AS INTEGER) AS activity_rank
+    FROM hourly
+    """,
+    doc=(
+        "Hour-of-day seasonality profile per symbol: activity count and "
+        "mean value for each of the 24 hours, ranked by activity "
+        "(rank 1 = the symbol's peak hour) — the load-shaping/seasonal "
+        "baseline every capacity planner and anomaly detector normalizes "
+        "against. One partial+final aggregate collapses the stream to "
+        "|symbols| x 24 rows; the rank window runs on that tiny "
+        "aggregate, partitioned by symbol. Deterministic tiebreak on "
+        "hod; floor-scale rounding on the mean."
+    ),
+)
+def q_seasonality(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    hourly = (
+        e.groupBy(
+            F.col("event_type").alias("symbol"),
+            F.hour("ts").cast("int").alias("hod"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            (F.floor(F.avg("value") * 10000.0 + 0.5) / 10000.0).alias("avg_value"),
+        )
+    )
+    w = Window.partitionBy("symbol").orderBy(F.col("n").desc(), F.col("hod"))
+    return hourly.select(
+        "symbol",
+        "hod",
+        F.col("n").cast("bigint").alias("n"),
+        "avg_value",
+        F.rank().over(w).cast("int").alias("activity_rank"),
+    )
+
+
+#: MAD anomaly threshold (the robust-statistics 3-sigma analog:
+#: 1.4826 * MAD approximates sigma for normal data; k=3.5 is the
+#: conventional outlier cut).
+_MAD_K = 3.5 * 1.4826
+
+
+@query(
+    "q_anomaly_mad",
+    oracle=f"""
+    WITH med AS (
+      SELECT user_id, quantile_cont(value, 0.5) AS med
+      FROM events GROUP BY user_id
+    ), dev AS (
+      SELECT e.user_id, e.event_id, e.value, m.med,
+             abs(e.value - m.med) AS adev
+      FROM events e JOIN med m ON e.user_id = m.user_id
+    ), mad AS (
+      SELECT user_id, quantile_cont(adev, 0.5) AS mad
+      FROM dev GROUP BY user_id
+    )
+    SELECT d.event_id, d.user_id,
+           floor(d.value * 10000.0 + 0.5) / 10000.0 AS value,
+           floor((d.med + {_MAD_K} * m.mad) * 10000.0 + 0.5) / 10000.0 AS cutoff
+    FROM dev d JOIN mad m ON d.user_id = m.user_id
+    WHERE d.adev > {_MAD_K} * m.mad AND m.mad > 0
+    """,
+    doc=(
+        "Robust anomaly detection via median absolute deviation: per "
+        "user, flag events whose |value - median| exceeds "
+        "3.5 x 1.4826 x MAD — the robust twin of q_anomaly_zscore (mean/"
+        "stddev break down exactly when outliers are present; medians "
+        "don't, which is why monitoring pipelines prefer MAD). Two "
+        "exact-median aggregates on the user key plus joins back — "
+        "three passes sharing one hash partitioning (AQE reuses the "
+        "exchange); exact interpolated medians use the same "
+        "quantile_cont <-> percentile convention q_percentiles pinned. "
+        "Zero-MAD users (constant values) are excluded rather than "
+        "flagging everything."
+    ),
+)
+def q_anomaly_mad(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    med = e.groupBy("user_id").agg(F.expr("percentile(value, 0.5)").alias("med"))
+    dev = e.join(med, "user_id").select(
+        "user_id",
+        "event_id",
+        "value",
+        "med",
+        F.abs(F.col("value") - F.col("med")).alias("adev"),
+    )
+    mad = dev.groupBy("user_id").agg(F.expr("percentile(adev, 0.5)").alias("mad"))
+    tie4 = lambda c: F.floor(c * 10000.0 + 0.5) / 10000.0  # noqa: E731
+    return (
+        dev.join(mad, "user_id")
+        .filter((F.col("adev") > _MAD_K * F.col("mad")) & (F.col("mad") > 0))
+        .select(
+            "event_id",
+            "user_id",
+            tie4(F.col("value")).alias("value"),
+            tie4(F.col("med") + _MAD_K * F.col("mad")).alias("cutoff"),
+        )
+    )
