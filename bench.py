@@ -93,6 +93,8 @@ HEADLINE = [
     "q_candle_patterns",
     "q_seasonality",
     "q_anomaly_mad",
+    "q_split_leakage",
+    "q_cross_source_dups",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

@@ -1235,3 +1235,94 @@ def q_split_audit(spark: SparkSession, sf_dir: str):
         "avg_chars",
         (F.floor(F.col("h") * 1000000.0 + 0.5) / 1000000.0).alias("lang_entropy"),
     )
+
+
+@query(
+    "q_split_leakage",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT doc_id,
+             md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             CASE WHEN {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} % 100 < 90
+                  THEN 'train' ELSE 'heldout' END AS split
+      FROM documents
+    )
+    SELECT t.doc_id, t.fp
+    FROM tagged t
+    WHERE t.split = 'heldout'
+      AND EXISTS (
+        SELECT 1 FROM tagged tr
+        WHERE tr.split = 'train' AND tr.fp = t.fp
+      )
+    """,
+    doc=(
+        "Train/held-out leakage audit: held-out documents whose "
+        "normalized-content fingerprint also appears in train — the "
+        "contamination that silently inflates every eval number, and the "
+        "reason dedup must run BEFORE splitting (this query is the "
+        "regression test for that ordering; its row count is the leak). "
+        "Same hash split as q_split_assign (val+test pooled as held-out), "
+        "same normalized md5 as q_dedup_norm; the check is one LEFT SEMI "
+        "join on the fingerprint — at 100 TB both sides partition on fp "
+        "and the train side can be pre-aggregated to distinct "
+        "fingerprints, so the probe is a bloom-filterable hash join, "
+        "never a text comparison."
+    ),
+)
+def q_split_leakage(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string")) % 100
+    tagged = docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp"),
+        F.when(h < 90, F.lit("train")).otherwise(F.lit("heldout")).alias("split"),
+    )
+    train = tagged.filter(F.col("split") == "train").select("fp").distinct()
+    held = tagged.filter(F.col("split") == "heldout")
+    return held.join(train, "fp", "left_semi").select("doc_id", "fp")
+
+
+@query(
+    "q_cross_source_dups",
+    oracle="""
+    WITH fps AS (
+      SELECT md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))) AS fp,
+             source, doc_id
+      FROM documents
+    )
+    SELECT fp,
+           CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS first_doc
+    FROM fps
+    GROUP BY fp
+    HAVING count(DISTINCT source) > 1
+    """,
+    doc=(
+        "Cross-source duplicate provenance: normalized fingerprints that "
+        "appear under MORE THAN ONE source — mirror sites / syndicated "
+        "content, the duplication mode per-source dedup cannot see and "
+        "the reason corpus-wide dedup must run on content, not (source, "
+        "url). One aggregate with a distinct-count on source per "
+        "fingerprint; the HAVING prunes to the offending fingerprints "
+        "before anything is collected. At 100 TB this is the standard "
+        "fp-partitioned groupBy; its output feeds source-priority "
+        "representative selection (q_dedup_keep_best's ordering)."
+    ),
+)
+def q_cross_source_dups(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp"),
+        "source",
+        "doc_id",
+    )
+    return (
+        fps.groupBy("fp")
+        .agg(
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("first_doc"),
+        )
+        .filter(F.col("n_sources") > 1)
+    )

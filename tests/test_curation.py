@@ -189,3 +189,33 @@ def test_chunk_udtf_edges(spark):
         "SELECT c.chunk FROM _udtf_edge_docs d, LATERAL chunk_udtf(d.text, 0) c"
     )
     assert none.count() == 0
+
+
+def test_split_leakage_flags_cross_split_duplicates(spark):
+    """The leakage audit's positive path (the fixtures' few duplicates all
+    land inside train, so the registered query legitimately returns 0
+    rows there): on a synthetic corpus where a held-out doc duplicates a
+    train doc — exactly and via whitespace/case variation — both held-out
+    copies are flagged, and a held-out doc with unique content is not."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.operators.dedup import normalize_text
+
+    rows = [
+        (1, "the quick brown fox", "train"),
+        (2, "the quick brown fox", "heldout"),     # exact dup -> leak
+        (3, "  THE  quick   brown FOX ", "heldout"),  # normalized dup -> leak
+        (4, "completely novel content", "heldout"),   # clean
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "split"])
+    tagged = df.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp"),
+        "split",
+    )
+    train = tagged.filter(F.col("split") == "train").select("fp").distinct()
+    held = tagged.filter(F.col("split") == "heldout")
+    leaked = sorted(
+        r.doc_id for r in held.join(train, "fp", "left_semi").collect()
+    )
+    assert leaked == [2, 3]
