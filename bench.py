@@ -95,6 +95,7 @@ HEADLINE = [
     "q_anomaly_mad",
     "q_split_leakage",
     "q_cross_source_dups",
+    "q_lorenz",
     "q_corpus_profile",
     "q_embed_outliers",
     "q_semdedup",

@@ -2952,3 +2952,103 @@ def q_anomaly_mad(spark: SparkSession, sf_dir: str):
             tie4(F.col("med") + _MAD_K * F.col("mad")).alias("cutoff"),
         )
     )
+
+
+#: Lorenz-curve range-bucket count (the q_global_shuffle two-phase
+#: exact-rank machinery applied to a VALUE ordering instead of a hash).
+_LORENZ_BUCKETS = 256
+
+
+@query(
+    "q_lorenz",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY o_custkey
+    ), ranked AS (
+      SELECT rev_c,
+             row_number() OVER (ORDER BY rev_c, o_custkey) AS rk,
+             count(*) OVER () AS n,
+             sum(rev_c) OVER () AS total
+      FROM rev
+    ), dec AS (
+      SELECT CAST(((rk - 1) * 10) // n AS INTEGER) AS decile, rev_c, total
+      FROM ranked
+    )
+    SELECT decile,
+           CAST(count(*) AS BIGINT) AS n_cust,
+           floor(sum(rev_c) * 1.0 / any_value(total) * 1000000.0 + 0.5)
+             / 1000000.0 AS rev_share,
+           floor(sum(sum(rev_c)) OVER (ORDER BY decile) * 1.0
+                 / any_value(total) * 1000000.0 + 0.5) / 1000000.0 AS cum_share
+    FROM dec GROUP BY decile
+    """,
+    doc=(
+        "Lorenz curve of customer revenue concentration: customers ranked "
+        "poorest-to-richest, cut into deciles, each decile's share and "
+        "cumulative share of total revenue (the inputs to Gini / "
+        "'top-decile drives X%' statements). Revenue is summed in integer "
+        "CENTS so the rank order is bit-identical across engines — a "
+        "double revenue sum could flip near-ties and move a customer "
+        "across a decile boundary, an error rounding can't hide. The "
+        "oracle uses the naive global window; the Spark plan reuses the "
+        "q_global_shuffle two-phase exact-rank machinery on a VALUE "
+        "ordering: a one-row (min, max, n, total) stats broadcast derives "
+        "256 order-preserving range buckets, per-bucket parallel "
+        "row_number, broadcast bucket-count cumsum offsets — identical "
+        "ranks, and the customer table never passes through one task. "
+        "Bounded exchanges: the 1-row stats and the 256-row offset "
+        "cumsum."
+    ),
+)
+def q_lorenz(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    rev_c = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    rev = o.select("o_custkey", rev_c.alias("c")).groupBy("o_custkey").agg(
+        F.sum("c").alias("rev_c")
+    )
+    stats = rev.agg(
+        F.min("rev_c").alias("mn"),
+        F.max("rev_c").alias("mx"),
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rev_c").alias("total"),
+    )
+    keyed = rev.join(F.broadcast(stats)).withColumn(
+        "bkt",
+        F.least(
+            F.expr(f"CAST((rev_c - mn) div (((mx - mn) div {_LORENZ_BUCKETS}) + 1) AS INT)"),
+            F.lit(_LORENZ_BUCKETS - 1),
+        ),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("bkt").orderBy("rev_c", "o_custkey")
+    )
+    counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
+    off = F.sum("cnt").over(
+        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select("bkt", F.coalesce(off, F.lit(0)).alias("off"))
+    ranked = (
+        keyed.withColumn("pos", within)
+        .join(F.broadcast(offsets), "bkt")
+        .withColumn("rk", F.col("off") + F.col("pos"))
+    )
+    dec = ranked.select(
+        F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
+        "rev_c",
+        "total",
+    )
+    tie6 = lambda c: F.floor(c * 1000000.0 + 0.5) / 1000000.0  # noqa: E731
+    by_dec = dec.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cust"),
+        F.sum("rev_c").alias("drev"),
+        F.first("total").alias("total"),
+    )
+    wcum = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return by_dec.select(
+        "decile",
+        "n_cust",
+        tie6(F.col("drev") * 1.0 / F.col("total")).alias("rev_share"),
+        tie6(F.sum("drev").over(wcum) * 1.0 / F.col("total")).alias("cum_share"),
+    )

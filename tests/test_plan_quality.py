@@ -244,6 +244,8 @@ _SINGLE_PARTITION_OK = {
     "q_unigram_lm",        # one-row (total, vocab) LM normalizer scalar
     "q_benford",           # 9-row digit-frequency normalizing window
     "q_psi",               # 11-row bin-proportion normalizing window
+    "q_lorenz",            # 1-row stats + 256-row offset cumsum + 10-row
+                           # decile cumulative (all bounded)
 }
 
 
