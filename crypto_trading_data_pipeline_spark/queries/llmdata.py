@@ -1053,7 +1053,16 @@ def q_unigram_lm(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_ngram_novelty(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    # Join-free attribution (7.7s -> ~2s at sf0.1): a shingle with df==1
+    # belongs to EXACTLY one doc, so its owner is min(doc_id) within its
+    # own df aggregate — no join of the corpus back onto the long shingle
+    # strings, and the (doc, shingle) explosion is evaluated once, not
+    # twice. novelty = novel_shingles / n_shingles with the denominator a
+    # row-local distinct count.
+    # fan_out: shingle-string construction is CPU-bound and the fixture
+    # arrives as one split — parallelism must come from cores (a no-op on
+    # a well-split table; the q_minhash_sig discipline).
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = F.split("text", " ")
     sh = (
         docs.filter(F.size(toks) >= 3)
@@ -1065,16 +1074,25 @@ def q_ngram_novelty(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("sh").isNotNull())
     )
-    df = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
-    return (
-        sh.join(df, "sh")
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
-            F.round(
-                F.avg(F.when(F.col("df") == 1, F.lit(1.0)).otherwise(F.lit(0.0))), 4
-            ).alias("novelty"),
-        )
+    novel = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df"), F.min("doc_id").alias("owner"))
+        .filter(F.col("df") == 1)
+        .groupBy(F.col("owner").alias("doc_id"))
+        .agg(F.count(F.lit(1)).alias("novel_n"))
+    )
+    per_doc = docs.filter(F.size(toks) >= 3).select(
+        "doc_id",
+        F.size(F.array_distinct(dedup_hash.word_shingles(F.col("text"), 3)))
+        .cast("bigint")
+        .alias("n_shingles"),
+    )
+    return per_doc.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.round(
+            F.coalesce(F.col("novel_n"), F.lit(0)) * 1.0 / F.col("n_shingles"), 4
+        ).alias("novelty"),
     )
 
 

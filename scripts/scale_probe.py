@@ -59,6 +59,12 @@ QUERIES = [
     "q_skyline",
     "q_media_roundtrip",
     "q_unigram_lm",
+    "q_ngram_novelty",
+    "q_feature_hashing",
+    "q_benford",
+    "q_lorenz",
+    "q_split_leakage",
+    "q_cross_source_dups",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
