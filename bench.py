@@ -101,6 +101,16 @@ HEADLINE = [
     "q_semdedup",
     "q_bollinger",
     "q_max_drawdown",
+    # r6 late additions: portable sketches, tokenizer induction, graph
+    # triangles, exact-moment beta, interpolated gap fill.
+    "q_hll_portable",
+    "q_bpe_pair_counts",
+    "q_triangle_count",
+    "q_market_beta",
+    "q_interp_linear",
+    "q_corpus_diff",
+    "q_char_entropy",
+    "q_decay_score",
 ]
 
 

@@ -777,3 +777,142 @@ def q_embed_drift(spark: SparkSession, sf_dir: str):
             )
         )
     )
+
+
+#: Corpus-diff derivation constants: v2 drops every 7th doc, rewrites every
+#: 10th, and the diff statuses below are the dataset-release audit contract.
+_DIFF_DROP_MOD = 7
+_DIFF_EDIT_MOD = 10
+
+
+@query(
+    "q_corpus_diff",
+    oracle=f"""
+    WITH v1 AS (
+      SELECT doc_id, source, md5(text) AS fp FROM documents
+    ), v2 AS (
+      SELECT doc_id, source,
+             CASE WHEN doc_id % {_DIFF_EDIT_MOD} = 0
+                  THEN md5(text || ' [rev2]') ELSE md5(text) END AS fp
+      FROM documents WHERE doc_id % {_DIFF_DROP_MOD} <> 0
+    ), d AS (
+      SELECT coalesce(v1.source, v2.source) AS source,
+             CASE WHEN v1.doc_id IS NULL THEN 'added'
+                  WHEN v2.doc_id IS NULL THEN 'removed'
+                  WHEN v1.fp <> v2.fp     THEN 'changed'
+                  ELSE 'unchanged' END AS status
+      FROM v1 FULL OUTER JOIN v2 USING (doc_id)
+    )
+    SELECT source, status, CAST(count(*) AS BIGINT) AS n
+    FROM d GROUP BY 1, 2
+    """,
+    doc=(
+        "Corpus release diff (dataset-versioning audit): full-outer join of "
+        "two corpus versions on doc_id comparing content fingerprints, "
+        "classifying every doc added / removed / changed / unchanged, "
+        "rolled up per source. The v2 side is DERIVED in-query (drop every "
+        "7th doc, rewrite every 10th) so the diff semantics are "
+        "oracle-checkable without a second fixture; in production v2 is the "
+        "next release's parquet. Shape at 100 TB: fingerprints are "
+        "row-local md5, the diff is ONE doc_id-partitioned full-outer join "
+        "(both sides co-partition on the join key), and only (source, "
+        "status) counts ever leave it — release audits stay one shuffle "
+        "regardless of corpus size, which is why diffing fingerprints "
+        "beats re-running dedup between releases."
+    ),
+)
+def q_corpus_diff(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.select("doc_id", "source", F.md5(F.col("text").cast("binary")).alias("fp"))
+    v2 = docs.filter(F.col("doc_id") % _DIFF_DROP_MOD != 0).select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % _DIFF_EDIT_MOD == 0,
+            F.md5(F.concat(F.col("text"), F.lit(" [rev2]")).cast("binary")),
+        )
+        .otherwise(F.md5(F.col("text").cast("binary")))
+        .alias("fp"),
+    )
+    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    status = (
+        F.when(F.col("a.fp").isNull(), F.lit("added"))
+        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
+        .otherwise(F.lit("unchanged"))
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("a.source"), F.col("b.source")).alias("source"),
+            status.alias("status"),
+        )
+        .groupBy("source", "status")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+#: Character-entropy alphabet: the 26 letters + space. Occurrence counting
+#: is length(text) - length(replace(text, ch)) per char — row-local string
+#: ops both engines share, no explode, no shuffle.
+_ENTROPY_CHARS = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
+
+
+@query(
+    "q_char_entropy",
+    oracle=f"""
+    WITH cnts AS (
+      SELECT doc_id,
+             [{", ".join(f"length(text) - length(replace(text, '{c}' , ''))" for c in _ENTROPY_CHARS if c != " ")}, length(text) - length(replace(text, ' ', ''))] AS cs
+      FROM documents
+    ), tot AS (
+      SELECT doc_id, cs, CAST(list_aggregate(cs, 'sum') AS BIGINT) AS total
+      FROM cnts
+    )
+    SELECT doc_id, total,
+           floor(-list_aggregate(
+                   list_transform(list_filter(cs, c -> c > 0),
+                                  c -> (1.0 * c / total) * ln(1.0 * c / total)),
+                   'sum')
+                 * 10000.0 + 0.5) / 10000.0 AS entropy
+    FROM tot WHERE total > 0
+    """,
+    doc=(
+        "Per-document character-distribution Shannon entropy over "
+        "[a-z ]: the CCNet-family gibberish/boilerplate signal — natural "
+        "text sits near the language's typical ~2.8-3.1 nats, base64 blobs "
+        "and key-mash spam run high, repeated-char padding runs low. "
+        "Fully ROW-LOCAL: per-char occurrence counts via "
+        "length(text)-length(replace(text,ch)) (27 codegen'd string ops, "
+        "no explode -> the per-doc histogram never shuffles), entropy "
+        "folded with array HOFs. At 100 TB this is a narrow map like the "
+        "other quality gates — zero exchanges, scales with bytes scanned. "
+        "ln() is libm on both engines; the tie-proof 4-dp round absorbs "
+        "any last-ulp divergence."
+    ),
+)
+def q_char_entropy(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    cs = F.array(
+        *[
+            F.length("text") - F.length(F.replace(F.col("text"), F.lit(c)))
+            for c in _ENTROPY_CHARS
+        ]
+    )
+    d = docs.select("doc_id", cs.alias("cs"))
+    d = d.select(
+        "doc_id",
+        "cs",
+        F.aggregate("cs", F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias(
+            "total"
+        ),
+    ).filter(F.col("total") > 0)
+    p_ln_p = F.transform(
+        F.filter("cs", lambda c: c > 0),
+        lambda c: (c * 1.0 / F.col("total")) * F.log(c * 1.0 / F.col("total")),
+    )
+    ent = -F.aggregate(p_ln_p, F.lit(0.0), lambda acc, x: acc + x)
+    return d.select(
+        "doc_id",
+        "total",
+        (F.floor(ent * 10000.0 + 0.5) / 10000.0).alias("entropy"),
+    )

@@ -707,3 +707,202 @@ def q_candle_patterns(spark: SparkSession, sf_dir: str):
         doji.alias("is_doji"),
         engulf.cast("int").alias("engulf"),
     )
+
+
+#: Market-beta benchmark symbol (the beta denominator series). A literal so
+#: both engine sides prune to it at the scan; 'click' is the fixture's most
+#: liquid series.
+_BETA_BENCH = "click"
+
+
+@query(
+    "q_market_beta",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), cents AS (
+      SELECT symbol, minute, CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM closes
+    ), bench AS (
+      SELECT minute, c AS bx FROM cents WHERE symbol = '{_BETA_BENCH}'
+    ), joined AS (
+      SELECT s.symbol, CAST(date_trunc('day', s.minute) AS DATE) AS day,
+             b.bx AS x, s.c AS y
+      FROM cents s JOIN bench b ON s.minute = b.minute
+      WHERE s.symbol <> '{_BETA_BENCH}'
+    ), agg AS (
+      SELECT symbol, day,
+             CAST(count(*) AS BIGINT)     AS n,
+             CAST(sum(x) AS BIGINT)       AS sx,
+             CAST(sum(y) AS BIGINT)       AS sy,
+             CAST(sum(x * x) AS BIGINT)   AS sxx,
+             CAST(sum(x * y) AS BIGINT)   AS sxy
+      FROM joined GROUP BY 1, 2
+    )
+    SELECT symbol, day, n,
+           CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE floor(1.0 * (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                           * 1000000.0 + 0.5) / 1000000.0 END AS beta
+    FROM agg
+    """,
+    doc=(
+        "Per-(symbol, day) market beta vs a benchmark series: "
+        "cov(sym, bench)/var(bench) from the computational formula "
+        "(n*Sxy - Sx*Sy)/(n*Sxx - Sx^2) over CENT-SCALED LONG sums — "
+        "every moment accumulates exactly in int64 (closes <= ~560 -> "
+        "cents^2 <= 3.2e9, 1440 minutes/day keeps n*Sxy < 2^63), so the "
+        "only floating-point step is one final division and the result "
+        "value-hash-matches DuckDB bit-for-bit, where a naive covar_pop "
+        "of doubles would drift with partial-aggregation order. Shape at "
+        "scale: the benchmark side is one symbol's minutes (tiny -> "
+        "broadcast); moments are classic one-exchange partial+final "
+        "aggregates on (symbol, day). The exact-integer-moments trick is "
+        "the same one q_lorenz/q_regression use — it is how you make "
+        "second-moment statistics reproducible across engines and runs "
+        "at any parallelism."
+    ),
+)
+def q_market_beta(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    bench = cents.filter(F.col("symbol") == _BETA_BENCH).select(
+        "minute", F.col("c").alias("x")
+    )
+    joined = (
+        cents.filter(F.col("symbol") != _BETA_BENCH)
+        .join(F.broadcast(bench), "minute")
+        .select(
+            "symbol",
+            F.date_trunc("day", "minute").cast("date").alias("day"),
+            "x",
+            F.col("c").alias("y"),
+        )
+    )
+    agg = joined.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return agg.select(
+        "symbol",
+        "day",
+        "n",
+        F.when(den == 0, F.lit(None).cast("double"))
+        .otherwise(F.floor(num * 1.0 / den * 1000000.0 + 0.5) / 1000000.0)
+        .alias("beta"),
+    )
+
+
+@query(
+    "q_interp_linear",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), bounds AS (
+      SELECT symbol, min(minute) AS lo, max(minute) AS hi FROM closes GROUP BY 1
+    ), grid AS (
+      SELECT symbol, unnest(generate_series(lo, hi, INTERVAL 1 MINUTE)) AS minute
+      FROM bounds
+    ), pos AS (
+      SELECT g.symbol, g.minute, c.close,
+             CAST(row_number() OVER
+               (PARTITION BY g.symbol ORDER BY g.minute) AS BIGINT) AS pos
+      FROM grid g LEFT JOIN closes c USING (symbol, minute)
+    ), j AS (
+      SELECT symbol, minute, close, pos,
+             last_value(close IGNORE NULLS) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pc,
+             last_value(CASE WHEN close IS NOT NULL THEN pos END
+                        IGNORE NULLS) OVER
+               (w ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pp,
+             first_value(close IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nc,
+             first_value(CASE WHEN close IS NOT NULL THEN pos END
+                         IGNORE NULLS) OVER
+               (w ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS np
+      FROM pos
+      WINDOW w AS (PARTITION BY symbol ORDER BY minute)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           floor(CASE WHEN close IS NOT NULL THEN close
+                      WHEN pc IS NULL THEN nc
+                      WHEN nc IS NULL THEN pc
+                      ELSE pc + (nc - pc) * (pos - pp) / (np - pp) END
+                 * 10000.0 + 0.5) / 10000.0 AS close,
+           close IS NULL AS is_gap
+    FROM j
+    """,
+    doc=(
+        "Linearly-interpolated close series (TimescaleDB "
+        "time_bucket_gapfill + interpolate, vs q_candle_gap_fill's locf): "
+        "missing minutes get the straight line between the bracketing "
+        "observed closes; leading/trailing gaps fall back to the nearest "
+        "observation. The interpolation parameter is the ROW OFFSET inside "
+        "the 1-minute grid (integers from row_number), not timestamp "
+        "arithmetic — exact in both engines, so the only FP is the final "
+        "slope mul/div (tie-proof rounded). Shape: grid rows scale with "
+        "TIME SPAN not trade count; both bracketing values come from the "
+        "same one sort per symbol partition (last/first ignorenulls "
+        "running frames) — no self-join against the next observation, "
+        "which is the naive O(gap * candle) formulation."
+    ),
+)
+def q_interp_linear(spark: SparkSession, sf_dir: str):
+    closes = _closes(spark, sf_dir)
+    bounds = closes.groupBy("symbol").agg(
+        F.min("minute").alias("__lo"), F.max("minute").alias("__hi")
+    )
+    grid = bounds.select(
+        "symbol",
+        F.explode(
+            F.sequence(F.col("__lo"), F.col("__hi"), F.expr("INTERVAL 1 minute"))
+        ).alias("minute"),
+    )
+    j = grid.join(closes, ["symbol", "minute"], "left")
+    w = Window.partitionBy("symbol").orderBy("minute")
+    w_prev = w.rowsBetween(Window.unboundedPreceding, 0)
+    # "Next observation" via a DESC-ordered RUNNING frame, NOT a
+    # (CURRENT ROW, UNBOUNDED FOLLOWING) frame: Spark evaluates
+    # unbounded-FOLLOWING aggregate frames by rescanning the partition
+    # remainder per row — O(n^2), measured 225 s at sf0.1 — while
+    # running (unbounded-PRECEDING) frames are incremental O(n). Two
+    # sorts per partition instead of one is the cheap trade.
+    w_next = (
+        Window.partitionBy("symbol")
+        .orderBy(F.col("minute").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pos = F.row_number().over(w).cast("bigint")
+    j = j.withColumn("pos", pos).withColumn(
+        "obs_pos", F.when(F.col("close").isNotNull(), F.col("pos"))
+    )
+    j = (
+        j.withColumn("pc", F.last("close", ignorenulls=True).over(w_prev))
+        .withColumn("pp", F.last("obs_pos", ignorenulls=True).over(w_prev))
+        .withColumn("nc", F.last("close", ignorenulls=True).over(w_next))
+        .withColumn("np", F.last("obs_pos", ignorenulls=True).over(w_next))
+    )
+    interp = (
+        F.when(F.col("close").isNotNull(), F.col("close"))
+        .when(F.col("pc").isNull(), F.col("nc"))
+        .when(F.col("nc").isNull(), F.col("pc"))
+        .otherwise(
+            F.col("pc")
+            + (F.col("nc") - F.col("pc"))
+            * (F.col("pos") - F.col("pp"))
+            / (F.col("np") - F.col("pp"))
+        )
+    )
+    return j.select(
+        "symbol",
+        "minute",
+        (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("close"),
+        F.col("close").isNull().alias("is_gap"),
+    )

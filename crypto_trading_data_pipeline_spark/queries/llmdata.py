@@ -1344,3 +1344,66 @@ def q_cross_source_dups(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_sources") > 1)
     )
+
+
+@query(
+    "q_bpe_pair_counts",
+    oracle="""
+    WITH vocab AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    ), pairs AS (
+      SELECT unnest(list_transform(range(1, length(w)), i -> substr(w, CAST(i AS INTEGER), 2))) AS pair,
+             wc
+      FROM vocab
+      WHERE length(w) >= 2
+    )
+    SELECT pair, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM pairs
+    GROUP BY pair
+    ORDER BY cnt DESC, pair
+    LIMIT 20
+    """,
+    doc=(
+        "Tokenizer induction, first BPE iteration: corpus-weighted counts of "
+        "adjacent symbol pairs (char bigrams within whitespace words) — the "
+        "argmax pair is the merge a byte-pair-encoding trainer (Sennrich et "
+        "al. 2016) would perform first. Scale shape is the whole point: the "
+        "word-level vocab aggregate FIRST (map-side partial combine, shuffle "
+        "carries (word, count) — vocab-sized, not corpus-sized), then pair "
+        "expansion runs over the VOCAB (|V| * avg_len rows), never the raw "
+        "corpus, and the pair aggregate shuffles at most |alphabet|^2 keys. "
+        "This is how BPE training distributes at 100 TB: every later merge "
+        "iteration repeats the same two bounded shuffles over the updated "
+        "symbol sequences. Top-20 with (cnt DESC, pair) deterministic "
+        "tie-break via TakeOrderedAndProject — no global sort."
+    ),
+)
+def q_bpe_pair_counts(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    pairs = (
+        vocab.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.length("w") - 1),
+                    lambda i: F.substring(F.col("w"), i, F.lit(2)),
+                )
+            ).alias("pair"),
+            "wc",
+        )
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "pair")
+        .limit(20)
+    )

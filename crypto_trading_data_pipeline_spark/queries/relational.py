@@ -2053,6 +2053,105 @@ def q_hll_union(spark: SparkSession, sf_dir: str):
     return lang_rows.unionByName(total)
 
 
+#: Portable-HLL geometry (q_hll_portable): p=8 -> m=256 buckets. The 60-bit
+#: md5 prefix (same primitive as operators/dedup_hash.token_hash) splits as
+#: bucket = h mod 256 and a 52-bit word w = h >> 8; rho(w) = leading zeros
+#: within the 52-bit word + 1 = 53 - bit_length(w) (all-zero word -> 53).
+#: The harmonic sum is kept EXACT by integer-scaling: sum(2^(53-M_j)) as a
+#: long (max 256 * 2^53 < 2^62), so the only floating-point step is one
+#: final division by the precomputed constant alpha_m * m^2 * 2^53 — same
+#: decimal literal on both engine sides -> bit-identical IEEE estimate.
+_HLL_M = 256
+_HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
+
+
+@query(
+    "q_hll_portable",
+    oracle=f"""
+    WITH h AS (
+      SELECT lang, CAST('0x' || substr(md5(text), 1, 15) AS BIGINT) AS h
+      FROM documents
+    ), r AS (
+      SELECT lang, CAST(h % {_HLL_M} AS INTEGER) AS bkt,
+             CAST(CASE WHEN h // {_HLL_M} = 0 THEN 53
+                  ELSE 53 - length(bin(h // {_HLL_M})) END AS INTEGER) AS rho
+      FROM h
+    ), mx AS (
+      SELECT lang, bkt, max(rho) AS mj FROM r GROUP BY 1, 2
+    ), mrg AS (
+      SELECT lang, bkt, mj FROM mx
+      UNION ALL
+      SELECT '__all__' AS lang, bkt, max(mj) AS mj FROM mx GROUP BY 2
+    ), s AS (
+      SELECT lang,
+             CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
+               + ({_HLL_M} - count(*)) * {2**53} AS s_total
+      FROM mrg GROUP BY 1
+    ), ex AS (
+      SELECT lang, count(DISTINCT text) AS exact_distinct FROM documents GROUP BY 1
+      UNION ALL
+      SELECT '__all__' AS lang, count(DISTINCT text) AS exact_distinct FROM documents
+    )
+    SELECT s.lang AS lang, ex.exact_distinct AS exact_distinct,
+           floor({_HLL_C!r} / s_total * 10000.0 + 0.5) / 10000.0 AS est
+    FROM s JOIN ex ON s.lang = ex.lang
+    """,
+    doc=(
+        "Engine-portable HyperLogLog (md5-based, m=256): the oracle-checkable "
+        "twin of q_hll_union. Spark's built-in DataSketches HLL is the "
+        "production path but its sketch bytes are engine-specific (rows-only "
+        "check); this variant pins the whole algorithm to shared primitives "
+        "(md5 60-bit prefix, integer-exact harmonic sum, one IEEE division), "
+        "so the ESTIMATE ITSELF value-hash-matches DuckDB running the same "
+        "arithmetic. Scale shape: rho is per-row codegen; the only shuffles "
+        "carry (lang, bucket, max-rho) pairs — at most 256 longs per lang "
+        "regardless of corpus size — and sketch MERGE is a bucket-wise max "
+        "(the '__all__' row), the property that makes per-shard sketches "
+        "rollup-able at 100 TB without rescanning rows. Exact countDistinct "
+        "alongside for the accuracy comparison."
+    ),
+)
+def q_hll_portable(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h60 = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    hashed = docs.select("lang", h60.alias("h"))
+    w = F.shiftright(F.col("h"), 8)
+    r = hashed.select(
+        "lang",
+        (F.col("h") % _HLL_M).cast("int").alias("bkt"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    )
+    mx = r.groupBy("lang", "bkt").agg(F.max("rho").alias("mj"))
+    merged = mx.unionByName(
+        mx.groupBy("bkt")
+        .agg(F.max("mj").alias("mj"))
+        .select(F.lit("__all__").alias("lang"), "bkt", "mj")
+    )
+    s = merged.groupBy("lang").agg(
+        (
+            F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)"))
+            + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(2**53)
+        ).alias("s_total")
+    )
+    ex = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
+    ex = ex.unionByName(
+        docs.agg(F.countDistinct("text").alias("exact_distinct")).select(
+            F.lit("__all__").alias("lang"), "exact_distinct"
+        )
+    )
+    est = F.lit(_HLL_C) / F.col("s_total")
+    return s.join(F.broadcast(ex), "lang").select(
+        "lang",
+        "exact_distinct",
+        (F.floor(est * 10000.0 + 0.5) / 10000.0).alias("est"),
+    )
+
+
 @query(
     "q_map_funcs",
     oracle="""
@@ -2479,6 +2578,104 @@ def q_pagerank(spark: SparkSession, sf_dir: str):
         )
         state = ranks.join(deg, "node").select("node", "pr", "d")
     return state.select("node", "pr")
+
+
+#: Triangle-count graph sparsifier: only lineitems above this quantity
+#: contribute co-supplier edges, keeping the fixture graph's average degree
+#: realistic (dozens) instead of near-complete.
+_TRI_MIN_QTY = 40
+
+
+@query(
+    "q_triangle_count",
+    oracle=f"""
+    WITH pe AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_quantity > {_TRI_MIN_QTY} AND l2.l_quantity > {_TRI_MIN_QTY}
+        AND l1.l_suppkey < l2.l_suppkey
+    ), deg AS (
+      SELECT v, CAST(count(*) AS BIGINT) AS d
+      FROM (SELECT a AS v FROM pe UNION ALL SELECT b AS v FROM pe)
+      GROUP BY v
+    ), o AS (
+      SELECT CASE WHEN da.d < db.d OR (da.d = db.d AND pe.a < pe.b)
+                  THEN pe.a ELSE pe.b END AS u,
+             CASE WHEN da.d < db.d OR (da.d = db.d AND pe.a < pe.b)
+                  THEN pe.b ELSE pe.a END AS v
+      FROM pe JOIN deg da ON pe.a = da.v JOIN deg db ON pe.b = db.v
+    ), w AS (
+      SELECT least(o1.v, o2.v) AS x, greatest(o1.v, o2.v) AS y
+      FROM o o1 JOIN o o2 ON o1.u = o2.u AND o1.v < o2.v
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM pe) AS n_edges,
+           (SELECT CAST(count(*) AS BIGINT) FROM w)  AS n_wedges,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM w JOIN pe ON pe.a = w.x AND pe.b = w.y) AS n_triangles
+    """,
+    doc=(
+        "Distributed triangle counting with DEGREE-ORDERED edge orientation "
+        "(Schank-Wagner / Suri-Vassilvitskii 'MapReduce triangles'): edges "
+        "are co-supplier pairs within an order (bounded expansion — an order "
+        "has at most 7 lineitems, so the per-order pair blow-up is <= C(7,2) "
+        "regardless of corpus size). Each undirected edge is oriented from "
+        "its lower-DEGREE endpoint (id tie-break), which bounds wedge "
+        "generation at O(m^1.5) total and caps every node's out-degree at "
+        "O(sqrt(m)) — the skew-proofing that makes the wedge self-join "
+        "survive power-law graphs at 100 TB, where id-ordering would pile "
+        "all wedges onto hub vertices. Closure check is one equi-join of "
+        "wedges against the canonical edge list. Emits edge/wedge/triangle "
+        "counts as the scalar audit row."
+    ),
+)
+def q_triangle_count(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > _TRI_MIN_QTY
+    )
+    side = li.select("l_orderkey", "l_suppkey")
+    pe = (
+        side.alias("l1")
+        .join(side.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_suppkey") < F.col("l2.l_suppkey"))
+        .select(
+            F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    deg = (
+        pe.select(F.col("a").alias("v"))
+        .unionAll(pe.select(F.col("b").alias("v")))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    da = deg.select(F.col("v").alias("a"), F.col("d").alias("da"))
+    db = deg.select(F.col("v").alias("b"), F.col("d").alias("db"))
+    fwd = (F.col("da") < F.col("db")) | (
+        (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        pe.join(F.broadcast(da), "a")
+        .join(F.broadcast(db), "b")
+        .select(
+            F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    o1 = o.select(F.col("u"), F.col("v").alias("v1"))
+    o2 = o.select(F.col("u"), F.col("v").alias("v2"))
+    w = (
+        o1.join(o2, "u")
+        .filter(F.col("v1") < F.col("v2"))
+        .select(
+            F.least("v1", "v2").alias("x"), F.greatest("v1", "v2").alias("y")
+        )
+    )
+    tri = w.join(pe, (pe.a == w.x) & (pe.b == w.y), "inner")
+    return (
+        pe.agg(F.count(F.lit(1)).alias("n_edges"))
+        .join(w.agg(F.count(F.lit(1)).alias("n_wedges")))
+        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    )
 
 
 #: Skyline price-bucket width: the bounded global pass runs over
@@ -3051,4 +3248,68 @@ def q_lorenz(spark: SparkSession, sf_dir: str):
         "n_cust",
         tie6(F.col("drev") * 1.0 / F.col("total")).alias("rev_share"),
         tie6(F.sum("drev").over(wcum) * 1.0 / F.col("total")).alias("cum_share"),
+    )
+
+
+#: Decay-score geometry: half-life one day, contributions older than
+#: _DECAY_MAX_AGE days dropped (weight < 2^-19 of current — below any
+#: ranking relevance). Weights are POWERS OF TWO so the weighted sum stays
+#: exact int64: cents(value) <= 5.7e4, shift <= 19 -> term <= 3e10, and
+#: ~6e5 rows/sf0.1 keep the sum far under 2^63 (sf100 still fits).
+_DECAY_AS_OF = "2024-02-01"
+_DECAY_MAX_AGE = 20
+
+
+@query(
+    "q_decay_score",
+    oracle=f"""
+    WITH t AS (
+      SELECT user_id,
+             DATE '{_DECAY_AS_OF}' - CAST(ts AS DATE) AS age,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events
+    ), w AS (
+      SELECT user_id,
+             c * (CAST(1 AS BIGINT) << ({_DECAY_MAX_AGE} - age)) AS term
+      FROM t WHERE age BETWEEN 1 AND {_DECAY_MAX_AGE}
+    )
+    SELECT user_id,
+           CAST(sum(term) AS BIGINT) / {float(2 ** _DECAY_MAX_AGE)!r} AS decayed
+    FROM w GROUP BY 1
+    ORDER BY decayed DESC, user_id
+    LIMIT 20
+    """,
+    doc=(
+        "Exponentially time-decayed engagement leaderboard (half-life one "
+        "day vs a pinned as-of date — the feed-ranking / trending-items "
+        "aggregation): each event contributes value * 2^-age. Decay "
+        "weights are POWERS OF TWO over cent-scaled longs, so the whole "
+        "weighted sum accumulates EXACTLY in int64 and the final "
+        "divide-by-2^20 is an exponent shift — bit-identical across "
+        "engines, runs, and partitionings, where exp()-weighted double "
+        "sums drift with aggregation order. Shape: age filter prunes to "
+        "the live window AT THE SCAN (predicate pushdown on ts), one "
+        "partial+final aggregate on user_id, top-20 via "
+        "TakeOrderedAndProject — no global sort. The integer-dyadic trick "
+        "generalizes: any half-life is a day-shift, any event weight a "
+        "scaled long."
+    ),
+)
+def q_decay_score(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    age = F.datediff(F.lit(_DECAY_AS_OF).cast("date"), F.col("ts").cast("date"))
+    t = e.select(
+        "user_id",
+        age.alias("age"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    ).filter(F.col("age").between(1, _DECAY_MAX_AGE))
+    term = F.col("c") * F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), {_DECAY_MAX_AGE} - age)"
+    )
+    return (
+        t.select("user_id", term.alias("term"))
+        .groupBy("user_id")
+        .agg((F.sum("term") / F.lit(float(2 ** _DECAY_MAX_AGE))).alias("decayed"))
+        .orderBy(F.col("decayed").desc(), "user_id")
+        .limit(20)
     )

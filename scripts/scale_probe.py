@@ -65,6 +65,15 @@ QUERIES = [
     "q_lorenz",
     "q_split_leakage",
     "q_cross_source_dups",
+    # r6 late additions measured the round they ship.
+    "q_hll_portable",
+    "q_bpe_pair_counts",
+    "q_triangle_count",
+    "q_market_beta",
+    "q_interp_linear",
+    "q_corpus_diff",
+    "q_char_entropy",
+    "q_decay_score",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

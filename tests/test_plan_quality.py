@@ -246,6 +246,10 @@ _SINGLE_PARTITION_OK = {
     "q_psi",               # 11-row bin-proportion normalizing window
     "q_lorenz",            # 1-row stats + 256-row offset cumsum + 10-row
                            # decile cumulative (all bounded)
+    "q_hll_portable",      # global exact-countDistinct comparison scalar
+                           # (the sketch side itself stays key-partitioned)
+    "q_triangle_count",    # three global scalar counts (edges/wedges/
+                           # triangles) finalized into the one audit row
 }
 
 
