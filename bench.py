@@ -111,6 +111,8 @@ HEADLINE = [
     "q_corpus_diff",
     "q_char_entropy",
     "q_decay_score",
+    "q_target_encoding",
+    "q_embed_covariance",
 ]
 
 

@@ -916,3 +916,113 @@ def q_char_entropy(spark: SparkSession, sf_dir: str):
         "total",
         (F.floor(ent * 10000.0 + 0.5) / 10000.0).alias("entropy"),
     )
+
+
+#: Embedding covariance quantization: values are fixed-point at 1e-4, so
+#: every Gram entry accumulates exactly in int64 (|q| <= ~6e3 on unit-ish
+#: embeddings -> q^2 <= ~4e7; the n*Sij product in the covariance formula
+#: stays under 2^63 through n ~ 5e5 vectors at this quantization — beyond
+#: that, center first or widen the fixed point).
+_COV_SCALE = 10000.0
+_COV_DIM = 64
+
+
+@query(
+    "q_embed_covariance",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_COV_SCALE!r} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), ex AS (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS i, q[t.i + 1] AS v
+      FROM q, generate_series(0, {_COV_DIM - 1}) t(i)
+    ), mom AS (
+      SELECT a.i AS i, b.i AS j, CAST(sum(a.v * b.v) AS BIGINT) AS sij
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    ), sums AS (
+      SELECT i, CAST(sum(v) AS BIGINT) AS si FROM ex GROUP BY 1
+    ), n AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM q
+    )
+    SELECT mom.i AS i, mom.j AS j,
+           floor(1.0 * (n * sij - sa.si * sb.si) / (n * n)
+                 / {_COV_SCALE * _COV_SCALE!r}
+                 * 1000000.0 + 0.5) / 1000000.0 AS cov
+    FROM mom JOIN sums sa ON mom.i = sa.i JOIN sums sb ON mom.j = sb.i, n
+    """,
+    doc=(
+        "Distributed embedding covariance matrix (the second-moment input "
+        "to PCA/whitening/ZCA preprocessing): upper triangle of cov(i,j) "
+        "over all vectors. The Spark side is the SCALE-CORRECT shape — an "
+        "Arrow-batched mapInPandas accumulates a per-partition int64 Gram "
+        "matrix Q^T Q (numpy, exact integer matmul on the fixed-point "
+        "quantization) and emits just d(d+1)/2 = 2080 partial rows PER "
+        "PARTITION, so the shuffle carries partitions x 2080 rows no "
+        "matter how many vectors exist — the classic partial-aggregate "
+        "pattern for moment matrices, where the naive dimension-pair "
+        "self-join shuffles n*d^2 rows (the oracle uses that form: same "
+        "exact integers, different plan). Centering happens in the final "
+        "combine via (n*Sij - Si*Sj)/n^2 on exact longs; the only FP is "
+        "the last division chain, written identically on both sides."
+    ),
+)
+def q_embed_covariance(spark: SparkSession, sf_dir: str):
+    import pandas as pd  # noqa: PLC0415 — Arrow path only
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
+        ).alias("q")
+    )
+
+    dim = _COV_DIM
+
+    def gram(batches):
+        import numpy as np
+
+        g = np.zeros((dim, dim), dtype=np.int64)
+        seen = False
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            m = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            g += m.T @ m
+            seen = True
+        if seen:
+            iu = np.triu_indices(dim)
+            yield pd.DataFrame(
+                {
+                    "i": iu[0].astype("int32"),
+                    "j": iu[1].astype("int32"),
+                    "s": g[iu],
+                }
+            )
+
+    partials = q.mapInPandas(gram, schema="i int, j int, s long")
+    mom = partials.groupBy("i", "j").agg(F.sum("s").alias("sij"))
+    ex = q.select(F.posexplode("q").alias("i", "v"))
+    sums = ex.groupBy("i").agg(F.sum("v").alias("si"))
+    n = q.agg(F.count(F.lit(1)).alias("n"))
+    sa = sums.select(F.col("i").alias("i_a"), F.col("si").alias("si_a"))
+    sb = sums.select(F.col("i").alias("i_b"), F.col("si").alias("si_b"))
+    cov = (
+        (F.col("n") * F.col("sij") - F.col("si_a") * F.col("si_b"))
+        * 1.0
+        / (F.col("n") * F.col("n"))
+        / F.lit(_COV_SCALE * _COV_SCALE)
+    )
+    return (
+        mom.join(F.broadcast(sa), mom.i == F.col("i_a"))
+        .join(F.broadcast(sb), mom.j == F.col("i_b"))
+        .join(F.broadcast(n))
+        .select(
+            "i",
+            "j",
+            (F.floor(cov * 1000000.0 + 0.5) / 1000000.0).alias("cov"),
+        )
+    )

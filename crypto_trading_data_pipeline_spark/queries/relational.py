@@ -3313,3 +3313,69 @@ def q_decay_score(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("decayed").desc(), "user_id")
         .limit(20)
     )
+
+
+#: Target-encoding smoothing pseudo-count (the m in the standard
+#: (pos + m*prior)/(n + m) empirical-Bayes shrinkage).
+_TENC_M = 10
+
+
+@query(
+    "q_target_encoding",
+    oracle=f"""
+    WITH lab AS (
+      SELECT l_suppkey,
+             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+      FROM lineitem
+    ), cat AS (
+      SELECT l_suppkey,
+             CAST(count(*) AS BIGINT) AS n_cat,
+             CAST(sum(y) AS BIGINT)   AS pos_cat
+      FROM lab GROUP BY 1
+    ), gl AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_tot,
+             CAST(sum(y) AS BIGINT)   AS pos_tot
+      FROM lab
+    )
+    SELECT l_suppkey, n_cat,
+           floor(1.0 * (pos_cat * n_tot + {_TENC_M} * pos_tot)
+                 / (n_tot * (n_cat + {_TENC_M}))
+                 * 1000000.0 + 0.5) / 1000000.0 AS enc
+    FROM cat, gl
+    """,
+    doc=(
+        "Smoothed target encoding (empirical-Bayes mean-target per "
+        "category, m=10 pseudo-counts toward the global rate): the "
+        "standard high-cardinality categorical featurization a training "
+        "pipeline materializes as a broadcast lookup table. The shrinkage "
+        "is computed as ONE division of exact int64 products — "
+        "(pos_cat*n_tot + m*pos_tot) / (n_tot*(n_cat+m)) — instead of "
+        "mixing two double ratios, so the encoding is bit-identical "
+        "across engines and partitionings. Shape: one partial+final "
+        "aggregate on the category key + a one-row global-count broadcast; "
+        "output is |categories| rows regardless of fact size — exactly "
+        "what gets broadcast-joined back at serving/training time."
+    ),
+)
+def q_target_encoding(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    lab = li.select(
+        "l_suppkey",
+        F.when(F.col("l_returnflag") == "R", F.lit(1)).otherwise(F.lit(0)).alias("y"),
+    )
+    cat = lab.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_cat"), F.sum("y").cast("bigint").alias("pos_cat")
+    )
+    glob = lab.agg(
+        F.count(F.lit(1)).alias("n_tot"), F.sum("y").cast("bigint").alias("pos_tot")
+    )
+    enc = (
+        (F.col("pos_cat") * F.col("n_tot") + _TENC_M * F.col("pos_tot"))
+        * 1.0
+        / (F.col("n_tot") * (F.col("n_cat") + _TENC_M))
+    )
+    return cat.join(F.broadcast(glob)).select(
+        "l_suppkey",
+        "n_cat",
+        (F.floor(enc * 1000000.0 + 0.5) / 1000000.0).alias("enc"),
+    )

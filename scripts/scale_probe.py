@@ -74,6 +74,8 @@ QUERIES = [
     "q_corpus_diff",
     "q_char_entropy",
     "q_decay_score",
+    "q_target_encoding",
+    "q_embed_covariance",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -250,6 +250,8 @@ _SINGLE_PARTITION_OK = {
                            # (the sketch side itself stays key-partitioned)
     "q_triangle_count",    # three global scalar counts (edges/wedges/
                            # triangles) finalized into the one audit row
+    "q_target_encoding",   # one-row global (n_tot, pos_tot) prior broadcast
+    "q_embed_covariance",  # one-row global n scalar in the centering step
 }
 
 
