@@ -2085,7 +2085,8 @@ _HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
     ), s AS (
       SELECT lang,
              CAST(sum(CAST(1 AS BIGINT) << (53 - mj)) AS BIGINT)
-               + ({_HLL_M} - count(*)) * {2**53} AS s_total
+               + ({_HLL_M} - count(*)) * {2**53} AS s_total,
+             CAST(count(*) AS BIGINT) AS nb
       FROM mrg GROUP BY 1
     ), ex AS (
       SELECT lang, count(DISTINCT text) AS exact_distinct FROM documents GROUP BY 1
@@ -2093,7 +2094,10 @@ _HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
       SELECT '__all__' AS lang, count(DISTINCT text) AS exact_distinct FROM documents
     )
     SELECT s.lang AS lang, ex.exact_distinct AS exact_distinct,
-           floor({_HLL_C!r} / s_total * 10000.0 + 0.5) / 10000.0 AS est
+           floor(CASE WHEN {_HLL_C!r} / s_total <= {2.5 * _HLL_M!r} AND nb < {_HLL_M}
+                      THEN {_HLL_M} * ln({_HLL_M} * 1.0 / ({_HLL_M} - nb))
+                      ELSE {_HLL_C!r} / s_total END
+                 * 10000.0 + 0.5) / 10000.0 AS est
     FROM s JOIN ex ON s.lang = ex.lang
     """,
     doc=(
@@ -2101,7 +2105,9 @@ _HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
         "twin of q_hll_union. Spark's built-in DataSketches HLL is the "
         "production path but its sketch bytes are engine-specific (rows-only "
         "check); this variant pins the whole algorithm to shared primitives "
-        "(md5 60-bit prefix, integer-exact harmonic sum, one IEEE division), "
+        "(md5 60-bit prefix, integer-exact harmonic sum, one IEEE division; "
+        "small-range linear-counting branch below 2.5m with the identical "
+        "ln() text on both sides), "
         "so the ESTIMATE ITSELF value-hash-matches DuckDB running the same "
         "arithmetic. Scale shape: rho is per-row codegen; the only shuffles "
         "carry (lang, bucket, max-rho) pairs — at most 256 longs per lang "
@@ -2136,7 +2142,8 @@ def q_hll_portable(spark: SparkSession, sf_dir: str):
         (
             F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 53 - mj)"))
             + (F.lit(_HLL_M) - F.count(F.lit(1))) * F.lit(2**53)
-        ).alias("s_total")
+        ).alias("s_total"),
+        F.count(F.lit(1)).cast("bigint").alias("nb"),
     )
     ex = docs.groupBy("lang").agg(F.countDistinct("text").alias("exact_distinct"))
     ex = ex.unionByName(
@@ -2144,7 +2151,16 @@ def q_hll_portable(spark: SparkSession, sf_dir: str):
             F.lit("__all__").alias("lang"), "exact_distinct"
         )
     )
-    est = F.lit(_HLL_C) / F.col("s_total")
+    raw = F.lit(_HLL_C) / F.col("s_total")
+    # Small-range (linear-counting) correction, per the HLL paper: below
+    # 2.5m the raw harmonic estimator floors at ~alpha*m, so switch to
+    # m*ln(m/V) over the V empty buckets — same ln() formula textually on
+    # the oracle side (libm ulp absorbed by the tie-proof round, the
+    # q_unigram_lm precedent).
+    est = F.when(
+        (raw <= F.lit(2.5 * _HLL_M)) & (F.col("nb") < _HLL_M),
+        F.lit(_HLL_M) * F.log(_HLL_M * 1.0 / (F.lit(_HLL_M) - F.col("nb"))),
+    ).otherwise(raw)
     return s.join(F.broadcast(ex), "lang").select(
         "lang",
         "exact_distinct",

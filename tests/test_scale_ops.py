@@ -459,3 +459,21 @@ def test_schema_evolution_merge_read(spark, tmp_path):
         F.count("score").alias("n_scored"), F.count(F.lit(1)).alias("n")
     ).collect()[0]
     assert (got.n_scored, got.n) == (2, 4)
+
+
+def test_hll_portable_accuracy(spark):
+    """The portable md5 HLL (m=256) must estimate within the raw
+    HyperLogLog error envelope: ~1.04/sqrt(256) = 6.5% standard error, so
+    a 20% band is >3 sigma — failures mean the bucket/rho arithmetic
+    broke, not bad luck. Checked per lang and for the merged __all__
+    row (the bucket-wise-max union path) at sf0.01."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_hll_portable"].fn(spark, "/root/testdata/sf0.01").collect()
+    assert rows, "no output"
+    langs = {r["lang"] for r in rows}
+    assert "__all__" in langs and len(langs) >= 3
+    for r in rows:
+        assert r["exact_distinct"] > 0
+        rel = abs(r["est"] - r["exact_distinct"]) / r["exact_distinct"]
+        assert rel < 0.20, f"{r['lang']}: est {r['est']} vs {r['exact_distinct']}"
