@@ -177,6 +177,26 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
     return out.count()
 
 
+def synthesize_events(spark, src_dir: str, dst_dir: str, mult: int) -> None:
+    """events x mult over the SAME time span (tick density scales, the
+    window/grid row counts stay span-bound — exactly the claim the
+    candle/indicator family makes at 100 TB). event_id and user_id get
+    per-copy offsets so both cardinalities scale with the data."""
+    ev = read_table(spark, src_dir, "events")
+    stride = (ev.agg(F.max("event_id")).collect()[0][0] or 0) + 1
+    ustride = (ev.agg(F.max("user_id")).collect()[0][0] or 0) + 1
+    copies = [ev]
+    for i in range(1, mult):
+        copies.append(
+            ev.withColumn("event_id", F.col("event_id") + F.lit(i * stride))
+            .withColumn("user_id", F.col("user_id") + F.lit(i * ustride))
+        )
+    out = copies[0]
+    for c in copies[1:]:
+        out = out.unionByName(c)
+    out.write.mode("overwrite").parquet(os.path.join(dst_dir, "events.parquet"))
+
+
 def _stage_task_stats(spark, stage_ids):
     """Max task duration and max/median skew ratio over the given stages,
     via the status REST API (local-mode UI). Returns {} when the UI is off."""
@@ -248,6 +268,7 @@ def main() -> None:
         n1 = read_table(spark, args.sf_dir, "documents").count()
         n10 = synthesize(spark, args.sf_dir, big_dir, args.mult)
         synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
+        synthesize_events(spark, args.sf_dir, big_dir, args.mult)
         report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
         for name in QUERIES:
             one = run_one(spark, name, args.sf_dir)

@@ -477,3 +477,46 @@ def test_hll_portable_accuracy(spark):
         assert r["exact_distinct"] > 0
         rel = abs(r["est"] - r["exact_distinct"]) / r["exact_distinct"]
         assert rel < 0.20, f"{r['lang']}: est {r['est']} vs {r['exact_distinct']}"
+
+
+def test_triangle_count_known_graph(spark, tmp_path):
+    """Degree-orientation correctness on a hand-checked graph: one order
+    whose 4 qualifying suppliers form K4 (4 triangles, 6 edges), plus a
+    disconnected 2-supplier order (1 edge, no triangle), plus a
+    below-threshold supplier that must not create edges at all."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    rows = [(1, s, 50.0) for s in (1, 2, 3, 4)]          # K4
+    rows += [(2, 10, 50.0), (2, 11, 50.0)]               # lone edge
+    rows += [(1, 99, 5.0)]                               # under qty threshold
+    spark.createDataFrame(
+        rows, "l_orderkey int, l_suppkey int, l_quantity double"
+    ).write.parquet(str(tmp_path / "lineitem.parquet"))
+    out = REGISTRY["q_triangle_count"].fn(spark, str(tmp_path)).collect()[0]
+    assert out["n_edges"] == 7
+    assert out["n_triangles"] == 4
+    # K4 with degree orientation (all degrees tie -> id order) generates
+    # C(3,2)+C(2,2) = 4 wedges; the lone edge generates none.
+    assert out["n_wedges"] == 4
+
+
+def test_embed_covariance_is_psd(spark, sf_dir):
+    """A covariance matrix is positive semidefinite by construction; the
+    reconstructed 64x64 matrix from the upper-triangle output must have no
+    eigenvalue below numerical zero. Catches any sign/indexing slip the
+    value-hash oracle (which would faithfully match a consistently wrong
+    formula on both sides) cannot."""
+    import numpy as np
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    rows = REGISTRY["q_embed_covariance"].fn(spark, sf_dir).collect()
+    m = np.zeros((64, 64))
+    for r in rows:
+        m[r["i"], r["j"]] = r["cov"]
+        m[r["j"], r["i"]] = r["cov"]
+    assert len(rows) == 64 * 65 // 2
+    ev = np.linalg.eigvalsh(m)
+    assert ev.min() > -1e-6, ev.min()
+    # Diagonal entries are variances — strictly positive on real data.
+    assert all(m[i, i] > 0 for i in range(64))
