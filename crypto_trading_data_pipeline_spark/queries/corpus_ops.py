@@ -1005,7 +1005,14 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str):
 
     partials = q.mapInPandas(gram, schema="i int, j int, s long")
     mom = partials.groupBy("i", "j").agg(F.sum("s").alias("sij"))
-    ex = q.select(F.posexplode("q").alias("i", "v"))
+    # posexplode_outer, NOT posexplode: plain posexplode lets Catalyst
+    # infer size(q) > 0 and push the ENTIRE fixed-point transform into the
+    # scan DataFilter, serializing it into the (often single-split) scan
+    # task — the q_contamination lesson, gated registry-wide by
+    # test_no_expensive_expressions_in_scan_filters.
+    ex = q.select(F.posexplode_outer("q").alias("i", "v")).filter(
+        F.col("i").isNotNull()
+    )
     sums = ex.groupBy("i").agg(F.sum("v").alias("si"))
     n = q.agg(F.count(F.lit(1)).alias("n"))
     sa = sums.select(F.col("i").alias("i_a"), F.col("si").alias("si_a"))
