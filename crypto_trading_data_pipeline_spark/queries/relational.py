@@ -1588,20 +1588,33 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str):
 
 @query(
     "q_approx_percentile",
-    oracle=None,  # sketch-based: not engine-portable; accuracy vs the exact
-    # percentiles is bounded in tests/test_scale_ops.py
+    oracle="""
+    SELECT l_returnflag,
+           quantile_disc(l_extendedprice, 0.5)  AS p50,
+           quantile_disc(l_extendedprice, 0.9)  AS p90,
+           quantile_disc(l_extendedprice, 0.99) AS p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
     doc=(
-        "Approximate percentiles (Greenwald-Khanna sketch, accuracy 1e4): "
-        "p50/p90/p99 of price per return flag. The sketches merge "
-        "associatively — partial+final aggregate, one tiny shuffle — where "
-        "EXACT percentiles (q_percentiles) need a sort per group. At 100 TB "
-        "the sketch is the only affordable form; q_percentiles is the "
-        "small-data/oracle tier."
+        "Approximate percentiles (Greenwald-Khanna sketch): p50/p90/p99 of "
+        "price per return flag. The sketches merge associatively — "
+        "partial+final aggregate, one tiny shuffle — where EXACT "
+        "percentiles (q_percentiles) need a sort per group; at 100 TB the "
+        "sketch is the only affordable form, and accuracy is the knob "
+        "trading sketch memory for rank error (epsilon ~ 1/accuracy). "
+        "Pinned at 1e7 here so epsilon*n < 1 at every fixture scale: the "
+        "sketch then returns EXACT discrete order statistics and the query "
+        "value-hash-matches DuckDB's quantile_disc (verified to agree with "
+        "Spark's rank convention at all groups/percentiles/SFs) — the "
+        "rows-only tier shrinks while the plan stays the sketch plan. A "
+        "production 100 TB run dials accuracy back to ~1e4 and keeps the "
+        "identical merge machinery with bounded error (tolerance-tested in "
+        "tests/test_scale_ops.py)."
     ),
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str):
     li = read_table(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000)
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000000)
     return li.groupBy("l_returnflag").agg(
         pct[0].alias("p50"), pct[1].alias("p90"), pct[2].alias("p99")
     )
