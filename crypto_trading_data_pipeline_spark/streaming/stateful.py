@@ -300,3 +300,94 @@ def ema_batch(
         df.groupBy(F.col(key_col).cast("string").alias("symbol"))
         .agg(F.count(F.lit(1)).alias("n_obs"), folded.alias("ema"))
     )
+
+
+DECAY_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("n_events", LongType()),
+        StructField("s", LongType()),
+        StructField("decayed", DoubleType()),
+    ]
+)
+
+_DECAY_STATE = StructType(
+    [StructField("n", LongType()), StructField("s", LongType())]
+)
+
+
+def _decay_update_factory(as_of: str, max_age: int):
+    import numpy as np
+
+    as_of_day = pd.Timestamp(as_of)
+
+    def update(key, pdfs, state: GroupState):
+        """Fold this batch's events into the exact dyadic-decay sum.
+
+        Every contribution is an INTEGER term cents(value) << (max_age -
+        age), so state is one exact int64 per key and — unlike the
+        order-sensitive EMA above — addition commutes: any batching,
+        partitioning, or arrival order yields the bit-identical sum the
+        batch query (queries/relational.q_decay_score) computes from
+        scratch. That commutativity is what makes the decayed leaderboard
+        INCREMENTALLY maintainable with no reprocessing window at all."""
+        n, sacc = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            age = (as_of_day - pdf["ts"].dt.floor("D")).dt.days
+            ok = (age >= 1) & (age <= max_age)
+            if ok.any():
+                c = np.floor(pdf.loc[ok, "value"].to_numpy() * 100.0 + 0.5).astype(
+                    np.int64
+                )
+                sh = (max_age - age[ok].to_numpy()).astype(np.int64)
+                sacc += int((c << sh).sum())
+                n += int(ok.sum())
+        state.update((n, sacc))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "s": [sacc],
+                "decayed": [sacc / float(1 << max_age)],
+            }
+        )
+
+    return update
+
+
+def streaming_decay_scores(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    as_of: str = "2024-02-01",
+    max_age: int = 20,
+) -> DataFrame:
+    """Streaming twin of q_decay_score (queries/relational.py): per-user
+    exponentially time-decayed engagement score, maintained incrementally.
+
+    The batch query re-aggregates the live window per run; this operator
+    folds each micro-batch's contribution into one exact int64 per key
+    (power-of-two decay weights over cent-scaled values — see the batch
+    twin for the overflow budget), so the leaderboard is always current at
+    O(batch) cost. Because the state is a commutative exact sum, streaming
+    and batch agree BIT-FOR-BIT on any replay/ordering — asserted in
+    tests/test_streaming.py — which is the property the recursive EMA
+    cannot offer. Defaults mirror the batch query's pinned as-of contract;
+    production advances as-of by maintaining per-(key, day) partials or
+    re-seeding state, both O(keys)."""
+    projected = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        F.col(ts_col).alias("ts"),
+        F.col(value_col).cast("double").alias("value"),
+    )
+    return projected.groupBy("user_id").applyInPandasWithState(
+        _decay_update_factory(as_of, max_age),
+        outputStructType=DECAY_SCHEMA,
+        stateStructType=_DECAY_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

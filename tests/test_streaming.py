@@ -757,3 +757,76 @@ def test_streaming_to_live_db_end_to_end(spark, tmp_path):
         "SELECT count(*) FROM duckdb_views() WHERE view_name LIKE '%staging%'"
     ).fetchone()[0]
     assert leftover == 0
+
+
+def test_streaming_decay_matches_batch_exactly(spark, tmp_path):
+    """The dyadic-decay state is a commutative EXACT int64 sum, so the
+    streaming leaderboard must equal the batch formula BIT-FOR-BIT after
+    draining the same events across two micro-batches — including a
+    replayed/out-of-order second batch and rows outside the live window
+    (age 0 and age > max_age must contribute nothing)."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_decay_scores,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(int(u), pd.Timestamp(ts).to_pydatetime(), float(v)) for u, ts, v in rows],
+            "user_id long, ts timestamp, value double",
+        )
+
+    b1 = [
+        (1, "2024-01-31 10:00:00", 10.0),   # age 1 -> weight 2^19
+        (1, "2024-01-15 00:00:00", 4.0),    # age 17
+        (2, "2024-01-20 23:59:59", 7.25),   # age 12
+        (2, "2024-02-01 00:00:00", 99.0),   # age 0 -> dropped
+    ]
+    b2 = [
+        (1, "2024-01-05 12:00:00", 2.5),    # age 27 -> dropped (> max_age)
+        (2, "2024-01-12 08:00:00", 1.11),   # age 20 -> weight 2^0
+        (3, "2024-01-30 01:02:03", 0.004),  # age 2; cents(0.004) = 0
+    ]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp, value double"
+    ).parquet(str(indir / "*.parquet"))
+    latest = {}
+    q = (
+        streaming_decay_scores(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(lambda df, eid: latest.update({r.user_id: r for r in df.collect()}))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Batch-formula expectation, computed independently with exact ints.
+    from datetime import date
+
+    def expect(rows):
+        out = {}
+        for u, ts, v in rows:
+            age = (date(2024, 2, 1) - pd.Timestamp(ts).date()).days
+            if not (1 <= age <= 20):
+                continue
+            n, s = out.get(u, (0, 0))
+            out[u] = (n + 1, s + int(v * 100.0 + 0.5) * (1 << (20 - age)))
+        return out
+
+    want = expect(b1 + b2)
+    assert set(latest) == {1, 2, 3}
+    for u, (n, s) in want.items():
+        assert latest[u].n_events == n, u
+        assert latest[u].s == s, (u, latest[u].s, s)
+        assert latest[u].decayed == s / float(1 << 20), u
