@@ -111,3 +111,60 @@ def test_corpus_prep_observation_metrics(spark, sf_dir):
     assert 0.0 < m["mean_quality"] <= 1.0
     assert 0 < m["n_train"] <= m["docs_kept"]
     assert n_chunks >= m["docs_kept"]  # every kept doc yields >= 1 chunk
+
+
+def test_training_release_statuses_and_precedence(spark):
+    """End-to-end release audit: every doc gets exactly one verdict with
+    the documented precedence (quality -> exact dup -> near dup ->
+    contamination), splits exist only on keepers, and the observed
+    per-status counts partition the input."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.pipelines import training_release
+
+    good = (
+        "the quick brown fox jumps over a lazy dog of note in every "
+        "morning it runs far"
+    )
+    near = good + " indeed"                       # same shingles + a few -> LSH collision
+    contam = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "the a of limit"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, good),
+            (2, good),              # exact dup of 1 (same normalized text)
+            (3, near),              # near dup of 1
+            (4, "x x x x x"),       # low quality (and identical to nothing)
+            (5, contam),            # shares a 5-gram with the benchmark
+            (6, "completely different words about ships harbors tides "
+                "storms the a of sailing charts maps"),
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame(
+        [(100, "alpha beta gamma delta epsilon unrelated tail here")],
+        "doc_id long, text string",
+    )
+    obs = Observation("release")
+    out = training_release(docs, bench, observation=obs)
+    rows = {r.doc_id: r for r in out.collect()}
+
+    assert rows[1].status == "kept"
+    assert rows[2].status == "exact_dup"
+    assert rows[3].status == "near_dup"
+    assert rows[4].status == "low_quality"
+    assert rows[5].status == "contaminated"
+    assert rows[6].status == "kept"
+    for r in rows.values():
+        assert (r.split is not None) == (r.status == "kept"), r
+        assert r.split in (None, "train", "val", "test")
+
+    m = obs.get
+    assert m["docs_in"] == 6
+    assert (
+        m["kept"] + m["exact_dups"] + m["near_dups"]
+        + m["contaminated"] + m["low_quality"]
+    ) == 6
+    assert m["kept"] == 2 and m["near_dups"] == 1 and m["contaminated"] == 1
