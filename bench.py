@@ -175,15 +175,10 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         shutil.rmtree(workdir, ignore_errors=True)
 
 
-#: Queries whose best time lands under this get a 3rd run — sub-second
-#: plans are where 60-130 ms of scheduler/GC jitter reads as regression.
-_EXTRA_RUN_BELOW_SEC = 1.5
-
-#: A query whose two runs disagree by more than this ratio also gets a 3rd
-#: run: one contended run must not define the round (r5's driver bench read
-#: 14.9x slower than the committed local bench on identical code — external
-#: load was the prime suspect and the output carried no evidence either way).
-_EXTRA_RUN_SPREAD = 2.0
+#: (r6) Every query now gets 3 runs unconditionally — see the run loop;
+#: the old conditional-third-run thresholds are retired because a
+#: contended box slows BOTH runs similarly, keeping spread low while the
+#: best-of is 10x off (the r5 driver-vs-local divergence).
 
 
 def _loadavg() -> list[float] | None:
@@ -327,15 +322,17 @@ def main() -> None:
         fn = REGISTRY[name].fn
         run_secs: list[float] = []
         try:
+            # Always 3 runs. Two-run best-of used to skip the third run for
+            # quiet multi-second queries, but a CONTENDED box slows both
+            # runs similarly (spread stays low), so best-of-2 can record a
+            # 10x outlier as real — exactly the r5 driver-vs-local 14.9x
+            # divergence on q_lsh_pairs. The heavy family is where a bad
+            # number distorts the round most, so it gets the third run too;
+            # the extra cost is ~20 s per bench.
             while len(run_secs) < 3:
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
                 run_secs.append(time.perf_counter() - t0)
-                if len(run_secs) == 2:
-                    best = min(run_secs)
-                    noisy = max(run_secs) > best * _EXTRA_RUN_SPREAD
-                    if best >= _EXTRA_RUN_BELOW_SEC and not noisy:
-                        break
             timings[name] = round(min(run_secs), 3)
             spreads[name] = round(max(run_secs) / max(min(run_secs), 1e-9), 2)
         except Exception as exc:  # noqa: BLE001 — record and keep measuring
@@ -359,7 +356,7 @@ def main() -> None:
         # `value` sums only the queries that RAN — with n_err > 0 it is not
         # comparable round-over-round (a broken query reads as a speedup).
         "total_is_complete": not errors,
-        "runs_per_query": "2-3",
+        "runs_per_query": "3",
         "timing": "best_of_runs",
         "queries": timings,
         "errors": errors,
