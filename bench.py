@@ -305,11 +305,7 @@ def main() -> None:
     names = [n for n in HEADLINE if n in REGISTRY]
     # Run 1 pays one-time whole-stage-codegen compilation for that plan
     # shape (a fixed cost, irrelevant at scale); later runs measure the
-    # steady-state engine cost we actually optimize. Sub-second queries get
-    # a third run: their round-over-round jitter (60-130 ms scheduler/GC
-    # noise) was reading as regression at best-of-2, so tighten the floor
-    # exactly where noise dominates and keep multi-second queries at 2 runs
-    # (their signal already swamps the jitter).
+    # steady-state engine cost we actually optimize.
     # One broken query must cost one missing number, not the whole run:
     # round 4 shipped ZERO timings because a single plan-time
     # AnalysisException propagated out of the loop. Errors are recorded

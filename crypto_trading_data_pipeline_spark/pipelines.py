@@ -209,7 +209,12 @@ def training_release(
         .groupBy("fp")
         .agg(F.min(id_col).alias("fp_min"))
     )
-    base = scored.join(fp_min, "fp", "left")
+    # base feeds three branches (near-dup screen, decontamination, final
+    # status join); without materialization each branch re-derives the
+    # doc scan + quality scoring + fingerprint aggregate+join. Persist is
+    # the right form for a run-once pipeline stage (at 100 TB this is the
+    # point where a release pipeline stages to parquet anyway).
+    base = scored.join(fp_min, "fp", "left").persist()
     exact_dup = (~low) & (F.col(id_col) != F.col("fp_min"))
 
     # Near-dup screen over quality+exact survivors with non-empty shingle

@@ -834,10 +834,18 @@ def q_corpus_diff(spark: SparkSession, sf_dir: str):
         .otherwise(F.md5(F.col("text").cast("binary")))
         .alias("fp"),
     )
-    j = v1.alias("a").join(v2.alias("b"), "doc_id", "full_outer")
+    # Presence is detected with explicit marker columns, NOT fp
+    # nullability: md5(NULL text) is NULL, so a NULL-text doc present on
+    # both sides would read as "added" under an fp-null test while the
+    # oracle (doc_id-null checks) says "unchanged". The fp inequality for
+    # "changed" stays plain != on purpose — NULL <> NULL is NULL in both
+    # engines, falling through to "unchanged" identically.
+    j = v1.alias("a").withColumn("in_a", F.lit(1)).join(
+        v2.alias("b").withColumn("in_b", F.lit(1)), "doc_id", "full_outer"
+    )
     status = (
-        F.when(F.col("a.fp").isNull(), F.lit("added"))
-        .when(F.col("b.fp").isNull(), F.lit("removed"))
+        F.when(F.col("in_a").isNull(), F.lit("added"))
+        .when(F.col("in_b").isNull(), F.lit("removed"))
         .when(F.col("a.fp") != F.col("b.fp"), F.lit("changed"))
         .otherwise(F.lit("unchanged"))
     )
@@ -973,14 +981,23 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str):
     import pandas as pd  # noqa: PLC0415 — Arrow path only
 
     emb = read_table(spark, sf_dir, "embeddings")
+    # The quantized vector is AUGMENTED with a constant 1 (the classic
+    # (d+1)x(d+1) moment-matrix trick): the Gram's extra row then carries
+    # the per-dimension sums Si at (i, d) and the vector count n at
+    # (d, d), so ONE mapInPandas pass over ONE scan yields every moment —
+    # the previous formulation re-scanned the table for a posexplode sum
+    # pass and a count pass (3 FileScans in PLANS.md).
     q = emb.select(
-        F.transform(
-            "embedding",
-            lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
+        F.concat(
+            F.transform(
+                "embedding",
+                lambda v: F.floor(v.cast("double") * _COV_SCALE + 0.5).cast("long"),
+            ),
+            F.array(F.lit(1).cast("long")),
         ).alias("q")
     )
 
-    dim = _COV_DIM
+    dim = _COV_DIM + 1
 
     def gram(batches):
         import numpy as np
@@ -1004,17 +1021,22 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str):
             )
 
     partials = q.mapInPandas(gram, schema="i int, j int, s long")
-    mom = partials.groupBy("i", "j").agg(F.sum("s").alias("sij"))
-    # posexplode_outer, NOT posexplode: plain posexplode lets Catalyst
-    # infer size(q) > 0 and push the ENTIRE fixed-point transform into the
-    # scan DataFilter, serializing it into the (often single-split) scan
-    # task — the q_contamination lesson, gated registry-wide by
-    # test_no_expensive_expressions_in_scan_filters.
-    ex = q.select(F.posexplode_outer("q").alias("i", "v")).filter(
-        F.col("i").isNotNull()
+    # localCheckpoint the (d+1)(d+2)/2-row moment table: it feeds three
+    # consumers (moments / Si row / n cell) and without materialization
+    # each re-derives the whole scan+Gram pass (4 MapInPandas stages
+    # measured). 2145 tiny rows, invocation-scoped — the q_pagerank
+    # materialization rule applied one level up.
+    mom_all = (
+        partials.groupBy("i", "j").agg(F.sum("s").alias("sij"))
+        .localCheckpoint(eager=True)
     )
-    sums = ex.groupBy("i").agg(F.sum("v").alias("si"))
-    n = q.agg(F.count(F.lit(1)).alias("n"))
+    mom = mom_all.filter(F.col("j") < _COV_DIM)
+    sums = mom_all.filter(
+        (F.col("j") == _COV_DIM) & (F.col("i") < _COV_DIM)
+    ).select("i", F.col("sij").alias("si"))
+    n = mom_all.filter(
+        (F.col("i") == _COV_DIM) & (F.col("j") == _COV_DIM)
+    ).select(F.col("sij").alias("n"))
     sa = sums.select(F.col("i").alias("i_a"), F.col("si").alias("si_a"))
     sb = sums.select(F.col("i").alias("i_b"), F.col("si").alias("si_b"))
     cov = (

@@ -2590,17 +2590,21 @@ def q_pagerank(spark: SparkSession, sf_dir: str):
     edges = edges0.union(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Persist the edge list and degrees: every Pregel iteration re-joins
-    # both, and without materialization Catalyst re-derives the whole
-    # 5-table edge build per iteration (28 FileScans in the 3-iteration
-    # plan, zero exchange reuse — measured). GraphX does exactly this
-    # (edges cached MEMORY_AND_DISK before iterating); at 100 TB the same
-    # persist goes to disk-backed storage or a checkpointed parquet.
-    from pyspark import StorageLevel
-
-    edges = edges.persist(StorageLevel.MEMORY_AND_DISK)
+    # Materialize the edge list and degrees once per invocation: every
+    # Pregel iteration re-joins both, and without materialization Catalyst
+    # re-derives the whole 5-table edge build per iteration (28 FileScans
+    # in the 3-iteration plan, zero exchange reuse — measured; GraphX
+    # caches edges before iterating for the same reason). localCheckpoint,
+    # NOT persist(): persist registers the canonicalized plan in the
+    # session CacheManager, so a SECOND invocation (bench run 2-3, the
+    # scale probe's measured run) silently reads the first run's cache and
+    # records a cache-hit time no other query gets. localCheckpoint blocks
+    # are tied to this invocation's lineage — every run pays its own
+    # materialization. At 100 TB use a reliable checkpoint dir or an
+    # intermediate parquet instead (localCheckpoint dies with an executor).
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
-    deg = deg.persist(StorageLevel.MEMORY_AND_DISK)
+    deg = deg.localCheckpoint(eager=True)
     state = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("pr"), "d")
     base = 15 * _PR_SCALE // 100
     for _ in range(_PR_ITERS):
@@ -3326,8 +3330,9 @@ _DECAY_MAX_AGE = 20
         "weighted sum accumulates EXACTLY in int64 and the final "
         "divide-by-2^20 is an exponent shift — bit-identical across "
         "engines, runs, and partitionings, where exp()-weighted double "
-        "sums drift with aggregation order. Shape: age filter prunes to "
-        "the live window AT THE SCAN (predicate pushdown on ts), one "
+        "sums drift with aggregation order. Shape: a redundant literal "
+        "ts-range twin of the age filter prunes the history AT THE SCAN "
+        "(datediff itself is not pushable; the twin is), one "
         "partial+final aggregate on user_id, top-20 via "
         "TakeOrderedAndProject — no global sort. The integer-dyadic trick "
         "generalizes: any half-life is a day-shift, any event weight a "
@@ -3336,6 +3341,15 @@ _DECAY_MAX_AGE = 20
 )
 def q_decay_score(spark: SparkSession, sf_dir: str):
     e = read_table(spark, sf_dir, "events")
+    # The age BETWEEN filter below is exact but datediff() is not pushable;
+    # this REDUNDANT plain ts-range (equivalent by construction: age in
+    # [1, max_age] <=> ts in [as_of - max_age days, as_of)) is what
+    # actually reaches the parquet scan and prunes the history at 100 TB.
+    lo = F.lit(_DECAY_AS_OF).cast("date") - F.lit(_DECAY_MAX_AGE)
+    e = e.filter(
+        (F.col("ts") >= lo.cast("timestamp_ntz"))
+        & (F.col("ts") < F.lit(_DECAY_AS_OF).cast("date").cast("timestamp_ntz"))
+    )
     age = F.datediff(F.lit(_DECAY_AS_OF).cast("date"), F.col("ts").cast("date"))
     t = e.select(
         "user_id",

@@ -469,7 +469,9 @@ def test_hll_portable_accuracy(spark):
     row (the bucket-wise-max union path) at sf0.01."""
     from crypto_trading_data_pipeline_spark.queries import REGISTRY
 
-    rows = REGISTRY["q_hll_portable"].fn(spark, "/root/testdata/sf0.01").collect()
+    from tests.conftest import TESTDATA
+
+    rows = REGISTRY["q_hll_portable"].fn(spark, f"{TESTDATA}/sf0.01").collect()
     assert rows, "no output"
     langs = {r["lang"] for r in rows}
     assert "__all__" in langs and len(langs) >= 3
