@@ -2078,6 +2078,28 @@ _HLL_M = 256
 _HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
 
 
+def hll_bucket_rho(df, text_col: str, *keep_cols: str):
+    """(bucket, rho) rows of the portable HLL for one string column —
+    the algorithmic core of q_hll_portable, factored out so the
+    hypothesis property suite can cross-check the md5-prefix/shiftright/
+    bin-length arithmetic against a pure-Python replica on arbitrary
+    unicode (tests/test_properties.py), independent of both DuckDB and
+    the fixtures."""
+    h60 = F.conv(
+        F.substring(F.md5(F.col(text_col).cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    hashed = df.select(*keep_cols, h60.alias("h"))
+    w = F.shiftright(F.col("h"), 8)
+    return hashed.select(
+        *keep_cols,
+        (F.col("h") % _HLL_M).cast("int").alias("bkt"),
+        F.when(w == 0, F.lit(53))
+        .otherwise(F.lit(53) - F.length(F.bin(w)))
+        .cast("int")
+        .alias("rho"),
+    )
+
+
 @query(
     "q_hll_portable",
     oracle=f"""
@@ -2132,19 +2154,7 @@ _HLL_C = 0.7213 / (1.0 + 1.079 / _HLL_M) * _HLL_M * _HLL_M * 2.0**53
 )
 def q_hll_portable(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    h60 = F.conv(F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10).cast(
-        "long"
-    )
-    hashed = docs.select("lang", h60.alias("h"))
-    w = F.shiftright(F.col("h"), 8)
-    r = hashed.select(
-        "lang",
-        (F.col("h") % _HLL_M).cast("int").alias("bkt"),
-        F.when(w == 0, F.lit(53))
-        .otherwise(F.lit(53) - F.length(F.bin(w)))
-        .cast("int")
-        .alias("rho"),
-    )
+    r = hll_bucket_rho(docs, "text", "lang")
     mx = r.groupBy("lang", "bkt").agg(F.max("rho").alias("mj"))
     merged = mx.unionByName(
         mx.groupBy("bkt")

@@ -449,3 +449,40 @@ def test_ivm_merge_equals_direct_aggregate(spark, sf_dir):
         m = merged[uid]
         assert (m.n_events, m.first_ts, m.last_ts) == (d.n_events, d.first_ts, d.last_ts)
         assert math.isclose(m.sum_value, d.sum_value, rel_tol=1e-9, abs_tol=1e-6)
+
+
+@settings(max_examples=20, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet=st.characters(blacklist_categories=("Cs",)), max_size=40
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_hll_bucket_rho_matches_python_replica(spark, texts):
+    """The portable HLL's (bucket, rho) arithmetic — md5 60-bit prefix
+    parse, mod-256 bucketing, shiftright word, bin-length leading-zero
+    count — must agree with a pure-Python replica on ARBITRARY unicode,
+    not just fixture prose. One hypothesis example batches all strings
+    into one Spark job."""
+    import hashlib
+
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        hll_bucket_rho,
+    )
+
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = sorted(
+        (r["bkt"], r["rho"])
+        for r in hll_bucket_rho(df, "text").collect()
+    )
+
+    def replica(t: str):
+        h = int(hashlib.md5(t.encode("utf-8")).hexdigest()[:15], 16)
+        w = h >> 8
+        rho = 53 if w == 0 else 53 - w.bit_length()
+        return (h % 256, rho)
+
+    assert got == sorted(replica(t) for t in texts)
