@@ -486,3 +486,48 @@ def test_hll_bucket_rho_matches_python_replica(spark, texts):
         return (h % 256, rho)
 
     assert got == sorted(replica(t) for t in texts)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 14), st.integers(1, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_triangle_count_matches_bruteforce(spark, edges):
+    """Degree-ordered triangle counting vs an O(n^3) brute force on random
+    graphs — exercises orientation ties, multi-edges (deduped), isolated
+    edges, and hub nodes the K4 unit test can't. Each undirected edge is
+    synthesized as a 2-lineitem order so the co-supplier pair expansion
+    yields exactly that edge."""
+    import itertools
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="tri_prop_")
+    try:
+        rows = []
+        for k, (a, b) in enumerate(edges):
+            rows += [(k, a, 50.0), (k, b, 50.0)]
+        spark.createDataFrame(
+            rows, "l_orderkey int, l_suppkey int, l_quantity double"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        out = REGISTRY["q_triangle_count"].fn(spark, d).collect()[0]
+
+        und = {tuple(sorted(e)) for e in edges}
+        nodes = sorted({v for e in und for v in e})
+        tris = sum(
+            1
+            for x, y, z in itertools.combinations(nodes, 3)
+            if (x, y) in und and (y, z) in und and (x, z) in und
+        )
+        assert out["n_edges"] == len(und)
+        assert out["n_triangles"] == tris, (sorted(und), tris, out)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
