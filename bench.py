@@ -303,6 +303,32 @@ def main() -> None:
     spark.range(8).write.mode("overwrite").format("noop").save()
 
     names = [n for n in HEADLINE if n in REGISTRY]
+
+    # Two residual first-touch costs still leaked into run 1 of whichever
+    # query hit them first (r6: q_ohlcv_1min spread 5.08x, q_media_roundtrip
+    # 5.11x): (a) the Python/Arrow worker pool — the first Pandas-UDF stage
+    # pays one python worker spawn per core; (b) whatever session warm-up
+    # the table/noop warmers above don't reach (shuffle service, broadcast
+    # machinery). Warm (a) with a trivial mapInPandas across all cores and
+    # (b) by running the FIRST headline query once untimed.
+    def _identity_batches(it):
+        yield from it
+
+    (
+        spark.range(256)
+        .repartition(int(spark.sparkContext.defaultParallelism))
+        .mapInPandas(_identity_batches, "id long")
+        .write.mode("overwrite")
+        .format("noop")
+        .save()
+    )
+    if names:
+        try:
+            REGISTRY[names[0]].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+        except Exception:  # noqa: BLE001 — warm-up must never kill the bench
+            pass
     # Run 1 pays one-time whole-stage-codegen compilation for that plan
     # shape (a fixed cost, irrelevant at scale); later runs measure the
     # steady-state engine cost we actually optimize.

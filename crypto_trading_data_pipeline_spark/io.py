@@ -84,6 +84,30 @@ def _normalize_ntz(df: DataFrame) -> DataFrame:
     return df
 
 
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a fixture table from parquet FOOTERS only —
+    driver-side, O(footer read), no Spark job. Handles both the driver's
+    single-file layout and Spark-written directories of part files (e.g.
+    the scale-probe output). Returns None for unknown layouts so callers
+    can fall back to `df.count()` (an eager count here would run a full
+    job for every plan-only consumer — .explain, plan-shape gates)."""
+    import glob as _glob
+    import os as _os
+
+    try:
+        import pyarrow.parquet as _pq
+
+        path = f"{sf_dir}/{name}.parquet"
+        if _os.path.isdir(path):
+            parts = _glob.glob(_os.path.join(path, "*.parquet"))
+            if not parts:
+                return None
+            return sum(_pq.read_metadata(p).num_rows for p in parts)
+        return _pq.read_metadata(path).num_rows
+    except Exception:  # noqa: BLE001 — unknown layout: let the caller count
+        return None
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Applies engine runtime conf (UTC tz, AQE) so
     queries behave identically whether the session is ours or the driver's."""

@@ -211,10 +211,15 @@ def training_release(
     )
     # base feeds three branches (near-dup screen, decontamination, final
     # status join); without materialization each branch re-derives the
-    # doc scan + quality scoring + fingerprint aggregate+join. Persist is
-    # the right form for a run-once pipeline stage (at 100 TB this is the
-    # point where a release pipeline stages to parquet anyway).
-    base = scored.join(fp_min, "fp", "left").persist()
+    # doc scan + quality scoring + fingerprint aggregate+join.
+    # localCheckpoint, NOT persist(): a CacheManager-registered persist
+    # with no matching unpersist leaks executor cache across invocations
+    # and silently serves later runs from the first run's cache (the
+    # q_pagerank rationale in queries/relational.py). The eager local
+    # checkpoint materializes once, is owned by this invocation alone,
+    # and is GC'd with the DataFrame (at 100 TB this is the point where a
+    # release pipeline stages to parquet anyway).
+    base = scored.join(fp_min, "fp", "left").localCheckpoint(eager=True)
     exact_dup = (~low) & (F.col(id_col) != F.col("fp_min"))
 
     # Near-dup screen over quality+exact survivors with non-empty shingle

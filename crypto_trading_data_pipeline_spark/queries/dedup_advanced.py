@@ -14,7 +14,7 @@ from itertools import count
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table
+from ..io import parquet_row_count, read_table
 from ..operators import dedup_hash as dh
 from ..operators.scale import fan_out
 from ..operators.similarity import as_double_vec, dot, l2_norm
@@ -303,7 +303,13 @@ def q_neardup_incremental(spark: SparkSession, sf_dir: str):
     return neardup_incremental(docs, cutoff=400)
 
 
-def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _LSH_BUCKET_CAP):
+def neardup_incremental(
+    docs,
+    cutoff: int,
+    observation=None,
+    bucket_cap: int = _LSH_BUCKET_CAP,
+    strict: bool = False,
+):
     """Core of q_neardup_incremental, callable with an ``Observation``.
 
     The corpus side is materialized as a capped bucket INDEX — per
@@ -314,7 +320,15 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
     is observable via the same CollectMetrics contract as
     _lsh_candidate_pairs: truncated_buckets > 0 means a batch doc may have
     been cleared against an over-cap bucket whose tail was dropped — the
-    fix is upstream exact dedup, not a bigger cap."""
+    fix is upstream exact dedup, not a bigger cap.
+
+    ``strict=True`` turns the per-doc ``screened_truncated`` flag into a
+    hard gate: the capped index is checked EAGERLY and the call raises
+    ``ValueError`` if any bucket overflowed, so a pipeline that must not
+    emit potential false-keeps fails at build time instead of shipping
+    flagged rows. Costs one extra index-build job up front (bounded: the
+    index is |bands| x |buckets| rows, never the corpus; a production
+    deployment persists it between batches and pays this once)."""
     sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
     bands = sig.select(
         "doc_id",
@@ -333,6 +347,23 @@ def neardup_incremental(docs, cutoff: int, observation=None, bucket_cap: int = _
     corpus_index = _observe_bucket_cap(
         corpus_index, bucket_cap, observation, "neardup_incr_bucket_cap"
     )
+    if strict:
+        # Eager gate, not a plan node: CollectMetrics only surfaces after
+        # an action, so strictness has to spend one bounded index job here.
+        overflow = (
+            corpus_index.filter(F.col("trunc") == 1)
+            .select(F.count(F.lit(1)).alias("n"), F.max(F.size("all_ids")).alias("mx"))
+            .first()
+        )
+        if overflow["n"]:
+            raise ValueError(
+                f"neardup_incremental(strict=True): {overflow['n']} corpus band "
+                f"bucket(s) exceed bucket_cap={bucket_cap} (largest holds "
+                f"{overflow['mx']} docs) — batch docs cleared against their "
+                "dropped tails could be silent false-keeps. Run exact dedup "
+                "on the corpus first (q_dedup_incremental), or screen with "
+                "strict=False and quarantine rows with screened_truncated=1."
+            )
     # shuffle_hash hint: metrics inside a broadcast stage come back EMPTY
     # (see semdedup_flags), and AQE would broadcast the index exactly in
     # small/benign regimes — silencing the truncation alarm when it is
@@ -468,27 +499,12 @@ _EMBED_EXACT_MAX_ROWS = 100_000
 )
 def q_embed_neardup(spark: SparkSession, sf_dir: str):
     emb = fan_out(read_table(spark, sf_dir, "embeddings"))
-    # Guard on the parquet footer's row count (driver-side, O(footer read))
-    # rather than emb.count(): an eager count here ran a full Spark job for
-    # every plan-only consumer of this DataFrame (.explain, plan gates).
-    try:
-        import glob as _glob
-        import os as _os
-
-        import pyarrow.parquet as _pq
-
-        path = f"{sf_dir}/embeddings.parquet"
-        if _os.path.isdir(path):
-            # Spark-written layout (e.g. the scale-probe output) is a
-            # DIRECTORY of part files — sum their footers so the footer
-            # fast-path survives exactly the scaled layouts it exists for.
-            parts = _glob.glob(_os.path.join(path, "*.parquet"))
-            if not parts:
-                raise FileNotFoundError(path)
-            n_rows = sum(_pq.read_metadata(p).num_rows for p in parts)
-        else:
-            n_rows = _pq.read_metadata(path).num_rows
-    except Exception:  # noqa: BLE001 — unknown layout: pay the exact count
+    # Guard on the parquet footer's row count (driver-side, O(footer read),
+    # single-file AND part-directory layouts) rather than emb.count(): an
+    # eager count here ran a full Spark job for every plan-only consumer
+    # of this DataFrame (.explain, plan gates).
+    n_rows = parquet_row_count(sf_dir, "embeddings")
+    if n_rows is None:  # unknown layout: pay the exact count
         n_rows = emb.count()
     if n_rows > _EMBED_EXACT_MAX_ROWS:
         raise ValueError(

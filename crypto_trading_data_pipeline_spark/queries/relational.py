@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..io import read_table, ts_micros, ts_seconds, ts_seconds_d
+from ..io import parquet_row_count, read_table, ts_micros, ts_seconds, ts_seconds_d
 from ..operators.joins import asof_join
 from . import query
 
@@ -1602,19 +1602,29 @@ def q_anomaly_zscore(spark: SparkSession, sf_dir: str):
         "percentiles (q_percentiles) need a sort per group; at 100 TB the "
         "sketch is the only affordable form, and accuracy is the knob "
         "trading sketch memory for rank error (epsilon ~ 1/accuracy). "
-        "Pinned at 1e7 here so epsilon*n < 1 at every fixture scale: the "
-        "sketch then returns EXACT discrete order statistics and the query "
-        "value-hash-matches DuckDB's quantile_disc (verified to agree with "
-        "Spark's rank convention at all groups/percentiles/SFs) — the "
-        "rows-only tier shrinks while the plan stays the sketch plan. A "
-        "production 100 TB run dials accuracy back to ~1e4 and keeps the "
-        "identical merge machinery with bounded error (tolerance-tested in "
-        "tests/test_scale_ops.py)."
+        "PARITY MODE here derives accuracy from the table's parquet-footer "
+        "row count (accuracy > n, floor 1e7) so epsilon*n < 1 at ANY "
+        "fixture scale — the sketch then returns EXACT discrete order "
+        "statistics and the query value-hash-matches DuckDB's "
+        "quantile_disc (verified to agree with Spark's rank convention at "
+        "all groups/percentiles/SFs), instead of silently re-entering the "
+        "approximate regime (and failing the hash oracle) the moment a "
+        "fixture outgrows a pinned constant. The deliberate cost of "
+        "exactness: with epsilon*n < 1 the GK buffer effectively retains "
+        "all values per group, O(n) memory — this configuration measures "
+        "parity, not sketch economics. A production 100 TB run dials "
+        "accuracy back to ~1e4 and keeps the identical merge machinery "
+        "with bounded error (tolerance-tested in tests/test_scale_ops.py)."
     ),
 )
 def q_approx_percentile(spark: SparkSession, sf_dir: str):
     li = read_table(spark, sf_dir, "lineitem")
-    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], 10000000)
+    # accuracy > n keeps the sketch exact at any SF; footer read only, no
+    # job. None (unknown layout) falls back to the 1e7 floor — exact
+    # through ~sf1.6, and beyond that the doc's caveat applies.
+    n_rows = parquet_row_count(sf_dir, "lineitem") or 0
+    accuracy = max(10_000_000, 2 * n_rows)
+    pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], accuracy)
     return li.groupBy("l_returnflag").agg(
         pct[0].alias("p50"), pct[1].alias("p90"), pct[2].alias("p99")
     )
@@ -2706,9 +2716,14 @@ def q_triangle_count(spark: SparkSession, sf_dir: str):
     fwd = (F.col("da") < F.col("db")) | (
         (F.col("da") == F.col("db")) & (F.col("a") < F.col("b"))
     )
+    # No broadcast hint on the degree tables: deg is |V|-sized, and a
+    # forced broadcast would OOM the driver exactly at the power-law /
+    # 100 TB vertex cardinalities this orientation exists for. AQE picks
+    # broadcast on its own while |V| is small and falls back to a shuffle
+    # join (co-partitioned on the same key as the wedge join) when not.
     o = (
-        pe.join(F.broadcast(da), "a")
-        .join(F.broadcast(db), "b")
+        pe.join(da, "a")
+        .join(db, "b")
         .select(
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
@@ -3307,8 +3322,14 @@ def q_lorenz(spark: SparkSession, sf_dir: str):
 #: Decay-score geometry: half-life one day, contributions older than
 #: _DECAY_MAX_AGE days dropped (weight < 2^-19 of current — below any
 #: ranking relevance). Weights are POWERS OF TWO so the weighted sum stays
-#: exact int64: cents(value) <= 5.7e4, shift <= 19 -> term <= 3e10, and
-#: ~6e5 rows/sf0.1 keep the sum far under 2^63 (sf100 still fits).
+#: exact int64: cents(value) <= 5.7e4, shift <= 19 -> term <= 3e10.
+#: Headroom is DISTRIBUTIONAL, not worst-case: with the fixture's ~uniform
+#: ages, a per-user sum at sf100 (~6e8 rows total / ~1.5e5 users) stays
+#: far under 2^63. The adversarial corpus — most rows concentrated at
+#: age 1 under ONE key — reaches ~3e10 * rows_per_key and overflows past
+#: ~3e8 same-key max-weight events; such skewed-age corpora need per-day
+#: partials (sum cents per (user, age), then shift ≤ 21 terms) or a wider
+#: fixed point before the final sum.
 _DECAY_AS_OF = "2024-02-01"
 _DECAY_MAX_AGE = 20
 

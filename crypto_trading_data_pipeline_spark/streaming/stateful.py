@@ -378,10 +378,26 @@ def streaming_decay_scores(
     tests/test_streaming.py — which is the property the recursive EMA
     cannot offer. Defaults mirror the batch query's pinned as-of contract;
     production advances as-of by maintaining per-(key, day) partials or
-    re-seeding state, both O(keys)."""
+    re-seeding state, both O(keys).
+
+    Timezone contract: event DAYS are UTC days, matching the batch twin
+    (read_table yields TIMESTAMP_NTZ = UTC wall clock). A TIMESTAMP (LTZ)
+    input is an instant, and Arrow would hand pandas its wall clock in
+    spark.sql.session.timeZone — under a non-UTC session an event near
+    midnight UTC lands on the wrong day and breaks the bit-for-bit
+    streaming==batch guarantee. So LTZ input is shifted to its UTC wall
+    clock and cast to NTZ *before* the stateful operator (NTZ crosses
+    Arrow untouched); NTZ input passes through as-is."""
+    from pyspark.sql.types import TimestampType
+
+    ts_expr = F.col(ts_col)
+    if isinstance(events.schema[ts_col].dataType, TimestampType):
+        ts_expr = F.to_utc_timestamp(ts_expr, F.expr("current_timezone()")).cast(
+            "timestamp_ntz"
+        )
     projected = events.select(
         F.col(user_col).cast("long").alias("user_id"),
-        F.col(ts_col).alias("ts"),
+        ts_expr.alias("ts"),
         F.col(value_col).cast("double").alias("value"),
     )
     return projected.groupBy("user_id").applyInPandasWithState(

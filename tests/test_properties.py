@@ -531,3 +531,59 @@ def test_triangle_count_matches_bruteforce(spark, edges):
         assert out["n_triangles"] == tris, (sorted(und), tris, out)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_pagerank_matches_bruteforce(spark, pairs):
+    """Integer-quantized PageRank vs an exact-int Python replica on random
+    bipartite customer-supplier graphs. A two-sided oracle (Spark vs
+    DuckDB running the SAME unrolled CTEs) cannot catch a consistently
+    wrong formula on both sides; this replica recomputes the three
+    iterations independently — truncating divs, damping, teleport base —
+    so hubs, multi-edges (deduped) and degree-1 leaves all cross-check.
+    Each (cust, supp) pair is synthesized as its own single-lineitem
+    order so the orders x lineitem edge build yields exactly that edge."""
+    import shutil
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _PR_ITERS,
+        _PR_SCALE,
+    )
+
+    d = tempfile.mkdtemp(prefix="pr_prop_")
+    try:
+        spark.createDataFrame(
+            [(k, c) for k, (c, _) in enumerate(pairs)],
+            "o_orderkey int, o_custkey int",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(k, s) for k, (_, s) in enumerate(pairs)],
+            "l_orderkey int, l_suppkey int",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.node: r.pr for r in REGISTRY["q_pagerank"].fn(spark, d).collect()
+        }
+
+        und = {(2 * c, 2 * s + 1) for c, s in pairs}
+        edges = und | {(b, a) for a, b in und}
+        deg = Counter(src for src, _ in edges)
+        base = 15 * _PR_SCALE // 100
+        pr = {n: _PR_SCALE for n in deg}
+        for _ in range(_PR_ITERS):
+            acc = defaultdict(int)
+            for s_, d_ in edges:
+                acc[d_] += pr[s_] // deg[s_]
+            pr = {n: base + (85 * a) // 100 for n, a in acc.items()}
+        assert got == pr, (sorted(und), got, pr)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -395,6 +395,40 @@ def test_neardup_incremental_bucket_cap_observable(spark):
         assert r.keep == 0 and r.match_id == 0 and r.jac == 1.0, r
 
 
+def test_neardup_incremental_strict_mode(spark):
+    """strict=True escalates bucket-cap overflow from a per-doc flag to a
+    build-time ValueError; with no overflow, strict and default modes
+    return identical rows (the gate must not change clean-path results)."""
+    import pytest as _pytest
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        neardup_incremental,
+    )
+
+    hot = spark.range(105).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same exact document body repeated verbatim").alias("text"),
+    )
+    with _pytest.raises(ValueError, match="strict=True.*bucket_cap=8"):
+        neardup_incremental(hot, cutoff=100, bucket_cap=8, strict=True)
+
+    clean = spark.range(12).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("unique words for document number "),
+            F.col("id").cast("string"),
+            F.lit(" padded with distinct trailing token t"),
+            F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    strict_rows = sorted(
+        neardup_incremental(clean, cutoff=10, bucket_cap=8, strict=True).collect()
+    )
+    default_rows = sorted(neardup_incremental(clean, cutoff=10, bucket_cap=8).collect())
+    assert strict_rows == default_rows
+    assert all(r.screened_truncated == 0 for r in strict_rows)
+
+
 def test_zorder_key_bit_layout(spark):
     """Morton interleave: x occupies even bits, y odd bits — pinned on
     hand-computed values, plus the locality property the layout exists

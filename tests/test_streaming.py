@@ -830,3 +830,62 @@ def test_streaming_decay_matches_batch_exactly(spark, tmp_path):
         assert latest[u].n_events == n, u
         assert latest[u].s == s, (u, latest[u].s, s)
         assert latest[u].decayed == s / float(1 << 20), u
+
+
+def test_streaming_decay_utc_days_under_non_utc_session_tz(spark, tmp_path):
+    """Event DAYS are UTC days regardless of spark.sql.session.timeZone.
+
+    Arrow hands applyInPandasWithState a TIMESTAMP (LTZ) column as wall
+    clock in the SESSION timezone; without the operator's explicit
+    UTC-wall NTZ normalization, an event between 00:00 and 05:00 UTC
+    lands on the previous America/New_York day, shifting its age by one
+    and doubling its dyadic weight — silently breaking the bit-for-bit
+    streaming==batch contract the UTC-only test above can never catch."""
+    from datetime import datetime, timezone
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_decay_scores,
+    )
+
+    rows = [
+        # 02:00 UTC -> UTC day Jan 21 (age 11); NY wall is Jan 20 21:00,
+        # which a session-tz day floor would score as age 12 (weight /2).
+        (1, datetime(2024, 1, 21, 2, 0, 0, tzinfo=timezone.utc), 10.0),
+        # age 0 in UTC -> dropped; NY wall is Jan 31 19:30 -> a session-tz
+        # floor would wrongly INCLUDE it at age 1 with the max weight.
+        (1, datetime(2024, 2, 1, 0, 30, 0, tzinfo=timezone.utc), 50.0),
+        (2, datetime(2024, 1, 31, 12, 0, 0, tzinfo=timezone.utc), 2.0),  # age 1
+    ]
+    indir = tmp_path / "in"
+    indir.mkdir()
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    latest = {}
+    try:
+        spark.createDataFrame(
+            rows, "user_id long, ts timestamp, value double"
+        ).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+        stream = spark.readStream.schema(
+            "user_id long, ts timestamp, value double"
+        ).parquet(str(indir / "*.parquet"))
+        q = (
+            streaming_decay_scores(stream)
+            .writeStream.outputMode("update")
+            .foreachBatch(
+                lambda df, eid: latest.update({r.user_id: r for r in df.collect()})
+            )
+            .option("checkpointLocation", str(tmp_path / "ck"))
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+    # Exact UTC-day expectation (matches q_decay_score's batch formula).
+    assert latest[1].n_events == 1  # the age-0 row contributed nothing
+    assert latest[1].s == 1000 * (1 << (20 - 11))
+    assert latest[2].n_events == 1
+    assert latest[2].s == 200 * (1 << (20 - 1))
