@@ -105,6 +105,7 @@ HEADLINE = [
     # triangles, exact-moment beta, interpolated gap fill.
     "q_hll_portable",
     "q_bpe_pair_counts",
+    "q_bpe_merges",
     "q_triangle_count",
     "q_market_beta",
     "q_interp_linear",

@@ -1407,3 +1407,188 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("cnt").desc(), "pair")
         .limit(20)
     )
+
+
+#: BPE trainer rounds unrolled in q_bpe_merges. Each round = two
+#: vocab-sized aggregates; the merge list below rank 3 follows the same
+#: recurrence (a production trainer loops to ~32k merges with the
+#: identical per-round plan, checkpointing the vocab every ~50 rounds).
+_BPE_MERGES = 3
+
+
+def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
+    """DuckDB twin of q_bpe_merges as generated CTEs (the q_pagerank
+    trick for iterative algorithms). The greedy left-to-right
+    non-overlapping merge is expressed relationally via gaps-and-islands
+    parity: consecutive match positions form islands (only possible when
+    p1 = p2), and greedy keeps exactly the even offsets within each
+    island — provably identical to the sequential fold the Spark side
+    runs (a merged symbol p1||p2 can never equal p1, so the fold cannot
+    cascade; for p1 <> p2 matches are never adjacent)."""
+    sql = """
+    WITH v0 AS (
+      SELECT w, CAST(count(*) AS BIGINT) AS wc,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+      FROM (SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY w
+    )"""
+    for r in range(n_merges):
+        sql += f""", p{r} AS (
+      SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(sum(wc) AS BIGINT) AS cnt
+      FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
+            FROM v{r} WHERE len(syms) >= 2)
+      GROUP BY 1, 2
+    ), t{r} AS (
+      SELECT p1, p2, cnt FROM p{r} ORDER BY cnt DESC, p1, p2 LIMIT 1
+    )"""
+        if r < n_merges - 1:
+            sql += f""", pos{r} AS (
+      SELECT w, wc, i, syms[i] AS s, syms[i + 1] AS s_next,
+             CASE WHEN i < len(syms)
+                       AND syms[i] = (SELECT p1 FROM t{r})
+                       AND syms[i + 1] = (SELECT p2 FROM t{r})
+                  THEN 1 ELSE 0 END AS hit
+      FROM (SELECT w, wc, syms, unnest(range(1, len(syms) + 1)) AS i FROM v{r})
+    ), isl{r} AS (
+      SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
+      FROM pos{r} WHERE hit = 1
+    ), kept{r} AS (
+      SELECT w, i FROM (
+        SELECT w, i, min(i) OVER (PARTITION BY w, g) AS i0 FROM isl{r}
+      ) WHERE (i - i0) % 2 = 0
+    ), v{r + 1} AS (
+      SELECT p.w, any_value(p.wc) AS wc,
+             list(CASE WHEN k.i IS NOT NULL THEN p.s || p.s_next ELSE p.s END
+                  ORDER BY p.i) AS syms
+      FROM pos{r} p
+      LEFT JOIN kept{r} k  ON k.w = p.w AND k.i = p.i
+      LEFT JOIN kept{r} kp ON kp.w = p.w AND kp.i = p.i - 1
+      WHERE kp.i IS NULL
+      GROUP BY p.w
+    )"""
+    parts = " UNION ALL ".join(
+        f"SELECT {r + 1} AS merge_rank, p1, p2, p1 || p2 AS merged, cnt FROM t{r}"
+        for r in range(n_merges)
+    )
+    return (
+        sql
+        + f"""
+    SELECT CAST(merge_rank AS INTEGER) AS merge_rank, p1, p2, merged, cnt
+    FROM ({parts}) ORDER BY merge_rank
+    """
+    )
+
+
+def _bpe_pair_top1(vocab):
+    """Highest-count adjacent symbol pair of a (w, wc, syms) vocab —
+    deterministic (cnt DESC, p1, p2) tie-break, TakeOrderedAndProject."""
+    pairs = (
+        vocab.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.transform(
+                    F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                    lambda s, i: F.struct(
+                        s.alias("p1"), F.get(F.col("syms"), i + 1).alias("p2")
+                    ),
+                )
+            ).alias("pr"),
+            "wc",
+        )
+        .groupBy("pr.p1", "pr.p2")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+    )
+    return pairs.orderBy(F.col("cnt").desc(), "p1", "p2").limit(1)
+
+
+def _bpe_apply_merge(vocab, top1):
+    """Greedy left-to-right non-overlapping merge of top1's (p1, p2) into
+    every symbol sequence — a row-local F.aggregate fold (zero shuffle):
+    the pair arrives as a BROADCAST 1-row cross join, so no literal is
+    collected to the driver between rounds. The fold cannot cascade into
+    its own output (p1||p2 <> p1 since p2 is non-empty), which is what
+    makes it equal to the oracle's islands-parity formulation."""
+    step = lambda acc, s: (  # noqa: E731
+        F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.col("p1"))
+            & (s == F.col("p2")),
+            F.concat(
+                F.slice(acc, 1, F.size(acc) - 1),
+                F.array(F.concat(F.col("p1"), F.col("p2"))),
+            ),
+        ).otherwise(F.concat(acc, F.array(s)))
+    )
+    return vocab.crossJoin(F.broadcast(top1.select("p1", "p2"))).select(
+        "w",
+        "wc",
+        F.aggregate(
+            "syms", F.array().cast("array<string>"), step
+        ).alias("syms"),
+    )
+
+
+@query(
+    "q_bpe_merges",
+    oracle=_bpe_merges_oracle(),
+    doc=(
+        "Tokenizer induction, the actual BPE TRAINING LOOP (Sennrich et "
+        "al. 2016) — q_bpe_pair_counts taken from its first step to a "
+        "trained merge list: 3 unrolled rounds of count-adjacent-pairs -> "
+        "argmax -> greedy left-to-right merge over the symbol sequences, "
+        "emitting (merge_rank, p1, p2, merged, cnt) — the artifact a "
+        "tokenizer ships. Scale shape: the corpus is aggregated to the "
+        "word vocab ONCE (the only corpus-sized shuffle, then "
+        "localCheckpoint'ed like q_pagerank's edges); every round after "
+        "that touches only |V| rows — pair counting is two bounded "
+        "aggregates, the argmax is a 1-row broadcast joined back (no "
+        "driver collect), and the merge itself is a row-local array fold "
+        "inside codegen. Oracle: the same rounds as generated DuckDB "
+        "CTEs, with the greedy merge expressed via gaps-and-islands "
+        "parity — equivalent because the fold cannot cascade (p1||p2 <> "
+        "p1) and p1 <> p2 matches are never adjacent."
+    ),
+)
+def q_bpe_merges(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        .select(
+            "w",
+            "wc",
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, F.lit(1)),
+            ).alias("syms"),
+        )
+    )
+    # One corpus-sized aggregate, materialized once; each round's vocab is
+    # checkpointed too so round r+1 does not re-derive rounds 1..r (same
+    # rationale + same 100 TB "use a reliable checkpoint dir" caveat as
+    # q_pagerank). All materializations are vocab-sized or 1 row.
+    v = vocab.localCheckpoint(eager=True)
+    tops = []
+    for r in range(_BPE_MERGES):
+        top = (
+            _bpe_pair_top1(v)
+            .select(F.lit(r + 1).cast("int").alias("merge_rank"), "p1", "p2", "cnt")
+            .localCheckpoint(eager=True)
+        )
+        tops.append(top)
+        if r < _BPE_MERGES - 1:
+            v = _bpe_apply_merge(v, top).localCheckpoint(eager=True)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "merge_rank",
+        "p1",
+        "p2",
+        F.concat("p1", "p2").alias("merged"),
+        "cnt",
+    ).orderBy("merge_rank")

@@ -219,3 +219,57 @@ def test_split_leakage_flags_cross_split_duplicates(spark):
         r.doc_id for r in held.join(train, "fp", "left_semi").collect()
     )
     assert leaked == [2, 3]
+
+
+def test_bpe_merge_fold_greedy_semantics(spark):
+    """The merge fold must be greedy LEFT-TO-RIGHT and non-overlapping:
+    'aaaa' with pair (a,a) -> [aa, aa], 'aaa' -> [aa, a] (run parity);
+    merged symbols must not cascade ('ab'+'b' stays distinct from a raw
+    'abb'); and a pair absent from a word leaves it untouched. These are
+    exactly the cases where a wrong fold would still pass corpus-level
+    parity by luck."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _bpe_apply_merge,
+        _bpe_pair_top1,
+    )
+
+    def vocab_of(words):
+        return spark.createDataFrame(
+            [(w, 1) for w in words], "w string, wc long"
+        ).select(
+            "w",
+            F.col("wc").cast("bigint").alias("wc"),
+            F.transform(
+                F.sequence(F.lit(1), F.length("w")),
+                lambda i: F.substring(F.col("w"), i, F.lit(1)),
+            ).alias("syms"),
+        )
+
+    top_aa = spark.createDataFrame([("a", "a")], "p1 string, p2 string")
+    out = {
+        r.w: r.syms
+        for r in _bpe_apply_merge(vocab_of(["aaaa", "aaa", "baab", "bcd"]), top_aa).collect()
+    }
+    assert out["aaaa"] == ["aa", "aa"]
+    assert out["aaa"] == ["aa", "a"]
+    assert out["baab"] == ["b", "aa", "b"]
+    assert out["bcd"] == ["b", "c", "d"]
+
+    # Merged symbols are single tokens: after merging (a,b) in 'abb', the
+    # result is [ab, b]; merging (ab, b) next must yield [abb] — and a
+    # word 'bb' must NOT match (ab, b).
+    top_ab = spark.createDataFrame([("a", "b")], "p1 string, p2 string")
+    v1 = _bpe_apply_merge(vocab_of(["abb", "bb"]), top_ab)
+    top_abb = spark.createDataFrame([("ab", "b")], "p1 string, p2 string")
+    out2 = {r.w: r.syms for r in _bpe_apply_merge(v1, top_abb).collect()}
+    assert out2["abb"] == ["abb"]
+    assert out2["bb"] == ["b", "b"]
+
+    # Argmax tie-break is (cnt DESC, p1, p2): 'ab' and 'ba' both occur
+    # twice in 'abab' (count ties at 2 for (a,b) vs (b,a)? no — (a,b)
+    # appears twice, (b,a) once), so pin a real tie: 'ab' x1 + 'cd' x1.
+    tied = vocab_of(["ab", "cd"])
+    top = _bpe_pair_top1(tied).collect()[0]
+    assert (top.p1, top.p2, top.cnt) == ("a", "b", 1)
