@@ -106,8 +106,11 @@ HEADLINE = [
     "q_hll_portable",
     "q_bpe_pair_counts",
     "q_bpe_merges",
+    "q_bpe_tokenize",
     "q_triangle_count",
     "q_market_beta",
+    "q_macd",
+    "q_bloom_probe",
     "q_interp_linear",
     "q_corpus_diff",
     "q_char_entropy",

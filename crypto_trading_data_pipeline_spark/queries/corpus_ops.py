@@ -1055,3 +1055,167 @@ def q_embed_covariance(spark: SparkSession, sf_dir: str):
             (F.floor(cov * 1000000.0 + 0.5) / 1000000.0).alias("cov"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable Bloom filter build + probe (round 7)
+# ---------------------------------------------------------------------------
+
+#: Bloom geometry: 1024 bits as 32 words x 32 bits (masks stay positive in
+#: int64 on both engines — no 1<<63 sign edge), k=3 seeded hashes.
+#: DELIBERATELY undersized for the ~400-key build set (fill ~0.7) so the
+#: fixture exercises real false positives and the fp-rate accounting is
+#: nontrivial; production sizes m ~ 10 bits/key for ~1% fp.
+_BLOOM_BITS = 1024
+_BLOOM_WORD_BITS = 32
+_BLOOM_K = 3
+_BLOOM_CUTOFF = 400
+
+_SQL_NORM_FP = "md5(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))))"
+
+
+def _bloom_sql_pos(fp_expr: str, seed: int) -> str:
+    seeded = fp_expr + " || '#" + str(seed) + "'"
+    return f"({dedup_hash.sql_token_hash(seeded)} % {_BLOOM_BITS})"
+
+
+@query(
+    "q_bloom_probe",
+    oracle=f"""
+    WITH fps AS (
+      SELECT doc_id, source, {_SQL_NORM_FP} AS fp FROM documents
+    ), bench AS (
+      SELECT DISTINCT fp FROM fps WHERE doc_id < {_BLOOM_CUTOFF}
+    ), bpos AS (
+      {" UNION ALL ".join(f"SELECT {_bloom_sql_pos('fp', i)} AS pos FROM bench" for i in range(_BLOOM_K))}
+    ), filt AS (
+      SELECT CAST(pos // {_BLOOM_WORD_BITS} AS INTEGER) AS word,
+             bit_or(CAST(1 AS BIGINT) << (pos % {_BLOOM_WORD_BITS})) AS bits
+      FROM bpos GROUP BY 1
+    ), probe AS (
+      SELECT doc_id, source, fp FROM fps WHERE doc_id >= {_BLOOM_CUTOFF}
+    ), ppos AS (
+      {" UNION ALL ".join(f"SELECT doc_id, source, fp, {_bloom_sql_pos('fp', i)} AS pos FROM probe" for i in range(_BLOOM_K))}
+    ), checks AS (
+      SELECT p.doc_id, p.source, p.fp,
+             CASE WHEN f.bits IS NOT NULL
+                       AND (f.bits & (CAST(1 AS BIGINT) << (p.pos % {_BLOOM_WORD_BITS}))) <> 0
+                  THEN 1 ELSE 0 END AS hit
+      FROM ppos p
+      LEFT JOIN filt f ON CAST(p.pos // {_BLOOM_WORD_BITS} AS INTEGER) = f.word
+    ), perdoc AS (
+      SELECT doc_id, any_value(source) AS source, any_value(fp) AS fp,
+             min(hit) AS bloom_pass
+      FROM checks GROUP BY doc_id
+    ), truth AS (
+      SELECT DISTINCT p.doc_id FROM probe p JOIN bench b ON p.fp = b.fp
+    )
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_probe,
+           CAST(sum(bloom_pass) AS BIGINT) AS n_bloom_pass,
+           CAST(sum(CASE WHEN t.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_true,
+           CAST(sum(CASE WHEN bloom_pass = 1 AND t.doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_false_pos
+    FROM perdoc LEFT JOIN truth t USING (doc_id)
+    GROUP BY source
+    """,
+    doc=(
+        "Portable Bloom filter, built and probed in pure DataFrame ops — "
+        "the EXPLICIT form of the runtime bloom pruning Spark injects "
+        "into selective joins, made engine-checkable: membership keys are "
+        "normalized text fingerprints of the existing-corpus side "
+        "(doc_id < cutoff), hashed k=3 times with the repo's md5 31-bit "
+        "hash into a 1024-bit / 32-word filter, aggregated with bit_or "
+        "into a <= 32-ROW table. The probe side (new docs) recomputes its "
+        "k positions row-locally and broadcast-joins the word table — at "
+        "100 TB this is how a dedup/decontamination pre-screen avoids "
+        "shuffling the full corpus fingerprint set: the filter is a few "
+        "KB per million keys (production m ~ 10 bits/key), ships to every "
+        "executor, and only bloom-positive rows reach the exact "
+        "verification join. Output: per-source probe counts, bloom "
+        "passes, exact-membership truth, and the false-positive count — "
+        "the filter is deliberately undersized for the fixture so "
+        "n_false_pos > 0 and the no-false-NEGATIVES invariant "
+        "(n_true <= n_bloom_pass per source, asserted in pytest) is "
+        "exercised against real collisions."
+    ),
+)
+def q_bloom_probe(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    fps = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalize_text(F.col("text")).cast("binary")).alias("fp"),
+    )
+    bench = fps.filter(F.col("doc_id") < _BLOOM_CUTOFF).select("fp").distinct()
+
+    def pos(c, i: int):
+        return dedup_hash.token_hash(F.concat(c, F.lit(f"#{i}"))) % _BLOOM_BITS
+
+    word = F.expr(f"CAST(pos div {_BLOOM_WORD_BITS} AS INT)").alias("word")
+    mask = F.expr(
+        f"shiftleft(CAST(1 AS BIGINT), CAST(pos % {_BLOOM_WORD_BITS} AS INT))"
+    )
+    filt = (
+        bench.select(
+            F.explode(F.array(*[pos(F.col("fp"), i) for i in range(_BLOOM_K)])).alias(
+                "pos"
+            )
+        )
+        .select(word, mask.alias("mask"))
+        .groupBy("word")
+        .agg(F.bit_or("mask").alias("bits"))
+    )
+    probe = fps.filter(F.col("doc_id") >= _BLOOM_CUTOFF)
+    checks = (
+        probe.select(
+            "doc_id",
+            "source",
+            "fp",
+            F.explode(F.array(*[pos(F.col("fp"), i) for i in range(_BLOOM_K)])).alias(
+                "pos"
+            ),
+        )
+        .select("doc_id", "source", "fp", word, mask.alias("mask"))
+        .join(F.broadcast(filt), "word", "left")
+        .select(
+            "doc_id",
+            "source",
+            "fp",
+            F.when(
+                F.col("bits").isNotNull()
+                & (F.expr("bits & mask") != 0),
+                F.lit(1),
+            )
+            .otherwise(F.lit(0))
+            .alias("hit"),
+        )
+    )
+    perdoc = checks.groupBy("doc_id").agg(
+        F.any_value("source").alias("source"),
+        F.any_value("fp").alias("fp"),
+        F.min("hit").alias("bloom_pass"),
+    )
+    truth = (
+        probe.join(bench, "fp", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("is_member", F.lit(1))
+    )
+    return (
+        perdoc.join(truth, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_probe"),
+            F.sum("bloom_pass").cast("bigint").alias("n_bloom_pass"),
+            F.sum(F.coalesce(F.col("is_member"), F.lit(0))).cast("bigint").alias("n_true"),
+            F.sum(
+                F.when(
+                    (F.col("bloom_pass") == 1) & F.col("is_member").isNull(), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_false_pos"),
+        )
+    )

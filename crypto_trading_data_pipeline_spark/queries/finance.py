@@ -906,3 +906,105 @@ def q_interp_linear(spark: SparkSession, sf_dir: str):
         (F.floor(interp * 10000.0 + 0.5) / 10000.0).alias("close"),
         F.col("close").isNull().alias("is_gap"),
     )
+
+
+#: MACD smoothing factors — the classic 12/26/9 configuration as exact
+#: IEEE doubles (both engines constant-fold the same divisions, so the
+#: sequential folds below agree bit-for-bit).
+_MACD_A12 = "2.0 / 13.0"
+_MACD_A26 = "2.0 / 27.0"
+_MACD_A9 = "2.0 / 10.0"
+
+
+@query(
+    "q_macd",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), days AS (
+      SELECT symbol, CAST(date_trunc('day', minute) AS DATE) AS day,
+             list(close ORDER BY minute) AS closes
+      FROM closes GROUP BY 1, 2
+    ), daily AS (
+      SELECT symbol, day,
+             list_reduce(closes, (acc, x) -> ({_MACD_A12}) * x + (1.0 - ({_MACD_A12})) * acc)
+           - list_reduce(closes, (acc, x) -> ({_MACD_A26}) * x + (1.0 - ({_MACD_A26})) * acc)
+             AS macd
+      FROM days
+    ), per AS (
+      SELECT symbol, list(day ORDER BY day) AS ds, list(macd ORDER BY day) AS ms
+      FROM daily GROUP BY symbol
+    ), idx AS (
+      SELECT symbol, ds, ms, unnest(range(1, len(ms) + 1)) AS i FROM per
+    ), sig AS (
+      SELECT symbol, ds[i] AS day, ms[i] AS macd,
+             list_reduce(ms[1:i], (acc, x) -> ({_MACD_A9}) * x + (1.0 - ({_MACD_A9})) * acc)
+               AS signal
+      FROM idx
+    )
+    SELECT symbol, day, round(macd, 6) AS macd, round(signal, 6) AS signal,
+           round(macd - signal, 6) AS hist
+    FROM sig
+    """,
+    doc=(
+        "MACD (12/26/9) per (symbol, day): end-of-day EMA12 - EMA26 of "
+        "the day's minute closes, signal = EMA9 of the daily MACD series, "
+        "histogram = MACD - signal. EMA is a RECURSIVE aggregate no "
+        "window frame expresses and exp-weighted double sums drift with "
+        "aggregation order — so both engines run the IDENTICAL sequential "
+        "fold (Spark F.aggregate over the ordered close array, DuckDB "
+        "list_reduce over the same list; seed = first element, step = "
+        "a*x + (1-a)*acc with the same constant-folded IEEE literals), "
+        "making an order-sensitive recursion value-hash-match exactly — "
+        "the same trick streaming/stateful.py's EMA uses against its "
+        "batch fold. Shape at scale: one aggregate collapses ticks to "
+        "(symbol, day, ordered close array) — arrays bounded at 1440 "
+        "minutes/day; the signal pass folds day-level prefixes, O(days^2) "
+        "per symbol but span-bound (the same bounded-grid argument as "
+        "q_candle_gap_fill) and |symbols| x days rows total. Two "
+        "exchanges end to end: symbol,day then symbol."
+    ),
+)
+def q_macd(spark: SparkSession, sf_dir: str):
+    a12, a26, a9 = 2.0 / 13.0, 2.0 / 27.0, 2.0 / 10.0
+
+    def ema(arr, a: float):
+        return F.aggregate(
+            F.slice(arr, 2, F.size(arr) - 1),
+            F.element_at(arr, 1),
+            lambda acc, x: F.lit(a) * x + F.lit(1.0 - a) * acc,
+        )
+
+    closes = _closes(spark, sf_dir)
+    days = (
+        closes.groupBy(
+            "symbol", F.date_trunc("day", "minute").cast("date").alias("day")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("minute", "close"))).alias("bars"))
+        .select(
+            "symbol",
+            "day",
+            F.transform("bars", lambda b: b["close"]).alias("closes"),
+        )
+    )
+    daily = days.select(
+        "symbol",
+        "day",
+        (ema(F.col("closes"), a12) - ema(F.col("closes"), a26)).alias("macd"),
+    )
+    per = daily.groupBy("symbol").agg(
+        F.array_sort(F.collect_list(F.struct("day", "macd"))).alias("dm")
+    )
+    pos = per.select(
+        "symbol",
+        F.transform("dm", lambda s: s["day"]).alias("ds"),
+        F.transform("dm", lambda s: s["macd"]).alias("ms"),
+    ).select("symbol", "ds", "ms", F.posexplode("ms").alias("pos", "macd"))
+    sig = ema(F.slice("ms", 1, F.col("pos") + 1), a9)
+    return pos.select(
+        "symbol",
+        F.element_at("ds", F.col("pos") + 1).alias("day"),
+        F.round("macd", 6).alias("macd"),
+        F.round(sig, 6).alias("signal"),
+        F.round(F.col("macd") - sig, 6).alias("hist"),
+    )

@@ -1416,7 +1416,7 @@ def q_bpe_pair_counts(spark: SparkSession, sf_dir: str):
 _BPE_MERGES = 3
 
 
-def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
+def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str:
     """DuckDB twin of q_bpe_merges as generated CTEs (the q_pagerank
     trick for iterative algorithms). The greedy left-to-right
     non-overlapping merge is expressed relationally via gaps-and-islands
@@ -1434,6 +1434,7 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
       WHERE w <> ''
       GROUP BY w
     )"""
+    apply_rounds = n_merges if emit == "tokens" else n_merges - 1
     for r in range(n_merges):
         sql += f""", p{r} AS (
       SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(sum(wc) AS BIGINT) AS cnt
@@ -1443,7 +1444,7 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
     ), t{r} AS (
       SELECT p1, p2, cnt FROM p{r} ORDER BY cnt DESC, p1, p2 LIMIT 1
     )"""
-        if r < n_merges - 1:
+        if r < apply_rounds:
             sql += f""", pos{r} AS (
       SELECT w, wc, i, syms[i] AS s, syms[i + 1] AS s_next,
              CASE WHEN i < len(syms)
@@ -1468,6 +1469,15 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES) -> str:
       WHERE kp.i IS NULL
       GROUP BY p.w
     )"""
+    if emit == "tokens":
+        return (
+            sql
+            + f"""
+    SELECT s AS token, CAST(sum(wc) AS BIGINT) AS cnt
+    FROM (SELECT wc, unnest(syms) AS s FROM v{n_merges})
+    GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20
+    """
+        )
     parts = " UNION ALL ".join(
         f"SELECT {r + 1} AS merge_rank, p1, p2, p1 || p2 AS merged, cnt FROM t{r}"
         for r in range(n_merges)
@@ -1521,12 +1531,29 @@ def _bpe_apply_merge(vocab, top1):
             ),
         ).otherwise(F.concat(acc, F.array(s)))
     )
+    # Guard the fold behind a cheap O(L) adjacency check: the fold
+    # rebuilds the accumulator array per element (O(L^2) allocations),
+    # but after round 1 only a small fraction of the vocab contains the
+    # current top pair — everything else passes through untouched. At a
+    # 30x synthetic vocab this is the difference between folding ~1M
+    # words per round and folding the few thousand that actually merge.
+    has_pair = F.exists(
+        F.transform(
+            F.slice(F.col("syms"), 1, F.size("syms") - 1),
+            lambda s, i: (s == F.col("p1"))
+            & (F.get(F.col("syms"), i + 1) == F.col("p2")),
+        ),
+        lambda b: b,
+    )
     return vocab.crossJoin(F.broadcast(top1.select("p1", "p2"))).select(
         "w",
         "wc",
-        F.aggregate(
-            "syms", F.array().cast("array<string>"), step
-        ).alias("syms"),
+        F.when(
+            has_pair,
+            F.aggregate("syms", F.array().cast("array<string>"), step),
+        )
+        .otherwise(F.col("syms"))
+        .alias("syms"),
     )
 
 
@@ -1552,6 +1579,29 @@ def _bpe_apply_merge(vocab, top1):
     ),
 )
 def q_bpe_merges(spark: SparkSession, sf_dir: str):
+    tops, _ = _bpe_train(spark, sf_dir, _BPE_MERGES, apply_last=False)
+    out = tops[0]
+    for t in tops[1:]:
+        out = out.unionAll(t)
+    return out.select(
+        "merge_rank",
+        "p1",
+        "p2",
+        F.concat("p1", "p2").alias("merged"),
+        "cnt",
+    ).orderBy("merge_rank")
+
+
+def _bpe_train(spark, sf_dir, n_merges: int, apply_last: bool):
+    """(merge tables, final vocab) after n_merges BPE rounds.
+
+    One corpus-sized aggregate builds the char-symbol vocab, materialized
+    once; each round's vocab is checkpointed too so round r+1 does not
+    re-derive rounds 1..r (same rationale + same 100 TB "use a reliable
+    checkpoint dir" caveat as q_pagerank). All materializations are
+    vocab-sized or 1 row. ``apply_last`` also applies the final round's
+    merge (the tokenizer-apply path needs the post-merge vocab; the
+    merge-list path does not)."""
     docs = read_table(spark, sf_dir, "documents")
     vocab = (
         docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
@@ -1567,28 +1617,43 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str):
             ).alias("syms"),
         )
     )
-    # One corpus-sized aggregate, materialized once; each round's vocab is
-    # checkpointed too so round r+1 does not re-derive rounds 1..r (same
-    # rationale + same 100 TB "use a reliable checkpoint dir" caveat as
-    # q_pagerank). All materializations are vocab-sized or 1 row.
     v = vocab.localCheckpoint(eager=True)
     tops = []
-    for r in range(_BPE_MERGES):
+    for r in range(n_merges):
         top = (
             _bpe_pair_top1(v)
             .select(F.lit(r + 1).cast("int").alias("merge_rank"), "p1", "p2", "cnt")
             .localCheckpoint(eager=True)
         )
         tops.append(top)
-        if r < _BPE_MERGES - 1:
+        if r < n_merges - 1 or apply_last:
             v = _bpe_apply_merge(v, top).localCheckpoint(eager=True)
-    out = tops[0]
-    for t in tops[1:]:
-        out = out.unionAll(t)
-    return out.select(
-        "merge_rank",
-        "p1",
-        "p2",
-        F.concat("p1", "p2").alias("merged"),
-        "cnt",
-    ).orderBy("merge_rank")
+    return tops, v
+
+
+@query(
+    "q_bpe_tokenize",
+    oracle=_bpe_merges_oracle(emit="tokens"),
+    doc=(
+        "Tokenizer APPLY — the consumer half of q_bpe_merges' training "
+        "loop: run the 3 trained merges over the corpus vocabulary and "
+        "emit the resulting top-20 token frequencies (the sanity report "
+        "every tokenizer build ships: which subwords exist after "
+        "training, weighted by corpus occurrence). Scale shape is the "
+        "training loop's: corpus collapses to the vocab once, merges are "
+        "row-local folds, and the final token count re-weights by word "
+        "count — an aggregate over |V| x avg_len rows, never the raw "
+        "corpus. In production the merge list is frozen and broadcast; "
+        "applying it to unseen text is the same fold with the trained "
+        "pairs, so this query IS the distributed tokenization plan."
+    ),
+)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str):
+    _, v = _bpe_train(spark, sf_dir, _BPE_MERGES, apply_last=True)
+    return (
+        v.select(F.explode("syms").alias("token"), "wc")
+        .groupBy("token")
+        .agg(F.sum("wc").cast("bigint").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), "token")
+        .limit(20)
+    )

@@ -65,6 +65,11 @@ QUERIES = [
     "q_lorenz",
     "q_split_leakage",
     "q_cross_source_dups",
+    # r7 additions measured the round they ship.
+    "q_bpe_merges",
+    "q_bpe_tokenize",
+    "q_macd",
+    "q_bloom_probe",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",
@@ -258,10 +263,21 @@ def main() -> None:
     ap.add_argument("--mult", type=int, default=10)
     ap.add_argument("--sf-dir", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     ap.add_argument("--out", default=None)
+    ap.add_argument(
+        "--only",
+        default=None,
+        help=(
+            "Comma-separated query names: probe just these and MERGE their "
+            "rows into an existing --out file (so newly shipped queries get "
+            "their measured point without re-running the whole sweep)."
+        ),
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="ctdp-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
+
+    names = QUERIES if not args.only else [n.strip() for n in args.only.split(",") if n.strip()]
 
     big_dir = tempfile.mkdtemp(prefix="ctdp_scale10_")
     try:
@@ -270,7 +286,12 @@ def main() -> None:
         synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
         synthesize_events(spark, args.sf_dir, big_dir, args.mult)
         report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
-        for name in QUERIES:
+        if args.only and args.out and os.path.exists(args.out):
+            with open(args.out) as f:
+                prior = json.load(f)
+            if prior.get("mult") == args.mult and isinstance(prior.get("queries"), dict):
+                report["queries"].update(prior["queries"])
+        for name in names:
             one = run_one(spark, name, args.sf_dir)
             ten = run_one(spark, name, big_dir)
             ratio = round(ten["wall_sec"] / one["wall_sec"], 2) if one["wall_sec"] else None

@@ -273,3 +273,38 @@ def test_bpe_merge_fold_greedy_semantics(spark):
     tied = vocab_of(["ab", "cd"])
     top = _bpe_pair_top1(tied).collect()[0]
     assert (top.p1, top.p2, top.cnt) == ("a", "b", 1)
+
+
+def test_bloom_probe_no_false_negatives(spark, tmp_path):
+    """Bloom's one-sided guarantee on a synthetic corpus with GUARANTEED
+    members: every probe doc whose normalized text also exists below the
+    cutoff MUST pass the filter (false negatives are impossible by
+    construction; false positives are allowed and counted separately).
+    The fixtures have almost no cross-cutoff duplicates, so the driver's
+    hash oracle alone never exercises the membership path."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    rows = []
+    # 60 bench docs (doc_id < 400), unique texts.
+    for i in range(60):
+        rows.append((i, f"src{i % 3}", f"bench document body number {i} with words"))
+    # 30 probe docs: 10 exact copies (members), 10 case/space variants
+    # (members after normalization), 10 fresh texts (non-members).
+    for j in range(10):
+        rows.append((400 + j, f"src{j % 3}", f"bench document body number {j} with words"))
+    for j in range(10):
+        rows.append((410 + j, f"src{j % 3}", f"  BENCH document   body number {10 + j} WITH words "))
+    for j in range(10):
+        rows.append((420 + j, f"src{j % 3}", f"completely novel probe text {j} nowhere in bench"))
+    d = tmp_path / "corpus"
+    d.mkdir()
+    spark.createDataFrame(rows, "doc_id long, source string, text string").write.parquet(
+        str(d / "documents.parquet")
+    )
+    out = {r.source: r for r in REGISTRY["q_bloom_probe"].fn(spark, str(d)).collect()}
+    assert sum(r.n_probe for r in out.values()) == 30
+    assert sum(r.n_true for r in out.values()) == 20  # exact + normalized copies
+    for r in out.values():
+        # one-sided error: every member passes the filter
+        assert r.n_bloom_pass >= r.n_true, r
+        assert r.n_false_pos == r.n_bloom_pass - r.n_true >= 0, r

@@ -587,3 +587,83 @@ def test_pagerank_matches_bruteforce(spark, pairs):
         assert got == pr, (sorted(und), got, pr)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 2),      # day offset
+            st.integers(0, 59),     # minute within the day's hour
+            st.floats(1.0, 500.0, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_macd_matches_python_fold(spark, ticks):
+    """q_macd vs an exact-IEEE Python replica of the same sequential
+    folds on random tick series — the two-sided-oracle defense (Spark and
+    DuckDB could both encode a wrong recursion; an independent replica
+    cannot). Covers single-bar days, repeated minutes (max_by(ts) close
+    picks), and multi-day signal prefixes."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    base = datetime(2024, 3, 1, 9, 0, 0)
+    rows = []
+    for k, (d, m, v) in enumerate(ticks):
+        # unique ts per tick (seconds = tick index) so max_by(value, ts)
+        # has no ties — the fixture's property too
+        ts = base + timedelta(days=d, minutes=m, seconds=k % 60, microseconds=k)
+        rows.append((k, ts, 1, "SYM", float(v), "{}"))
+    d_ = tempfile.mkdtemp(prefix="macd_prop_")
+    try:
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{d_}/events.parquet")
+        got = {
+            (r.symbol, str(r.day)): (r.macd, r.signal, r.hist)
+            for r in REGISTRY["q_macd"].fn(spark, d_).collect()
+        }
+
+        # Python replica: identical fold, identical constants; close per
+        # minute = value of the max-ts (= max tick index) tick.
+        latest = {}
+        for k, (d, m, v) in enumerate(ticks):
+            key = (d, m)
+            if key not in latest or k > latest[key][0]:
+                latest[key] = (k, float(v))
+        perday = defaultdict(list)
+        for (d, m) in sorted(latest):
+            day = (base + timedelta(days=d)).date()
+            perday[day].append(latest[(d, m)][1])
+
+        def ema(seq, a):
+            acc = seq[0]
+            for x in seq[1:]:
+                acc = a * x + (1.0 - a) * acc
+            return acc
+
+        days = sorted(perday)
+        macds = [
+            ema(perday[day], 2.0 / 13.0) - ema(perday[day], 2.0 / 27.0)
+            for day in days
+        ]
+        want = {}
+        for i, day in enumerate(days):
+            sig = ema(macds[: i + 1], 2.0 / 10.0)
+            r6 = lambda x: round(x, 6)  # noqa: E731
+            want[("SYM", str(day))] = (r6(macds[i]), r6(sig), r6(macds[i] - sig))
+        assert set(got) == set(want)
+        for k in want:
+            for a, b in zip(got[k], want[k]):
+                assert a == b, (k, got[k], want[k])
+    finally:
+        shutil.rmtree(d_, ignore_errors=True)
