@@ -61,6 +61,7 @@ HEADLINE = [
     # and the append-batch near-dup screen (steady-state ingest shape).
     "q_ann_ivfpq",
     "q_ann_ivfpq_probe3",
+    "q_ann_rerank",
     "q_neardup_incremental",
     # r3 additions: curation family, SemDeDup, star components, bands.
     "q_quality_gopher",
@@ -111,6 +112,7 @@ HEADLINE = [
     "q_market_beta",
     "q_macd",
     "q_bloom_probe",
+    "q_embed_quantize",
     "q_interp_linear",
     "q_corpus_diff",
     "q_char_entropy",

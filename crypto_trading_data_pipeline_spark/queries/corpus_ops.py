@@ -1219,3 +1219,90 @@ def q_bloom_probe(spark: SparkSession, sf_dir: str):
             .alias("n_false_pos"),
         )
     )
+
+
+@query(
+    "q_embed_quantize",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), s AS (
+      SELECT vec_id, label, v,
+             CASE WHEN m = 0.0 THEN 1.0 ELSE m / 127.0 END AS scale
+      FROM (SELECT vec_id, label, v,
+                   list_max(list_transform(v, x -> abs(x))) AS m
+            FROM e)
+    ), c AS (
+      SELECT vec_id, label, scale, v,
+             list_transform(v, x -> greatest(-127.0, least(127.0,
+                                             floor(x / scale + 0.5)))) AS codes
+      FROM s
+    ), err AS (
+      SELECT label,
+             CAST(floor(list_aggregate(
+                    list_transform(range(1, len(v) + 1),
+                      i -> (v[i] - codes[i] * scale) * (v[i] - codes[i] * scale)),
+                    'sum') * 1000000000.0 + 0.5) AS BIGINT) AS e9
+      FROM c
+    )
+    SELECT label,
+           CAST(count(*) AS BIGINT) AS n_vecs,
+           CAST(sum(e9) AS BIGINT) AS sum_err_nano,
+           round(1.0 * sum(e9) / count(*) / 1000000000.0, 6) AS avg_mse
+    FROM err GROUP BY label
+    """,
+    doc=(
+        "Symmetric int8 embedding quantization with per-vector max-abs "
+        "scaling — the storage-compression step an embedding warehouse "
+        "runs before indexing (float32 -> int8 is 4x fewer bytes; PQ "
+        "compresses further but loses the vector, int8 keeps it usable "
+        "for exact re-ranking). Everything is ROW-LOCAL codegen: scale = "
+        "maxabs/127, code = clamp(floor(x/scale + 0.5)) (explicit floor "
+        "half-up — engine round() ties disagree), and the per-vector "
+        "reconstruction MSE folds left-to-right exactly like both "
+        "engines' list sums, then quantizes to integer NANO-UNITS so the "
+        "per-label aggregate is an exact int64 sum — bit-identical at any "
+        "parallelism, where a double MSE sum would drift with partition "
+        "order. Output is |labels| rows: count, exact error mass, and the "
+        "avg MSE a compression dashboard tracks. The zero-vector guard "
+        "(scale=1) keeps ANSI division live-safe."
+    ),
+)
+def q_embed_quantize(spark: SparkSession, sf_dir: str):
+    from ..operators.scale import fan_out
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select("vec_id", "label", as_double_vec(F.col("embedding")).alias("v"))
+    maxabs = F.array_max(F.transform(F.col("v"), lambda x: F.abs(x)))
+    s = n.withColumn(
+        "scale",
+        F.when(maxabs == 0.0, F.lit(1.0)).otherwise(maxabs / F.lit(127.0)),
+    )
+    codes = F.transform(
+        F.col("v"),
+        lambda x: F.greatest(
+            F.lit(-127.0),
+            F.least(F.lit(127.0), F.floor(x / F.col("scale") + F.lit(0.5))),
+        ),
+    )
+    c = s.withColumn("codes", codes)
+    sq = F.aggregate(
+        F.zip_with(
+            F.col("v"),
+            F.col("codes"),
+            lambda x, cd: (x - cd * F.col("scale")) * (x - cd * F.col("scale")),
+        ),
+        F.lit(0.0),
+        lambda acc, y: acc + y,
+    )
+    err = c.select(
+        "label",
+        F.floor(sq * F.lit(1000000000.0) + F.lit(0.5)).cast("bigint").alias("e9"),
+    )
+    return err.groupBy("label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+        F.sum("e9").cast("bigint").alias("sum_err_nano"),
+        F.round(
+            F.lit(1.0) * F.sum("e9") / F.count(F.lit(1)) / F.lit(1000000000.0), 6
+        ).alias("avg_mse"),
+    )

@@ -637,9 +637,11 @@ _PQ_M, _PQ_DSUB, _PQ_K = 4, 16, 8
 _PQ_N_QUERIES = 5
 
 
-@query(
-    "q_ann_pq",
-    oracle=f"""
+def _pq_oracle_core() -> str:
+    """The PQ CTE chain (split -> codebook -> encode -> ADC scores) shared
+    by q_ann_pq's oracle and q_ann_rerank's (single source of truth for
+    the DuckDB twin of the codebook/encoding arithmetic)."""
+    return f"""
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), sub AS (
@@ -667,7 +669,13 @@ _PQ_N_QUERIES = 5
       JOIN cb ON cb.j = x.j AND cb.code = x.code
       WHERE q.vec_id < {_PQ_N_QUERIES}
       GROUP BY q.vec_id, x.vec_id
-    )
+    )"""
+
+
+@query(
+    "q_ann_pq",
+    oracle=_pq_oracle_core()
+    + """
     SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rnk FROM (
       SELECT *, row_number() OVER (
         PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
@@ -805,8 +813,8 @@ def _pq_query_structs(q_rows, cb, qcents=None):
     return F.array(*structs)
 
 
-def _pq_adc_topk(probed):
-    """ADC scoring + per-query top-3 over an exploded (codes, q-struct)
+def _pq_adc_topk(probed, k: int = 3):
+    """ADC scoring + per-query top-k over an exploded (codes, q-struct)
     frame: distance is 4 lookups into the query's LUT literal — row-local —
     and the only shuffle in the whole PQ path is this final rank window."""
     scored = probed.select(
@@ -825,8 +833,87 @@ def _pq_adc_topk(probed):
     wr = Window.partitionBy("query_id").orderBy("adist", "neighbor_id")
     return (
         scored.withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= k)
         .select("query_id", "neighbor_id", "adist", "rnk")
+    )
+
+
+#: Two-stage retrieval: the PQ ADC scan nominates _RERANK_CAND candidates
+#: per query; the exact-cosine re-rank keeps _RERANK_K. Candidates per
+#: query bound the exact-distance work regardless of corpus size.
+_RERANK_CAND, _RERANK_K = 32, 5
+
+
+@query(
+    "q_ann_rerank",
+    oracle=_pq_oracle_core()
+    + f""", cand AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT *, row_number() OVER (
+          PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= {_RERANK_CAND}
+    ), n2 AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    )
+    SELECT query_id, neighbor_id, sim, CAST(rn2 AS INTEGER) AS rnk FROM (
+      SELECT c.query_id, c.neighbor_id,
+             round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS sim,
+             row_number() OVER (
+               PARTITION BY c.query_id
+               ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+                        c.neighbor_id
+             ) AS rn2
+      FROM cand c
+      JOIN n2 q ON q.vec_id = c.query_id
+      JOIN n2 x ON x.vec_id = c.neighbor_id
+    ) WHERE rn2 <= {_RERANK_K}
+    """,
+    doc=(
+        "Two-stage ANN retrieval — the standard production serving stack "
+        "the single-stage paths approximate: stage 1 is the PQ ADC scan "
+        "(compressed codes, LUT lookups, row-local) nominating the top-32 "
+        "candidates per query; stage 2 fetches ONLY those candidates' "
+        "full vectors and re-ranks them by exact cosine to the final "
+        "top-5. The candidate fetch broadcasts the tiny candidate list "
+        "(|queries| x 32 rows) against the corpus scan — the corpus is "
+        "never shuffled, exact-distance work is bounded by the candidate "
+        "budget however large the index, and the recall/cost trade is "
+        "two independent knobs (candidates swept in "
+        "tests/test_ann_recall.py, where rerank recall dominates the raw "
+        "ADC ranking's). This is FAISS's search-then-refine layout in "
+        "pure DataFrame ops."
+    ),
+)
+def q_ann_rerank(spark: SparkSession, sf_dir: str):
+    emb = read_table(spark, sf_dir, "embeddings")
+    cb, q_rows = _pq_collect_cb_queries(emb)
+    n = fan_out(emb).select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    enc = _pq_encode(n, cb)
+    probed = enc.withColumn("q", F.explode(_pq_query_structs(q_rows, cb))).filter(
+        F.col("vec_id") != F.col("q.query_id")
+    )
+    cand = _pq_adc_topk(probed, k=_RERANK_CAND).select("query_id", "neighbor_id")
+    full = n.select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("v").alias("nv"),
+        l2_norm(F.col("v")).alias("nnrm"),
+    )
+    qdf = spark.createDataFrame(
+        [(int(qid), v) for qid, v in sorted(q_rows.items())],
+        "query_id bigint, qv array<double>",
+    ).withColumn("qnrm", l2_norm(F.col("qv")))
+    sim = F.round(
+        dot(F.col("qv"), F.col("nv")) / (F.col("qnrm") * F.col("nnrm")), 6
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), "neighbor_id")
+    return (
+        full.join(F.broadcast(cand), "neighbor_id")
+        .join(F.broadcast(qdf), "query_id")
+        .withColumn("sim", sim)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= _RERANK_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
     )
 
 

@@ -1545,7 +1545,15 @@ def _bpe_apply_merge(vocab, top1):
         ),
         lambda b: b,
     )
-    return vocab.crossJoin(F.broadcast(top1.select("p1", "p2"))).select(
+    # LEFT join on TRUE, not crossJoin: an EMPTY merge table (a corpus
+    # with no adjacent pairs left) must make the merge a NO-OP, not
+    # annihilate the vocabulary — with p1/p2 NULL the guard predicate is
+    # NULL and every word passes through unchanged (the oracle's scalar
+    # subqueries behave identically). Caught by the BPE property test's
+    # single-word corpus.
+    return vocab.join(
+        F.broadcast(top1.select("p1", "p2")), F.lit(True), "left"
+    ).select(
         "w",
         "wc",
         F.when(

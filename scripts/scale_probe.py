@@ -70,6 +70,8 @@ QUERIES = [
     "q_bpe_tokenize",
     "q_macd",
     "q_bloom_probe",
+    "q_ann_rerank",
+    "q_embed_quantize",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",

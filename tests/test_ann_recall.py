@@ -129,3 +129,30 @@ def test_nprobe_recall_monotone_vs_ground_truth(spark, exact_top3):
 
     r1, r3 = recall("q_ann_ivfpq"), recall("q_ann_ivfpq_probe3")
     assert r3 >= r1, (r1, r3)
+
+
+def test_rerank_dominates_raw_adc(spark, exact_top3):
+    """The two-stage contract: exact-cosine re-ranking of the PQ ADC's
+    top-32 candidates must recover most of the TRUE cosine top-3 and
+    strictly dominate the raw ADC ranking on the same ground metric
+    (measured deterministic values at sf0.01: 0.667 vs 0.133 — the
+    refine stage is worth 5x recall at a 32-candidate budget)."""
+    top3, _ = exact_top3
+
+    def result_sets(name):
+        got: dict[int, set] = {}
+        for r in REGISTRY[name].fn(spark, SF).collect():
+            got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
+        return got
+
+    def cos_recall(name):
+        got = result_sets(name)
+        return float(
+            np.mean(
+                [len(got.get(q, set()) & top3(q, "cos")) / K for q in range(N_QUERIES)]
+            )
+        )
+
+    raw, rr = cos_recall("q_ann_pq"), cos_recall("q_ann_rerank")
+    assert rr > raw, (raw, rr)
+    assert rr >= 0.60, rr

@@ -667,3 +667,89 @@ def test_macd_matches_python_fold(spark, ticks):
                 assert a == b, (k, got[k], want[k])
     finally:
         shutil.rmtree(d_, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.text(alphabet="abc", min_size=1, max_size=6),
+            min_size=1,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_bpe_train_matches_python_replica(spark, docs):
+    """The whole BPE loop (q_bpe_merges + q_bpe_tokenize) vs an
+    independent Python trainer on random tiny corpora over {a,b,c} — the
+    alphabet forces heavy pair collisions, argmax ties, single-char
+    words, and p1==p2 runs, exactly the cases where Spark's fold and the
+    oracle's islands-parity could both be wrong the same way."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="bpe_prop_")
+    try:
+        rows = [(i, "src0", " ".join(words)) for i, words in enumerate(docs)]
+        spark.createDataFrame(
+            rows, "doc_id long, source string, text string"
+        ).write.parquet(f"{d}/documents.parquet")
+
+        # Python replica.
+        wc = Counter(w for words in docs for w in words if w != "")
+        vocab = {w: [list(w), c] for w, c in wc.items()}
+
+        def pair_counts():
+            pc = Counter()
+            for syms, c in vocab.values():
+                for a, b in zip(syms, syms[1:]):
+                    pc[(a, b)] += c
+            return pc
+
+        def merge(p1, p2):
+            for w, (syms, c) in vocab.items():
+                out = []
+                for s_ in syms:
+                    if out and out[-1] == p1 and s_ == p2:
+                        out[-1] = p1 + p2
+                    else:
+                        out.append(s_)
+                vocab[w] = [out, c]
+
+        merges = []
+        for rank in range(3):
+            pc = pair_counts()
+            if not pc:
+                break
+            (p1, p2), cnt = min(
+                pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            merges.append((rank + 1, p1, p2, p1 + p2, cnt))
+            merge(p1, p2)
+
+        got_merges = [
+            (r.merge_rank, r.p1, r.p2, r.merged, r.cnt)
+            for r in REGISTRY["q_bpe_merges"].fn(spark, d).collect()
+        ]
+        # A corpus can run out of pairs before 3 rounds; the query then
+        # has fewer rows too (top1 of an empty pair table is empty).
+        assert got_merges == merges[: len(got_merges)]
+        assert len(got_merges) == len(merges)
+
+        toks = Counter()
+        for syms, c in vocab.values():
+            for s_ in syms:
+                toks[s_] += c
+        want_top = sorted(toks.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+        got_top = [
+            (r.token, r.cnt)
+            for r in REGISTRY["q_bpe_tokenize"].fn(spark, d).collect()
+        ]
+        assert got_top == want_top
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
