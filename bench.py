@@ -113,6 +113,7 @@ HEADLINE = [
     "q_macd",
     "q_bloom_probe",
     "q_embed_quantize",
+    "q_sample_weighted_topk",
     "q_interp_linear",
     "q_corpus_diff",
     "q_char_entropy",

@@ -835,6 +835,56 @@ def q_sample_weighted(spark: SparkSession, sf_dir: str):
     return docs.filter(frac < weight).select("doc_id", "lang", "n_chars")
 
 
+#: Weighted-without-replacement sample size (Efraimidis-Spirakis A-Res).
+_WTOPK_K = 200
+
+
+@query(
+    "q_sample_weighted_topk",
+    oracle=f"""
+    SELECT doc_id, lang, n_chars, key
+    FROM (
+      SELECT doc_id, lang, n_chars,
+             round(pow(({dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")} + 1)
+                       / {dedup_hash.MINHASH_P + 1}.0,
+                   1.0 / CAST(greatest(n_chars, 1) AS DOUBLE)), 12) AS key
+      FROM documents
+    )
+    ORDER BY key DESC, doc_id LIMIT {_WTOPK_K}
+    """,
+    doc=(
+        "Weighted sampling WITHOUT replacement (Efraimidis-Spirakis 2006 "
+        "A-Res): each doc draws u = (hash+1)/(P+1) from its stable id "
+        "hash and keys as u^(1/weight); the k largest keys are EXACTLY a "
+        "weight-proportional draw without replacement — the fixed-BUDGET "
+        "complement of q_sample_weighted's Bernoulli form (which only "
+        "controls the expected size). Deterministic end to end: the "
+        "'randomness' is the id hash, so the draw is reproducible, "
+        "engine-invariant, and append-stable; keys are rounded to 12 "
+        "decimals before ranking so a last-ulp pow() divergence between "
+        "engines' libm cannot flip the selection boundary (adjacent keys "
+        "differ by ~1e-6; the rounding step is 1e-12). Plan: pure narrow "
+        "key computation + orderBy/limit = TakeOrderedAndProject "
+        "(per-partition heaps, driver merges k rows) — no global sort, no "
+        "single-partition window, at any corpus size."
+    ),
+)
+def q_sample_weighted_topk(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    u = (
+        dedup_hash.token_hash(F.col("doc_id").cast("string")) + 1
+    ) / F.lit(float(dedup_hash.MINHASH_P + 1))
+    key = F.round(
+        F.pow(u, F.lit(1.0) / F.greatest(F.col("n_chars"), F.lit(1)).cast("double")),
+        12,
+    )
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("key"))
+        .orderBy(F.col("key").desc(), "doc_id")
+        .limit(_WTOPK_K)
+    )
+
+
 @query(
     "q_dedup_incremental",
     oracle="""

@@ -308,3 +308,24 @@ def test_bloom_probe_no_false_negatives(spark, tmp_path):
         # one-sided error: every member passes the filter
         assert r.n_bloom_pass >= r.n_true, r
         assert r.n_false_pos == r.n_bloom_pass - r.n_true >= 0, r
+
+
+def test_weighted_topk_overrepresents_heavy_docs(spark, sf_dir):
+    """The A-Res draw must actually be weight-proportional, not just
+    deterministic: the 200 selected docs' mean length must exceed the
+    corpus mean (a uniform sampler centers on it), and re-running yields
+    the identical set (the reproducibility contract)."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    fn = REGISTRY["q_sample_weighted_topk"].fn
+    s1 = fn(spark, sf_dir).collect()
+    s2 = fn(spark, sf_dir).collect()
+    assert sorted(r.doc_id for r in s1) == sorted(r.doc_id for r in s2)
+    sample_mean = sum(r.n_chars for r in s1) / len(s1)
+    corpus_mean = (
+        read_table(spark, sf_dir, "documents").agg(F.avg("n_chars")).collect()[0][0]
+    )
+    assert sample_mean > corpus_mean, (sample_mean, corpus_mean)
