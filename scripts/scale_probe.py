@@ -72,6 +72,7 @@ QUERIES = [
     "q_bloom_probe",
     "q_ann_rerank",
     "q_embed_quantize",
+    "q_sample_weighted_topk",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",

@@ -753,3 +753,90 @@ def test_bpe_train_matches_python_replica(spark, docs):
         assert got_top == want_top
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(-2.0, 2.0, allow_nan=False, allow_infinity=False, width=32),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=16,
+        max_size=40,
+    )
+)
+def test_kmeans_ivf_matches_python_replica(spark, vecs):
+    """q_kmeans_ivf (integer-quantized 3-round Lloyd, k=16) vs an
+    independent Python replica on random small vector sets — the
+    two-sided-oracle defense for the trainer the r7 driver window leads
+    with: hash-seeded init order, micro-unit quantization (HALF_UP like
+    Spark's round), integer argmin with lowest-index ties, exact integer
+    means re-rounded HALF_UP, and empty clusters keeping their previous
+    centroid all cross-checked end to end."""
+    import hashlib
+    import shutil
+    import tempfile
+    from collections import Counter, defaultdict
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _KMEANS_IVF_ITERS,
+        _KMEANS_IVF_K,
+        _KMEANS_IVF_SCALE,
+    )
+
+    d = tempfile.mkdtemp(prefix="kmeans_prop_")
+    try:
+        rows = [
+            (i, [float(np.float32(x)) for x in v], 0) for i, v in enumerate(vecs)
+        ]
+        spark.createDataFrame(
+            rows, "vec_id long, embedding array<float>, label int"
+        ).write.parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.cluster: r.n_vectors
+            for r in REGISTRY["q_kmeans_ivf"].fn(spark, d).collect()
+        }
+
+        # ---- replica (exact integer Lloyd, Spark round semantics) ----
+        P = 2_147_483_647
+
+        def half_up(x: float) -> int:
+            return int(
+                Decimal(repr(x)).quantize(Decimal("1"), rounding=ROUND_HALF_UP)
+            )
+
+        def token_hash(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % P
+
+        qv = {
+            i: [half_up(float(np.float32(x)) * _KMEANS_IVF_SCALE) for x in v]
+            for i, v in enumerate(vecs)
+        }
+        seed_ids = sorted(qv, key=lambda i: (token_hash(str(i)), i))[:_KMEANS_IVF_K]
+        cents = [list(qv[i]) for i in seed_ids]
+
+        def assign(v):
+            best = min(
+                range(len(cents)),
+                key=lambda c: (sum((a - b) ** 2 for a, b in zip(v, cents[c])), c),
+            )
+            return best
+
+        for _ in range(_KMEANS_IVF_ITERS):
+            members = defaultdict(list)
+            for i, v in qv.items():
+                members[assign(v)].append(v)
+            for c, vs in members.items():
+                cents[c] = [
+                    half_up(sum(col) / len(vs)) for col in zip(*vs)
+                ]
+        want = Counter(assign(v) for v in qv.values())
+        assert got == dict(want), (got, dict(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
