@@ -346,6 +346,7 @@ def main() -> None:
     load_before = _loadavg()
     timings: dict[str, float] = {}
     spreads: dict[str, float] = {}
+    spreads_steady: dict[str, float] = {}
     errors: dict[str, str] = {}
     for name in names:
         fn = REGISTRY[name].fn
@@ -364,6 +365,14 @@ def main() -> None:
                 run_secs.append(time.perf_counter() - t0)
             timings[name] = round(min(run_secs), 3)
             spreads[name] = round(max(run_secs) / max(min(run_secs), 1e-9), 2)
+            # Steady-state spread excludes run 1 (every plan pays its own
+            # whole-stage-codegen compile there — a per-query constant the
+            # all-runs spread deliberately still exposes). >2 HERE with
+            # high load is the unambiguous contended-measurement signal.
+            steady = run_secs[1:]
+            spreads_steady[name] = round(
+                max(steady) / max(min(steady), 1e-9), 2
+            )
         except Exception as exc:  # noqa: BLE001 — record and keep measuring
             # `or [""]`: an empty exception message must not IndexError
             # inside the very handler that keeps the bench alive.
@@ -401,6 +410,7 @@ def main() -> None:
         "load_avg_before": load_before,
         "load_avg_after": load_after,
         "run_spread": spreads,
+        "run_spread_steady": spreads_steady,
         "sf": sf,
         **stream_stats,
     }
@@ -424,6 +434,7 @@ def main() -> None:
         if k not in (
             "deltas_vs_prev",
             "run_spread",
+            "run_spread_steady",
             "runs_per_query",
             "timing",
             "load_avg_before",
@@ -450,6 +461,9 @@ def main() -> None:
     if spreads:
         worst = max(spreads, key=spreads.get)
         compact["noisiest"] = [worst, spreads[worst]]
+    if spreads_steady:
+        worst = max(spreads_steady, key=spreads_steady.get)
+        compact["noisiest_steady"] = [worst, spreads_steady[worst]]
     print(json.dumps(compact, separators=(",", ":")), flush=True)
     # Full record to a sidecar file (the driver's stdout tail buffer
     # truncated r3's long line into parsed:null).
