@@ -533,7 +533,7 @@ def test_triangle_count_matches_bruteforce(spark, edges):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(1, 8), st.integers(1, 8)),
@@ -589,7 +589,7 @@ def test_pagerank_matches_bruteforce(spark, pairs):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -669,7 +669,7 @@ def test_macd_matches_python_fold(spark, ticks):
         shutil.rmtree(d_, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     st.lists(
         st.lists(
@@ -755,7 +755,7 @@ def test_bpe_train_matches_python_replica(spark, docs):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     st.lists(
         st.lists(
@@ -838,5 +838,67 @@ def test_kmeans_ivf_matches_python_replica(spark, vecs):
                 ]
         want = Counter(assign(v) for v in qv.values())
         assert got == dict(want), (got, dict(want))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 30),  # minute slot on a 31-slot grid
+            st.floats(1.0, 400.0, allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=12,
+        unique_by=lambda t: t[0],
+    )
+)
+def test_interp_linear_matches_numpy(spark, obs):
+    """q_interp_linear vs numpy.interp on random sparse tick patterns —
+    covers single-observation series, adjacent observations (zero-length
+    gaps), leading/trailing gaps (nearest-fallback, which numpy.interp
+    also does), and long interior gaps. The DESC-running-frame rewrite is
+    exactly the kind of clever plan a shared wrong formula could hide in;
+    numpy is the independent arbiter."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    import numpy as np
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    base = datetime(2024, 5, 1, 12, 0, 0)
+    d = tempfile.mkdtemp(prefix="interp_prop_")
+    try:
+        rows = [
+            (k, base + timedelta(minutes=m, seconds=5), 1, "SYM", float(v), "{}")
+            for k, (m, v) in enumerate(obs)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.minute.minute + 60 * r.minute.hour: (r.close, r.is_gap)
+            for r in REGISTRY["q_interp_linear"].fn(spark, d).collect()
+        }
+
+        slots = sorted(m for m, _ in obs)
+        vals = {m: v for m, v in obs}
+        lo, hi = slots[0], slots[-1]
+        xs = np.array(slots, dtype=float)
+        ys = np.array([vals[m] for m in slots], dtype=float)
+        import math
+
+        for m in range(lo, hi + 1):
+            want = float(np.interp(m, xs, ys))
+            want = math.floor(want * 10000.0 + 0.5) / 10000.0
+            gotv, is_gap = got[12 * 60 + m]  # grid minute -> minutes-of-day key
+            assert is_gap == (m not in vals), (m, got)
+            assert abs(gotv - want) <= 1e-4, (m, gotv, want)
+        assert len(got) == hi - lo + 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
