@@ -1623,7 +1623,10 @@ def q_approx_percentile(spark: SparkSession, sf_dir: str):
     # job. None (unknown layout) falls back to the 1e7 floor — exact
     # through ~sf1.6, and beyond that the doc's caveat applies.
     n_rows = parquet_row_count(sf_dir, "lineitem") or 0
-    accuracy = max(10_000_000, 2 * n_rows)
+    # ApproximatePercentile validates accuracy in [1, Int.MaxValue]; past
+    # ~1.07e9 rows (sf ~190) clamp and degrade to the documented
+    # approximate regime instead of failing analysis.
+    accuracy = min(max(10_000_000, 2 * n_rows), 2_147_483_647)
     pct = F.percentile_approx("l_extendedprice", [0.5, 0.9, 0.99], accuracy)
     return li.groupBy("l_returnflag").agg(
         pct[0].alias("p50"), pct[1].alias("p90"), pct[2].alias("p99")

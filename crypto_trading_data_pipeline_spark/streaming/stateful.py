@@ -385,16 +385,22 @@ def streaming_decay_scores(
     input is an instant, and Arrow would hand pandas its wall clock in
     spark.sql.session.timeZone — under a non-UTC session an event near
     midnight UTC lands on the wrong day and breaks the bit-for-bit
-    streaming==batch guarantee. So LTZ input is shifted to its UTC wall
-    clock and cast to NTZ *before* the stateful operator (NTZ crosses
-    Arrow untouched); NTZ input passes through as-is."""
+    streaming==batch guarantee. So LTZ input is rebuilt as its UTC wall
+    clock in NTZ *before* the stateful operator (NTZ crosses Arrow
+    untouched); NTZ input passes through as-is. The rebuild is epoch
+    arithmetic (unix_micros added onto the NTZ epoch), NOT a
+    to_utc_timestamp round trip: to_utc_timestamp reinterprets the
+    session-tz rendering as a local wall time, which is ambiguous or
+    nonexistent for ~2h/year around the session zone's DST transitions
+    and would shift those events by the DST delta. unix_micros reads the
+    instant directly, so no calendar reinterpretation happens at all."""
     from pyspark.sql.types import TimestampType
+
+    from ..io import utc_wall_ntz
 
     ts_expr = F.col(ts_col)
     if isinstance(events.schema[ts_col].dataType, TimestampType):
-        ts_expr = F.to_utc_timestamp(ts_expr, F.expr("current_timezone()")).cast(
-            "timestamp_ntz"
-        )
+        ts_expr = utc_wall_ntz(ts_expr)
     projected = events.select(
         F.col(user_col).cast("long").alias("user_id"),
         ts_expr.alias("ts"),

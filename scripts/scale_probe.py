@@ -281,6 +281,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("WARN")
 
     names = QUERIES if not args.only else [n.strip() for n in args.only.split(",") if n.strip()]
+    if args.only:
+        # Fail in milliseconds on a typo, not with a KeyError after the
+        # expensive xmult synthesis has already run.
+        from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+        unknown = [n for n in names if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only names not in REGISTRY: {unknown}")
 
     big_dir = tempfile.mkdtemp(prefix="ctdp_scale10_")
     try:
@@ -292,7 +300,15 @@ def main() -> None:
         if args.only and args.out and os.path.exists(args.out):
             with open(args.out) as f:
                 prior = json.load(f)
-            if prior.get("mult") == args.mult and isinstance(prior.get("queries"), dict):
+            if prior.get("mult") != args.mult:
+                # Refuse rather than silently dropping the prior sweep and
+                # then overwriting its file with just this run's rows.
+                raise SystemExit(
+                    f"{args.out} holds a mult={prior.get('mult')} sweep; "
+                    f"--only at mult={args.mult} would destroy it. Pass "
+                    f"--mult {prior.get('mult')} or a different --out."
+                )
+            if isinstance(prior.get("queries"), dict):
                 report["queries"].update(prior["queries"])
         for name in names:
             one = run_one(spark, name, args.sf_dir)

@@ -139,20 +139,25 @@ def test_rerank_dominates_raw_adc(spark, exact_top3):
     refine stage is worth 5x recall at a 32-candidate budget)."""
     top3, _ = exact_top3
 
-    def result_sets(name):
+    def result_sets(name, max_rank=None):
         got: dict[int, set] = {}
         for r in REGISTRY[name].fn(spark, SF).collect():
+            if max_rank is not None and int(r.rnk) > max_rank:
+                continue
             got.setdefault(int(r.query_id), set()).add(int(r.neighbor_id))
         return got
 
-    def cos_recall(name):
-        got = result_sets(name)
+    def cos_recall(name, max_rank=None):
+        got = result_sets(name, max_rank)
         return float(
             np.mean(
                 [len(got.get(q, set()) & top3(q, "cos")) / K for q in range(N_QUERIES)]
             )
         )
 
-    raw, rr = cos_recall("q_ann_pq"), cos_recall("q_ann_rerank")
+    # Truncate the rerank result to the SAME top-3 budget as the raw ADC
+    # ranking — comparing a 5-deep set to a 3-deep set would credit the
+    # rerank stage for result-set size, not ranking quality.
+    raw, rr = cos_recall("q_ann_pq"), cos_recall("q_ann_rerank", max_rank=K)
     assert rr > raw, (raw, rr)
     assert rr >= 0.60, rr

@@ -889,3 +889,39 @@ def test_streaming_decay_utc_days_under_non_utc_session_tz(spark, tmp_path):
     assert latest[1].s == 1000 * (1 << (20 - 11))
     assert latest[2].n_events == 1
     assert latest[2].s == 200 * (1 << (20 - 1))
+
+
+def test_utc_wall_ntz_survives_dst_gaps_and_overlaps(spark):
+    """utc_wall_ntz must equal the instant's UTC wall clock under ANY
+    session timezone, including the ~1h/year where the UTC wall clock
+    names a local time the session zone skips at spring-forward. The
+    superseded to_utc_timestamp round trip resolved those nonexistent
+    local times by shifting an hour (e.g. 2024-03-10 02:30 UTC under
+    America/New_York came back as 03:30), which is exactly the class of
+    drift that would re-break the streaming==batch day contract."""
+    from datetime import datetime, timezone
+
+    from crypto_trading_data_pipeline_spark.io import utc_wall_ntz
+
+    cases = [
+        # (session tz, instant) — UTC wall inside the zone's skipped hour
+        ("America/New_York", datetime(2024, 3, 10, 2, 30, tzinfo=timezone.utc)),
+        ("America/Santiago", datetime(2024, 9, 8, 0, 30, tzinfo=timezone.utc)),
+        # fall-back overlap (ambiguous local rendering)
+        ("Europe/Chisinau", datetime(2024, 10, 26, 23, 15, tzinfo=timezone.utc)),
+        ("Europe/Chisinau", datetime(2024, 10, 27, 0, 15, tzinfo=timezone.utc)),
+        # half-hour-offset zone, minutes must survive too
+        ("Australia/Lord_Howe", datetime(2024, 10, 5, 14, 15, tzinfo=timezone.utc)),
+        # plain non-UTC control far from any transition
+        ("Asia/Tehran", datetime(2024, 6, 1, 12, 0, tzinfo=timezone.utc)),
+    ]
+    prev_tz = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        for tz, t in cases:
+            spark.conf.set("spark.sql.session.timeZone", tz)
+            df = spark.createDataFrame([(t,)], "ts timestamp")
+            got = df.select(utc_wall_ntz("ts").alias("w")).collect()[0].w
+            want = t.astimezone(timezone.utc).replace(tzinfo=None)
+            assert got == want, (tz, t, got, want)
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev_tz)
