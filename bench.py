@@ -120,6 +120,13 @@ HEADLINE = [
     "q_decay_score",
     "q_target_encoding",
     "q_embed_covariance",
+    # r7 additions measured the round they ship.
+    "q_ann_rerank",
+    "q_sample_weighted_topk",
+    "q_bm25",
+    "q_cooccur_ppmi",
+    "q_cms_portable",
+    "q_ks_test",
 ]
 
 

@@ -1715,3 +1715,231 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str):
         .orderBy(F.col("cnt").desc(), "token")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval scoring & distributional features (round 7)
+# ---------------------------------------------------------------------------
+
+#: BM25 hyperparameters (the Robertson/Lucene defaults) and a fixed probe
+#: query. Scores are emitted as MICRO-INTEGERS (floor(term*1e6+0.5) summed
+#: as BIGINT) so the cross-term addition is exact integer math — the one
+#: place FP summation order could differ between engines.
+_BM25_K1, _BM25_B = 1.2, 0.75
+_BM25_TERMS = ("merge", "scan", "window")
+_BM25_TOPK = 10
+
+
+@query(
+    "q_bm25",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), dl AS (
+      SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id
+    ), stats AS (
+      SELECT count(*) AS n, avg(dl) AS avgdl FROM dl
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf FROM toks
+      WHERE term IN {_BM25_TERMS!r}
+      GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, count(*) AS df FROM tf GROUP BY term
+    ), contrib AS (
+      SELECT tf.doc_id,
+             CAST(floor(
+               ln((stats.n - df.df + 0.5) / (df.df + 0.5) + 1.0)
+               * (tf.tf * ({_BM25_K1} + 1.0))
+               / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                  + {_BM25_B} * dl.dl / stats.avgdl))
+               * 1000000.0 + 0.5) AS BIGINT) AS c_micro
+      FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
+    )
+    SELECT doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
+             row_number() OVER (ORDER BY sum(c_micro) DESC, doc_id) AS rnk
+      FROM contrib GROUP BY doc_id
+    ) WHERE rnk <= {_BM25_TOPK}
+    """,
+    doc=(
+        "BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed "
+        "probe query — the scoring function behind corpus search and "
+        "RAG-time retrieval eval. One explode feeds BOTH aggregates "
+        "(per-doc length and query-term tf); df and the (n, avgdl) "
+        "scalars are tiny and broadcast; the only corpus-sized shuffle "
+        "is the dl aggregate the scorer joins on doc_id. Per-term "
+        "contributions are floored to micro-integers BEFORE the "
+        "cross-term sum, so the score is exact BIGINT arithmetic and "
+        "hash-stable across engines; final top-k is orderBy+limit "
+        "(TakeOrderedAndProject: per-partition heap + driver merge of "
+        "10 rows, no global sort). At 100 TB the df/idf table for a "
+        "full query workload is still |query vocab|-bounded and the "
+        "shape is unchanged."
+    ),
+)
+def q_bm25(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
+    ).filter(F.col("term").isNotNull())
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
+    tf = (
+        toks.filter(F.col("term").isin(*_BM25_TERMS))
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    idf = F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    denom = F.col("tf") + _BM25_K1 * (
+        1.0 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    c_micro = F.floor(
+        idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom * 1000000.0 + 0.5
+    ).cast("bigint")
+    scored = (
+        tf.join(F.broadcast(df), "term")
+        .join(dl, "doc_id")
+        .join(F.broadcast(stats))
+        .select("doc_id", c_micro.alias("c_micro"))
+        .groupBy("doc_id")
+        .agg(F.sum("c_micro").cast("bigint").alias("score_micro"))
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    # row_number over the already-limited 10 rows: the single-partition
+    # sort this window implies is bounded at TOPK regardless of scale.
+    return scored.withColumn("rnk", F.row_number().over(w))
+
+
+#: Co-occurrence window (token distance 1..2) and the minimum pair count
+#: that makes a PPMI estimate non-noise.
+_PPMI_MAX_DIST = 2
+_PPMI_MIN_PAIR = 5
+
+
+@query(
+    "q_cooccur_ppmi",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), pairs AS (
+      SELECT unnest(
+               [least(toks[i], toks[i + k]) || ' ' || greatest(toks[i], toks[i + k])
+                FOR i IN range(1, len(toks) - k + 1)]
+             ) AS pair
+      FROM t, range(1, {_PPMI_MAX_DIST} + 1) AS r(k)
+      WHERE len(toks) > k
+    ), pc AS (
+      SELECT pair, count(*) AS c_ab FROM pairs GROUP BY pair
+    ), uni AS (
+      SELECT unnest(toks) AS tok FROM t
+    ), uc AS (
+      SELECT tok, count(*) AS c FROM uni GROUP BY tok
+    ), tot AS (
+      SELECT (SELECT sum(c) FROM uc) AS t1, (SELECT sum(c_ab) FROM pc) AS tp
+    )
+    SELECT string_split(pair, ' ')[1] AS w1,
+           string_split(pair, ' ')[2] AS w2,
+           CAST(c_ab AS BIGINT) AS c_ab,
+           floor(greatest(
+             ln(c_ab * t1 * 1.0 * t1 / (tp * 1.0 * ua.c * ub.c)), 0.0
+           ) * 1000000.0 + 0.5) / 1000000.0 AS ppmi
+    FROM pc CROSS JOIN tot
+    JOIN uc ua ON ua.tok = string_split(pair, ' ')[1]
+    JOIN uc ub ON ub.tok = string_split(pair, ' ')[2]
+    WHERE c_ab >= {_PPMI_MIN_PAIR}
+    """,
+    doc=(
+        "Windowed co-occurrence counts + positive PMI (distance <= 2, "
+        "unordered pairs) — the classic distributional-semantics feature "
+        "build (word-embedding pretraining input, collocation mining). "
+        "Pair generation is ROW-LOCAL: each doc's token array emits its "
+        "own (i, i+k) pairs via sequence+transform inside codegen — no "
+        "self-join on position, nothing quadratic. The aggregates are "
+        "|vocab| and |vocab-pair| sized; unigram counts broadcast back "
+        "onto the pair table. At 100 TB the pair space is capped by "
+        "restricting to a top-K vocabulary first (the standard GloVe "
+        "recipe) — the plan shape is identical, only the pre-filter "
+        "changes. PPMI is one ln() over integer counts, floor-scale "
+        "rounded, so both engines hash-match."
+    ),
+)
+def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+
+    def pairs_at(k: int):
+        # Guarded: sequence(1, 0) in Spark steps DESCENDING ([1, 0]), so a
+        # doc with <= k tokens must short-circuit to an empty array.
+        return F.when(
+            F.size(toks) > k,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - k),
+                lambda i: F.concat_ws(
+                    " ",
+                    F.least(F.element_at(toks, i), F.element_at(toks, i + k)),
+                    F.greatest(F.element_at(toks, i), F.element_at(toks, i + k)),
+                ),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    all_pairs = F.concat(*[pairs_at(k) for k in range(1, _PPMI_MAX_DIST + 1)])
+    # explode_outer + null filter, NOT explode: explode(expr) lets Catalyst
+    # push size(expr)>0 into the scan filter, serializing the whole pair
+    # build into the scan task (see verify-skill explode-pushdown trap).
+    pc = (
+        fan_out(docs)
+        .select(F.explode_outer(all_pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .groupBy("pair")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+        .filter(F.col("c_ab") >= _PPMI_MIN_PAIR)
+    )
+    uc = (
+        fan_out(docs)
+        .select(F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    # Totals: t1 from the unigram aggregate, tp from the UNFILTERED pair
+    # stream (the min-count filter must not bias the denominator), both
+    # one-row broadcasts.
+    t1 = uc.agg(F.sum("c").alias("t1"))
+    tp = (
+        fan_out(docs)
+        .select(F.explode_outer(all_pairs).alias("pair"))
+        .filter(F.col("pair").isNotNull())
+        .agg(F.count(F.lit(1)).alias("tp"))
+    )
+    split_pair = F.split(F.col("pair"), " ")
+    with_words = pc.select(
+        F.element_at(split_pair, 1).alias("w1"),
+        F.element_at(split_pair, 2).alias("w2"),
+        "c_ab",
+    )
+    ua = uc.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
+    ub = uc.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    pmi = F.log(
+        F.col("c_ab")
+        * F.col("t1")
+        * 1.0
+        * F.col("t1")
+        / (F.col("tp") * 1.0 * F.col("ca") * F.col("cb"))
+    )
+    return (
+        with_words.join(F.broadcast(ua), "w1")
+        .join(F.broadcast(ub), "w2")
+        .join(F.broadcast(t1))
+        .join(F.broadcast(tp))
+        .select(
+            "w1",
+            "w2",
+            F.col("c_ab").cast("bigint").alias("c_ab"),
+            (
+                F.floor(F.greatest(pmi, F.lit(0.0)) * 1000000.0 + 0.5) / 1000000.0
+            ).alias("ppmi"),
+        )
+    )

@@ -3466,3 +3466,218 @@ def q_target_encoding(spark: SparkSession, sf_dir: str):
         "n_cat",
         (F.floor(enc * 1000000.0 + 0.5) / 1000000.0).alias("enc"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Portable count-min sketch & exact two-sample KS drift test (round 7)
+# ---------------------------------------------------------------------------
+
+#: Count-min geometry: d=4 independent md5-salted hash rows, w=256 buckets.
+#: Cells are (row, bucket, count) — at most 1024 longs regardless of corpus
+#: size, and sketch MERGE is cell-wise addition (per-shard sketches roll up
+#: without rescanning rows — the property that matters at 100 TB).
+_CMS_D, _CMS_W = 4, 256
+#: Probe terms: three present in the corpus, one absent (its estimate is
+#: whatever hash collisions put in its cells — still deterministic).
+_CMS_PROBES = ("table", "scan", "merge", "zebra")
+
+
+def _cms_bucket(tok, i: int):
+    """Bucket of ``tok`` under salted hash row ``i`` — md5 60-bit prefix of
+    '<i>:<tok>' mod w, the same engine-portable primitive as
+    operators/dedup_hash.token_hash (DuckDB computes the identical value
+    from the identical md5 hex)."""
+    salted = F.concat(F.lit(f"{i}:"), tok)
+    h60 = F.conv(F.substring(F.md5(salted.cast("binary")), 1, 15), 16, 10).cast(
+        "long"
+    )
+    return (h60 % _CMS_W).cast("int")
+
+
+@query(
+    "q_cms_portable",
+    oracle=f"""
+    WITH toks AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), cells AS (
+      SELECT i, CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || tok), 1, 15)
+                     AS BIGINT) % {_CMS_W} AS INTEGER) AS bkt,
+             count(*) AS c
+      FROM toks, range(0, {_CMS_D}) AS r(i)
+      GROUP BY 1, 2
+    ), probes AS (
+      SELECT unnest({list(_CMS_PROBES)!r}) AS term
+    ), probe_cells AS (
+      SELECT term, i,
+             CAST(CAST('0x' || substr(md5(CAST(i AS VARCHAR) || ':' || term), 1, 15)
+                  AS BIGINT) % {_CMS_W} AS INTEGER) AS bkt
+      FROM probes, range(0, {_CMS_D}) AS r(i)
+    ), est AS (
+      SELECT term, min(coalesce(c, 0)) AS est
+      FROM probe_cells LEFT JOIN cells USING (i, bkt)
+      GROUP BY term
+    ), exact AS (
+      SELECT term, coalesce(c, 0) AS exact FROM probes
+      LEFT JOIN (SELECT tok, count(*) AS c FROM toks GROUP BY tok) t
+        ON t.tok = probes.term
+    )
+    SELECT term, CAST(exact AS BIGINT) AS exact, CAST(est AS BIGINT) AS est
+    FROM exact JOIN est USING (term)
+    """,
+    doc=(
+        "Engine-portable count-min sketch (d=4, w=256, md5-salted rows): "
+        "the frequency-sketch sibling of q_hll_portable. Point-query "
+        "estimates (min over rows of the probed cells) are >= exact by "
+        "construction and the whole pipeline is integer arithmetic, so "
+        "exact and estimate both value-hash-match DuckDB running the "
+        "same md5/mod math. Scale shape: bucket assignment is per-row "
+        "codegen; the only shuffle carries (row, bucket) partial counts "
+        "— cells are bounded at d*w = 1024 longs no matter the corpus — "
+        "and the probe join broadcasts 16 cells. Production swaps the "
+        "probe literals for a keyed lookup against the same cell table."
+    ),
+)
+def q_cms_portable(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(F.explode_outer(F.split("text", " ")).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    hashed = toks.select(
+        F.posexplode(F.array(*[_cms_bucket(F.col("tok"), i) for i in range(_CMS_D)]))
+        .alias("i", "bkt")
+    )
+    cells = hashed.groupBy("i", "bkt").agg(F.count(F.lit(1)).alias("c"))
+    probes = spark.createDataFrame([(t,) for t in _CMS_PROBES], "term string")
+    probe_cells = probes.select(
+        "term",
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col("term"), i) for i in range(_CMS_D)])
+        ).alias("i", "bkt"),
+    )
+    est = (
+        probe_cells.join(cells, ["i", "bkt"], "left")
+        .groupBy("term")
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("est"))
+    )
+    exact = probes.join(
+        toks.groupBy("tok").agg(F.count(F.lit(1)).alias("c")),
+        probes.term == F.col("tok"),
+        "left",
+    ).select("term", F.coalesce(F.col("c"), F.lit(0)).alias("exact"))
+    return exact.join(est, "term").select(
+        "term",
+        F.col("exact").cast("bigint").alias("exact"),
+        F.col("est").cast("bigint").alias("est"),
+    )
+
+
+#: KS test reuses q_psi's reference/current time split; value-range buckets
+#: for the two-phase exact CDF (bucket order == value order, so per-bucket
+#: local cumsums + broadcast bucket offsets reproduce the global cumsum
+#: without a single-partition sort — the q_global_shuffle construction).
+_KS_SPLIT = _PSI_SPLIT
+_KS_BUCKET_W, _KS_MAX_BUCKET = 5.0, 200
+
+
+@query(
+    "q_ks_test",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT value, CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_ref
+      FROM events
+    ), per_value AS (
+      SELECT value, sum(is_ref) AS r, sum(1 - is_ref) AS c
+      FROM flagged GROUP BY value
+    ), tot AS (
+      SELECT sum(r) AS n_ref, sum(c) AS n_cur FROM per_value
+    ), cum AS (
+      SELECT sum(r) OVER (ORDER BY value) AS cum_ref,
+             sum(c) OVER (ORDER BY value) AS cum_cur
+      FROM per_value
+    )
+    SELECT CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           floor(max(abs(cum_ref * 1.0 / n_ref - cum_cur * 1.0 / n_cur))
+                 * 1000000.0 + 0.5) / 1000000.0 AS d_stat
+    FROM cum CROSS JOIN tot
+    GROUP BY n_ref, n_cur
+    """,
+    doc=(
+        "EXACT two-sample Kolmogorov-Smirnov statistic between the "
+        "reference and current half of the month — the order-sensitive "
+        "complement of q_psi's binned drift score (KS catches shape "
+        "drift PSI's 11 bins smear out). The textbook formulation needs "
+        "both empirical CDFs evaluated on one global value order; this "
+        "plan gets the global cumsum WITHOUT a global sort: per-value "
+        "counts, value-range buckets (order-preserving, so bucket order "
+        "== value order), per-bucket windowed cumsums in parallel, plus "
+        "broadcast per-bucket offsets (a <= 201-row cumsum — the only "
+        "single-partition step). D is then one max aggregate. At 100 TB "
+        "the bucket edges come from an approx-quantile pre-pass instead "
+        "of fixed widths; the construction is unchanged."
+    ),
+)
+def q_ks_test(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    is_ref = (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("long")
+    per_value = (
+        e.select("value", is_ref.alias("is_ref"))
+        .groupBy("value")
+        .agg(
+            F.sum("is_ref").alias("r"),
+            F.sum(1 - F.col("is_ref")).alias("c"),
+        )
+        .withColumn(
+            "b",
+            F.least(
+                F.floor(F.col("value") / _KS_BUCKET_W), F.lit(_KS_MAX_BUCKET)
+            ).cast("int"),
+        )
+    )
+    tot = per_value.agg(
+        F.sum("r").alias("n_ref"), F.sum("c").alias("n_cur")
+    )
+    # Per-bucket totals -> exclusive running offsets (bounded row count).
+    boffs = (
+        per_value.groupBy("b")
+        .agg(F.sum("r").alias("br"), F.sum("c").alias("bc"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("br").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off_r"),
+            F.coalesce(
+                F.sum("bc").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off_c"),
+        )
+    )
+    wloc = Window.partitionBy("b").orderBy("value")
+    cum = (
+        per_value.join(F.broadcast(boffs), "b")
+        .select(
+            (F.col("off_r") + F.sum("r").over(wloc)).alias("cum_ref"),
+            (F.col("off_c") + F.sum("c").over(wloc)).alias("cum_cur"),
+        )
+    )
+    d = cum.join(F.broadcast(tot)).agg(
+        F.first("n_ref").alias("n_ref"),
+        F.first("n_cur").alias("n_cur"),
+        F.max(
+            F.abs(
+                F.col("cum_ref") * 1.0 / F.col("n_ref")
+                - F.col("cum_cur") * 1.0 / F.col("n_cur")
+            )
+        ).alias("d_raw"),
+    )
+    return d.select(
+        F.col("n_ref").cast("bigint").alias("n_ref"),
+        F.col("n_cur").cast("bigint").alias("n_cur"),
+        (F.floor(F.col("d_raw") * 1000000.0 + 0.5) / 1000000.0).alias("d_stat"),
+    )

@@ -73,6 +73,10 @@ QUERIES = [
     "q_ann_rerank",
     "q_embed_quantize",
     "q_sample_weighted_topk",
+    "q_bm25",
+    "q_cooccur_ppmi",
+    "q_cms_portable",
+    "q_ks_test",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",

@@ -252,6 +252,11 @@ _SINGLE_PARTITION_OK = {
                            # triangles) finalized into the one audit row
     "q_target_encoding",   # one-row global (n_tot, pos_tot) prior broadcast
     "q_embed_covariance",  # one-row global n scalar in the centering step
+    "q_bm25",              # one-row (n, avgdl) scalar + 10-row rank window
+                           # over the already-limited top-k
+    "q_cooccur_ppmi",      # one-row t1/tp PPMI normalizer scalars
+    "q_ks_test",           # one-row (n_ref, n_cur) totals + <=201-row
+                           # bucket-offset cumsum + one-row final D max
 }
 
 

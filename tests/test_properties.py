@@ -902,3 +902,216 @@ def test_interp_linear_matches_numpy(spark, obs):
         assert len(got) == hi - lo + 1
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- round-7 additions: BM25 / PPMI / CMS / KS replicas --------------------
+
+_r7_tok = st.sampled_from(["merge", "scan", "window", "table", "row", "zebra"])
+_r7_doc = st.lists(_r7_tok, min_size=1, max_size=12).map(lambda ts: " ".join(ts))
+
+
+def _write_docs(spark, texts, d):
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    ).write.parquet(f"{d}/documents.parquet")
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_r7_doc, min_size=2, max_size=20))
+def test_bm25_matches_python_replica(spark, texts):
+    """q_bm25 vs an independent Python BM25 (identical IEEE op order,
+    micro-integer contributions) on random token corpora — the two-sided
+    defense against the same formula bug landing in both the Spark and
+    the oracle SQL formulations."""
+    import math
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+    )
+
+    d = tempfile.mkdtemp(prefix="bm25_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = [
+            (r.doc_id, r.score_micro, r.rnk)
+            for r in REGISTRY["q_bm25"].fn(spark, d).collect()
+        ]
+
+        docs = {i: t.split(" ") for i, t in enumerate(texts)}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df = {
+            q: sum(1 for t in docs.values() if q in t)
+            for q in _BM25_TERMS
+        }
+        scores = {}
+        for i, toks in docs.items():
+            s = 0
+            for q in _BM25_TERMS:
+                tf = toks.count(q)
+                if tf == 0 or df[q] == 0:
+                    continue
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                dl = len(toks)
+                c = (
+                    idf
+                    * (tf * (_BM25_K1 + 1.0))
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl / avgdl))
+                )
+                s += math.floor(c * 1000000.0 + 0.5)
+            if s or any(q in toks for q in _BM25_TERMS):
+                scores[i] = s
+        want = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:_BM25_TOPK]
+        want = [(i, s, r + 1) for r, (i, s) in enumerate(want)]
+        assert sorted(got) == sorted(want), (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_r7_doc, min_size=1, max_size=16))
+def test_cooccur_ppmi_matches_python_replica(spark, texts):
+    """q_cooccur_ppmi vs a Python replica: window-(1,2) unordered pair
+    generation, min-count filter, and the exact PPMI expression order."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _PPMI_MAX_DIST,
+        _PPMI_MIN_PAIR,
+    )
+
+    d = tempfile.mkdtemp(prefix="ppmi_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = {
+            (r.w1, r.w2): (r.c_ab, r.ppmi)
+            for r in REGISTRY["q_cooccur_ppmi"].fn(spark, d).collect()
+        }
+
+        pairs: Counter = Counter()
+        uni: Counter = Counter()
+        for t in texts:
+            toks = t.split(" ")
+            uni.update(toks)
+            for k in range(1, _PPMI_MAX_DIST + 1):
+                for i in range(len(toks) - k):
+                    a, b = toks[i], toks[i + k]
+                    pairs[(min(a, b), max(a, b))] += 1
+        t1, tp = sum(uni.values()), sum(pairs.values())
+        want = {}
+        for (a, b), c_ab in pairs.items():
+            if c_ab < _PPMI_MIN_PAIR:
+                continue
+            pmi = math.log(c_ab * t1 * 1.0 * t1 / (tp * 1.0 * uni[a] * uni[b]))
+            want[(a, b)] = (
+                c_ab,
+                math.floor(max(pmi, 0.0) * 1000000.0 + 0.5) / 1000000.0,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(st.lists(_r7_doc, min_size=1, max_size=16))
+def test_cms_portable_matches_python_replica(spark, texts):
+    """q_cms_portable vs a Python count-min replica (salted md5 buckets,
+    min-over-rows estimate) — plus the CMS contract est >= exact."""
+    import hashlib
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _CMS_D,
+        _CMS_PROBES,
+        _CMS_W,
+    )
+
+    d = tempfile.mkdtemp(prefix="cms_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = {
+            r.term: (r.exact, r.est)
+            for r in REGISTRY["q_cms_portable"].fn(spark, d).collect()
+        }
+
+        def bkt(tok: str, i: int) -> int:
+            h = int(
+                hashlib.md5(f"{i}:{tok}".encode("utf-8")).hexdigest()[:15], 16
+            )
+            return h % _CMS_W
+
+        toks = [w for t in texts for w in t.split(" ")]
+        counts = Counter(toks)
+        cells: Counter = Counter()
+        for tok, c in counts.items():
+            for i in range(_CMS_D):
+                cells[(i, bkt(tok, i))] += c
+        want = {
+            p: (
+                counts.get(p, 0),
+                min(cells.get((i, bkt(p, i)), 0) for i in range(_CMS_D)),
+            )
+            for p in _CMS_PROBES
+        }
+        assert got == want, (got, want)
+        for exact, est in got.values():
+            assert est >= exact
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(st.floats(0.0, 1200.0, allow_nan=False), min_size=1, max_size=60),
+    st.lists(st.floats(0.0, 1200.0, allow_nan=False), min_size=1, max_size=60),
+)
+def test_ks_test_matches_python_replica(spark, ref_vals, cur_vals):
+    """q_ks_test's two-phase bucketed CDF construction vs a plain sorted
+    Python KS — values past the bucket cap (1000+) land in the clamped
+    tail bucket, the edge the fixture never exercises."""
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="ks_prop_")
+    try:
+        rows = [
+            (datetime(2024, 1, 10, 12, 0), float(v)) for v in ref_vals
+        ] + [(datetime(2024, 1, 20, 12, 0), float(v)) for v in cur_vals]
+        spark.createDataFrame(rows, "ts timestamp_ntz, value double").write.parquet(
+            f"{d}/events.parquet"
+        )
+        row = REGISTRY["q_ks_test"].fn(spark, d).collect()[0]
+
+        n_ref, n_cur = len(ref_vals), len(cur_vals)
+        ref_c = {v: ref_vals.count(v) for v in ref_vals}
+        cur_c = {v: cur_vals.count(v) for v in cur_vals}
+        cum_r = cum_c = 0
+        d_raw = 0.0
+        for v in sorted(set(ref_vals) | set(cur_vals)):
+            cum_r += ref_c.get(v, 0)
+            cum_c += cur_c.get(v, 0)
+            d_raw = max(d_raw, abs(cum_r * 1.0 / n_ref - cum_c * 1.0 / n_cur))
+        assert (row.n_ref, row.n_cur) == (n_ref, n_cur)
+        assert row.d_stat == math.floor(d_raw * 1000000.0 + 0.5) / 1000000.0, (
+            row.d_stat,
+            d_raw,
+        )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
