@@ -127,6 +127,9 @@ HEADLINE = [
     "q_cooccur_ppmi",
     "q_cms_portable",
     "q_ks_test",
+    "q_chi_square",
+    "q_mutual_info",
+    "q_bigram_lm",
 ]
 
 

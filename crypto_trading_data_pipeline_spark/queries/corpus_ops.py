@@ -1306,3 +1306,57 @@ def q_embed_quantize(spark: SparkSession, sf_dir: str):
             F.lit(1.0) * F.sum("e9") / F.count(F.lit(1)) / F.lit(1000000000.0), 6
         ).alias("avg_mse"),
     )
+
+
+@query(
+    "q_mutual_info",
+    oracle="""
+    WITH joint AS (
+      SELECT lang, source, count(*) AS n_xy FROM documents GROUP BY 1, 2
+    ), px AS (
+      SELECT lang, sum(n_xy) AS n_x FROM joint GROUP BY 1
+    ), py AS (
+      SELECT source, sum(n_xy) AS n_y FROM joint GROUP BY 1
+    ), n AS (
+      SELECT sum(n_xy) AS n FROM joint
+    )
+    SELECT lang, source, CAST(n_xy AS BIGINT) AS n_xy,
+           floor((n_xy * 1.0 / n) * ln(n_xy * 1.0 * n / (n_x * 1.0 * n_y))
+                 * 1000000.0 + 0.5) / 1000000.0 AS mi_term
+    FROM joint JOIN px USING (lang) JOIN py USING (source) CROSS JOIN n
+    """,
+    doc=(
+        "Mutual information between language and source (per-cell "
+        "decomposition): the dataset-audit statistic that flags when a "
+        "provenance dimension secretly encodes another (e.g. one crawl "
+        "source contributing all of a language — the stratified-split "
+        "and mixture-sampling assumptions break exactly there). One "
+        "groupBy builds the joint table; marginals derive FROM it (no "
+        "second corpus pass) and broadcast back. Emitting per-cell "
+        "mi_terms (floor-scale rounded) instead of the summed scalar "
+        "keeps every value exact-hash-checkable with no cross-cell "
+        "FP-addition-order concern; MI itself is the sum of the "
+        "|langs| x |sources| terms. Plan never exceeds category-product "
+        "cardinality after the first aggregate."
+    ),
+)
+def q_mutual_info(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    joint = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("n_xy"))
+    px = joint.groupBy("lang").agg(F.sum("n_xy").alias("n_x"))
+    py = joint.groupBy("source").agg(F.sum("n_xy").alias("n_y"))
+    n = joint.agg(F.sum("n_xy").alias("n"))
+    term = (F.col("n_xy") * 1.0 / F.col("n")) * F.log(
+        F.col("n_xy") * 1.0 * F.col("n") / (F.col("n_x") * 1.0 * F.col("n_y"))
+    )
+    return (
+        joint.join(F.broadcast(px), "lang")
+        .join(F.broadcast(py), "source")
+        .join(F.broadcast(n))
+        .select(
+            "lang",
+            "source",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            (F.floor(term * 1000000.0 + 0.5) / 1000000.0).alias("mi_term"),
+        )
+    )

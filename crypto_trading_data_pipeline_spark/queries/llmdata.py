@@ -1943,3 +1943,92 @@ def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
             ).alias("ppmi"),
         )
     )
+
+
+@query(
+    "q_bigram_lm",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), big AS (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS bg
+      FROM t WHERE len(toks) >= 2
+    ), cb AS (
+      SELECT bg, count(*) AS cb FROM big GROUP BY bg
+    ), cu AS (
+      SELECT tok, count(*) AS cu
+      FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok
+    ), v AS (
+      SELECT count(*) AS v FROM cu
+    ), scored AS (
+      SELECT b.doc_id, count(*) AS n_bigrams,
+             sum(ln((cb.cb + 1.0) / (cu.cu + v.v))) AS ll
+      FROM big b JOIN cb USING (bg)
+      JOIN cu ON cu.tok = string_split(b.bg, ' ')[1]
+      CROSS JOIN v
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           round(-ll / n_bigrams, 4) AS avg_nll
+    FROM scored
+    """,
+    doc=(
+        "Bigram language-model quality score — q_unigram_lm's degree-1 "
+        "upgrade, the closer-to-KenLM signal: train the conditional LM "
+        "in-query (bigram counts with add-one smoothing over context "
+        "count + vocab) and score each doc by average negative "
+        "log-likelihood of its transitions. Catches scrambled/"
+        "concatenated text whose unigram mix looks normal but whose "
+        "TRANSITIONS are improbable. Bigram generation is row-local "
+        "sequence+transform; the score join runs shuffle-on-bigram "
+        "against the |vocab^2|-bounded count table (NOT broadcast — the "
+        "q_tfidf web-scale rule), the context-count join rides the "
+        "vocab key, and only the 1-row vocab size broadcasts. Sum of "
+        "ln() terms rounded to 4 decimals per the unigram convention."
+    ),
+)
+def q_bigram_lm(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
+    cb = big.groupBy("bg").agg(F.count(F.lit(1)).alias("cb"))
+    uni = (
+        fan_out(docs)
+        .select(F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+    )
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    v = cu.agg(F.count(F.lit(1)).alias("v"))
+    w1 = F.element_at(F.split(F.col("bg"), " "), 1)
+    scored = (
+        big.join(cb, "bg")
+        .withColumn("tok", w1)
+        .join(cu, "tok")
+        .join(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.sum(
+                F.log((F.col("cb") + F.lit(1.0)) / (F.col("cu") + F.col("v")))
+            ).alias("ll"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
+        F.round(-F.col("ll") / F.col("n_bigrams"), 4).alias("avg_nll"),
+    )

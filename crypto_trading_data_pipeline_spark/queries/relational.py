@@ -3681,3 +3681,73 @@ def q_ks_test(spark: SparkSession, sf_dir: str):
         F.col("n_cur").cast("bigint").alias("n_cur"),
         (F.floor(F.col("d_raw") * 1000000.0 + 0.5) / 1000000.0).alias("d_stat"),
     )
+
+
+@query(
+    "q_chi_square",
+    oracle=f"""
+    WITH obs AS (
+      SELECT event_type,
+             CASE WHEN ts < TIMESTAMP '{_KS_SPLIT}' THEN 1 ELSE 0 END AS is_ref,
+             count(*) AS o
+      FROM events GROUP BY 1, 2
+    ), margins AS (
+      SELECT event_type, sum(o) AS row_tot FROM obs GROUP BY 1
+    ), cols AS (
+      SELECT is_ref, sum(o) AS col_tot FROM obs GROUP BY 1
+    ), n AS (
+      SELECT sum(o) AS n FROM obs
+    ), cells AS (
+      SELECT CAST(floor(
+               (o - row_tot * col_tot * 1.0 / n)
+               * (o - row_tot * col_tot * 1.0 / n)
+               / (row_tot * col_tot * 1.0 / n)
+               * 1000000.0 + 0.5) AS BIGINT) AS t_micro
+      FROM obs JOIN margins USING (event_type) JOIN cols USING (is_ref) CROSS JOIN n
+    )
+    SELECT CAST(sum(t_micro) AS BIGINT) / 1000000.0 AS chi2,
+           CAST((SELECT count(*) - 1 FROM margins) AS INTEGER) AS dof,
+           CAST((SELECT n FROM n) AS BIGINT) AS n
+    FROM cells
+    """,
+    doc=(
+        "Chi-square independence test: event-type mix vs reference/"
+        "current window — the CATEGORICAL drift monitor beside q_psi "
+        "(numeric bins) and q_ks_test (numeric shape). One conditional "
+        "aggregate produces the contingency table; margins are "
+        "category-count-sized broadcasts; expected counts come from the "
+        "observed row/col products. Per-cell (O-E)^2/E terms are floored "
+        "to micro-integers BEFORE the cross-cell sum (exact BIGINT "
+        "addition — cell iteration order can't perturb the statistic), "
+        "one final division back to the chi2 scale. dof = (|types|-1) * "
+        "(2-1). Nothing in the plan grows past |categories| rows after "
+        "the first aggregate."
+    ),
+)
+def q_chi_square(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    is_ref = (F.col("ts") < F.lit(_KS_SPLIT).cast("timestamp")).cast("int")
+    obs = (
+        e.select("event_type", is_ref.alias("is_ref"))
+        .groupBy("event_type", "is_ref")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
+    cols = obs.groupBy("is_ref").agg(F.sum("o").alias("col_tot"))
+    n = obs.agg(F.sum("o").alias("n"))
+    exp = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    t_micro = F.floor(
+        (F.col("o") - exp) * (F.col("o") - exp) / exp * 1000000.0 + 0.5
+    ).cast("bigint")
+    cells = (
+        obs.join(F.broadcast(margins), "event_type")
+        .join(F.broadcast(cols), "is_ref")
+        .join(F.broadcast(n))
+        .select(t_micro.alias("t_micro"))
+    )
+    dof = margins.agg((F.count(F.lit(1)) - 1).cast("int").alias("dof"))
+    return (
+        cells.agg((F.sum("t_micro").cast("bigint") / 1000000.0).alias("chi2"))
+        .join(F.broadcast(dof))
+        .join(F.broadcast(n.select(F.col("n").cast("bigint").alias("n"))))
+    )

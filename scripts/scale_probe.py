@@ -77,6 +77,9 @@ QUERIES = [
     "q_cooccur_ppmi",
     "q_cms_portable",
     "q_ks_test",
+    "q_chi_square",
+    "q_mutual_info",
+    "q_bigram_lm",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",

@@ -257,6 +257,9 @@ _SINGLE_PARTITION_OK = {
     "q_cooccur_ppmi",      # one-row t1/tp PPMI normalizer scalars
     "q_ks_test",           # one-row (n_ref, n_cur) totals + <=201-row
                            # bucket-offset cumsum + one-row final D max
+    "q_chi_square",        # one-row n / dof scalars + one-row chi2 sum
+    "q_mutual_info",       # one-row corpus-count normalizer scalar
+    "q_bigram_lm",         # one-row vocab-size smoothing scalar
 }
 
 
