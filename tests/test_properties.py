@@ -166,7 +166,7 @@ def py_components(edges: list[tuple[int, int]]) -> dict[int, int]:
     return {n: find(n) for n in parent}
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=3, deadline=None)
 @given(
     st.lists(
         st.tuples(st.integers(0, 30), st.integers(0, 30)).filter(lambda e: e[0] != e[1]),
@@ -916,7 +916,7 @@ def _write_docs(spark, texts, d):
     ).write.parquet(f"{d}/documents.parquet")
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=2, deadline=None)
 @given(st.lists(_r7_doc, min_size=2, max_size=20))
 def test_bm25_matches_python_replica(spark, texts):
     """q_bm25 vs an independent Python BM25 (identical IEEE op order,
@@ -974,7 +974,7 @@ def test_bm25_matches_python_replica(spark, texts):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=2, deadline=None)
 @given(st.lists(_r7_doc, min_size=1, max_size=16))
 def test_cooccur_ppmi_matches_python_replica(spark, texts):
     """q_cooccur_ppmi vs a Python replica: window-(1,2) unordered pair
@@ -1022,7 +1022,7 @@ def test_cooccur_ppmi_matches_python_replica(spark, texts):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=2, deadline=None)
 @given(st.lists(_r7_doc, min_size=1, max_size=16))
 def test_cms_portable_matches_python_replica(spark, texts):
     """q_cms_portable vs a Python count-min replica (salted md5 buckets,
@@ -1073,7 +1073,7 @@ def test_cms_portable_matches_python_replica(spark, texts):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=3, deadline=None)
+@settings(max_examples=2, deadline=None)
 @given(
     st.lists(st.floats(0.0, 1200.0, allow_nan=False), min_size=1, max_size=60),
     st.lists(st.floats(0.0, 1200.0, allow_nan=False), min_size=1, max_size=60),

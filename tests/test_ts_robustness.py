@@ -108,12 +108,21 @@ def test_every_query_plans_on_flavor_hostile_conf(spark, flavor_dirs, monkeypatc
     )
     sf_dir = flavor_dirs[flavor]
     failures: list[str] = []
-    for name in _flavor_sensitive_queries():
+
+    def build(name):
         try:
             df = REGISTRY[name].fn(spark, sf_dir)
             df._jdf.queryExecution().executedPlan()
+            return None
         except Exception as exc:  # noqa: BLE001 — the failure IS the finding
-            failures.append(f"{name}: {(str(exc).splitlines() or [''])[0][:200]}")
+            return f"{name}: {(str(exc).splitlines() or [''])[0][:200]}"
+
+    # Threaded like test_plan_quality's all_plans fixture: planning is
+    # JVM-side work behind py4j, ~4x faster across 8 threads.
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=8) as pool:
+        failures = [f for f in pool.map(build, _flavor_sensitive_queries()) if f]
     if failures:
         pytest.fail(
             f"{len(failures)} queries fail to plan on "
