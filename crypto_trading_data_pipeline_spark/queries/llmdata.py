@@ -1779,11 +1779,16 @@ _BM25_TOPK = 10
 )
 def q_bm25(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
+    # Doc length is size(split(...)) — ROW-LOCAL, no explode and no
+    # corpus-wide shuffle on doc_id for the dl side (equals the oracle's
+    # unnest-count: split counts empty tokens identically).
+    dl = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("dl")
+    )
+    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     toks = fan_out(docs).select(
         "doc_id", F.explode_outer(F.split("text", " ")).alias("term")
     ).filter(F.col("term").isNotNull())
-    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n"), F.avg("dl").alias("avgdl"))
     tf = (
         toks.filter(F.col("term").isin(*_BM25_TERMS))
         .groupBy("doc_id", "term")
@@ -1889,14 +1894,14 @@ def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
     # explode_outer + null filter, NOT explode: explode(expr) lets Catalyst
     # push size(expr)>0 into the scan filter, serializing the whole pair
     # build into the scan task (see verify-skill explode-pushdown trap).
-    pc = (
+    pc_all = (
         fan_out(docs)
         .select(F.explode_outer(all_pairs).alias("pair"))
         .filter(F.col("pair").isNotNull())
         .groupBy("pair")
         .agg(F.count(F.lit(1)).alias("c_ab"))
-        .filter(F.col("c_ab") >= _PPMI_MIN_PAIR)
     )
+    pc = pc_all.filter(F.col("c_ab") >= _PPMI_MIN_PAIR)
     uc = (
         fan_out(docs)
         .select(F.explode_outer(toks).alias("tok"))
@@ -1904,16 +1909,12 @@ def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
         .groupBy("tok")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    # Totals: t1 from the unigram aggregate, tp from the UNFILTERED pair
-    # stream (the min-count filter must not bias the denominator), both
-    # one-row broadcasts.
+    # Totals: t1 from the unigram aggregate, tp summed from the UNFILTERED
+    # pair aggregate (the min-count filter must not bias the denominator) —
+    # a vocab-pair-sized re-aggregate, NOT a third corpus-wide pair
+    # explosion. Both one-row broadcasts.
     t1 = uc.agg(F.sum("c").alias("t1"))
-    tp = (
-        fan_out(docs)
-        .select(F.explode_outer(all_pairs).alias("pair"))
-        .filter(F.col("pair").isNotNull())
-        .agg(F.count(F.lit(1)).alias("tp"))
-    )
+    tp = pc_all.agg(F.sum("c_ab").alias("tp"))
     split_pair = F.split(F.col("pair"), " ")
     with_words = pc.select(
         F.element_at(split_pair, 1).alias("w1"),
