@@ -130,6 +130,8 @@ HEADLINE = [
     "q_chi_square",
     "q_mutual_info",
     "q_bigram_lm",
+    "q_quality_classifier",
+    "q_temperature_mix",
 ]
 
 

@@ -1360,3 +1360,61 @@ def q_mutual_info(spark: SparkSession, sf_dir: str):
             (F.floor(term * 1000000.0 + 0.5) / 1000000.0).alias("mi_term"),
         )
     )
+
+
+#: Temperature-mixing exponent (T5/mT5 alpha-sampling) and sample budget.
+_TMIX_ALPHA = 0.3
+_TMIX_BUDGET = 100_000
+
+
+@query(
+    "q_temperature_mix",
+    oracle=f"""
+    WITH per_source AS (
+      SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+    ), scaled AS (
+      SELECT source, n_docs,
+             CAST(floor(pow(n_docs * 1.0, {_TMIX_ALPHA}) * 1000000.0 + 0.5)
+                  AS BIGINT) AS s_micro
+      FROM per_source
+    ), tot AS (
+      SELECT sum(s_micro) AS denom FROM scaled
+    )
+    SELECT source, CAST(n_docs AS BIGINT) AS n_docs,
+           floor(s_micro * 1.0 / denom * 1000000.0 + 0.5) / 1000000.0 AS weight,
+           CAST((s_micro * {_TMIX_BUDGET}) // denom AS BIGINT) AS expected_docs
+    FROM scaled CROSS JOIN tot
+    """,
+    doc=(
+        "Temperature-scaled source mixing (the T5/mT5 alpha-sampling "
+        "recipe, alpha=0.3): per-source sampling weights proportional to "
+        "n^alpha — upweights small sources relative to proportional "
+        "sampling without letting giants dominate, THE standard "
+        "multi-source/multilingual mixing policy. One |sources|-row "
+        "aggregate; n^alpha is floored to micro-integers per source "
+        "BEFORE the normalizer sum, so the denominator is exact BIGINT "
+        "(no FP-order concern) and expected per-source sample counts are "
+        "pure integer division — bit-identical everywhere. The weight "
+        "table this emits is what q_mixture_sample-style quota samplers "
+        "consume as their one-row-per-source broadcast."
+    ),
+)
+def q_temperature_mix(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    per_source = docs.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    s_micro = F.floor(
+        F.pow(F.col("n_docs") * 1.0, F.lit(_TMIX_ALPHA)) * 1000000.0 + 0.5
+    ).cast("bigint")
+    scaled = per_source.select("source", "n_docs", s_micro.alias("s_micro"))
+    tot = scaled.agg(F.sum("s_micro").alias("denom"))
+    return scaled.join(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        (
+            F.floor(F.col("s_micro") * 1.0 / F.col("denom") * 1000000.0 + 0.5)
+            / 1000000.0
+        ).alias("weight"),
+        F.expr(f"CAST((s_micro * {_TMIX_BUDGET}) div denom AS BIGINT)").alias(
+            "expected_docs"
+        ),
+    )

@@ -2033,3 +2033,76 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str):
         F.col("n_bigrams").cast("bigint").alias("n_bigrams"),
         F.round(-F.col("ll") / F.col("n_bigrams"), 4).alias("avg_nll"),
     )
+
+
+#: Fixed linear-classifier weights over the 32 hashed-feature buckets,
+#: micro-integer scaled (1e6 = weight 1.0) so per-doc margins accumulate in
+#: exact BIGINT. Knuth-hash-derived literals: deterministic, sign-mixed,
+#: shared textually with the oracle. In production these come from a
+#: trained quality model (FineWeb-Edu / DCLM recipe); the PLAN is identical
+#: — only the literals change.
+_QC_W = [((i * 2654435761) % 1000001) - 500000 for i in range(_FEAT_BUCKETS)]
+_QC_BIAS = 25000  # +0.025 margin
+
+
+@query(
+    "q_quality_classifier",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), contrib AS (
+      SELECT doc_id,
+             ({_QC_W!r})[CAST((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                % 2147483647) % {_FEAT_BUCKETS} AS INTEGER) + 1] AS w
+      FROM toks
+    ), margins AS (
+      SELECT doc_id, count(*) AS n_tok,
+             sum(w) + {_QC_BIAS} * count(*) AS m_micro
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           floor(1.0 / (1.0 + exp(-(m_micro * 1.0 / (n_tok * 1000000.0))))
+                 * 1000000.0 + 0.5) / 1000000.0 AS score,
+           m_micro >= 0 AS keep
+    FROM margins
+    """,
+    doc=(
+        "Model-based quality filtering (the FineWeb-Edu / DCLM curation "
+        "step): score every document with a linear classifier over "
+        "hashed bag-of-words features and keep docs above threshold. "
+        "Inference is ONE explode + one aggregate: each token occurrence "
+        "contributes element_at(weights, bucket) — no feature vector is "
+        "ever materialized, no vocab table exists (hashing trick), and "
+        "the 32-weight model is a literal (broadcast-free; a real "
+        "checkpoint would broadcast kilobytes). Margins accumulate in "
+        "exact micro-integer BIGINTs so `keep` (margin >= 0, i.e. "
+        "sigmoid >= 0.5) is integer-exact with NO float tie risk; only "
+        "the reported sigmoid score touches FP, floor-scale rounded. "
+        "At 100 TB this is the canonical classifier-inference shape: "
+        "row-local scoring, partial+final agg, nothing model-sized "
+        "shuffles."
+    ),
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = fan_out(docs).select(
+        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
+    ).filter(F.col("tok").isNotNull())
+    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
+    contrib = toks.select(
+        "doc_id", F.element_at(warr, bucket + 1).alias("w")
+    )
+    margins = contrib.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tok"),
+        (F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"),
+    )
+    sig = 1.0 / (
+        1.0 + F.exp(-(F.col("m_micro") * 1.0 / (F.col("n_tok") * 1000000.0)))
+    )
+    return margins.select(
+        "doc_id",
+        F.col("n_tok").cast("bigint").alias("n_tok"),
+        (F.floor(sig * 1000000.0 + 0.5) / 1000000.0).alias("score"),
+        (F.col("m_micro") >= 0).alias("keep"),
+    )

@@ -80,6 +80,8 @@ QUERIES = [
     "q_chi_square",
     "q_mutual_info",
     "q_bigram_lm",
+    "q_quality_classifier",
+    "q_temperature_mix",
     # r6 late additions measured the round they ship.
     "q_hll_portable",
     "q_bpe_pair_counts",

@@ -273,6 +273,7 @@ _SINGLE_PARTITION_OK = {
     "q_chi_square",        # one-row n / dof scalars + one-row chi2 sum
     "q_mutual_info",       # one-row corpus-count normalizer scalar
     "q_bigram_lm",         # one-row vocab-size smoothing scalar
+    "q_temperature_mix",   # one-row mixing-denominator scalar
 }
 
 
