@@ -1764,10 +1764,11 @@ _BM25_TOPK = 10
     doc=(
         "BM25 top-10 retrieval (k1=1.2, b=0.75, Lucene idf) for a fixed "
         "probe query — the scoring function behind corpus search and "
-        "RAG-time retrieval eval. One explode feeds BOTH aggregates "
-        "(per-doc length and query-term tf); df and the (n, avgdl) "
-        "scalars are tiny and broadcast; the only corpus-sized shuffle "
-        "is the dl aggregate the scorer joins on doc_id. Per-term "
+        "RAG-time retrieval eval. Doc length is a ROW-LOCAL "
+        "size(split()) projection (no explode, no aggregate); one "
+        "explode feeds the query-term tf; df and the (n, avgdl) scalars "
+        "are tiny and broadcast; the only corpus-sized shuffle is the "
+        "doc_id join feeding dl to the scorer. Per-term "
         "contributions are floored to micro-integers BEFORE the "
         "cross-term sum, so the score is exact BIGINT arithmetic and "
         "hash-stable across engines; final top-k is orderBy+limit "
@@ -1849,7 +1850,7 @@ _PPMI_MIN_PAIR = 5
            string_split(pair, ' ')[2] AS w2,
            CAST(c_ab AS BIGINT) AS c_ab,
            floor(greatest(
-             ln(c_ab * t1 * 1.0 * t1 / (tp * 1.0 * ua.c * ub.c)), 0.0
+             ln(c_ab * 1.0 * t1 * t1 / (tp * 1.0 * ua.c * ub.c)), 0.0
            ) * 1000000.0 + 0.5) / 1000000.0 AS ppmi
     FROM pc CROSS JOIN tot
     JOIN uc ua ON ua.tok = string_split(pair, ' ')[1]
@@ -1923,10 +1924,12 @@ def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
     )
     ua = uc.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
     ub = uc.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
+    # Promote to double BEFORE the t1 factors: c_ab * t1 alone overflows
+    # int64 once total tokens reach web-corpus scale (t1 ~ 1e13).
     pmi = F.log(
         F.col("c_ab")
-        * F.col("t1")
         * 1.0
+        * F.col("t1")
         * F.col("t1")
         / (F.col("tp") * 1.0 * F.col("ca") * F.col("cb"))
     )

@@ -3697,13 +3697,15 @@ def q_ks_test(spark: SparkSession, sf_dir: str):
       SELECT is_ref, sum(o) AS col_tot FROM obs GROUP BY 1
     ), n AS (
       SELECT sum(o) AS n FROM obs
+    ), grid AS (
+      SELECT event_type, row_tot, is_ref, col_tot FROM margins CROSS JOIN cols
     ), cells AS (
       SELECT CAST(floor(
-               (o - row_tot * col_tot * 1.0 / n)
-               * (o - row_tot * col_tot * 1.0 / n)
-               / (row_tot * col_tot * 1.0 / n)
+               (coalesce(o, 0) - row_tot * 1.0 * col_tot / n)
+               * (coalesce(o, 0) - row_tot * 1.0 * col_tot / n)
+               / (row_tot * 1.0 * col_tot / n)
                * 1000000.0 + 0.5) AS BIGINT) AS t_micro
-      FROM obs JOIN margins USING (event_type) JOIN cols USING (is_ref) CROSS JOIN n
+      FROM grid LEFT JOIN obs USING (event_type, is_ref) CROSS JOIN n
     )
     SELECT CAST(sum(t_micro) AS BIGINT) / 1000000.0 AS chi2,
            CAST((SELECT count(*) - 1 FROM margins) AS INTEGER) AS dof,
@@ -3735,13 +3737,20 @@ def q_chi_square(spark: SparkSession, sf_dir: str):
     margins = obs.groupBy("event_type").agg(F.sum("o").alias("row_tot"))
     cols = obs.groupBy("is_ref").agg(F.sum("o").alias("col_tot"))
     n = obs.agg(F.sum("o").alias("n"))
-    exp = F.col("row_tot") * F.col("col_tot") * 1.0 / F.col("n")
+    # The statistic iterates the FULL margins x cols grid, not just the
+    # observed cells: a category present in only one window contributes
+    # its O=0 cell's E term — the strongest drift signal, which an
+    # observed-cells-only sum would silently drop. Integer products are
+    # promoted to double between factors (row_tot * 1.0 * col_tot) so the
+    # expected-count arithmetic cannot overflow int64 at corpus scale.
+    exp = F.col("row_tot") * 1.0 * F.col("col_tot") / F.col("n")
+    o = F.coalesce(F.col("o"), F.lit(0))
     t_micro = F.floor(
-        (F.col("o") - exp) * (F.col("o") - exp) / exp * 1000000.0 + 0.5
+        (o - exp) * (o - exp) / exp * 1000000.0 + 0.5
     ).cast("bigint")
+    grid = margins.crossJoin(cols)
     cells = (
-        obs.join(F.broadcast(margins), "event_type")
-        .join(F.broadcast(cols), "is_ref")
+        grid.join(obs, ["event_type", "is_ref"], "left")
         .join(F.broadcast(n))
         .select(t_micro.alias("t_micro"))
     )

@@ -299,6 +299,21 @@ def main() -> None:
         if unknown:
             raise SystemExit(f"--only names not in REGISTRY: {unknown}")
 
+    # Both cheap guards (typo above, mult mismatch here) run BEFORE the
+    # expensive xmult synthesis, so a refused run costs milliseconds.
+    prior = None
+    if args.only and args.out and os.path.exists(args.out):
+        with open(args.out) as f:
+            prior = json.load(f)
+        if prior.get("mult") != args.mult:
+            # Refuse rather than silently dropping the prior sweep and
+            # then overwriting its file with just this run's rows.
+            raise SystemExit(
+                f"{args.out} holds a mult={prior.get('mult')} sweep; "
+                f"--only at mult={args.mult} would destroy it. Pass "
+                f"--mult {prior.get('mult')} or a different --out."
+            )
+
     big_dir = tempfile.mkdtemp(prefix="ctdp_scale10_")
     try:
         n1 = read_table(spark, args.sf_dir, "documents").count()
@@ -306,19 +321,8 @@ def main() -> None:
         synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
         synthesize_events(spark, args.sf_dir, big_dir, args.mult)
         report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
-        if args.only and args.out and os.path.exists(args.out):
-            with open(args.out) as f:
-                prior = json.load(f)
-            if prior.get("mult") != args.mult:
-                # Refuse rather than silently dropping the prior sweep and
-                # then overwriting its file with just this run's rows.
-                raise SystemExit(
-                    f"{args.out} holds a mult={prior.get('mult')} sweep; "
-                    f"--only at mult={args.mult} would destroy it. Pass "
-                    f"--mult {prior.get('mult')} or a different --out."
-                )
-            if isinstance(prior.get("queries"), dict):
-                report["queries"].update(prior["queries"])
+        if prior is not None and isinstance(prior.get("queries"), dict):
+            report["queries"].update(prior["queries"])
         for name in names:
             one = run_one(spark, name, args.sf_dir)
             ten = run_one(spark, name, big_dir)

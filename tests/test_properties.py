@@ -1115,3 +1115,60 @@ def test_ks_test_matches_python_replica(spark, ref_vals, cur_vals):
         )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["click", "view", "buy", "launch_only_new"]),
+            st.booleans(),
+        ),
+        min_size=2,
+        max_size=40,
+    ).filter(lambda rows: any(r for _, r in rows) and any(not r for _, r in rows))
+)
+def test_chi_square_matches_python_replica(spark, rows):
+    """q_chi_square vs a Python replica over the FULL margins x cols grid
+    — including categories observed in only one window, whose O=0 cell
+    contributes its full E term (the strongest drift signal; an
+    observed-cells-only sum silently drops it, and since the oracle
+    shared that formulation, parity alone could never catch it)."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+    from datetime import datetime
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="chi_prop_")
+    try:
+        data = [
+            (
+                datetime(2024, 1, 10 if is_ref else 20, 12, 0),
+                et,
+                1.0,
+            )
+            for et, is_ref in rows
+        ]
+        spark.createDataFrame(
+            data, "ts timestamp_ntz, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        got = REGISTRY["q_chi_square"].fn(spark, d).collect()[0]
+
+        obs = Counter((et, is_ref) for et, is_ref in rows)
+        types = sorted({et for et, _ in rows})
+        n = len(rows)
+        row_tot = {t: sum(obs.get((t, r), 0) for r in (True, False)) for t in types}
+        col_tot = {r: sum(obs.get((t, r), 0) for t in types) for r in (True, False)}
+        s = 0
+        for t in types:
+            for r in (True, False):
+                e = row_tot[t] * 1.0 * col_tot[r] / n
+                o = obs.get((t, r), 0)
+                s += math.floor((o - e) * (o - e) / e * 1000000.0 + 0.5)
+        assert got.n == n and got.dof == len(types) - 1
+        assert got.chi2 == s / 1000000.0, (got.chi2, s / 1000000.0)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
