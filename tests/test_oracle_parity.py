@@ -4,8 +4,8 @@ the local twin of the driver's t2 correctness gate.
 Default runs check the AT-RISK set in full — every query in the computed
 driver window (= never-driver-checked + stalest-checked, exactly what the
 driver will hash this round) — plus a deterministic sixth of the stable
-tail (reduced from a third in r7: the at-risk window holds 15
-never-checked/upgraded queries this round, all run in full), keeping the suite under the 6-minute budget (VERDICT r5 #7) with no
+tail (reduced from a third in r7: the at-risk set — every
+never-checked or oracle-upgraded query — is run in full regardless), keeping the suite under the 6-minute budget (VERDICT r5 #7) with no
 coverage loss where it matters. The tail sample is keyed on the query
 name, so membership is stable within a round but rotates as the window
 rotates. Set SPARK_GRAFT_PARITY_FULL=1 for the exhaustive sweep (the
