@@ -3438,7 +3438,10 @@ _TENC_M = 10
         "is computed as ONE division of exact int64 products — "
         "(pos_cat*n_tot + m*pos_tot) / (n_tot*(n_cat+m)) — instead of "
         "mixing two double ratios, so the encoding is bit-identical "
-        "across engines and partitionings. Shape: one partial+final "
+        "across engines and partitionings. Exactness bound: the integer "
+        "product needs pos_cat*n_tot < 2^63, i.e. n_tot below ~3e9 rows "
+        "(sf ~500); beyond that, fall back to the two-ratio double form "
+        "(loses bit-identity, keeps correctness). Shape: one partial+final "
         "aggregate on the category key + a one-row global-count broadcast; "
         "output is |categories| rows regardless of fact size — exactly "
         "what gets broadcast-joined back at serving/training time."

@@ -1172,3 +1172,289 @@ def test_chi_square_matches_python_replica(spark, rows):
         assert got.chi2 == s / 1000000.0, (got.chi2, s / 1000000.0)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- round-7 backfill: replicas for older formula-heavy queries ------------
+# Two-sided oracles (same formula in Spark and SQL) cannot catch a formula
+# that is consistently wrong on both sides; these independent Python
+# replicas close that class for the drift/audit/featurization family.
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(st.floats(0.0, 300.0, allow_nan=False), min_size=1, max_size=40),
+    st.lists(st.floats(0.0, 300.0, allow_nan=False), min_size=1, max_size=40),
+)
+def test_psi_matches_python_replica(spark, ref_vals, cur_vals):
+    """q_psi vs a Python replica: fixed-width binning with tail clamp,
+    epsilon-floored proportions, per-bin floor-scaled terms."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+    from datetime import datetime
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _PSI_BIN_W,
+        _PSI_EPS,
+        _PSI_MAX_BIN,
+    )
+
+    d = tempfile.mkdtemp(prefix="psi_prop_")
+    try:
+        rows = [(datetime(2024, 1, 10, 12), float(v)) for v in ref_vals] + [
+            (datetime(2024, 1, 20, 12), float(v)) for v in cur_vals
+        ]
+        spark.createDataFrame(rows, "ts timestamp_ntz, value double").write.parquet(
+            f"{d}/events.parquet"
+        )
+        got = {
+            r.bin: (r.n_ref, r.n_cur, r.psi_term)
+            for r in REGISTRY["q_psi"].fn(spark, d).collect()
+        }
+
+        def b(v):
+            return min(int(math.floor(v / _PSI_BIN_W)), _PSI_MAX_BIN)
+
+        cr, cc = Counter(b(v) for v in ref_vals), Counter(b(v) for v in cur_vals)
+        sr, sc = len(ref_vals), len(cur_vals)
+        eps = float(_PSI_EPS)
+        want = {}
+        for bin_ in set(cr) | set(cc):
+            nr, nc = cr.get(bin_, 0), cc.get(bin_, 0)
+            pr = max(nr * 1.0 / sr, eps)
+            pc = max(nc * 1.0 / sc, eps)
+            term = (pc - pr) * math.log(pc / pr)
+            want[bin_] = (nr, nc, math.floor(term * 1000000.0 + 0.5) / 1000000.0)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(st.floats(0.01, 99999.0, allow_nan=False), min_size=1, max_size=60))
+def test_benford_matches_python_replica(spark, prices):
+    """q_benford vs a Python replica: truncate-then-string leading digit,
+    the >= 1.0 filter, and both floor-scaled output columns."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="benford_prop_")
+    try:
+        rows = [(i, float(p)) for i, p in enumerate(prices)]
+        spark.createDataFrame(
+            rows, "o_orderkey long, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        got = {
+            r.d: (r.n, r.freq, r.benford_expect)
+            for r in REGISTRY["q_benford"].fn(spark, d).collect()
+        }
+
+        kept = [p for p in prices if p >= 1.0]
+        digits = Counter(int(str(int(math.floor(p)))[0]) for p in kept)
+        tot = sum(digits.values())
+        want = {
+            dg: (
+                n,
+                math.floor(n * 1.0 / tot * 1000000.0 + 0.5) / 1000000.0,
+                math.floor(
+                    math.log(1.0 + 1.0 / dg) / math.log(10.0) * 1000000.0 + 0.5
+                )
+                / 1000000.0,
+            )
+            for dg, n in digits.items()
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 12), st.floats(0.01, 5000.0, allow_nan=False)),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_lorenz_matches_python_replica(spark, orders):
+    """q_lorenz vs a Python replica: integer-cent revenue, (rev, custkey)
+    rank order, ((rk-1)*10)//n decile cut, per-decile and cumulative
+    floor-scaled shares — the full two-phase-exact-rank contract."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="lorenz_prop_")
+    try:
+        rows = [(int(c), float(p)) for c, p in orders]
+        spark.createDataFrame(
+            rows, "o_custkey long, o_totalprice double"
+        ).write.parquet(f"{d}/orders.parquet")
+        got = {
+            r.decile: (r.n_cust, r.rev_share, r.cum_share)
+            for r in REGISTRY["q_lorenz"].fn(spark, d).collect()
+        }
+
+        rev = defaultdict(int)
+        for c, p in rows:
+            rev[c] += math.floor(p * 100.0 + 0.5)
+        ranked = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+        n, total = len(ranked), sum(rev.values())
+        dec_rev, dec_n = defaultdict(int), defaultdict(int)
+        for rk, (_, rc) in enumerate(ranked, start=1):
+            dec = (rk - 1) * 10 // n
+            dec_rev[dec] += rc
+            dec_n[dec] += 1
+        want, cum = {}, 0
+        for dec in sorted(dec_rev):
+            cum += dec_rev[dec]
+            want[dec] = (
+                dec_n[dec],
+                math.floor(dec_rev[dec] * 1.0 / total * 1000000.0 + 0.5) / 1000000.0,
+                math.floor(cum * 1.0 / total * 1000000.0 + 0.5) / 1000000.0,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 8), st.sampled_from(["R", "N", "A"])),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_target_encoding_matches_python_replica(spark, items):
+    """q_target_encoding vs a Python replica of the one-division
+    integer-product shrinkage (pos*n_tot + m*pos_tot)/(n_tot*(n+m))."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import _TENC_M
+
+    d = tempfile.mkdtemp(prefix="tenc_prop_")
+    try:
+        spark.createDataFrame(
+            [(int(k), f) for k, f in items], "l_suppkey long, l_returnflag string"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.l_suppkey: (r.n_cat, r.enc)
+            for r in REGISTRY["q_target_encoding"].fn(spark, d).collect()
+        }
+
+        n_cat, pos_cat = defaultdict(int), defaultdict(int)
+        for k, f in items:
+            n_cat[k] += 1
+            pos_cat[k] += 1 if f == "R" else 0
+        n_tot, pos_tot = len(items), sum(pos_cat.values())
+        want = {
+            k: (
+                n_cat[k],
+                math.floor(
+                    (pos_cat[k] * n_tot + _TENC_M * pos_tot)
+                    * 1.0
+                    / (n_tot * (n_cat[k] + _TENC_M))
+                    * 1000000.0
+                    + 0.5
+                )
+                / 1000000.0,
+            )
+            for k in n_cat
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_r7_doc, min_size=1, max_size=16))
+def test_unigram_lm_matches_python_replica(spark, texts):
+    """q_unigram_lm vs a Python replica: add-one smoothing over
+    (total + vocab), per-doc average negative log-likelihood."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="ulm_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = {
+            r.doc_id: (r.n_tok, r.avg_nll)
+            for r in REGISTRY["q_unigram_lm"].fn(spark, d).collect()
+        }
+
+        lm = Counter(w for t in texts for w in t.split(" "))
+        total, vocab = sum(lm.values()), len(lm)
+        want = {}
+        for i, t in enumerate(texts):
+            toks = t.split(" ")
+            ll = sum(math.log((lm[w] + 1.0) / (total + vocab)) for w in toks)
+            want[i] = (
+                len(toks),
+                math.floor(-ll / len(toks) * 10000.0 + 0.5) / 10000.0,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_r7_doc, min_size=2, max_size=20))
+def test_tfidf_matches_python_replica(spark, texts):
+    """q_tfidf vs a Python replica: idf = ln(n/df), round-6 scores, and
+    the (rounded score desc, term asc) top-3 tie-break per document."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="tfidf_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = {
+            (r.doc_id, r.term): (r.tfidf, r.rnk)
+            for r in REGISTRY["q_tfidf"].fn(spark, d).collect()
+        }
+
+        tf = {i: Counter(t.split(" ")) for i, t in enumerate(texts)}
+        df = Counter(term for c in tf.values() for term in c)
+        n = len(texts)
+        want = {}
+        for i, c in tf.items():
+            if i >= 50:
+                continue
+            scored = sorted(
+                (
+                    (
+                        math.floor(t_cnt * math.log(n * 1.0 / df[term]) * 1000000.0 + 0.5)
+                        / 1000000.0,
+                        term,
+                    )
+                    for term, t_cnt in c.items()
+                ),
+                key=lambda st_: (-st_[0], st_[1]),
+            )
+            for rnk, (score, term) in enumerate(scored[:3], start=1):
+                want[(i, term)] = (score, rnk)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
