@@ -925,3 +925,77 @@ def test_utc_wall_ntz_survives_dst_gaps_and_overlaps(spark):
             assert got == want, (tz, t, got, want)
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev_tz)
+
+
+def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """PSI-on-ingest == q_psi run as a batch over the same data, per-bin
+    BIT-FOR-BIT: freeze the reference window's histogram, stream the
+    current window through the bounded-bin complete-mode aggregate, and
+    the sink's floor-scaled terms must equal the batch query's psi_term
+    column exactly (same integer counts, same one-division proportions,
+    same epsilon floor, same ln, same rounding)."""
+    import random
+    from datetime import datetime
+
+    from crypto_trading_data_pipeline_spark.streaming.drift import (
+        DriftMonitorSink,
+        reference_histogram,
+        start_drift_monitor,
+    )
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    rng = random.Random(7)
+    # Reference window (before the q_psi split) and a DRIFTED current
+    # window (shifted + a value past the bin-10 clamp).
+    ref_rows = [
+        (1000 + i, datetime(2024, 1, 10, 12), 0, "e", rng.uniform(0, 250), "{}")
+        for i in range(120)
+    ]
+    cur_rows = [
+        (2000 + i, datetime(2024, 1, 20, 12), 0, "e", rng.uniform(100, 400), "{}")
+        for i in range(80)
+    ] + [(3000, datetime(2024, 1, 21, 12), 0, "e", 9999.0, "{}")]
+    schema = ("event_id long, ts timestamp_ntz, user_id long, "
+              "event_type string, value double, props string")
+
+    # Batch truth: q_psi over the combined fixture dir.
+    fixture = tmp_path / "fx"
+    fixture.mkdir()
+    spark.createDataFrame(ref_rows + cur_rows, schema).write.parquet(
+        str(fixture / "events.parquet")
+    )
+    batch = {
+        r.bin: r.psi_term for r in REGISTRY["q_psi"].fn(spark, str(fixture)).collect()
+    }
+
+    # Streaming: reference frozen from the ref window, current streamed in
+    # TWO files so the complete-mode aggregate proves incremental merging.
+    ref_df = spark.createDataFrame(ref_rows, schema)
+    sink = DriftMonitorSink(reference_histogram(ref_df))
+    indir = tmp_path / "in"
+    indir.mkdir()
+    half = len(cur_rows) // 2
+    spark.createDataFrame(cur_rows[:half], schema).write.parquet(
+        str(indir / "b1.parquet")
+    )
+    stream = spark.readStream.schema(schema).parquet(str(indir / "*.parquet"))
+    q = start_drift_monitor(stream, sink, str(tmp_path / "ck"))
+    try:
+        q.processAllAvailable()
+        mid_epochs = len(sink.history)
+        spark.createDataFrame(cur_rows[half:], schema).write.parquet(
+            str(indir / "b2.parquet")
+        )
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # The monitor re-scored at least once per file and converged to the
+    # batch query's per-bin terms exactly.
+    assert len(sink.history) > mid_epochs >= 1
+    assert sink.terms == batch, (sink.terms, batch)
+    assert sink.psi == (
+        __import__("math").floor(sum(batch.values()) * 1e6 + 0.5) / 1e6
+    )
+    # The synthetic shift is a real drift: the alert fires.
+    assert sink.drifted
