@@ -1458,3 +1458,174 @@ def test_tfidf_matches_python_replica(spark, texts):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def _pct_linear(vals, p):
+    """Spark's exact `percentile` interpolation: lower + (higher-lower)*g
+    at index (n-1)*p on the sorted values."""
+    v = sorted(vals)
+    idx = (len(v) - 1) * p
+    lo = int(math.floor(idx))
+    g = idx - lo
+    return v[lo] if g == 0 else v[lo] + (v[lo + 1] - v[lo]) * g
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 3), st.floats(0.0, 500.0, allow_nan=False)),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_anomaly_mad_matches_python_replica(spark, rows):
+    """q_anomaly_mad vs a Python replica: exact interpolated medians,
+    the 3.5*1.4826 cutoff, zero-MAD exclusion, floor-scaled outputs."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import _MAD_K
+
+    d = tempfile.mkdtemp(prefix="mad_prop_")
+    try:
+        data = [(i, int(u), float(v)) for i, (u, v) in enumerate(rows)]
+        spark.createDataFrame(
+            data, "event_id long, user_id long, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_id: (r.user_id, r.value, r.cutoff)
+            for r in REGISTRY["q_anomaly_mad"].fn(spark, d).collect()
+        }
+
+        by_user = defaultdict(list)
+        for eid, u, v in data:
+            by_user[u].append((eid, v))
+        want = {}
+        for u, evs in by_user.items():
+            med = _pct_linear([v for _, v in evs], 0.5)
+            mad = _pct_linear([abs(v - med) for _, v in evs], 0.5)
+            if not mad > 0:
+                continue
+            for eid, v in evs:
+                if abs(v - med) > _MAD_K * mad:
+                    want[eid] = (
+                        u,
+                        math.floor(v * 10000.0 + 0.5) / 10000.0,
+                        math.floor((med + _MAD_K * mad) * 10000.0 + 0.5) / 10000.0,
+                    )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.sampled_from(["a", "b"]), st.floats(0.0, 500.0, allow_nan=False)),
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_winsorize_matches_python_replica(spark, rows):
+    """q_winsorize vs a Python replica: p05/p95 interpolated bounds,
+    clip counts, and the rounded clipped mean."""
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="wins_prop_")
+    try:
+        spark.createDataFrame(
+            [(t, float(v)) for t, v in rows], "event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: (r.n_low, r.n_high, r.clipped_mean)
+            for r in REGISTRY["q_winsorize"].fn(spark, d).collect()
+        }
+
+        by_t = defaultdict(list)
+        for t, v in rows:
+            by_t[t].append(v)
+        want = {}
+        for t, vs in by_t.items():
+            lo, hi = _pct_linear(vs, 0.05), _pct_linear(vs, 0.95)
+            clipped = [min(max(v, lo), hi) for v in vs]
+            want[t] = (
+                sum(1 for v in vs if v < lo),
+                sum(1 for v in vs if v > hi),
+                math.floor(sum(clipped) / len(clipped) * 1000000.0 + 0.5)
+                / 1000000.0,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(st.floats(1.0, 400.0, allow_nan=False), min_size=3, max_size=25,
+             unique=True),
+    st.lists(st.floats(1.0, 400.0, allow_nan=False), min_size=3, max_size=25,
+             unique=True),
+)
+def test_regression_matches_python_replica(spark, vals_a, vals_b):
+    """q_regression vs closed-form least squares on day-indexed points —
+    unique values and distinct days keep both variances positive, so the
+    slope/intercept/r2 branches are the well-defined ones."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="regr_prop_")
+    try:
+        rows = []
+        series = {"a": vals_a, "b": vals_b}
+        base = datetime(2024, 1, 1)
+        for t, vs in series.items():
+            for i, v in enumerate(vs):
+                rows.append((base + timedelta(days=i), t, float(v)))
+        spark.createDataFrame(
+            rows, "ts timestamp_ntz, event_type string, value double"
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.event_type: (r.n, r.slope_per_day, r.intercept, r.r2)
+            for r in REGISTRY["q_regression"].fn(spark, d).collect()
+        }
+
+        want = {}
+        for t, vs in series.items():
+            n = len(vs)
+            xs = list(range(n))  # days since 2024-01-01 == the centered x
+            mx, my = sum(xs) / n, sum(vs) / n
+            sxy = sum((x - mx) * (y - my) for x, y in zip(xs, vs))
+            sxx = sum((x - mx) ** 2 for x in xs)
+            syy = sum((y - my) ** 2 for y in vs)
+            slope = sxy / sxx
+            r2 = sxy * sxy / (sxx * syy)
+            want[t] = (
+                n,
+                math.floor(slope * 1000000.0 + 0.5) / 1000000.0
+                if slope >= 0
+                else -math.floor(-slope * 1000000.0 + 0.5) / 1000000.0,
+                None,  # intercept compared separately with tolerance
+                math.floor(r2 * 1000000.0 + 0.5) / 1000000.0,
+            )
+        for t in want:
+            gn, gslope, gint, gr2 = got[t]
+            wn, wslope, _, wr2 = want[t]
+            assert gn == wn
+            # Moment-order differences put slope/r2 within one 1e-6 step
+            # of the closed form; intercept (rounded 1e-4) likewise.
+            assert abs(gslope - wslope) <= 1e-6 + 1e-9, (t, gslope, wslope)
+            assert abs(gr2 - wr2) <= 1e-6 + 1e-9, (t, gr2, wr2)
+            vs, n = series[t], len(series[t])
+            mx, my = (n - 1) / 2.0, sum(vs) / n
+            assert abs(gint - (my - wslope * mx)) <= 2e-4, (t, gint)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
