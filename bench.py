@@ -132,7 +132,13 @@ HEADLINE = [
     "q_bigram_lm",
     "q_quality_classifier",
     "q_temperature_mix",
+    "q_auc_roc",
+    "q_calibration_bins",
+    "q_dup_span_stats",
 ]
+# Guard against double-timing: a name listed twice (it has happened) would
+# run twice and silently collapse in the output dict.
+HEADLINE = list(dict.fromkeys(HEADLINE))
 
 
 def bench_streaming(spark, sf_dir: str) -> dict:

@@ -1418,3 +1418,123 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str):
             "expected_docs"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Repeated-substring spans (X2 extension): the exact-substring complement of
+# q_dup_ngrams. Dup-ngram fraction says HOW MUCH of a doc repeats somewhere;
+# this finds the maximal contiguous spans that do, per document — the signal
+# exact-substring dedup (Lee et al. 2021, "Deduplicating Training Data Makes
+# Language Models Better") cuts out of training text. Their suffix-array
+# machinery is single-node; the distributable form anchors on word k-grams:
+# every duplicated substring of >= k tokens is a run of duplicated k-gram
+# windows, so corpus-count the windows, keep positions whose window repeats,
+# and merge runs (windows i, j overlap in token space iff j - i <= k) into
+# maximal spans with the islands trick. Finds every duplicated span of
+# length >= k exactly; shorter repeats are invisible by construction.
+# ---------------------------------------------------------------------------
+_SPAN_K = 3  # window width = minimum reportable duplicated span, in tokens
+
+
+@query(
+    "q_dup_span_stats",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), w0 AS (
+      SELECT doc_id, len(toks) AS n_toks,
+             list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+               i -> {{'i': i, 'g': concat_ws(' ', toks[i], toks[i+1], toks[i+2])}})
+               AS wins
+      FROM t WHERE len(toks) >= {_SPAN_K}
+    ), w AS (
+      SELECT doc_id, n_toks, unnest(wins, recursive := true) FROM w0
+    ), dup AS (
+      SELECT g FROM w GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, n_toks, i FROM w JOIN dup USING (g)
+    ), isl AS (
+      SELECT doc_id, n_toks, i,
+             CASE WHEN i - lag(i) OVER (PARTITION BY doc_id ORDER BY i)
+                  <= {_SPAN_K} THEN 0 ELSE 1 END AS brk
+      FROM hits
+    ), spans AS (
+      SELECT doc_id, n_toks,
+             sum(brk) OVER (PARTITION BY doc_id ORDER BY i
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS span_id,
+             i
+      FROM isl
+    ), per_span AS (
+      SELECT doc_id, n_toks, span_id,
+             max(i) - min(i) + {_SPAN_K} AS span_toks
+      FROM spans GROUP BY doc_id, n_toks, span_id
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_spans,
+           CAST(sum(span_toks) AS BIGINT) AS dup_tokens,
+           floor(sum(span_toks) * 1.0 / n_toks * 1000000.0 + 0.5) / 1000000.0
+             AS dup_frac
+    FROM per_span GROUP BY doc_id, n_toks
+    """,
+    doc=(
+        "Maximal cross-corpus duplicated spans per document: positional "
+        f"word {_SPAN_K}-gram windows, corpus-counted; windows whose gram "
+        "occurs >= 2 times anywhere mark duplicated positions; adjacent/"
+        f"overlapping hits (gap <= {_SPAN_K}) merge into maximal spans via "
+        "the islands trick (lag -> break flag -> running span_id). Emits "
+        "per-doc span count, duplicated-token total, and duplicated "
+        "fraction — the exact-substring-dedup signal of Lee et al. 2021 "
+        "in distributable form (their suffix arrays are single-node; "
+        "k-gram anchoring finds every duplicated span >= k tokens). Two "
+        "shuffles that matter at 100 TB: the gram-count aggregate and "
+        "the gram->position join, both keyed on the gram (partial-agg "
+        "combines the heavy head); span merging is doc-local windows. "
+        "NULL-break note: lag's first-row NULL makes the CASE yield the "
+        "span-opening 1 on both engines (NULL <= k is false/NULL -> ELSE)."
+    ),
+)
+def q_dup_span_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    k = _SPAN_K
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - k + 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            ).alias("g"),
+        ),
+    )
+    w = (
+        docs.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select("doc_id", F.size("toks").alias("n_toks"), F.explode(wins).alias("win"))
+        .select("doc_id", "n_toks", F.col("win.i").alias("i"), F.col("win.g").alias("g"))
+    )
+    dup = w.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    hits = w.join(dup.select("g"), "g").select("doc_id", "n_toks", "i")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    isl = hits.withColumn(
+        "brk",
+        F.when(F.col("i") - F.lag("i").over(wdoc) <= k, F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    spans = isl.withColumn(
+        "span_id",
+        F.sum("brk").over(wdoc.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    per_span = spans.groupBy("doc_id", "n_toks", "span_id").agg(
+        (F.max("i") - F.min("i") + k).alias("span_toks")
+    )
+    return per_span.groupBy("doc_id", "n_toks").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spans"),
+        F.sum("span_toks").cast("bigint").alias("dup_tokens"),
+        (
+            F.floor(
+                F.sum("span_toks") * 1.0 / F.col("n_toks") * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("dup_frac"),
+    ).drop("n_toks")

@@ -2109,3 +2109,240 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str):
         (F.floor(sig * 1000000.0 + 0.5) / 1000000.0).alias("score"),
         (F.col("m_micro") >= 0).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier evaluation (X4 extension): once a quality model scores every
+# document (q_quality_classifier), the pipeline needs to EVALUATE it at the
+# same scale — AUC against a held-out signal and a calibration table. Both
+# reuse the q_quality_classifier margin (exact micro-integer BIGINT) as the
+# score and `lang = 'en'` as the stand-in binary target (in production: a
+# human-labeled or LLM-judged holdout); only the label expression changes.
+# ---------------------------------------------------------------------------
+
+#: Shared margins CTE (textually the q_quality_classifier inference): per-doc
+#: exact integer margin m_micro and token count, joined back to documents for
+#: the label column.
+_QC_LABELED_CTE = f"""
+    toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+    ), contrib AS (
+      SELECT doc_id,
+             ({_QC_W!r})[CAST((CAST('0x' || substr(md5(tok), 1, 15) AS BIGINT)
+                % 2147483647) % {_FEAT_BUCKETS} AS INTEGER) + 1] AS w
+      FROM toks
+    ), margins AS (
+      SELECT doc_id, count(*) AS n_tok,
+             sum(w) + {_QC_BIAS} * count(*) AS m_micro
+      FROM contrib GROUP BY doc_id
+    ), labeled AS (
+      SELECT m.doc_id, m.m_micro, m.n_tok,
+             CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM margins m JOIN documents d ON m.doc_id = d.doc_id
+    )
+"""
+
+#: Score-range bucket width for the two-phase exact rank cumsum (the
+#: q_ks_test / q_global_shuffle construction). Margins at any SF span
+#: roughly +-6e7 micro-units (|w| <= 5.25e5 per token x <=110-token docs),
+#: so 2^17-wide buckets keep the offset table at ~1e3 rows — bounded,
+#: independent of corpus size. Power of two: s / W is an exact double
+#: scaling, so floor() agrees bit-for-bit between Spark and DuckDB.
+_AUC_BUCKET_W = 1 << 17
+
+
+@query(
+    "q_auc_roc",
+    oracle=f"""
+    WITH {_QC_LABELED_CTE}, per_score AS (
+      SELECT m_micro AS s, sum(pos) AS p, sum(1 - pos) AS ng
+      FROM labeled GROUP BY m_micro
+    ), tot AS (
+      SELECT sum(p) AS n_pos, sum(ng) AS n_neg FROM per_score
+    ), cum AS (
+      SELECT p, ng,
+             coalesce(sum(ng) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nb
+      FROM per_score
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos,
+           CAST(n_neg AS BIGINT) AS n_neg,
+           floor(sum(p * (2 * nb + ng)) * 1.0
+                 / (2.0 * n_pos * n_neg) * 1000000.0 + 0.5) / 1000000.0 AS auc
+    FROM cum CROSS JOIN tot
+    GROUP BY n_pos, n_neg
+    """,
+    doc=(
+        "EXACT tie-corrected ROC AUC of the quality-classifier margin "
+        "against the lang='en' holdout label — the Mann-Whitney rank-sum "
+        "identity (AUC = P(score_pos > score_neg) + 0.5*P(tie)) computed "
+        "without ever materializing per-row ranks: group to per-score "
+        "(pos, neg) counts, then AUC = sum(p * (2*neg_below + neg_at)) / "
+        "(2*P*N). The global 'negatives below this score' cumsum uses the "
+        "two-phase bucket construction (per-bucket windowed cumsums in "
+        "parallel + a broadcast ~1e3-row bucket-offset table), so there "
+        "is NO global sort and no rank window over the corpus — the "
+        "q_ks_test shape. All counts and the AUC numerator are exact "
+        "BIGINTs (numerator <= 2*P*N, int64-safe to ~2e9 pos x neg "
+        "pairs... per the q_target_encoding convention, corpora beyond "
+        "that promote the product to DOUBLE before summing); only the "
+        "final ratio touches FP, floor-scale rounded."
+    ),
+)
+def q_auc_roc(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    # The label rides the explode as a doc-constant column, so margins and
+    # label come out of ONE aggregate — no second shuffle/join of documents.
+    toks = fan_out(docs).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.explode_outer(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
+    labeled = (
+        toks.select("doc_id", "pos", F.element_at(warr, bucket + 1).alias("w"))
+        .groupBy("doc_id", "pos")
+        .agg((F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"))
+    )
+    per_score = (
+        labeled.groupBy(F.col("m_micro").alias("s"))
+        .agg(F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("ng"))
+        .withColumn("b", F.floor(F.col("s") / float(_AUC_BUCKET_W)).cast("long"))
+    )
+    tot = per_score.agg(F.sum("p").alias("n_pos"), F.sum("ng").alias("n_neg"))
+    # Bounded per-bucket exclusive offsets (~1e3 rows at any corpus size).
+    boffs = (
+        per_score.groupBy("b")
+        .agg(F.sum("ng").alias("bn"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy("b").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).alias("off_n"),
+        )
+    )
+    wloc = Window.partitionBy("b").orderBy("s")
+    cum = per_score.join(F.broadcast(boffs), "b").select(
+        "p",
+        "ng",
+        (
+            F.col("off_n")
+            + F.coalesce(
+                F.sum("ng").over(wloc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            )
+        ).alias("nb"),
+    )
+    out = cum.join(F.broadcast(tot)).agg(
+        F.first("n_pos").alias("n_pos"),
+        F.first("n_neg").alias("n_neg"),
+        F.sum(F.col("p") * (2 * F.col("nb") + F.col("ng"))).alias("num"),
+    )
+    return out.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        (
+            F.floor(
+                F.col("num") * 1.0
+                / (2.0 * F.col("n_pos") * F.col("n_neg"))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0
+        ).alias("auc"),
+    )
+
+
+#: Calibration bins over the PER-TOKEN margin (m_micro / n_tok, weight
+#: micro-units): 10 fixed 120k-wide bins centered on 0 (clamped ends). The
+#: bin edge arithmetic is a single IEEE double division of two exactly-
+#: representable integers plus shift/scale by exact constants — identical
+#: expression text on both sides, so bin assignment cannot disagree.
+_CAL_BIN_W = 120000.0
+_CAL_SHIFT = 600000.0
+_CAL_BINS = 10
+
+
+@query(
+    "q_calibration_bins",
+    oracle=f"""
+    WITH {_QC_LABELED_CTE}, binned AS (
+      SELECT least(greatest(CAST(floor(
+               (m_micro * 1.0 / n_tok + {_CAL_SHIFT}) / {_CAL_BIN_W}
+             ) AS INTEGER), 0), {_CAL_BINS - 1}) AS bin,
+             pos, m_micro, n_tok
+      FROM labeled
+    )
+    SELECT bin,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           floor(sum(pos) * 1.0 / count(*) * 1000000.0 + 0.5) / 1000000.0
+             AS pos_rate,
+           floor(sum(m_micro) * 1.0 / sum(n_tok) / 1000000.0
+                 * 1000000.0 + 0.5) / 1000000.0 AS mean_margin
+    FROM binned GROUP BY bin
+    """,
+    doc=(
+        "Reliability table for the quality classifier: bucket documents "
+        "into 10 fixed per-token-margin bins and report observed "
+        "positive rate vs mean margin per bin — the calibration curve "
+        "that says whether margin 0.3 actually means ~58% positives. "
+        "One groupBy on a row-local bin expression (partial+final agg, "
+        "10-row result); the per-bin mean margin is computed from exact "
+        "BIGINT sums (sum m_micro / sum n_tok), NOT an FP avg over "
+        "per-doc ratios, so no summation-order sensitivity exists "
+        "anywhere. The canonical eval-table shape at any corpus size."
+    ),
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    # Same one-aggregate shape as q_auc_roc: the label is doc-constant and
+    # rides the explode, so no join back to documents is needed.
+    toks = fan_out(docs).select(
+        "doc_id",
+        (F.col("lang") == "en").cast("long").alias("pos"),
+        F.explode_outer(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
+    labeled = (
+        toks.select("doc_id", "pos", F.element_at(warr, bucket + 1).alias("w"))
+        .groupBy("doc_id", "pos")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"),
+        )
+    )
+    bin_col = F.least(
+        F.greatest(
+            F.floor(
+                (F.col("m_micro") * 1.0 / F.col("n_tok") + _CAL_SHIFT) / _CAL_BIN_W
+            ).cast("int"),
+            F.lit(0),
+        ),
+        F.lit(_CAL_BINS - 1),
+    )
+    g = labeled.groupBy(bin_col.alias("bin")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("pos").alias("n_pos"),
+        F.sum("m_micro").alias("sm"),
+        F.sum("n_tok").alias("st"),
+    )
+    return g.select(
+        "bin",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        (
+            F.floor(F.col("n_pos") * 1.0 / F.col("n") * 1000000.0 + 0.5) / 1000000.0
+        ).alias("pos_rate"),
+        (
+            F.floor(
+                F.col("sm") * 1.0 / F.col("st") / 1000000.0 * 1000000.0 + 0.5
+            )
+            / 1000000.0
+        ).alias("mean_margin"),
+    )

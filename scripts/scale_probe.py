@@ -93,6 +93,10 @@ QUERIES = [
     "q_decay_score",
     "q_target_encoding",
     "q_embed_covariance",
+    # r7 late additions (classifier eval + repeated-span dedup).
+    "q_auc_roc",
+    "q_calibration_bins",
+    "q_dup_span_stats",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -274,6 +274,9 @@ _SINGLE_PARTITION_OK = {
     "q_mutual_info",       # one-row corpus-count normalizer scalar
     "q_bigram_lm",         # one-row vocab-size smoothing scalar
     "q_temperature_mix",   # one-row mixing-denominator scalar
+    "q_auc_roc",           # one-row (n_pos, n_neg) totals + ~1e3-row
+                           # score-bucket-offset cumsum + one-row AUC sum
+                           # (the q_ks_test construction)
 }
 
 

@@ -1629,3 +1629,161 @@ def test_regression_matches_python_replica(spark, vals_a, vals_b):
             assert abs(gint - (my - wslope * mx)) <= 2e-4, (t, gint)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- round-7 late additions: classifier-eval + repeated-span replicas ------
+
+_ce_tok = st.sampled_from(["alpha", "beta", "gamma", "delta", "run", "stop"])
+_ce_doc = st.lists(_ce_tok, min_size=1, max_size=10).map(lambda ts: " ".join(ts))
+_ce_lang = st.sampled_from(["en", "de", "zh"])
+
+
+def _write_lang_docs(spark, rows, d):
+    spark.createDataFrame(
+        [(i, t, lang) for i, (t, lang) in enumerate(rows)],
+        "doc_id long, text string, lang string",
+    ).write.parquet(f"{d}/documents.parquet")
+
+
+def _py_margins(rows):
+    """Per-doc (m_micro, n_tok, pos) via the pure-Python hash mirror."""
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _FEAT_BUCKETS,
+        _QC_BIAS,
+        _QC_W,
+    )
+
+    out = {}
+    for i, (t, lang) in enumerate(rows):
+        toks = t.split(" ")
+        m = sum(_QC_W[py_token_hash(tok) % _FEAT_BUCKETS] for tok in toks)
+        out[i] = (m + _QC_BIAS * len(toks), len(toks), 1 if lang == "en" else 0)
+    return out
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(_ce_doc, _ce_lang), min_size=2, max_size=24))
+def test_auc_roc_matches_bruteforce_pairs(spark, rows):
+    """q_auc_roc vs the DEFINITION: AUC = mean over all (pos, neg) pairs of
+    1[s_p > s_n] + 0.5*1[s_p == s_n], brute-forced in Python. The Spark
+    side never enumerates pairs (per-score counts + two-phase cumsum), so
+    agreement here proves the rank-sum identity was applied right — the
+    failure mode a two-sided SQL oracle sharing the identity can't catch."""
+    import shutil
+    import tempfile
+
+    from hypothesis import assume
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    margins = _py_margins(rows)
+    pos = [m for m, _, p in margins.values() if p == 1]
+    neg = [m for m, _, p in margins.values() if p == 0]
+    assume(pos and neg)
+
+    d = tempfile.mkdtemp(prefix="auc_prop_")
+    try:
+        _write_lang_docs(spark, rows, d)
+        got = REGISTRY["q_auc_roc"].fn(spark, d).collect()
+        assert len(got) == 1
+        r = got[0]
+        num = sum(
+            2 if mp > mn else (1 if mp == mn else 0) for mp in pos for mn in neg
+        )
+        want = math.floor(num * 1.0 / (2.0 * len(pos) * len(neg)) * 1e6 + 0.5) / 1e6
+        assert (r.n_pos, r.n_neg) == (len(pos), len(neg)), r
+        assert r.auc == want, (r.auc, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.tuples(_ce_doc, _ce_lang), min_size=1, max_size=24))
+def test_calibration_bins_match_python_replica(spark, rows):
+    """q_calibration_bins vs a Python fold of the same margins: bin edges,
+    counts, positive rate, and the exact-integer mean margin per bin."""
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _CAL_BIN_W,
+        _CAL_BINS,
+        _CAL_SHIFT,
+    )
+
+    margins = _py_margins(rows)
+    bins = {}
+    for m, n_tok, p in margins.values():
+        b = min(max(int(math.floor((m * 1.0 / n_tok + _CAL_SHIFT) / _CAL_BIN_W)), 0), _CAL_BINS - 1)
+        n, np_, sm, st_ = bins.get(b, (0, 0, 0, 0))
+        bins[b] = (n + 1, np_ + p, sm + m, st_ + n_tok)
+
+    d = tempfile.mkdtemp(prefix="cal_prop_")
+    try:
+        _write_lang_docs(spark, rows, d)
+        got = {r.bin: r for r in REGISTRY["q_calibration_bins"].fn(spark, d).collect()}
+        assert set(got) == set(bins)
+        for b, (n, np_, sm, st_) in bins.items():
+            r = got[b]
+            assert (r.n, r.n_pos) == (n, np_), (b, r)
+            assert r.pos_rate == math.floor(np_ * 1.0 / n * 1e6 + 0.5) / 1e6
+            assert r.mean_margin == math.floor(sm * 1.0 / st_ / 1e6 * 1e6 + 0.5) / 1e6
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(st.lists(st.lists(_ce_tok, min_size=1, max_size=14).map(lambda ts: " ".join(ts)), min_size=1, max_size=16))
+def test_dup_span_stats_match_bruteforce(spark, texts):
+    """q_dup_span_stats vs a direct Python merge: corpus-count the k-gram
+    windows, mark duplicated positions, merge runs with gap <= k, and
+    compare per-doc span count / duplicated tokens / fraction. Exercises
+    the islands construction against adversarial overlap patterns the
+    fixture corpus may never hit (nested repeats, whole-doc repeats)."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import _SPAN_K
+
+    k = _SPAN_K
+    docs = {i: t.split(" ") for i, t in enumerate(texts)}
+    wins = {
+        i: [(j + 1, " ".join(toks[j : j + k])) for j in range(len(toks) - k + 1)]
+        for i, toks in docs.items()
+        if len(toks) >= k
+    }
+    cnt = Counter(g for ws in wins.values() for _, g in ws)
+    want = {}
+    for i, ws in wins.items():
+        hits = [p for p, g in ws if cnt[g] >= 2]
+        if not hits:
+            continue
+        spans = []
+        start = prev = hits[0]
+        for p in hits[1:]:
+            if p - prev <= k:
+                prev = p
+            else:
+                spans.append((start, prev))
+                start = prev = p
+        spans.append((start, prev))
+        dup_tokens = sum(l - f + k for f, l in spans)
+        want[i] = (
+            len(spans),
+            dup_tokens,
+            math.floor(dup_tokens * 1.0 / len(docs[i]) * 1e6 + 0.5) / 1e6,
+        )
+
+    d = tempfile.mkdtemp(prefix="span_prop_")
+    try:
+        _write_lang_docs(spark, [(t, "en") for t in texts], d)
+        got = {
+            r.doc_id: (r.n_spans, r.dup_tokens, r.dup_frac)
+            for r in REGISTRY["q_dup_span_stats"].fn(spark, d).collect()
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
