@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import read_table
 from ..operators import dedup_hash
+from ..operators.scale import fan_out
 from ..operators.similarity import as_double_vec
 from . import query
 
@@ -1506,8 +1507,10 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str):
             ).alias("g"),
         ),
     )
+    # fan_out: the gram-construction explode is the heavy pre-shuffle stage
+    # and must not run at raw-split parallelism on a skinny input file.
     w = (
-        docs.select("doc_id", toks.alias("toks"))
+        fan_out(docs).select("doc_id", toks.alias("toks"))
         .filter(F.size("toks") >= k)
         .select("doc_id", F.size("toks").alias("n_toks"), F.explode(wins).alias("win"))
         .select("doc_id", "n_toks", F.col("win.i").alias("i"), F.col("win.g").alias("g"))

@@ -2048,6 +2048,39 @@ _QC_W = [((i * 2654435761) % 1000001) - 500000 for i in range(_FEAT_BUCKETS)]
 _QC_BIAS = 25000  # +0.025 margin
 
 
+def _qc_margins(docs, with_label: bool = False):
+    """Shared classifier-inference core for q_quality_classifier /
+    q_auc_roc / q_calibration_bins: per-doc exact BIGINT margin + token
+    count via one explode + one aggregate. With ``with_label`` the
+    lang='en' holdout label rides the explode as a doc-constant grouping
+    column (so no join back to documents is ever needed). The label is
+    when/otherwise, NOT a bool cast: (lang == 'en').cast('long') is NULL
+    for NULL lang, silently dropping the doc from both classes, while the
+    oracles' CASE WHEN counts it as a negative."""
+    toks = fan_out(docs).select(
+        "doc_id",
+        *(
+            [F.when(F.col("lang") == "en", F.lit(1)).otherwise(F.lit(0)).alias("pos")]
+            if with_label
+            else []
+        ),
+        F.explode_outer(F.split("text", " ")).alias("tok"),
+    ).filter(F.col("tok").isNotNull())
+    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
+    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
+    keys = ["doc_id", "pos"] if with_label else ["doc_id"]
+    return (
+        toks.select(*keys, F.element_at(warr, bucket + 1).alias("w"))
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            (F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"),
+        )
+    )
+
+
+
+
 @query(
     "q_quality_classifier",
     oracle=f"""
@@ -2088,18 +2121,7 @@ _QC_BIAS = 25000  # +0.025 margin
 )
 def q_quality_classifier(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    toks = fan_out(docs).select(
-        "doc_id", F.explode_outer(F.split("text", " ")).alias("tok")
-    ).filter(F.col("tok").isNotNull())
-    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
-    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
-    contrib = toks.select(
-        "doc_id", F.element_at(warr, bucket + 1).alias("w")
-    )
-    margins = contrib.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_tok"),
-        (F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"),
-    )
+    margins = _qc_margins(docs)
     sig = 1.0 / (
         1.0 + F.exp(-(F.col("m_micro") * 1.0 / (F.col("n_tok") * 1000000.0)))
     )
@@ -2171,6 +2193,7 @@ _AUC_BUCKET_W = 1 << 17
                  / (2.0 * n_pos * n_neg) * 1000000.0 + 0.5) / 1000000.0 AS auc
     FROM cum CROSS JOIN tot
     GROUP BY n_pos, n_neg
+    HAVING n_pos > 0 AND n_neg > 0
     """,
     doc=(
         "EXACT tie-corrected ROC AUC of the quality-classifier margin "
@@ -2191,20 +2214,7 @@ _AUC_BUCKET_W = 1 << 17
 )
 def q_auc_roc(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    # The label rides the explode as a doc-constant column, so margins and
-    # label come out of ONE aggregate — no second shuffle/join of documents.
-    toks = fan_out(docs).select(
-        "doc_id",
-        (F.col("lang") == "en").cast("long").alias("pos"),
-        F.explode_outer(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
-    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
-    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
-    labeled = (
-        toks.select("doc_id", "pos", F.element_at(warr, bucket + 1).alias("w"))
-        .groupBy("doc_id", "pos")
-        .agg((F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"))
-    )
+    labeled = _qc_margins(docs, with_label=True)
     per_score = (
         labeled.groupBy(F.col("m_micro").alias("s"))
         .agg(F.sum("pos").alias("p"), F.sum(1 - F.col("pos")).alias("ng"))
@@ -2242,6 +2252,10 @@ def q_auc_roc(spark: SparkSession, sf_dir: str):
         F.first("n_neg").alias("n_neg"),
         F.sum(F.col("p") * (2 * F.col("nb") + F.col("ng"))).alias("num"),
     )
+    # AUC is undefined on an empty or single-class corpus: emit ZERO rows
+    # (matching the oracle's GROUP BY + HAVING) instead of Spark's global-
+    # agg one-NULL-row / a 0/0 NaN division.
+    out = out.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
     return out.select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
         F.col("n_neg").cast("bigint").alias("n_neg"),
@@ -2300,23 +2314,7 @@ _CAL_BINS = 10
 )
 def q_calibration_bins(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    # Same one-aggregate shape as q_auc_roc: the label is doc-constant and
-    # rides the explode, so no join back to documents is needed.
-    toks = fan_out(docs).select(
-        "doc_id",
-        (F.col("lang") == "en").cast("long").alias("pos"),
-        F.explode_outer(F.split("text", " ")).alias("tok"),
-    ).filter(F.col("tok").isNotNull())
-    warr = F.array(*[F.lit(w).cast("long") for w in _QC_W])
-    bucket = (dedup_hash.token_hash(F.col("tok")) % _FEAT_BUCKETS).cast("int")
-    labeled = (
-        toks.select("doc_id", "pos", F.element_at(warr, bucket + 1).alias("w"))
-        .groupBy("doc_id", "pos")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            (F.sum("w") + _QC_BIAS * F.count(F.lit(1))).alias("m_micro"),
-        )
-    )
+    labeled = _qc_margins(docs, with_label=True)
     bin_col = F.least(
         F.greatest(
             F.floor(
