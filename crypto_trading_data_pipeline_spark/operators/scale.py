@@ -266,3 +266,64 @@ def zorder_key_sql(x: str, y: str, *, bits: int = 8) -> str:
         terms.append(f"(((CAST({x} AS BIGINT) >> {b}) & 1) << {2 * b})")
         terms.append(f"(((CAST({y} AS BIGINT) >> {b}) & 1) << {2 * b + 1})")
     return " | ".join(terms)
+
+
+def exact_global_rank(
+    df: DataFrame,
+    *,
+    value_col: str,
+    tiebreak_col: str,
+    rank_col: str = "rk",
+    n_col: str | None = None,
+    buckets: int = 256,
+) -> DataFrame:
+    """Exact 1-based global rank by ``(value_col, tiebreak_col)`` ascending
+    without passing the table through one task — the q_lorenz / q_global_shuffle
+    two-phase machinery, factored for reuse.
+
+    Phase 1: a one-row ``(min, max, n)`` stats aggregate is broadcast and
+    derives ``buckets`` ORDER-PRESERVING integer range buckets (value must be
+    an integer column — double values could flip near-tie bucket boundaries).
+    Phase 2: ``row_number`` within each bucket in parallel, then the
+    ``<= buckets``-row per-bucket count cumsum (bounded single-partition
+    window) is broadcast back as rank offsets. The result equals the naive
+    ``row_number() OVER (ORDER BY value, tiebreak)`` bit-for-bit while every
+    corpus-sized exchange stays key-partitioned.
+
+    ``n_col``: also attach the total row count (phase 1 already has it; saves
+    callers that need ``rank/n`` quantile arithmetic a second global scan).
+    Internal columns are dropped; all input columns pass through.
+    """
+    from pyspark.sql import Window
+
+    stats = df.agg(
+        F.min(value_col).alias("__mn"),
+        F.max(value_col).alias("__mx"),
+        F.count(F.lit(1)).alias("__n"),
+    )
+    keyed = df.join(F.broadcast(stats)).withColumn(
+        "__bkt",
+        F.least(
+            F.expr(
+                f"CAST(({value_col} - __mn) div "
+                f"(((__mx - __mn) div {buckets}) + 1) AS INT)"
+            ),
+            F.lit(buckets - 1),
+        ),
+    )
+    within = F.row_number().over(
+        Window.partitionBy("__bkt").orderBy(value_col, tiebreak_col)
+    )
+    counts = keyed.groupBy("__bkt").agg(F.count(F.lit(1)).alias("__cnt"))
+    off = F.sum("__cnt").over(
+        Window.orderBy("__bkt").rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select("__bkt", F.coalesce(off, F.lit(0)).alias("__off"))
+    out = (
+        keyed.withColumn("__pos", within)
+        .join(F.broadcast(offsets), "__bkt")
+        .withColumn(rank_col, F.col("__off") + F.col("__pos"))
+    )
+    if n_col is not None:
+        out = out.withColumn(n_col, F.col("__n"))
+    return out.drop("__bkt", "__pos", "__off", "__mn", "__mx", "__n")

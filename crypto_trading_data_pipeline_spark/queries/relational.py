@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import parquet_row_count, read_table, ts_micros, ts_seconds, ts_seconds_d
 from ..operators.joins import asof_join
+from ..operators.scale import exact_global_rank
 from . import query
 
 def REVENUE():
@@ -3276,31 +3277,13 @@ def q_lorenz(spark: SparkSession, sf_dir: str):
     rev = o.select("o_custkey", rev_c.alias("c")).groupBy("o_custkey").agg(
         F.sum("c").alias("rev_c")
     )
-    stats = rev.agg(
-        F.min("rev_c").alias("mn"),
-        F.max("rev_c").alias("mx"),
-        F.count(F.lit(1)).alias("n"),
-        F.sum("rev_c").alias("total"),
-    )
-    keyed = rev.join(F.broadcast(stats)).withColumn(
-        "bkt",
-        F.least(
-            F.expr(f"CAST((rev_c - mn) div (((mx - mn) div {_LORENZ_BUCKETS}) + 1) AS INT)"),
-            F.lit(_LORENZ_BUCKETS - 1),
-        ),
-    )
-    within = F.row_number().over(
-        Window.partitionBy("bkt").orderBy("rev_c", "o_custkey")
-    )
-    counts = keyed.groupBy("bkt").agg(F.count(F.lit(1)).alias("cnt"))
-    off = F.sum("cnt").over(
-        Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select("bkt", F.coalesce(off, F.lit(0)).alias("off"))
-    ranked = (
-        keyed.withColumn("pos", within)
-        .join(F.broadcast(offsets), "bkt")
-        .withColumn("rk", F.col("off") + F.col("pos"))
+    total_df = rev.agg(F.sum("rev_c").alias("total"))
+    ranked = exact_global_rank(
+        rev.join(F.broadcast(total_df)),
+        value_col="rev_c",
+        tiebreak_col="o_custkey",
+        n_col="n",
+        buckets=_LORENZ_BUCKETS,
     )
     dec = ranked.select(
         F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
@@ -3762,4 +3745,179 @@ def q_chi_square(spark: SparkSession, sf_dir: str):
         cells.agg((F.sum("t_micro").cast("bigint") / 1000000.0).alias("chi2"))
         .join(F.broadcast(dof))
         .join(F.broadcast(n.select(F.col("n").cast("bigint").alias("n"))))
+    )
+
+
+#: RFM pinned as-of date — one day past the fixture's last order
+#: (1995-01-01..2001-08-01), so recency is a positive day count.
+_RFM_AS_OF = "2001-08-02"
+
+@query(
+    "q_rfm_segments",
+    oracle=f"""
+    WITH m AS (
+      SELECT o_custkey,
+             CAST(date_diff('day', CAST(max(o_orderdate) AS DATE),
+                            DATE '{_RFM_AS_OF}') AS INTEGER) AS r_days,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS m_cents
+      FROM orders GROUP BY 1
+    ), r AS (
+      SELECT *,
+             row_number() OVER (ORDER BY r_days, o_custkey)  AS rr,
+             row_number() OVER (ORDER BY f, o_custkey)       AS fr,
+             row_number() OVER (ORDER BY m_cents, o_custkey) AS mr,
+             count(*) OVER () AS n
+      FROM m
+    )
+    SELECT o_custkey, r_days, f, m_cents,
+           CAST(6 - (1 + ((rr - 1) * 5) // n) AS INTEGER) AS r_score,
+           CAST(1 + ((fr - 1) * 5) // n AS INTEGER)       AS f_score,
+           CAST(1 + ((mr - 1) * 5) // n AS INTEGER)       AS m_score,
+           CAST((6 - (1 + ((rr - 1) * 5) // n)) * 100
+                + (1 + ((fr - 1) * 5) // n) * 10
+                + (1 + ((mr - 1) * 5) // n) AS INTEGER)   AS rfm
+    FROM r
+    """,
+    doc=(
+        "RFM customer segmentation (recency/frequency/monetary quintile "
+        "scores, the classic CRM / lifecycle-marketing featurization): "
+        "days since last order vs a pinned as-of date, order count, and "
+        "lifetime revenue in integer CENTS, each cut into exact quintiles "
+        "with score 5 = best (most recent / most frequent / highest "
+        "spend), concatenated into the 111..555 segment code. All three "
+        "rankings ride exact_global_rank (the factored q_lorenz two-phase "
+        "machinery: 1-row stats broadcast -> order-preserving range "
+        "buckets -> per-bucket row_number -> bounded offset cumsum), so "
+        "the customer table never passes through one task and the "
+        "quintile assignment — 1 + ((rank-1)*5) div n, ties broken by "
+        "custkey — is pure integer arithmetic, bit-identical across "
+        "engines where interpolated percentile CUTOFFS would wobble on "
+        "FP rounding. Shape: one partial+final aggregate on o_custkey "
+        "(|C| rows out), then three rank passes over that |C|-row "
+        "aggregate; the only single-partition exchanges are the three "
+        "1-row stats and three <=256-row offset cumsums."
+    ),
+)
+def q_rfm_segments(spark: SparkSession, sf_dir: str):
+    o = read_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    m = o.groupBy("o_custkey").agg(
+        F.datediff(
+            F.lit(_RFM_AS_OF).cast("date"), F.max("o_orderdate").cast("date")
+        ).cast("int").alias("r_days"),
+        F.count(F.lit(1)).alias("f"),
+        F.sum(cents).alias("m_cents"),
+    )
+    ranked = exact_global_rank(m, value_col="r_days", tiebreak_col="o_custkey",
+                               rank_col="rr", n_col="n")
+    ranked = exact_global_rank(ranked, value_col="f", tiebreak_col="o_custkey",
+                               rank_col="fr")
+    ranked = exact_global_rank(ranked, value_col="m_cents",
+                               tiebreak_col="o_custkey", rank_col="mr")
+    # 1 + ((rk-1)*5) div n — the q_lorenz decile assignment with 5 buckets:
+    # pure integer arithmetic, bit-identical across engines. Threshold-based
+    # scoring (percentile cutoffs) was rejected: interpolated quantiles are
+    # doubles, and a customer sitting exactly on a cutoff can flip buckets
+    # on FP rounding differences.
+    quint = lambda rk: F.expr(f"CAST(1 + (({rk} - 1) * 5) div n AS INT)")  # noqa: E731
+    r_score = (F.lit(6) - quint("rr")).cast("int")
+    return ranked.select(
+        "o_custkey",
+        "r_days",
+        "f",
+        "m_cents",
+        r_score.alias("r_score"),
+        quint("fr").alias("f_score"),
+        quint("mr").alias("m_score"),
+        (r_score * 100 + quint("fr") * 10 + quint("mr")).cast("int").alias("rfm"),
+    )
+
+
+#: Market-basket minimum pair support: pairs co-ordered fewer times carry
+#: no signal (the sf0.01 fixture has 3,445 pairs at support >= 2).
+_BASKET_MIN_SUPPORT = 2
+
+
+@query(
+    "q_market_basket",
+    oracle=f"""
+    WITH op AS (
+      SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ), item AS (
+      SELECT l_partkey, CAST(count(*) AS BIGINT) AS n_item FROM op GROUP BY 1
+    ), tot AS (
+      SELECT CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders FROM op
+    ), pair AS (
+      SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+             CAST(count(*) AS BIGINT) AS n_ab
+      FROM op a JOIN op b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING count(*) >= {_BASKET_MIN_SUPPORT}
+    )
+    SELECT part_a, part_b, n_ab,
+           ia.n_item AS n_a, ib.n_item AS n_b,
+           CAST(n_ab * 1000000 // ia.n_item AS BIGINT) AS conf_ab_ppm,
+           CAST(n_ab * 1000000 // ib.n_item AS BIGINT) AS conf_ba_ppm,
+           CAST(n_ab * n_orders * 1000000 // (ia.n_item * ib.n_item) AS BIGINT)
+             AS lift_ppm
+    FROM pair
+    JOIN item ia ON pair.part_a = ia.l_partkey
+    JOIN item ib ON pair.part_b = ib.l_partkey
+    CROSS JOIN tot
+    """,
+    doc=(
+        "Market-basket association mining (support / confidence / lift "
+        "over part pairs co-occurring in an order — the Apriori-style "
+        "pair stage): distinct (order, part) first, self-join on the "
+        "order key with part_a < part_b, pair counts filtered to minimum "
+        "support, then confidence and lift as EXACT integer-ppm divisions "
+        "so ranking order is bit-identical across engines. Shape: the "
+        "pair expansion is bounded per order by C(order_size, 2) — TPC-H "
+        "orders cap at ~13 lines (78 pairs), so the self-join output is a "
+        "constant factor of the fact table, co-partitioned on l_orderkey "
+        "(one exchange serves both sides); item counts join back on the "
+        "part keys WITHOUT a broadcast hint — |parts| grows with scale "
+        "(the q_triangle_count degree-table lesson), AQE broadcasts while "
+        "small. Exactness bound: lift's integer product needs "
+        "n_ab * n_orders * 1e6 < 2^63 — holds while pair support x order "
+        "count < 9.2e12 (sf ~1000 at observed support levels); beyond "
+        "that, drop to the two-ratio double form. The 1-row n_orders "
+        "scalar rides a broadcast nested-loop join."
+    ),
+)
+def q_market_basket(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
+    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
+    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
+    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    pair = (
+        a.join(b, "k")
+        .filter(F.col("part_a") < F.col("part_b"))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pair.join(ia, "part_a")
+        .join(ib, "part_b")
+        .join(F.broadcast(tot))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.expr("CAST(n_ab * 1000000 div n_a AS BIGINT)").alias("conf_ab_ppm"),
+            F.expr("CAST(n_ab * 1000000 div n_b AS BIGINT)").alias("conf_ba_ppm"),
+            F.expr(
+                "CAST(n_ab * n_orders * 1000000 div (n_a * n_b) AS BIGINT)"
+            ).alias("lift_ppm"),
+        )
     )

@@ -277,6 +277,9 @@ _SINGLE_PARTITION_OK = {
     "q_auc_roc",           # one-row (n_pos, n_neg) totals + ~1e3-row
                            # score-bucket-offset cumsum + one-row AUC sum
                            # (the q_ks_test construction)
+    "q_rfm_segments",      # three 1-row rank stats + three <=256-row
+                           # offset cumsums (exact_global_rank x3)
+    "q_market_basket",     # 1-row n_orders scalar
 }
 
 

@@ -1789,3 +1789,39 @@ def test_dup_span_stats_match_bruteforce(spark, texts):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(
+        st.integers(min_value=-(10**12), max_value=10**12),
+        min_size=1,
+        max_size=200,
+    )
+)
+def test_exact_global_rank_matches_row_number(spark, vals):
+    """exact_global_rank (two-phase range-bucket ranks, shared by q_lorenz
+    and q_rfm_segments) must equal the naive global row_number() bit-for-bit
+    on adversarial value sets: duplicates, negatives, all-equal, and ranges
+    far wider than the bucket count."""
+    from pyspark.sql import Window
+
+    from crypto_trading_data_pipeline_spark.operators.scale import exact_global_rank
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id BIGINT, v BIGINT"
+    )
+    got = {
+        r["id"]: (r["rk"], r["n"])
+        for r in exact_global_rank(
+            df, value_col="v", tiebreak_col="id", n_col="n", buckets=16
+        ).collect()
+    }
+    naive = {
+        r["id"]: r["rk"]
+        for r in df.withColumn(
+            "rk", F.row_number().over(Window.orderBy("v", "id"))
+        ).collect()
+    }
+    assert {k: v[0] for k, v in got.items()} == naive
+    assert all(n == len(vals) for _, n in got.values())
