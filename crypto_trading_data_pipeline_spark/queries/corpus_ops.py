@@ -1541,3 +1541,128 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str):
             / 1000000.0
         ).alias("dup_frac"),
     ).drop("n_toks")
+
+
+#: Vocabulary-coverage report points: fraction of all token occurrences
+#: covered by the top-k most frequent tokens. The k grid is the dataset-card
+#: / tokenizer-sizing sweep shape.
+_VOCAB_COVERAGE_KS = [10, 100, 1000]
+_VOCAB_COVERAGE_TOPN = 1000
+
+
+@query(
+    "q_vocab_coverage",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS t FROM documents
+    ), cnts AS (
+      SELECT t, CAST(count(*) AS BIGINT) AS c FROM tok GROUP BY 1
+    ), tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS total_cnt FROM cnts
+    ), ranked AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, t) AS rn FROM cnts
+    ), ks AS (
+      SELECT unnest({_VOCAB_COVERAGE_KS!r}) AS k
+    )
+    SELECT k,
+           CAST(sum(c) AS BIGINT) AS cov_cnt,
+           any_value(total_cnt) AS total_cnt,
+           CAST(sum(c) * 1000000 // any_value(total_cnt) AS BIGINT) AS cov_ppm
+    FROM ranked CROSS JOIN ks CROSS JOIN tot
+    WHERE rn <= k AND rn <= {_VOCAB_COVERAGE_TOPN}
+    GROUP BY k
+    """,
+    doc=(
+        "Vocabulary coverage curve: the fraction of ALL token occurrences "
+        "captured by the top-10/100/1000 most frequent tokens — the "
+        "tokenizer-vocabulary-sizing and head-heaviness statistic every "
+        "dataset card reports (a near-1.0 top-10 coverage means templated "
+        "text; a flat curve means noise). Token counts aggregate "
+        "partial+final on the token key; the global ordering then touches "
+        "ONLY the top-1000 candidates via TakeOrderedAndProject (never a "
+        "corpus- or vocab-sized sort), ranks are a bounded <=1000-row "
+        "window, and coverage is exact integer ppm division against the "
+        "one-row occurrence total. Ties broken (count desc, token) on "
+        "both sides so the cut at each k is deterministic. The k grid "
+        "join is a 3-row broadcast nested loop."
+    ),
+)
+def q_vocab_coverage(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    cnts = (
+        docs.select(F.explode(F.split("text", " ")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    total = cnts.agg(F.sum("c").cast("bigint").alias("total_cnt"))
+    top = cnts.orderBy(F.col("c").desc(), "t").limit(_VOCAB_COVERAGE_TOPN)
+    ranked = top.withColumn(
+        "rn", F.row_number().over(Window.orderBy(F.col("c").desc(), "t"))
+    )
+    ks = spark.createDataFrame([(k,) for k in _VOCAB_COVERAGE_KS], "k INT")
+    return (
+        ranked.join(F.broadcast(ks), F.col("rn") <= F.col("k"))
+        .groupBy("k")
+        .agg(F.sum("c").cast("bigint").alias("cov_cnt"))
+        .join(F.broadcast(total))
+        .select(
+            "k",
+            "cov_cnt",
+            "total_cnt",
+            F.expr("CAST(cov_cnt * 1000000 div total_cnt AS BIGINT)").alias(
+                "cov_ppm"
+            ),
+        )
+    )
+
+
+#: Boilerplate-prefix key length (normalized characters). Long enough that
+#: coincidental collisions are rare, short enough to catch shared headers /
+#: license banners / scraped-template openings.
+_PREFIX_LEN = 40
+
+
+@query(
+    "q_prefix_dedup",
+    oracle=f"""
+    SELECT substr(lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))),
+                  1, {_PREFIX_LEN}) AS prefix,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(min(doc_id) AS BIGINT) AS rep_doc,
+           CAST(count(*) - 1 AS BIGINT) AS dup_docs
+    FROM documents
+    GROUP BY 1 HAVING count(*) >= 2
+    """,
+    doc=(
+        "Boilerplate-prefix clustering: documents sharing the same "
+        "normalized {n}-char opening (lowercase, trimmed, whitespace-"
+        "collapsed — the q_dedup_norm canonicalization) grouped into "
+        "clusters with a deterministic min-doc_id representative — the "
+        "CCNet-style screen for shared headers, license banners, and "
+        "scraped-template openings that whole-document fingerprints miss "
+        "because the TAILS differ. One partial+final aggregate on the "
+        "prefix key, entirely row-local before the shuffle; at 100 TB "
+        "the prefix key is 40 chars however long the documents are, so "
+        "the shuffle payload is constant-width and the skew ceiling is "
+        "the largest boilerplate family (AQE skew-split handles it)."
+    ).format(n=_PREFIX_LEN),
+)
+def q_prefix_dedup(spark: SparkSession, sf_dir: str):
+    from ..operators.dedup import normalize_text
+
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.substring(normalize_text(F.col("text")), 1, _PREFIX_LEN).alias(
+                "prefix"
+            ),
+            "doc_id",
+        )
+        .groupBy("prefix")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("rep_doc"),
+            (F.count(F.lit(1)) - 1).cast("bigint").alias("dup_docs"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

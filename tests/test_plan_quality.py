@@ -280,6 +280,8 @@ _SINGLE_PARTITION_OK = {
     "q_rfm_segments",      # three 1-row rank stats + three <=256-row
                            # offset cumsums (exact_global_rank x3)
     "q_market_basket",     # 1-row n_orders scalar
+    "q_vocab_coverage",    # 1-row occurrence total + <=1000-row rank
+                           # window over the already-limited top-k
 }
 
 
