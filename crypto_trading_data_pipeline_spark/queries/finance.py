@@ -1008,3 +1008,141 @@ def q_macd(spark: SparkSession, sf_dir: str):
         F.round(sig, 6).alias("signal"),
         F.round(F.col("macd") - sig, 6).alias("hist"),
     )
+
+
+@query(
+    "q_donchian",
+    oracle=f"""
+    WITH candles AS (
+      {_SQL_CANDLES}
+    ), ch AS (
+      SELECT symbol, minute, close,
+             max(high) OVER w20 AS upper,
+             min(low)  OVER w20 AS lower,
+             count(*)  OVER w20 AS n
+      FROM candles
+      WINDOW w20 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), l AS (
+      SELECT symbol, minute, close, upper, lower, n,
+             lag(upper) OVER (PARTITION BY symbol ORDER BY minute) AS pu,
+             lag(lower) OVER (PARTITION BY symbol ORDER BY minute) AS pl
+      FROM ch
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           upper, lower, (upper + lower) / 2.0 AS mid,
+           close > pu AS brk_up, close < pl AS brk_dn
+    FROM l WHERE n >= 20 AND pu IS NOT NULL
+    """,
+    doc=(
+        "20-period Donchian channel + breakout signals: channel top/bottom "
+        "are frame max-high / min-low, midline their average, and a "
+        "breakout fires when the close crosses the PREVIOUS bar's channel "
+        "(lag, so the bar doesn't trigger against a boundary it itself "
+        "moved — the turtle-trading entry rule). Every value is a frame "
+        "max/min or one add+divide of raw ticks — no summation anywhere, "
+        "so results are bit-identical with no rounding needed. Both "
+        "window passes and the lag share the one symbol exchange the "
+        "indicator family co-partitions on."
+    ),
+)
+def q_donchian(spark: SparkSession, sf_dir: str):
+    candles = _candles(spark, sf_dir)
+    wsym = Window.partitionBy("symbol").orderBy("minute")
+    w20 = wsym.rowsBetween(-19, 0)
+    ch = candles.select(
+        "symbol",
+        "minute",
+        "close",
+        F.max("high").over(w20).alias("upper"),
+        F.min("low").over(w20).alias("lower"),
+        F.count(F.lit(1)).over(w20).alias("n"),
+    )
+    lagged = ch.select(
+        "*",
+        F.lag("upper").over(wsym).alias("pu"),
+        F.lag("lower").over(wsym).alias("pl"),
+    )
+    return (
+        lagged.filter((F.col("n") >= 20) & F.col("pu").isNotNull())
+        .select(
+            "symbol",
+            "minute",
+            "upper",
+            "lower",
+            ((F.col("upper") + F.col("lower")) / 2.0).alias("mid"),
+            (F.col("close") > F.col("pu")).alias("brk_up"),
+            (F.col("close") < F.col("pl")).alias("brk_dn"),
+        )
+    )
+
+
+@query(
+    "q_ichimoku",
+    oracle=f"""
+    WITH candles AS (
+      {_SQL_CANDLES}
+    ), w AS (
+      SELECT symbol, minute, close,
+             (max(high) OVER w9  + min(low) OVER w9)  / 2.0 AS conversion,
+             (max(high) OVER w26 + min(low) OVER w26) / 2.0 AS base,
+             (max(high) OVER w52 + min(low) OVER w52) / 2.0 AS span_b,
+             lead(close, 26) OVER (PARTITION BY symbol ORDER BY minute)
+               AS chikou,
+             count(*) OVER w52 AS n
+      FROM candles
+      WINDOW w9  AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 8 PRECEDING AND CURRENT ROW),
+             w26 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 25 PRECEDING AND CURRENT ROW),
+             w52 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 51 PRECEDING AND CURRENT ROW)
+    )
+    SELECT symbol, CAST(minute AS TIMESTAMP) AS minute,
+           conversion, base, (conversion + base) / 2.0 AS span_a, span_b,
+           chikou, close > greatest(span_a, span_b) AS above_cloud
+    FROM w WHERE n >= 52
+    """,
+    doc=(
+        "Ichimoku indicator set over 1-minute bars: conversion (9-bar "
+        "midpoint), base (26-bar), leading span A ((conversion+base)/2), "
+        "leading span B (52-bar midpoint), chikou (close displaced 26 "
+        "bars forward via lead), and the above-cloud position flag. "
+        "Exercises FOUR window frames plus a lead offset on ONE symbol "
+        "exchange — Spark evaluates all of them in a single Window node "
+        "chain without re-shuffling. Midpoints are max/min plus one "
+        "add+divide (no summation), so every value is bit-identical "
+        "without rounding; warm-up suppressed until the longest (52-bar) "
+        "frame is full. Spans are emitted at the bar that COMPUTES them "
+        "(the standard tabular form; plotting displacement is a render "
+        "concern, chikou shows the lead/lag machinery)."
+    ),
+)
+def q_ichimoku(spark: SparkSession, sf_dir: str):
+    candles = _candles(spark, sf_dir)
+    wsym = Window.partitionBy("symbol").orderBy("minute")
+    mid = lambda k: (  # noqa: E731
+        F.max("high").over(wsym.rowsBetween(-(k - 1), 0))
+        + F.min("low").over(wsym.rowsBetween(-(k - 1), 0))
+    ) / 2.0
+    w = candles.select(
+        "symbol",
+        "minute",
+        "close",
+        mid(9).alias("conversion"),
+        mid(26).alias("base"),
+        mid(52).alias("span_b"),
+        F.lead("close", 26).over(wsym).alias("chikou"),
+        F.count(F.lit(1)).over(wsym.rowsBetween(-51, 0)).alias("n"),
+    )
+    span_a = (F.col("conversion") + F.col("base")) / 2.0
+    return w.filter(F.col("n") >= 52).select(
+        "symbol",
+        "minute",
+        "conversion",
+        "base",
+        span_a.alias("span_a"),
+        "span_b",
+        "chikou",
+        (F.col("close") > F.greatest(span_a, F.col("span_b"))).alias("above_cloud"),
+    )

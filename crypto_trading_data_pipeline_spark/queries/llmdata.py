@@ -2344,3 +2344,93 @@ def q_calibration_bins(spark: SparkSession, sf_dir: str):
             / 1000000.0
         ).alias("mean_margin"),
     )
+
+
+#: Operating-point sweep for the quality classifier: PER-TOKEN margin
+#: thresholds in weight micro-units (0 = the q_quality_classifier keep
+#: cutoff; +-60000 are stricter/looser curation operating points). The
+#: predicate m_micro >= t * n_tok stays in exact BIGINTs.
+_PR_THRESHOLDS = [-60000, 0, 60000]
+
+
+@query(
+    "q_precision_recall",
+    oracle=f"""
+    WITH {_QC_LABELED_CTE}, ts AS (
+      SELECT unnest({_PR_THRESHOLDS!r}) AS t_micro
+    ), conf AS (
+      SELECT t_micro,
+             CAST(sum(CASE WHEN pos = 1 AND m_micro >= t_micro * n_tok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pos = 0 AND m_micro >= t_micro * n_tok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pos = 1 AND m_micro <  t_micro * n_tok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+             CAST(sum(CASE WHEN pos = 0 AND m_micro <  t_micro * n_tok
+                           THEN 1 ELSE 0 END) AS BIGINT) AS tn
+      FROM labeled CROSS JOIN ts
+      GROUP BY t_micro
+    )
+    SELECT t_micro, tp, fp, fn, tn,
+           CASE WHEN tp + fp > 0
+                THEN CAST(tp * 1000000 // (tp + fp) AS BIGINT) END
+             AS precision_ppm,
+           CASE WHEN tp + fn > 0
+                THEN CAST(tp * 1000000 // (tp + fn) AS BIGINT) END
+             AS recall_ppm,
+           CASE WHEN 2 * tp + fp + fn > 0
+                THEN CAST(tp * 2000000 // (2 * tp + fp + fn) AS BIGINT) END
+             AS f1_ppm
+    FROM conf
+    """,
+    doc=(
+        "Precision / recall / F1 of the quality classifier at three "
+        "operating points against the lang='en' holdout — the threshold-"
+        "selection table that complements q_auc_roc's threshold-free "
+        "ranking metric (production curation picks t off THIS table: AUC "
+        "says the model ranks well, this says what a given cutoff keeps "
+        "and loses). Reuses the shared _qc_margins inference core; the "
+        "decision predicate m_micro >= t * n_tok and the full confusion "
+        "matrix are exact BIGINT arithmetic, and the P/R/F1 ratios are "
+        "integer-ppm divisions NULL-guarded at degenerate thresholds — "
+        "zero float tie risk anywhere. Shape: one explode + one per-doc "
+        "aggregate, a 3-row broadcast threshold grid, and a 3-group "
+        "final aggregate."
+    ),
+)
+def q_precision_recall(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = _qc_margins(docs, with_label=True)
+    ths = spark.createDataFrame(
+        [(t,) for t in _PR_THRESHOLDS], "t_micro INT"
+    )
+    pred = F.col("m_micro") >= F.col("t_micro").cast("long") * F.col("n_tok")
+    conf = (
+        labeled.join(F.broadcast(ths))
+        .groupBy("t_micro")
+        .agg(
+            F.sum(((F.col("pos") == 1) & pred).cast("long")).alias("tp"),
+            F.sum(((F.col("pos") == 0) & pred).cast("long")).alias("fp"),
+            F.sum(((F.col("pos") == 1) & ~pred).cast("long")).alias("fn"),
+            F.sum(((F.col("pos") == 0) & ~pred).cast("long")).alias("tn"),
+        )
+    )
+    return conf.select(
+        "t_micro",
+        "tp",
+        "fp",
+        "fn",
+        "tn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.expr("CAST(tp * 1000000 div (tp + fp) AS BIGINT)"),
+        ).alias("precision_ppm"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.expr("CAST(tp * 1000000 div (tp + fn) AS BIGINT)"),
+        ).alias("recall_ppm"),
+        F.when(
+            2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
+            F.expr("CAST(tp * 2000000 div (2 * tp + fp + fn) AS BIGINT)"),
+        ).alias("f1_ppm"),
+    )
