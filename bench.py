@@ -135,6 +135,16 @@ HEADLINE = [
     "q_auc_roc",
     "q_calibration_bins",
     "q_dup_span_stats",
+    # r7 late additions.
+    "q_rfm_segments",
+    "q_market_basket",
+    "q_vocab_coverage",
+    "q_prefix_dedup",
+    "q_precision_recall",
+    "q_donchian",
+    "q_ichimoku",
+    "q_bpe_fertility",
+    "q_attribution",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1475,7 +1475,25 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
     island — provably identical to the sequential fold the Spark side
     runs (a merged symbol p1||p2 can never equal p1, so the fold cannot
     cascade; for p1 <> p2 matches are never adjacent)."""
-    sql = """
+    if emit == "fertility":
+        # Per-(lang, word) counts first; the training vocab rolls them up,
+        # so the corpus is tokenized once for both training and the
+        # per-lang fertility join.
+        sql = """
+    WITH wl AS (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS wc
+      FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
+      WHERE w <> ''
+      GROUP BY lang, w
+    ), v0 AS (
+      SELECT w, CAST(sum(wc) AS BIGINT) AS wc,
+             list_transform(range(1, length(w) + 1),
+                            i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
+      FROM wl
+      GROUP BY w
+    )"""
+    else:
+        sql = """
     WITH v0 AS (
       SELECT w, CAST(count(*) AS BIGINT) AS wc,
              list_transform(range(1, length(w) + 1),
@@ -1484,7 +1502,7 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
       WHERE w <> ''
       GROUP BY w
     )"""
-    apply_rounds = n_merges if emit == "tokens" else n_merges - 1
+    apply_rounds = n_merges if emit in ("tokens", "fertility") else n_merges - 1
     for r in range(n_merges):
         sql += f""", p{r} AS (
       SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(sum(wc) AS BIGINT) AS cnt
@@ -1526,6 +1544,19 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
     SELECT s AS token, CAST(sum(wc) AS BIGINT) AS cnt
     FROM (SELECT wc, unnest(syms) AS s FROM v{n_merges})
     GROUP BY 1 ORDER BY cnt DESC, token LIMIT 20
+    """
+        )
+    if emit == "fertility":
+        return (
+            sql
+            + f"""
+    SELECT wl.lang,
+           CAST(sum(wl.wc) AS BIGINT) AS n_words,
+           CAST(sum(wl.wc * len(v.syms)) AS BIGINT) AS n_tokens,
+           CAST(sum(wl.wc * len(v.syms)) * 1000000 // sum(wl.wc) AS BIGINT)
+             AS fertility_ppm
+    FROM wl JOIN v{n_merges} v ON wl.w = v.w
+    GROUP BY wl.lang
     """
         )
     parts = " UNION ALL ".join(
@@ -1650,7 +1681,7 @@ def q_bpe_merges(spark: SparkSession, sf_dir: str):
     ).orderBy("merge_rank")
 
 
-def _bpe_train(spark, sf_dir, n_merges: int, apply_last: bool):
+def _bpe_train(spark, sf_dir, n_merges: int, apply_last: bool, word_counts=None):
     """(merge tables, final vocab) after n_merges BPE rounds.
 
     One corpus-sized aggregate builds the char-symbol vocab, materialized
@@ -1659,14 +1690,19 @@ def _bpe_train(spark, sf_dir, n_merges: int, apply_last: bool):
     checkpoint dir" caveat as q_pagerank). All materializations are
     vocab-sized or 1 row. ``apply_last`` also applies the final round's
     merge (the tokenizer-apply path needs the post-merge vocab; the
-    merge-list path does not)."""
-    docs = read_table(spark, sf_dir, "documents")
+    merge-list path does not). ``word_counts``: an optional prebuilt
+    (w, wc) DataFrame — lets callers that already tokenized the corpus
+    (q_bpe_fertility's lang-keyed counts) train without a second scan."""
+    if word_counts is None:
+        docs = read_table(spark, sf_dir, "documents")
+        word_counts = (
+            docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+            .filter(F.col("w") != "")
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+        )
     vocab = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
-        .select(
+        word_counts.select(
             "w",
             "wc",
             F.transform(
@@ -2433,4 +2469,52 @@ def q_precision_recall(spark: SparkSession, sf_dir: str):
             2 * F.col("tp") + F.col("fp") + F.col("fn") > 0,
             F.expr("CAST(tp * 2000000 div (2 * tp + fp + fn) AS BIGINT)"),
         ).alias("f1_ppm"),
+    )
+
+
+@query(
+    "q_bpe_fertility",
+    oracle=_bpe_merges_oracle(emit="fertility"),
+    doc=(
+        "Tokenizer EVALUATION — per-language fertility (average subword "
+        "tokens per word) of the q_bpe_merges-trained tokenizer: the "
+        "standard multilingual-tokenizer-equity report (a language with "
+        "2x fertility pays 2x the context budget per word; vocab sizing "
+        "and mixture decisions read THIS table). The corpus is tokenized "
+        "ONCE into per-(lang, word) counts; the training vocab is a "
+        "rollup of that same aggregate (no second corpus scan), the "
+        "trained symbol sequences join back on the word key, and "
+        "fertility = sum(wc * |syms|) / sum(wc) is computed as exact "
+        "integer ppm. Shape: everything after the one corpus-sized "
+        "tokenize touches |lang x V| rows; the join back is "
+        "vocab-to-vocab, co-partitioned on the word key."
+    ),
+)
+def q_bpe_fertility(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    wl = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
+    )
+    wc_global = wl.groupBy("w").agg(F.sum("wc").cast("bigint").alias("wc"))
+    _, v = _bpe_train(
+        spark, sf_dir, _BPE_MERGES, apply_last=True, word_counts=wc_global
+    )
+    return (
+        wl.join(v.select("w", F.size("syms").alias("n_syms")), "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("wc").cast("bigint").alias("n_words"),
+            F.sum(F.col("wc") * F.col("n_syms")).cast("bigint").alias("n_tokens"),
+        )
+        .select(
+            "lang",
+            "n_words",
+            "n_tokens",
+            F.expr("CAST(n_tokens * 1000000 div n_words AS BIGINT)").alias(
+                "fertility_ppm"
+            ),
+        )
     )

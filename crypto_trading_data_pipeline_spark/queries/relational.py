@@ -3921,3 +3921,90 @@ def q_market_basket(spark: SparkSession, sf_dir: str):
             ).alias("lift_ppm"),
         )
     )
+
+
+@query(
+    "q_attribution",
+    oracle="""
+    WITH fp AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'purchase'
+      ) WHERE rn = 1
+    ), ft AS (
+      SELECT user_id, event_type AS channel FROM (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+      ) WHERE rn = 1
+    ), lt AS (
+      SELECT user_id, event_type AS channel FROM (
+        SELECT e.user_id, e.event_type,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts DESC, e.event_id DESC) AS rn
+        FROM events e JOIN fp ON e.user_id = fp.user_id
+        WHERE e.ts < fp.ts OR (e.ts = fp.ts AND e.event_id < fp.event_id)
+      ) WHERE rn = 1
+    ), ftc AS (
+      SELECT f.channel, count(*) AS c
+      FROM fp JOIN ft f USING (user_id) GROUP BY 1
+    ), ltc AS (
+      SELECT coalesce(l.channel, '(none)') AS channel, count(*) AS c
+      FROM fp LEFT JOIN lt l USING (user_id) GROUP BY 1
+    )
+    SELECT coalesce(a.channel, b.channel) AS channel,
+           CAST(coalesce(a.c, 0) AS BIGINT) AS first_touch,
+           CAST(coalesce(b.c, 0) AS BIGINT) AS last_touch
+    FROM ftc a FULL JOIN ltc b ON a.channel = b.channel
+    """,
+    doc=(
+        "Marketing-style conversion attribution: for every converting "
+        "user (>= 1 purchase), credit the FIRST-TOUCH channel (their "
+        "first event ever) and the LAST-TOUCH channel (the last event "
+        "strictly before their first purchase; '(none)' when the "
+        "purchase IS their first event), rolled up to per-channel "
+        "conversion counts — the report that decides channel budget, "
+        "which funnels/retention don't express. Determinism: every "
+        "'first'/'last' is ordered by the TOTAL key (ts, event_id) — "
+        "Spark computes them as min_by/max_by over a struct (one "
+        "aggregate, no rank windows), the oracle as row_number windows; "
+        "matching results across the two formulations is itself evidence "
+        "the ordering key is total. Shape: three partial+final "
+        "aggregates on user_id sharing one partitioning, then channel-"
+        "cardinality joins; nothing corpus-sized is ever windowed."
+    ),
+)
+def q_attribution(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    fp = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("fpk"))
+    )
+    ft = e.groupBy("user_id").agg(F.min_by("event_type", key).alias("channel"))
+    pre = e.join(fp, "user_id").filter(key < F.col("fpk"))
+    lt = pre.groupBy("user_id").agg(F.max_by("event_type", key).alias("channel"))
+    ftc = (
+        fp.join(ft, "user_id")
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("fc"))
+    )
+    ltc = (
+        fp.join(lt, "user_id", "left")
+        .select(F.coalesce(F.col("channel"), F.lit("(none)")).alias("channel"))
+        .groupBy("channel")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("lc"))
+    )
+    return (
+        ftc.join(ltc.withColumnRenamed("channel", "lchannel"),
+                 ftc.channel == F.col("lchannel"), "full")
+        .select(
+            F.coalesce(F.col("channel"), F.col("lchannel")).alias("channel"),
+            F.coalesce(F.col("fc"), F.lit(0)).cast("bigint").alias("first_touch"),
+            F.coalesce(F.col("lc"), F.lit(0)).cast("bigint").alias("last_touch"),
+        )
+    )
