@@ -145,6 +145,8 @@ HEADLINE = [
     "q_ichimoku",
     "q_bpe_fertility",
     "q_attribution",
+    "q_lang_confusion",
+    "q_funnel_windowed",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1239,27 +1239,64 @@ _LEXICONS = {
     "fr": ["le", "la", "de", "et", "un"],
 }
 
-
-@query(
-    "q_lang_id",
-    oracle=f"""
-    SELECT doc_id, lang,
-           CASE
+#: Shared lexicon-hit SQL columns + the deterministic-argmax CASE —
+#: ONE textual source of truth for q_lang_id's and q_lang_confusion's
+#: oracles (the Spark twin is _lang_hits/_lang_pred below).
+_LANG_HITS_SQL = ", ".join(
+    "len(list_filter(string_split(text, ' '), t -> list_contains(["
+    + ", ".join("'" + w + "'" for w in ws)
+    + "], t))) AS hits_" + l
+    for l, ws in _LEXICONS.items()
+)
+_LANG_PRED_SQL = """CASE
              WHEN hits_de > hits_en AND hits_de > hits_es AND hits_de > hits_fr AND hits_de > 0 THEN 'de'
              WHEN hits_en >= hits_es AND hits_en >= hits_fr AND hits_en > 0 THEN 'en'
              WHEN hits_es >= hits_fr AND hits_es > 0 THEN 'es'
              WHEN hits_fr > 0 THEN 'fr'
              ELSE 'und'
-           END AS pred_lang,
+           END"""
+
+
+def _lang_hits():
+    """Per-lexicon hit-count Columns over the `text` column (row-local)."""
+    toks = F.split(F.col("text"), " ")
+    hits = {}
+    for lang, words in _LEXICONS.items():
+        lex = F.array(*[F.lit(w) for w in words])
+        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
+    return hits
+
+
+def _lang_pred(hits):
+    """Deterministic-argmax predicted language (de > en >= es >= fr
+    priority, 'und' when no lexicon hits) — the Spark twin of
+    _LANG_PRED_SQL."""
+    return (
+        F.when(
+            (hits["de"] > hits["en"])
+            & (hits["de"] > hits["es"])
+            & (hits["de"] > hits["fr"])
+            & (hits["de"] > 0),
+            F.lit("de"),
+        )
+        .when(
+            (hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0),
+            F.lit("en"),
+        )
+        .when((hits["es"] >= hits["fr"]) & (hits["es"] > 0), F.lit("es"))
+        .when(hits["fr"] > 0, F.lit("fr"))
+        .otherwise(F.lit("und"))
+    )
+
+
+@query(
+    "q_lang_id",
+    oracle=f"""
+    SELECT doc_id, lang,
+           {_LANG_PRED_SQL} AS pred_lang,
            hits_en, hits_de, hits_es, hits_fr
     FROM (
-      SELECT doc_id, lang,
-        {", ".join(
-          "len(list_filter(string_split(text, ' '), t -> list_contains(["
-          + ", ".join("'" + w + "'" for w in ws)
-          + "], t))) AS hits_" + l
-          for l, ws in _LEXICONS.items()
-        )}
+      SELECT doc_id, lang, {_LANG_HITS_SQL}
       FROM documents
     )
     """,
@@ -1272,21 +1309,8 @@ _LEXICONS = {
 )
 def q_lang_id(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    toks = F.split(F.col("text"), " ")
-    hits = {}
-    for lang, words in _LEXICONS.items():
-        lex = F.array(*[F.lit(w) for w in words])
-        hits[lang] = F.size(F.filter(toks, lambda t: F.array_contains(lex, t)))
-    pred = (
-        F.when(
-            (hits["de"] > hits["en"]) & (hits["de"] > hits["es"]) & (hits["de"] > hits["fr"]) & (hits["de"] > 0),
-            F.lit("de"),
-        )
-        .when((hits["en"] >= hits["es"]) & (hits["en"] >= hits["fr"]) & (hits["en"] > 0), F.lit("en"))
-        .when((hits["es"] >= hits["fr"]) & (hits["es"] > 0), F.lit("es"))
-        .when(hits["fr"] > 0, F.lit("fr"))
-        .otherwise(F.lit("und"))
-    )
+    hits = _lang_hits()
+    pred = _lang_pred(hits)
     return docs.select(
         "doc_id",
         "lang",
@@ -2026,4 +2050,62 @@ def q_contamination(spark: SparkSession, sf_dir: str):
                 F.count(F.lit(1)).cast("double") / F.col("n_shingles"), 6
             ).alias("contamination"),
         )
+    )
+
+
+@query(
+    "q_lang_confusion",
+    oracle=f"""
+    WITH pred AS (
+      SELECT coalesce(lang, '(null)') AS true_lang,
+             {_LANG_PRED_SQL} AS pred_lang
+      FROM (
+        SELECT lang, {_LANG_HITS_SQL}
+        FROM documents
+      )
+    ), cells AS (
+      SELECT true_lang, pred_lang, CAST(count(*) AS BIGINT) AS n
+      FROM pred GROUP BY 1, 2
+    ), margins AS (
+      SELECT true_lang, CAST(sum(n) AS BIGINT) AS n_true FROM cells GROUP BY 1
+    )
+    SELECT c.true_lang, c.pred_lang, c.n, m.n_true,
+           CAST(c.n * 1000000 // m.n_true AS BIGINT) AS cell_ppm
+    FROM cells c JOIN margins m USING (true_lang)
+    """,
+    doc=(
+        "Language-ID confusion matrix: the q_lang_id heuristic evaluated "
+        "against the labeled lang column — per-(true, predicted) counts "
+        "plus each cell's share of its true-language row (recall lives on "
+        "the diagonal) — the eval table that decides whether a cheap "
+        "n-gram/lexicon classifier is good enough to route documents at "
+        "100 TB or a model-based pass is needed. Reuses the identical "
+        "prediction expression (one source of truth via _LEXICONS), "
+        "row-local scoring, then a |langs|^2-bounded cell aggregate with "
+        "margins derived FROM the cell aggregate (no second corpus "
+        "pass); shares as exact integer ppm. True lang is coalesced to "
+        "'(null)' BEFORE grouping so unlabeled docs form an auditable "
+        "row instead of vanishing from the NULL-key join."
+    ),
+)
+def q_lang_confusion(spark: SparkSession, sf_dir: str):
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
+    pred = _lang_pred(_lang_hits())
+    cells = (
+        docs.select(
+            F.coalesce(F.col("lang"), F.lit("(null)")).alias("true_lang"),
+            pred.alias("pred_lang"),
+        )
+        .groupBy("true_lang", "pred_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    margins = cells.groupBy("true_lang").agg(
+        F.sum("n").cast("bigint").alias("n_true")
+    )
+    return cells.join(margins, "true_lang").select(
+        "true_lang",
+        "pred_lang",
+        "n",
+        "n_true",
+        F.expr("CAST(n * 1000000 div n_true AS BIGINT)").alias("cell_ppm"),
     )

@@ -3871,33 +3871,50 @@ _BASKET_MIN_SUPPORT = 2
     doc=(
         "Market-basket association mining (support / confidence / lift "
         "over part pairs co-occurring in an order — the Apriori-style "
-        "pair stage): distinct (order, part) first, self-join on the "
-        "order key with part_a < part_b, pair counts filtered to minimum "
-        "support, then confidence and lift as EXACT integer-ppm divisions "
-        "so ranking order is bit-identical across engines. Shape: the "
-        "pair expansion is bounded per order by C(order_size, 2) — TPC-H "
-        "orders cap at ~13 lines (78 pairs), so the self-join output is a "
-        "constant factor of the fact table, co-partitioned on l_orderkey "
-        "(one exchange serves both sides); item counts join back on the "
-        "part keys WITHOUT a broadcast hint — |parts| grows with scale "
-        "(the q_triangle_count degree-table lesson), AQE broadcasts while "
-        "small. Exactness bound: lift's integer product needs "
-        "n_ab * n_orders * 1e6 < 2^63 — holds while pair support x order "
-        "count < 9.2e12 (sf ~1000 at observed support levels); beyond "
-        "that, drop to the two-ratio double form. The 1-row n_orders "
-        "scalar rides a broadcast nested-loop join."
+        "pair stage): pair counts filtered to minimum support, then "
+        "confidence and lift as EXACT integer-ppm divisions so ranking "
+        "order is bit-identical across engines. Shape: pairs are "
+        "generated BASKET-LOCALLY — one aggregate collects each order's "
+        "distinct sorted parts (bounded: TPC-H orders cap at ~13 lines), "
+        "then a row-local nested array transform emits the C(size, 2) "
+        "i<j pairs inside codegen — the standard Apriori map step, with "
+        "NO self-join of the (order, part) table (the self-join twin "
+        "measured 14x task skew at the 10x probe; the oracle keeps that "
+        "form as the readable spec). Item counts derive from the same "
+        "collected baskets and join back on the part keys WITHOUT a "
+        "broadcast hint — |parts| grows with scale (the q_triangle_count "
+        "degree-table lesson), AQE broadcasts while small. Exactness "
+        "bound: lift's integer product needs n_ab * n_orders * 1e6 < "
+        "2^63 — holds while pair support x order count < 9.2e12 (sf "
+        "~1000 at observed support levels); beyond that, drop to the "
+        "two-ratio double form. The 1-row n_orders scalar rides a "
+        "broadcast nested-loop join."
     ),
 )
 def q_market_basket(spark: SparkSession, sf_dir: str):
     li = read_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    item = op.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("n_item"))
-    tot = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
-    a = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_a"))
-    b = op.select(F.col("l_orderkey").alias("k"), F.col("l_partkey").alias("part_b"))
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("parts")
+    )
+    item = baskets.select(F.explode("parts").alias("l_partkey")).groupBy(
+        "l_partkey"
+    ).agg(F.count(F.lit(1)).alias("n_item"))
+    tot = baskets.agg(F.count(F.lit(1)).alias("n_orders"))
+    # Row-local i<j pair expansion: for each position i, pair parts[i]
+    # with every later element — flatten to one (part_a, part_b) row per
+    # unordered pair. Bounded C(13, 2) per order, all inside codegen.
+    pairs_arr = F.flatten(
+        F.transform(
+            F.col("parts"),
+            lambda p, i: F.transform(
+                F.slice(F.col("parts"), i + 2, F.size("parts")),
+                lambda q: F.struct(p.alias("part_a"), q.alias("part_b")),
+            ),
+        )
+    )
     pair = (
-        a.join(b, "k")
-        .filter(F.col("part_a") < F.col("part_b"))
+        baskets.select(F.explode(pairs_arr).alias("pr"))
+        .select("pr.part_a", "pr.part_b")
         .groupBy("part_a", "part_b")
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .filter(F.col("n_ab") >= _BASKET_MIN_SUPPORT)
@@ -4006,5 +4023,110 @@ def q_attribution(spark: SparkSession, sf_dir: str):
             F.coalesce(F.col("channel"), F.col("lchannel")).alias("channel"),
             F.coalesce(F.col("fc"), F.lit(0)).cast("bigint").alias("first_touch"),
             F.coalesce(F.col("lc"), F.lit(0)).cast("bigint").alias("last_touch"),
+        )
+    )
+
+
+#: Windowed-funnel step deadline: each next step must occur within this
+#: many days of the previous step's event.
+_FUNNEL_WINDOW_DAYS = 3
+
+
+@query(
+    "q_funnel_windowed",
+    oracle=f"""
+    WITH s1 AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT user_id, ts, event_id,
+               row_number() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events WHERE event_type = 'signup'
+      ) WHERE rn = 1
+    ), s2 AS (
+      SELECT user_id, ts, event_id FROM (
+        SELECT e.user_id, e.ts, e.event_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view'
+          AND (e.ts > s1.ts OR (e.ts = s1.ts AND e.event_id > s1.event_id))
+          AND e.ts <= s1.ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      ) WHERE rn = 1
+    ), s3 AS (
+      SELECT user_id FROM (
+        SELECT e.user_id,
+               row_number() OVER (PARTITION BY e.user_id
+                                  ORDER BY e.ts, e.event_id) AS rn
+        FROM events e JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND (e.ts > s2.ts OR (e.ts = s2.ts AND e.event_id > s2.event_id))
+          AND e.ts <= s2.ts + INTERVAL {_FUNNEL_WINDOW_DAYS} DAY
+      ) WHERE rn = 1
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
+           (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
+           (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
+           CAST((SELECT count(*) FROM s2) * 1000000
+                // (SELECT count(*) FROM s1) AS BIGINT) AS conv12_ppm,
+           CAST((SELECT count(*) FROM s3) * 1000000
+                // (SELECT count(*) FROM s2) AS BIGINT) AS conv23_ppm
+    """,
+    doc=(
+        "Time-constrained funnel (signup -> view within 3 days -> "
+        "purchase within 3 days of THAT view): each user's earliest "
+        "qualifying event per step, chained so every step's deadline is "
+        "anchored on the previous step's actual event — the product-"
+        "analytics funnel q_funnel's unbounded variant can't express "
+        "(conversion-within-T is what makes funnel numbers comparable "
+        "across cohorts). Determinism: every 'first' is min over the "
+        "TOTAL key (ts, event_id); Spark computes the chain as three "
+        "per-user min(struct) aggregates + co-partitioned joins on "
+        "user_id (one partitioning serves the whole chain, no rank "
+        "windows over the corpus), the oracle as rank windows. The "
+        "final 5-number report is a one-row scalar aggregate; step "
+        "ratios are exact integer ppm."
+    ),
+)
+def q_funnel_windowed(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    key = F.struct(F.col("ts").alias("ts"), F.col("event_id").alias("event_id"))
+    deadline = lambda ts: ts + F.expr(  # noqa: E731
+        f"INTERVAL {_FUNNEL_WINDOW_DAYS} DAY"
+    )
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(key).alias("k1"))
+    )
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((key > F.col("k1")) & (F.col("ts") <= deadline(F.col("k1.ts"))))
+        .groupBy("user_id")
+        .agg(F.min(key).alias("k2"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s2, "user_id")
+        .filter((key > F.col("k2")) & (F.col("ts") <= deadline(F.col("k2.ts"))))
+        .groupBy("user_id")
+        .agg(F.min(key).alias("k3"))
+    )
+    n1 = s1.agg(F.count(F.lit(1)).cast("bigint").alias("n_signup"))
+    n2 = s2.agg(F.count(F.lit(1)).cast("bigint").alias("n_view"))
+    n3 = s3.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchase"))
+    return (
+        n1.join(F.broadcast(n2))
+        .join(F.broadcast(n3))
+        .select(
+            "n_signup",
+            "n_view",
+            "n_purchase",
+            F.expr("CAST(n_view * 1000000 div n_signup AS BIGINT)").alias(
+                "conv12_ppm"
+            ),
+            F.expr("CAST(n_purchase * 1000000 div n_view AS BIGINT)").alias(
+                "conv23_ppm"
+            ),
         )
     )

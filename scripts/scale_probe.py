@@ -97,6 +97,20 @@ QUERIES = [
     "q_auc_roc",
     "q_calibration_bins",
     "q_dup_span_stats",
+    # r7 late additions (segmentation, basket mining, tokenizer eval,
+    # attribution, coverage/prefix curation, classifier operating points,
+    # channel indicators).
+    "q_rfm_segments",
+    "q_market_basket",
+    "q_vocab_coverage",
+    "q_prefix_dedup",
+    "q_precision_recall",
+    "q_donchian",
+    "q_ichimoku",
+    "q_bpe_fertility",
+    "q_attribution",
+    "q_lang_confusion",
+    "q_funnel_windowed",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

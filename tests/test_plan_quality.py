@@ -282,6 +282,8 @@ _SINGLE_PARTITION_OK = {
     "q_market_basket",     # 1-row n_orders scalar
     "q_vocab_coverage",    # 1-row occurrence total + <=1000-row rank
                            # window over the already-limited top-k
+    "q_funnel_windowed",   # three 1-row step-count scalars joined into
+                           # the one funnel report row
 }
 
 
