@@ -147,6 +147,8 @@ HEADLINE = [
     "q_attribution",
     "q_lang_confusion",
     "q_funnel_windowed",
+    "q_cohort_ltv",
+    "q_ann_recall_eval",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

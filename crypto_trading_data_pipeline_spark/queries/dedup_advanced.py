@@ -2109,3 +2109,130 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str):
         "n_true",
         F.expr("CAST(n * 1000000 div n_true AS BIGINT)").alias("cell_ppm"),
     )
+
+
+@query(
+    "q_ann_recall_eval",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), n AS (
+      SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                          c.vec_id
+               ) AS rn
+        FROM n q JOIN n c ON c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 3
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+    ), assign AS (
+      SELECT vec_id, v, nrm, cent_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+               row_number() OVER (
+                 PARTITION BY n.vec_id
+                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
+                          cent.cent_id
+               ) AS rc
+        FROM n CROSS JOIN cent
+      ) WHERE rc = 1
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY round(list_dot_product(q.v, c.v) / (q.nrm * c.nrm), 6) DESC,
+                          c.vec_id
+               ) AS rn
+        FROM assign q JOIN assign c
+          ON q.cent_id = c.cent_id AND c.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id
+    """,
+    doc=(
+        "ANN quality audit IN-QUERY: recall@3 of the q_ann_ivf index "
+        "(nprobe=1) against the exact cosine top-3 for the probe queries "
+        "— the metric an ANN deployment monitors continuously (recall "
+        "silently decays as the corpus drifts from the centroids; the "
+        "pytest recall floors check this at build time, THIS query is "
+        "the production-shaped audit that runs beside the index). Exact "
+        "side: probe queries broadcast against the corpus (the "
+        "q_cosine_topk shape — |queries| x corpus, never corpus x "
+        "corpus); IVF side: the identical _ivf_assign machinery as "
+        "q_ann_ivf; both rankings round cosine to 6dp with vec_id "
+        "tie-break so the top-k cut is engine-identical. Recall is an "
+        "exact integer-ppm division; a LEFT join from exact to IVF "
+        "means missing neighbors count against recall instead of "
+        "vanishing."
+    ),
+)
+def q_ann_recall_eval(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    probes = F.broadcast(
+        n.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qn"),
+        )
+    )
+    sim = F.round(dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")), 6)
+    wr = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("vec_id"))
+    exact = (
+        n.join(probes, F.col("vec_id") != F.col("query_id"))
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    assign = _ivf_assign(n)
+    q = assign.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+        F.col("cent_id").alias("qcent"),
+    )
+    ivf = (
+        assign.join(
+            F.broadcast(q),
+            (F.col("cent_id") == F.col("qcent"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("sim", sim)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    hit = ivf.withColumn("hit", F.lit(1))
+    return (
+        exact.join(hit, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000000 div n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
+        )
+    )

@@ -4130,3 +4130,103 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@query(
+    "q_cohort_ltv",
+    oracle="""
+    WITH first_signup AS (
+      SELECT user_id, min(ts) AS signup_ts
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), cohorts AS (
+      SELECT user_id,
+             CAST(date_trunc('week', signup_ts) AS DATE) AS cohort_week
+      FROM first_signup
+    ), sizes AS (
+      SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_n
+      FROM cohorts GROUP BY 1
+    ), rev AS (
+      SELECT c.cohort_week,
+             CAST(date_diff('day', c.cohort_week, CAST(e.ts AS DATE)) // 7
+                  AS INTEGER) AS weeks_since,
+             CAST(sum(CAST(floor(e.value * 100.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS rev_cents,
+             CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_buyers
+      FROM events e JOIN cohorts c ON e.user_id = c.user_id
+      WHERE e.event_type = 'purchase' AND e.ts >= c.cohort_week
+      GROUP BY 1, 2
+    )
+    SELECT r.cohort_week, r.weeks_since, r.rev_cents, r.n_buyers,
+           CAST(sum(r.rev_cents) OVER (
+             PARTITION BY r.cohort_week ORDER BY r.weeks_since
+           ) AS BIGINT) AS cum_cents,
+           CAST(sum(r.rev_cents) OVER (
+             PARTITION BY r.cohort_week ORDER BY r.weeks_since
+           ) * 100 // s.cohort_n AS BIGINT) AS ltv_centicents_per_user
+    FROM rev r JOIN sizes s USING (cohort_week)
+    """,
+    doc=(
+        "Cohort lifetime-value curves: users grouped by signup week, "
+        "purchase revenue accumulated per (cohort, weeks-since-signup) "
+        "offset, cumulative LTV per cohort and per cohort member — the "
+        "payback-period report subscription/growth teams read "
+        "(q_retention_cohort counts WHO comes back; this weighs WHAT "
+        "they spend). Revenue in integer CENTS so the running sum and "
+        "the per-user division are exact at any parallelism. Shape: one "
+        "signup-side aggregate (|users| rows), a co-partitioned "
+        "fact-to-cohort join on user_id, a (cohort x weeks)-sized "
+        "aggregate, and a running-sum window over partitions bounded by "
+        "the observation span in weeks — nothing corpus-sized is "
+        "windowed. Purchases before the cohort week-start (possible for "
+        "a mid-week signup's same-week purchases at week granularity) "
+        "are clipped identically on both sides."
+    ),
+)
+def q_cohort_ltv(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    firsts = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("signup_ts"))
+    )
+    cohorts = firsts.select(
+        "user_id", F.date_trunc("week", "signup_ts").cast("date").alias("cohort_week")
+    )
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.count(F.lit(1)).cast("bigint").alias("cohort_n")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase")
+    rev = (
+        purchases.join(cohorts, "user_id")
+        .filter(F.col("ts") >= F.col("cohort_week").cast("timestamp_ntz"))
+        .groupBy(
+            "cohort_week",
+            F.expr("CAST(datediff(CAST(ts AS DATE), cohort_week) div 7 AS INT)").alias(
+                "weeks_since"
+            ),
+        )
+        .agg(
+            F.sum(F.floor(F.col("value") * 100.0 + 0.5).cast("bigint"))
+            .cast("bigint")
+            .alias("rev_cents"),
+            F.countDistinct("user_id").cast("bigint").alias("n_buyers"),
+        )
+    )
+    wcum = (
+        Window.partitionBy("cohort_week")
+        .orderBy("weeks_since")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(sizes, "cohort_week")
+        .select(
+            "cohort_week",
+            "weeks_since",
+            "rev_cents",
+            "n_buyers",
+            F.sum("rev_cents").over(wcum).cast("bigint").alias("cum_cents"),
+            F.expr("CAST(sum(rev_cents) OVER (PARTITION BY cohort_week ORDER BY weeks_since ROWS UNBOUNDED PRECEDING) * 100 div cohort_n AS BIGINT)").alias(
+                "ltv_centicents_per_user"
+            ),
+        )
+    )

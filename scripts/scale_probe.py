@@ -111,6 +111,8 @@ QUERIES = [
     "q_attribution",
     "q_lang_confusion",
     "q_funnel_windowed",
+    "q_cohort_ltv",
+    "q_ann_recall_eval",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -1825,3 +1825,65 @@ def test_exact_global_rank_matches_row_number(spark, vals):
     }
     assert {k: v[0] for k, v in got.items()} == naive
     assert all(n == len(vals) for _, n in got.values())
+
+
+@settings(max_examples=6, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=8),   # orderkey
+            st.integers(min_value=1, max_value=10),  # partkey
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_market_basket_matches_python_replica(spark, tmp_path_factory, rows):
+    """q_market_basket's basket-local i<j pair expansion vs a brute-force
+    Python replica on adversarial baskets: duplicate (order, part) lines
+    (must dedup), single-item orders (no pairs), and support exactly at
+    the min-support boundary."""
+    import itertools
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _BASKET_MIN_SUPPORT,
+        q_market_basket,
+    )
+
+    d = tmp_path_factory.mktemp("mb")
+    spark.createDataFrame(
+        [(o, p) for o, p in rows], "l_orderkey BIGINT, l_partkey BIGINT"
+    ).write.mode("overwrite").parquet(str(d / "lineitem.parquet"))
+
+    got = {
+        (r["part_a"], r["part_b"]): (
+            r["n_ab"], r["n_a"], r["n_b"],
+            r["conf_ab_ppm"], r["conf_ba_ppm"], r["lift_ppm"],
+        )
+        for r in q_market_basket(spark, str(d)).collect()
+    }
+
+    baskets = {}
+    for o, p in rows:
+        baskets.setdefault(o, set()).add(p)
+    n_orders = len(baskets)
+    item = Counter()
+    pair = Counter()
+    for parts in baskets.values():
+        for p in parts:
+            item[p] += 1
+        for a, b in itertools.combinations(sorted(parts), 2):
+            pair[(a, b)] += 1
+    want = {}
+    for (a, b), n_ab in pair.items():
+        if n_ab < _BASKET_MIN_SUPPORT:
+            continue
+        na, nb = item[a], item[b]
+        want[(a, b)] = (
+            n_ab, na, nb,
+            n_ab * 1000000 // na,
+            n_ab * 1000000 // nb,
+            n_ab * n_orders * 1000000 // (na * nb),
+        )
+    assert got == want
