@@ -3803,19 +3803,30 @@ _RFM_AS_OF = "2001-08-02"
 def q_rfm_segments(spark: SparkSession, sf_dir: str):
     o = read_table(spark, sf_dir, "orders")
     cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("bigint")
+    # localCheckpoint the |C|-row aggregate ONCE (the q_pagerank / BPE
+    # materialization pattern): CHAINING the three rank passes instead
+    # doubles the un-materialized subtree per pass (each pass references
+    # its input in both the stats aggregate and the bucket join), which
+    # planned 50 exchanges / 25 broadcasts before this restructure. Three
+    # independent rank passes over the materialized table + co-partitioned
+    # joins back plan ~16 exchanges, all |C|-sized or bounded.
     m = o.groupBy("o_custkey").agg(
         F.datediff(
             F.lit(_RFM_AS_OF).cast("date"), F.max("o_orderdate").cast("date")
         ).cast("int").alias("r_days"),
         F.count(F.lit(1)).alias("f"),
         F.sum(cents).alias("m_cents"),
-    )
-    ranked = exact_global_rank(m, value_col="r_days", tiebreak_col="o_custkey",
-                               rank_col="rr", n_col="n")
-    ranked = exact_global_rank(ranked, value_col="f", tiebreak_col="o_custkey",
-                               rank_col="fr")
-    ranked = exact_global_rank(ranked, value_col="m_cents",
-                               tiebreak_col="o_custkey", rank_col="mr")
+    ).localCheckpoint(eager=True)
+    r1 = exact_global_rank(
+        m, value_col="r_days", tiebreak_col="o_custkey", rank_col="rr", n_col="n"
+    ).select("o_custkey", "rr", "n")
+    r2 = exact_global_rank(
+        m, value_col="f", tiebreak_col="o_custkey", rank_col="fr"
+    ).select("o_custkey", "fr")
+    r3 = exact_global_rank(
+        m, value_col="m_cents", tiebreak_col="o_custkey", rank_col="mr"
+    ).select("o_custkey", "mr")
+    ranked = m.join(r1, "o_custkey").join(r2, "o_custkey").join(r3, "o_custkey")
     # 1 + ((rk-1)*5) div n — the q_lorenz decile assignment with 5 buckets:
     # pure integer arithmetic, bit-identical across engines. Threshold-based
     # scoring (percentile cutoffs) was rejected: interpolated quantiles are
