@@ -149,6 +149,8 @@ HEADLINE = [
     "q_funnel_windowed",
     "q_cohort_ltv",
     "q_ann_recall_eval",
+    "q_dup_cluster_stats",
+    "q_neardup_threshold_sweep",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

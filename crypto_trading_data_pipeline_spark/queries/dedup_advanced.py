@@ -2236,3 +2236,153 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+@query(
+    "q_dup_cluster_stats",
+    oracle="""
+    WITH clusters AS (
+      SELECT md5(text) AS fp, CAST(count(*) AS BIGINT) AS cluster_size
+      FROM documents GROUP BY 1
+    )
+    SELECT cluster_size,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(cluster_size * count(*) AS BIGINT) AS n_docs,
+           CAST((cluster_size - 1) * count(*) AS BIGINT) AS dup_docs
+    FROM clusters GROUP BY cluster_size
+    """,
+    doc=(
+        "Duplicate-cluster size histogram: exact-duplicate clusters "
+        "(md5 fingerprint, the q_doc_fingerprint key) bucketed by size, "
+        "with document and removable-duplicate counts per bucket — the "
+        "'duplication profile' table dataset cards report (sum of "
+        "dup_docs / sum of n_docs = the corpus's exact-dup inflation; "
+        "a heavy tail here says boilerplate, a fat size-2 row says "
+        "mirroring). Two stacked partial+final aggregates — fingerprint "
+        "then size — the second over |clusters| rows with at most "
+        "|distinct sizes| groups; nothing corpus-sized is windowed, "
+        "shuffle keys are constant-width digests."
+    ),
+)
+def q_dup_cluster_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    clusters = (
+        docs.select(F.md5(F.col("text").cast("binary")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+    )
+    return clusters.groupBy("cluster_size").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        (F.col("cluster_size") * F.count(F.lit(1))).cast("bigint").alias("n_docs"),
+        ((F.col("cluster_size") - 1) * F.count(F.lit(1)))
+        .cast("bigint")
+        .alias("dup_docs"),
+    ).select(
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        "n_clusters",
+        "n_docs",
+        "dup_docs",
+    )
+
+
+#: Near-dup threshold sweep grid (Jaccard, ppm): the epsilon-tuning table
+#: for the dedup pipeline — how many pairs/docs a given cutoff would touch.
+_NEARDUP_SWEEP_PPM = [300000, 500000, 700000]
+
+
+@query(
+    "q_neardup_threshold_sweep",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_SQL_SIG_SELECT}
+      FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+      )
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bands a JOIN bands b
+        ON a.band_id = b.band_id AND a.band_hash = b.band_hash
+       AND a.doc_id < b.doc_id
+    ), sh AS (
+      SELECT doc_id, {_SQL_SHINGLES} AS sh
+      FROM documents WHERE len(string_split(text, ' ')) >= 3
+    ), pairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS inter,
+             CAST(len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))
+                  AS BIGINT) AS uni
+      FROM cand c
+      JOIN sh a ON c.doc_a = a.doc_id
+      JOIN sh b ON c.doc_b = b.doc_id
+    ), ts AS (
+      SELECT unnest({_NEARDUP_SWEEP_PPM!r}) AS t_ppm
+    ), hits AS (
+      SELECT t_ppm, doc_a, doc_b FROM pairs CROSS JOIN ts
+      WHERE inter * 1000000 >= t_ppm * uni
+    ), np AS (
+      SELECT t_ppm, CAST(count(*) AS BIGINT) AS n_pairs FROM hits GROUP BY 1
+    ), nd AS (
+      SELECT t_ppm, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+      FROM (SELECT t_ppm, unnest([doc_a, doc_b]) AS d FROM hits) GROUP BY 1
+    )
+    SELECT t_ppm, n_pairs, n_docs FROM np JOIN nd USING (t_ppm)
+    """,
+    doc=(
+        "Near-dedup threshold tuning table: for each candidate Jaccard "
+        "cutoff (0.3 / 0.5 / 0.7), how many exactly-verified pairs fire "
+        "and how many documents they touch — the sweep a curation team "
+        "reads before pinning the dedup epsilon (q_precision_recall's "
+        "analogue for the dedup pipeline: the knob-vs-blast-radius "
+        "table). Candidates come from the SAME capped LSH band buckets "
+        "as q_neardup_dedup — not the (lang, length-bucket) all-pairs "
+        "verify, which measured a 21x wall ratio at the 10x probe (the "
+        "x10 synthesis puts ~10 near-copies per neighborhood, so blocked "
+        "candidate pairs grow ~quadratically; LSH buckets bound the "
+        "expansion at C(cap,2) per bucket). The sweep therefore measures "
+        "exactly what production would act on: the pairs the index "
+        "surfaces. The threshold test is pure integer arithmetic "
+        "(inter * 1e6 >= t * union — no double division anywhere), so "
+        "boundary pairs cannot flip between engines. The 3-row threshold "
+        "grid rides a broadcast nested loop; counts are two bounded "
+        "aggregates over the hit set."
+    ),
+)
+def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    cand = _lsh_candidate_pairs(docs)
+    sh = (
+        fan_out(docs.select("doc_id", "text"))
+        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
+        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+    )
+    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = (
+        F.size(F.col("sh_a")).cast("long")
+        + F.size(F.col("sh_b")).cast("long")
+        - inter
+    )
+    pairs = (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+    )
+    ts = spark.createDataFrame([(t,) for t in _NEARDUP_SWEEP_PPM], "t_ppm INT")
+    hits = pairs.join(F.broadcast(ts)).filter(
+        F.col("inter") * 1000000 >= F.col("t_ppm").cast("long") * F.col("uni")
+    )
+    np_ = hits.groupBy("t_ppm").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+    nd = (
+        hits.select("t_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d"))
+        .groupBy("t_ppm")
+        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    )
+    return np_.join(nd, "t_ppm")

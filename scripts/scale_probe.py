@@ -113,6 +113,8 @@ QUERIES = [
     "q_funnel_windowed",
     "q_cohort_ltv",
     "q_ann_recall_eval",
+    "q_dup_cluster_stats",
+    "q_neardup_threshold_sweep",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
