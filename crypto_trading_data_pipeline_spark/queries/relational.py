@@ -4077,10 +4077,14 @@ _FUNNEL_WINDOW_DAYS = 3
     SELECT (SELECT CAST(count(*) AS BIGINT) FROM s1) AS n_signup,
            (SELECT CAST(count(*) AS BIGINT) FROM s2) AS n_view,
            (SELECT CAST(count(*) AS BIGINT) FROM s3) AS n_purchase,
-           CAST((SELECT count(*) FROM s2) * 1000000
-                // (SELECT count(*) FROM s1) AS BIGINT) AS conv12_ppm,
-           CAST((SELECT count(*) FROM s3) * 1000000
-                // (SELECT count(*) FROM s2) AS BIGINT) AS conv23_ppm
+           CASE WHEN (SELECT count(*) FROM s1) > 0
+                THEN CAST((SELECT count(*) FROM s2) * 1000000
+                          // (SELECT count(*) FROM s1) AS BIGINT) END
+             AS conv12_ppm,
+           CASE WHEN (SELECT count(*) FROM s2) > 0
+                THEN CAST((SELECT count(*) FROM s3) * 1000000
+                          // (SELECT count(*) FROM s2) AS BIGINT) END
+             AS conv23_ppm
     """,
     doc=(
         "Time-constrained funnel (signup -> view within 3 days -> "
@@ -4133,12 +4137,18 @@ def q_funnel_windowed(spark: SparkSession, sf_dir: str):
             "n_signup",
             "n_view",
             "n_purchase",
-            F.expr("CAST(n_view * 1000000 div n_signup AS BIGINT)").alias(
-                "conv12_ppm"
-            ),
-            F.expr("CAST(n_purchase * 1000000 div n_view AS BIGINT)").alias(
-                "conv23_ppm"
-            ),
+            # NULL-guarded like q_precision_recall's ratios: an empty step
+            # makes the funnel report NULL conversion, not an ANSI
+            # DIVIDE_BY_ZERO crash (a zero-completion funnel is a normal
+            # production outcome, not an error).
+            F.expr(
+                "CASE WHEN n_signup > 0 THEN "
+                "CAST(n_view * 1000000 div n_signup AS BIGINT) END"
+            ).alias("conv12_ppm"),
+            F.expr(
+                "CASE WHEN n_view > 0 THEN "
+                "CAST(n_purchase * 1000000 div n_view AS BIGINT) END"
+            ).alias("conv23_ppm"),
         )
     )
 

@@ -1887,3 +1887,122 @@ def test_market_basket_matches_python_replica(spark, tmp_path_factory, rows):
             n_ab * n_orders * 1000000 // (na * nb),
         )
     assert got == want
+
+
+#: Small event-log strategy shared by the attribution and windowed-funnel
+#: replicas: dense user/ts collisions force the (ts, event_id) total-order
+#: tie-breaks; event types cover the funnel steps plus noise.
+_EVT_TYPES = ["signup", "view", "purchase", "click"]
+_evt_rows = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=5),    # user_id
+        st.integers(min_value=0, max_value=10),   # day offset
+        st.integers(min_value=0, max_value=3),    # event_type index
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _write_events(spark, d, rows):
+    from datetime import datetime, timedelta
+
+    base = datetime(2024, 1, 1)
+    data = [
+        (i, base + timedelta(days=day, seconds=i), u, _EVT_TYPES[t])
+        for i, (u, day, t) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data, "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING"
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    return data
+
+
+@settings(max_examples=6, deadline=None)
+@given(_evt_rows)
+def test_attribution_matches_python_replica(spark, tmp_path_factory, rows):
+    """q_attribution (min_by/max_by over the (ts, event_id) struct) vs a
+    brute-force replica: purchase-as-first-event ('(none)' last touch),
+    same-ts ties broken by event_id, non-converting users excluded."""
+    from crypto_trading_data_pipeline_spark.queries.relational import q_attribution
+
+    d = tmp_path_factory.mktemp("attr")
+    data = _write_events(spark, d, rows)
+
+    got = {
+        r["channel"]: (r["first_touch"], r["last_touch"])
+        for r in q_attribution(spark, str(d)).collect()
+    }
+
+    by_user = {}
+    for eid, ts, u, et in data:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    ft, lt = {}, {}
+    for u, evs in by_user.items():
+        evs.sort()
+        purchases = [(ts, eid) for ts, eid, et in evs if et == "purchase"]
+        if not purchases:
+            continue
+        fpk = min(purchases)
+        ft[u] = evs[0][2]
+        before = [e for e in evs if (e[0], e[1]) < fpk]
+        lt[u] = before[-1][2] if before else "(none)"
+    want = {}
+    for ch in set(ft.values()) | set(lt.values()):
+        want[ch] = (
+            sum(1 for v in ft.values() if v == ch),
+            sum(1 for v in lt.values() if v == ch),
+        )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(_evt_rows)
+def test_funnel_windowed_matches_python_replica(spark, tmp_path_factory, rows):
+    """q_funnel_windowed vs a brute-force replica: per-step deadlines
+    anchored on the previous step's actual event, strict (ts, event_id)
+    ordering between steps, and NULL conversion ratios (not a
+    DIVIDE_BY_ZERO crash) when a step is empty."""
+    from datetime import timedelta
+
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _FUNNEL_WINDOW_DAYS,
+        q_funnel_windowed,
+    )
+
+    d = tmp_path_factory.mktemp("funnel")
+    data = _write_events(spark, d, rows)
+
+    [r] = q_funnel_windowed(spark, str(d)).collect()
+
+    by_user = {}
+    for eid, ts, u, et in data:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    window = timedelta(days=_FUNNEL_WINDOW_DAYS)
+
+    def first_after(evs, et, after, deadline):
+        cand = [
+            (ts, eid)
+            for ts, eid, t in evs
+            if t == et
+            and (after is None or (ts, eid) > after)
+            and (deadline is None or ts <= deadline)
+        ]
+        return min(cand) if cand else None
+
+    n1 = n2 = n3 = 0
+    for evs in by_user.values():
+        k1 = first_after(evs, "signup", None, None)
+        if not k1:
+            continue
+        n1 += 1
+        k2 = first_after(evs, "view", k1, k1[0] + window)
+        if not k2:
+            continue
+        n2 += 1
+        if first_after(evs, "purchase", k2, k2[0] + window):
+            n3 += 1
+
+    assert (r["n_signup"], r["n_view"], r["n_purchase"]) == (n1, n2, n3)
+    assert r["conv12_ppm"] == (n2 * 1000000 // n1 if n1 else None)
+    assert r["conv23_ppm"] == (n3 * 1000000 // n2 if n2 else None)
