@@ -276,6 +276,7 @@ def exact_global_rank(
     rank_col: str = "rk",
     n_col: str | None = None,
     buckets: int = 256,
+    extra_stats: dict[str, Column] | None = None,
 ) -> DataFrame:
     """Exact 1-based global rank by ``(value_col, tiebreak_col)`` ascending
     without passing the table through one task — the q_lorenz / q_global_shuffle
@@ -292,6 +293,11 @@ def exact_global_rank(
 
     ``n_col``: also attach the total row count (phase 1 already has it; saves
     callers that need ``rank/n`` quantile arithmetic a second global scan).
+    ``extra_stats``: additional whole-table aggregates (name -> aggregate
+    Column) to ride the SAME phase-1 stats row and broadcast — a caller
+    that also needs e.g. a global sum (q_lorenz's revenue total) would
+    otherwise aggregate the un-materialized input a third time, which
+    measurably doubled q_lorenz's scan count before this hook existed.
     Internal columns are dropped; all input columns pass through.
     """
     from pyspark.sql import Window
@@ -300,6 +306,7 @@ def exact_global_rank(
         F.min(value_col).alias("__mn"),
         F.max(value_col).alias("__mx"),
         F.count(F.lit(1)).alias("__n"),
+        *[c.alias(name) for name, c in (extra_stats or {}).items()],
     )
     keyed = df.join(F.broadcast(stats)).withColumn(
         "__bkt",

@@ -136,10 +136,15 @@ def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=No
     return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
-def _verified_neardup_pairs(docs):
-    """LSH candidates verified by exact shingle Jaccard >= 0.8 — the edge
-    list shared by q_neardup_dedup (one-hop reps) and
-    q_neardup_components (exact clusters)."""
+def _candidate_pair_overlap(docs):
+    """LSH candidate pairs with exact shingle-overlap counts — ONE
+    candidate-verify scaffold for every consumer (q_neardup_dedup's 0.8
+    verify, q_neardup_threshold_sweep's cutoff grid): cap-bounded LSH
+    candidates joined to each side's word-3-gram shingles, emitting
+    (doc_a, doc_b, inter, uni) as exact longs. Factored so the sweep can
+    never silently tune a threshold against DIFFERENT pairs than the
+    dedup acts on (shingle k, the >=3-token filter, and the candidate
+    join live here, once)."""
     cand = _lsh_candidate_pairs(docs)
     sh = (
         fan_out(docs.select("doc_id", "text"))
@@ -148,13 +153,27 @@ def _verified_neardup_pairs(docs):
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
-    jac = inter.cast("double") / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (
-        cand.join(sa, "doc_a").join(sb, "doc_b")
-        .filter(jac >= 0.8)
-        .select("doc_a", "doc_b")
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
+    uni = (
+        F.size(F.col("sh_a")).cast("long")
+        + F.size(F.col("sh_b")).cast("long")
+        - inter
     )
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
+    )
+
+
+def _verified_neardup_pairs(docs):
+    """LSH candidates verified by exact shingle Jaccard >= 0.8 — the edge
+    list shared by q_neardup_dedup (one-hop reps) and
+    q_neardup_components (exact clusters)."""
+    p = _candidate_pair_overlap(docs)
+    return p.filter(
+        F.col("inter").cast("double") / F.col("uni") >= 0.8
+    ).select("doc_a", "doc_b")
 
 
 @query(
@@ -607,7 +626,16 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str):
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    assign = _ivf_assign(n)
+    return _ivf_topk(_ivf_assign(n))
+
+
+def _ivf_topk(assign, k: int = 3):
+    """Top-k in-cluster neighbors for the probe queries (vec_id < 5) —
+    ONE ranking definition (cosine rounded 6dp desc, vec_id tie-break)
+    shared by the index query (q_ann_ivf) and its recall audit
+    (q_ann_recall_eval). The audit is only meaningful if it ranks exactly
+    as the index it audits; sharing this helper enforces that a tie-break
+    or rounding change can never diverge the two."""
     q = assign.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"),
         F.col("v").alias("qv"),
@@ -623,7 +651,7 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str):
         )
         .withColumn("sim", sim)
         .withColumn("rnk", F.row_number().over(wr))
-        .filter(F.col("rnk") <= 3)
+        .filter(F.col("rnk") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "sim", "rnk")
     )
 
@@ -2201,24 +2229,7 @@ def q_ann_recall_eval(spark: SparkSession, sf_dir: str):
         .filter(F.col("rn") <= 3)
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
-    assign = _ivf_assign(n)
-    q = assign.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"),
-        F.col("v").alias("qv"),
-        F.col("nrm").alias("qn"),
-        F.col("cent_id").alias("qcent"),
-    )
-    ivf = (
-        assign.join(
-            F.broadcast(q),
-            (F.col("cent_id") == F.col("qcent"))
-            & (F.col("vec_id") != F.col("query_id")),
-        )
-        .withColumn("sim", sim)
-        .withColumn("rn", F.row_number().over(wr))
-        .filter(F.col("rn") <= 3)
-        .select("query_id", F.col("vec_id").alias("neighbor_id"))
-    )
+    ivf = _ivf_topk(_ivf_assign(n)).select("query_id", "neighbor_id")
     hit = ivf.withColumn("hit", F.lit(1))
     return (
         exact.join(hit, ["query_id", "neighbor_id"], "left")
@@ -2332,7 +2343,10 @@ _NEARDUP_SWEEP_PPM = [300000, 500000, 700000]
       SELECT t_ppm, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
       FROM (SELECT t_ppm, unnest([doc_a, doc_b]) AS d FROM hits) GROUP BY 1
     )
-    SELECT t_ppm, n_pairs, n_docs FROM np JOIN nd USING (t_ppm)
+    SELECT ts.t_ppm,
+           CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+           CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+    FROM ts LEFT JOIN np USING (t_ppm) LEFT JOIN nd USING (t_ppm)
     """,
     doc=(
         "Near-dedup threshold tuning table: for each candidate Jaccard "
@@ -2351,30 +2365,17 @@ _NEARDUP_SWEEP_PPM = [300000, 500000, 700000]
         "(inter * 1e6 >= t * union — no double division anywhere), so "
         "boundary pairs cannot flip between engines. The 3-row threshold "
         "grid rides a broadcast nested loop; counts are two bounded "
-        "aggregates over the hit set."
+        "aggregates over the hit set, LEFT-joined back onto the grid so "
+        "a threshold that fires nothing reports 0/0 instead of silently "
+        "vanishing from the tuning table. Candidate-verify scaffolding "
+        "is shared with q_neardup_dedup via _candidate_pair_overlap — "
+        "the sweep provably tunes against the SAME pairs the dedup acts "
+        "on."
     ),
 )
 def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    cand = _lsh_candidate_pairs(docs)
-    sh = (
-        fan_out(docs.select("doc_id", "text"))
-        .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
-    )
-    sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))).cast("long")
-    uni = (
-        F.size(F.col("sh_a")).cast("long")
-        + F.size(F.col("sh_b")).cast("long")
-        - inter
-    )
-    pairs = (
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .select("doc_a", "doc_b", inter.alias("inter"), uni.alias("uni"))
-    )
+    pairs = _candidate_pair_overlap(docs)
     ts = spark.createDataFrame([(t,) for t in _NEARDUP_SWEEP_PPM], "t_ppm INT")
     hits = pairs.join(F.broadcast(ts)).filter(
         F.col("inter") * 1000000 >= F.col("t_ppm").cast("long") * F.col("uni")
@@ -2385,4 +2386,12 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
         .groupBy("t_ppm")
         .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
     )
-    return np_.join(nd, "t_ppm")
+    return (
+        ts.join(np_, "t_ppm", "left")
+        .join(nd, "t_ppm", "left")
+        .select(
+            "t_ppm",
+            F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
+        )
+    )

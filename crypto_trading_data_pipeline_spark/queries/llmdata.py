@@ -2492,12 +2492,17 @@ def q_precision_recall(spark: SparkSession, sf_dir: str):
 )
 def q_bpe_fertility(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
+    # Materialize the per-(lang, word) counts ONCE (the q_rfm_segments
+    # pattern): the training rollup below AND the final fertility join both
+    # reference wl — un-materialized, the corpus tokenize would execute
+    # twice (once inside _bpe_train's eager checkpoint, again when the
+    # returned frame runs).
     wl = (
         docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("wc"))
-    )
+    ).localCheckpoint(eager=True)
     wc_global = wl.groupBy("w").agg(F.sum("wc").cast("bigint").alias("wc"))
     _, v = _bpe_train(
         spark, sf_dir, _BPE_MERGES, apply_last=True, word_counts=wc_global

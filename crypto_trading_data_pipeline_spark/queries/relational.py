@@ -3277,13 +3277,13 @@ def q_lorenz(spark: SparkSession, sf_dir: str):
     rev = o.select("o_custkey", rev_c.alias("c")).groupBy("o_custkey").agg(
         F.sum("c").alias("rev_c")
     )
-    total_df = rev.agg(F.sum("rev_c").alias("total"))
     ranked = exact_global_rank(
-        rev.join(F.broadcast(total_df)),
+        rev,
         value_col="rev_c",
         tiebreak_col="o_custkey",
         n_col="n",
         buckets=_LORENZ_BUCKETS,
+        extra_stats={"total": F.sum("rev_c")},
     )
     dec = ranked.select(
         F.expr("CAST(((rk - 1) * 10) div n AS INT)").alias("decile"),
