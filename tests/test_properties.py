@@ -2006,3 +2006,121 @@ def test_funnel_windowed_matches_python_replica(spark, tmp_path_factory, rows):
     assert (r["n_signup"], r["n_view"], r["n_purchase"]) == (n1, n2, n3)
     assert r["conv12_ppm"] == (n2 * 1000000 // n1 if n1 else None)
     assert r["conv23_ppm"] == (n3 * 1000000 // n2 if n2 else None)
+
+
+@settings(max_examples=5, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=1, max_value=5),    # user_id
+            st.integers(min_value=0, max_value=20),   # day offset
+            st.booleans(),                            # signup vs purchase
+            st.integers(min_value=0, max_value=5000), # value cents
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_cohort_ltv_matches_python_replica(spark, tmp_path_factory, rows):
+    """q_cohort_ltv vs a brute-force replica: ISO-Monday week cohorts,
+    mid-week signups whose same-week purchases precede the cohort
+    week-start (clipped), integer-cents accumulation, per-member LTV."""
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries.relational import q_cohort_ltv
+
+    d = tmp_path_factory.mktemp("ltv")
+    base = datetime(2024, 1, 3)  # a Wednesday: forces mid-week cohorts
+    data = [
+        (
+            i,
+            base + timedelta(days=day, seconds=i),
+            u,
+            "signup" if is_signup else "purchase",
+            cents / 100.0,
+        )
+        for i, (u, day, is_signup, cents) in enumerate(rows)
+    ]
+    spark.createDataFrame(
+        data,
+        "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, event_type STRING, value DOUBLE",
+    ).write.mode("overwrite").parquet(str(d / "events.parquet"))
+
+    got = {
+        (r["cohort_week"], r["weeks_since"]): (
+            r["rev_cents"], r["n_buyers"], r["cum_cents"],
+            r["ltv_centicents_per_user"],
+        )
+        for r in q_cohort_ltv(spark, str(d)).collect()
+    }
+
+    def monday(ts):
+        day = ts.date()
+        return day - timedelta(days=day.weekday())
+
+    signups = {}
+    for eid, ts, u, et, v in data:
+        if et == "signup":
+            signups[u] = min(signups.get(u, ts), ts)
+    cohorts = {u: monday(ts) for u, ts in signups.items()}
+    sizes = {}
+    for cw in cohorts.values():
+        sizes[cw] = sizes.get(cw, 0) + 1
+    rev, buyers = {}, {}
+    for eid, ts, u, et, v in data:
+        if et != "purchase" or u not in cohorts:
+            continue
+        cw = cohorts[u]
+        if ts.date() < cw:
+            continue
+        wk = (ts.date() - cw).days // 7
+        cents = int(v * 100.0 + 0.5)  # floor(x+0.5) for non-negative v
+        rev[(cw, wk)] = rev.get((cw, wk), 0) + cents
+        buyers.setdefault((cw, wk), set()).add(u)
+    want = {}
+    for cw in {k[0] for k in rev}:
+        cum = 0
+        for wk in sorted(k[1] for k in rev if k[0] == cw):
+            cum += rev[(cw, wk)]
+            want[(cw, wk)] = (
+                rev[(cw, wk)],
+                len(buyers[(cw, wk)]),
+                cum,
+                cum * 100 // sizes[cw],
+            )
+    assert got == want
+
+
+@settings(max_examples=6, deadline=None)
+@given(st.lists(doc, min_size=1, max_size=30))
+def test_vocab_coverage_matches_python_replica(spark, tmp_path_factory, texts):
+    """q_vocab_coverage vs a brute-force replica: (count desc, token)
+    tie-break at each k cut, empty-string tokens counted, vocab smaller
+    than k."""
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _VOCAB_COVERAGE_KS,
+        q_vocab_coverage,
+    )
+
+    d = tmp_path_factory.mktemp("vc")
+    spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id BIGINT, text STRING"
+    ).write.mode("overwrite").parquet(str(d / "documents.parquet"))
+
+    got = {
+        r["k"]: (r["cov_cnt"], r["total_cnt"], r["cov_ppm"])
+        for r in q_vocab_coverage(spark, str(d)).collect()
+    }
+
+    cnt = Counter()
+    for t in texts:
+        cnt.update(t.split(" "))
+    ordered = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))
+    total = sum(cnt.values())
+    want = {}
+    for k in _VOCAB_COVERAGE_KS:
+        cov = sum(c for _, c in ordered[:k])
+        want[k] = (cov, total, cov * 1000000 // total)
+    assert got == want
