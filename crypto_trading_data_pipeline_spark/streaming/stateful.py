@@ -413,3 +413,132 @@ def streaming_decay_scores(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+ATTR_SCHEMA = (
+    "user_id long, first_channel string, last_channel string, converted int"
+)
+#: (first-event key+channel, first-purchase key, last-before-purchase
+#: key+channel). Keys are (epoch_micros, event_id) pairs — the same TOTAL
+#: order the batch twin q_attribution ranks by.
+_ATTR_STATE = (
+    "fe_us long, fe_id long, fe_ch string, "
+    "fp_us long, fp_id long, "
+    "lb_us long, lb_id long, lb_ch string"
+)
+
+
+def _attr_update(key, pdfs, state: GroupState):
+    """Fold a user's micro-batch into the attribution state.
+
+    first-touch (min event) and first-purchase (min purchase) are
+    COMMUTATIVE mins over the total (ts, event_id) key — bit-exact under
+    any arrival order, like the decay sum. last-touch (max event strictly
+    before the first purchase) is exact under per-user event-time-ordered
+    arrival (the Kafka keyed-partition contract); a purchase arriving
+    AFTER events that follow it in event time can move the cutoff left
+    past an already-discarded candidate, in which case the stored
+    candidate is dropped (never emitted wrong — last_channel degrades
+    toward '(none)', it cannot name an event at-or-after the purchase)."""
+    if state.exists:
+        fe_us, fe_id, fe_ch, fp_us, fp_id, lb_us, lb_id, lb_ch = state.get
+    else:
+        fe_us = fe_id = fe_ch = fp_us = fp_id = lb_us = lb_id = lb_ch = None
+
+    # A sorted row loop, not a vectorized fold: last-touch depends on the
+    # first-purchase cutoff, which can move WITHIN the batch — per-user
+    # batches are small (one user's slice of a micro-batch), so the loop
+    # is over a handful of rows.
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+        eid = pdf["event_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        for i in range(len(pdf)):
+            k = (int(us[i]), int(eid[i]))
+            ch = str(et[i])
+            if fe_us is None or k < (fe_us, fe_id):
+                fe_us, fe_id, fe_ch = k[0], k[1], ch
+            if ch == "purchase":
+                if fp_us is None or k < (fp_us, fp_id):
+                    fp_us, fp_id = k
+                    # Cutoff moved left: a stored candidate at/after the
+                    # new cutoff is no longer a valid last touch. It is
+                    # dropped (not replaced — its predecessors are gone),
+                    # so last_channel degrades toward '(none)' but can
+                    # never name an event at-or-after the purchase.
+                    if lb_us is not None and (lb_us, lb_id) >= k:
+                        lb_us = lb_id = lb_ch = None
+            elif (fp_us is None or k < (fp_us, fp_id)) and (
+                lb_us is None or k > (lb_us, lb_id)
+            ):
+                # Non-purchase event strictly before the (current) first
+                # purchase: the running last-touch candidate. On a valid
+                # history events before the FIRST purchase are never
+                # purchases, so restricting candidates to non-purchases
+                # matches the batch query exactly.
+                lb_us, lb_id, lb_ch = k[0], k[1], ch
+
+    state.update((fe_us, fe_id, fe_ch, fp_us, fp_id, lb_us, lb_id, lb_ch))
+    converted = int(fp_us is not None)
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "first_channel": [fe_ch],
+            "last_channel": [
+                (lb_ch if lb_ch is not None else "(none)") if converted else None
+            ],
+            "converted": [converted],
+        }
+    )
+
+
+def streaming_attribution(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of q_attribution (queries/relational.py): per-user
+    first-touch / last-touch conversion attribution, maintained
+    incrementally in O(1) state per user.
+
+    The batch query re-scans the event log per run (three per-user
+    aggregates + joins); this operator folds each micro-batch into an
+    8-field state row, so the attribution table is always current at
+    O(batch) cost and the channel rollup is a |channels|-sized aggregate
+    over the emitted rows. Exactness contract (asserted in
+    tests/test_streaming.py): first_channel and the converted flag are
+    commutative (ts, event_id)-mins — bit-exact vs the batch query under
+    ANY arrival order; last_channel is bit-exact under per-user
+    event-time-ordered arrival (the Kafka keyed-partition contract) and
+    degrades only toward '(none)' (never a wrong channel) when a purchase
+    arrives out of order behind later events, because the fold drops any
+    stored candidate at-or-after a cutoff that moved left. Timezone: the
+    ordering key is epoch MICROS (an instant), so session-timezone
+    rendering never enters the fold; NTZ inputs are read as UTC wall
+    clock per the repo-wide contract."""
+    from pyspark.sql.types import TimestampType
+
+    from ..io import utc_wall_ntz
+
+    ts_expr = F.col(ts_col)
+    if isinstance(events.schema[ts_col].dataType, TimestampType):
+        ts_expr = utc_wall_ntz(ts_expr)
+    projected = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        ts_expr.alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(type_col).cast("string").alias("event_type"),
+    )
+    return projected.groupBy("user_id").applyInPandasWithState(
+        _attr_update,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=_ATTR_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -999,3 +999,106 @@ def test_streaming_drift_monitor_matches_batch_psi(spark, tmp_path):
     )
     # The synthetic shift is a real drift: the alert fires.
     assert sink.drifted
+
+
+def test_streaming_attribution_matches_batch(spark, tmp_path):
+    """streaming_attribution drained over ordered micro-batches must agree
+    with the batch q_attribution channel rollup exactly; first_channel and
+    converted are commutative mins, asserted to survive an OUT-OF-ORDER
+    third batch that delivers a user's true first event last."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.queries.relational import q_attribution
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_attribution,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (int(eid), pd.Timestamp(ts).to_pydatetime(), int(u), et)
+                for eid, ts, u, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+
+    # User 1: click -> view -> purchase (last touch: view).
+    # User 2: purchase first event (last touch: '(none)').
+    # User 3: view, never converts (excluded from batch rollup).
+    # User 4: converted in b2; b3 delivers an EARLIER first event late —
+    #         first_channel must flip to it (commutative min), while the
+    #         frozen last-touch stays exact (the late event predates the
+    #         stored candidate, so the max fold correctly ignores it...
+    #         unless it lands between candidate and purchase — not here).
+    b1 = [
+        (1, "2024-01-01 10:00:00", 1, "click"),
+        (2, "2024-01-01 11:00:00", 1, "view"),
+        (10, "2024-01-01 09:00:00", 2, "purchase"),
+        (11, "2024-01-01 12:00:00", 3, "view"),
+    ]
+    b2 = [
+        (3, "2024-01-02 10:00:00", 1, "purchase"),
+        (12, "2024-01-02 11:00:00", 2, "click"),
+        (20, "2024-01-02 08:00:00", 4, "signup"),
+        (21, "2024-01-02 09:00:00", 4, "purchase"),
+    ]
+    b3 = [
+        (19, "2024-01-01 07:00:00", 4, "error"),  # late true first event
+    ]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(str(indir / "*.parquet"))
+    latest = {}
+    q = (
+        streaming_attribution(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, eid: latest.update({r.user_id: r for r in df.collect()})
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+        mk(b3).write.mode("overwrite").parquet(str(indir / "b3.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    assert latest[1].first_channel == "click"
+    assert latest[1].last_channel == "view"
+    assert latest[1].converted == 1
+    assert latest[2].first_channel == "purchase"
+    assert latest[2].last_channel == "(none)"
+    assert latest[2].converted == 1
+    assert latest[3].converted == 0 and latest[3].last_channel is None
+    # Commutative-min first touch survived out-of-order arrival.
+    assert latest[4].first_channel == "error"
+    assert latest[4].last_channel == "signup"
+    assert latest[4].converted == 1
+
+    # Channel rollup from the streaming state == batch q_attribution on
+    # the same events (converters only, both touch dimensions).
+    d = tmp_path / "batch"
+    d.mkdir()
+    mk(b1 + b2 + b3).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    want = {
+        r["channel"]: (r["first_touch"], r["last_touch"])
+        for r in q_attribution(spark, str(d)).collect()
+    }
+    got = {}
+    for r in latest.values():
+        if not r.converted:
+            continue
+        f, l = got.get(r.first_channel, (0, 0))
+        got[r.first_channel] = (f + 1, l)
+        f, l = got.get(r.last_channel, (0, 0))
+        got[r.last_channel] = (f, l + 1)
+    assert got == want
