@@ -2124,3 +2124,76 @@ def test_vocab_coverage_matches_python_replica(spark, tmp_path_factory, texts):
         cov = sum(c for _, c in ordered[:k])
         want[k] = (cov, total, cov * 1000000 // total)
     assert got == want
+
+
+def test_channel_indicators_match_numpy_reference(spark, sf_dir):
+    """q_donchian / q_ichimoku vs independent NumPy folds over the same
+    per-(symbol, minute) OHLC bars — frame boundaries (19/8/25/51
+    PRECEDING), the previous-bar breakout lag, and the lead-26 chikou
+    checked against plain array slicing, not just the SQL oracle."""
+    import numpy as np
+
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _candles,
+        q_donchian,
+        q_ichimoku,
+    )
+
+    bars = {}
+    for r in _candles(spark, sf_dir).collect():
+        bars.setdefault(r.symbol, []).append(
+            (r.minute, float(r.high), float(r.low), float(r.close))
+        )
+    assert bars, "fixture produced no bars"
+    for s in bars:
+        bars[s].sort()
+    highs = {s: np.array([h for _, h, _, _ in v]) for s, v in bars.items()}
+    lows = {s: np.array([l for _, _, l, _ in v]) for s, v in bars.items()}
+    closes = {s: np.array([c for _, _, _, c in v]) for s, v in bars.items()}
+    minutes = {s: [m for m, _, _, _ in v] for s, v in bars.items()}
+
+    got_d = {
+        (r.symbol, r.minute): (r.upper, r.lower, r.mid, r.brk_up, r.brk_dn)
+        for r in q_donchian(spark, sf_dir).collect()
+    }
+    want_d = {}
+    for s in bars:
+        h, l, c = highs[s], lows[s], closes[s]
+        # Emitted rows: frame full (i >= 19) and a previous bar exists.
+        # At i = 19 the previous bar's channel is its PARTIAL 19-bar
+        # frame — the query's lag(upper) sees exactly that, so mirror it
+        # (ROWS frames are partial during warm-up on both engines).
+        for i in range(19, len(h)):
+            up = h[i - 19 : i + 1].max()
+            lo = l[i - 19 : i + 1].min()
+            pu = h[max(0, i - 20) : i].max()
+            pl = l[max(0, i - 20) : i].min()
+            want_d[(s, minutes[s][i])] = (
+                up, lo, (up + lo) / 2.0, bool(c[i] > pu), bool(c[i] < pl)
+            )
+    assert got_d.keys() == want_d.keys()
+    for k, v in want_d.items():
+        assert got_d[k] == v, (k, got_d[k], v)
+
+    got_i = {
+        (r.symbol, r.minute): (
+            r.conversion, r.base, r.span_a, r.span_b, r.chikou, r.above_cloud
+        )
+        for r in q_ichimoku(spark, sf_dir).collect()
+    }
+    want_i = {}
+    for s in bars:
+        h, l, c = highs[s], lows[s], closes[s]
+        for i in range(51, len(h)):
+            conv = (h[i - 8 : i + 1].max() + l[i - 8 : i + 1].min()) / 2.0
+            base = (h[i - 25 : i + 1].max() + l[i - 25 : i + 1].min()) / 2.0
+            span_a = (conv + base) / 2.0
+            span_b = (h[i - 51 : i + 1].max() + l[i - 51 : i + 1].min()) / 2.0
+            chikou = float(c[i + 26]) if i + 26 < len(c) else None
+            want_i[(s, minutes[s][i])] = (
+                conv, base, span_a, span_b, chikou,
+                bool(c[i] > max(span_a, span_b)),
+            )
+    assert got_i.keys() == want_i.keys()
+    for k, v in want_i.items():
+        assert got_i[k] == v, (k, got_i[k], v)
