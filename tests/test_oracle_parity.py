@@ -3,13 +3,15 @@ the local twin of the driver's t2 correctness gate.
 
 Default runs check the AT-RISK set in full — every query in the computed
 driver window (= never-driver-checked + stalest-checked, exactly what the
-driver will hash this round) — plus a deterministic sixth of the stable
-tail (reduced from a third in r7: the at-risk set — every
-never-checked or oracle-upgraded query — is run in full regardless), keeping the suite under the 6-minute budget (VERDICT r5 #7) with no
-coverage loss where it matters. The tail sample is keyed on the query
-name, so membership is stable within a round but rotates as the window
-rotates. Set SPARK_GRAFT_PARITY_FULL=1 for the exhaustive sweep (the
-/verify driver-contract script always runs the full set regardless)."""
+driver will hash this round) — plus a deterministic eighth of the stable
+tail (a third -> sixth -> eighth across r7 as the registry grew: the
+at-risk set — every never-checked or oracle-upgraded query — is run in
+full regardless), holding the suite near the 6-minute budget (VERDICT
+r5 #7) with no coverage loss where it matters. The tail sample is keyed
+on the query name, so membership is stable within a round but rotates as
+the window rotates. Set SPARK_GRAFT_PARITY_FULL=1 for the exhaustive
+sweep (the /verify driver-contract script always runs the full set
+regardless)."""
 
 from __future__ import annotations
 
@@ -29,7 +31,7 @@ else:
     _window = set(_DRIVER_WINDOW)
     ORACLE_QUERIES = [
         n for n in _ALL_ORACLE
-        if n in _window or zlib.crc32(n.encode()) % 6 == 0
+        if n in _window or zlib.crc32(n.encode()) % 8 == 0
     ]
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 

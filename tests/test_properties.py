@@ -1791,7 +1791,7 @@ def test_dup_span_stats_match_bruteforce(spark, texts):
         shutil.rmtree(d, ignore_errors=True)
 
 
-@settings(max_examples=8, deadline=None)
+@settings(max_examples=5, deadline=None)
 @given(
     st.lists(
         st.integers(min_value=-(10**12), max_value=10**12),
@@ -1827,7 +1827,7 @@ def test_exact_global_rank_matches_row_number(spark, vals):
     assert all(n == len(vals) for _, n in got.values())
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -1918,7 +1918,7 @@ def _write_events(spark, d, rows):
     return data
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(_evt_rows)
 def test_attribution_matches_python_replica(spark, tmp_path_factory, rows):
     """q_attribution (min_by/max_by over the (ts, event_id) struct) vs a
@@ -1956,7 +1956,7 @@ def test_attribution_matches_python_replica(spark, tmp_path_factory, rows):
     assert got == want
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(_evt_rows)
 def test_funnel_windowed_matches_python_replica(spark, tmp_path_factory, rows):
     """q_funnel_windowed vs a brute-force replica: per-step deadlines
@@ -2008,7 +2008,7 @@ def test_funnel_windowed_matches_python_replica(spark, tmp_path_factory, rows):
     assert r["conv23_ppm"] == (n3 * 1000000 // n2 if n2 else None)
 
 
-@settings(max_examples=5, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(
     st.lists(
         st.tuples(
@@ -2091,7 +2091,7 @@ def test_cohort_ltv_matches_python_replica(spark, tmp_path_factory, rows):
     assert got == want
 
 
-@settings(max_examples=6, deadline=None)
+@settings(max_examples=4, deadline=None)
 @given(st.lists(doc, min_size=1, max_size=30))
 def test_vocab_coverage_matches_python_replica(spark, tmp_path_factory, texts):
     """q_vocab_coverage vs a brute-force replica: (count desc, token)
