@@ -151,6 +151,12 @@ HEADLINE = [
     "q_ann_recall_eval",
     "q_dup_cluster_stats",
     "q_neardup_threshold_sweep",
+    "q_hapax_ttr",
+    "q_readability",
+    "q_zipf_fit",
+    "q_label_propagation",
+    "q_kcore",
+    "q_degree_stats",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1666,3 +1666,219 @@ def q_prefix_dedup(spark: SparkSession, sf_dir: str):
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus statistics, round 7 late: lexical-richness, readability, Zipf fit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q_hapax_ttr",
+    oracle="""
+    WITH tok AS (
+      SELECT coalesce(lang, '(null)') AS lang,
+             unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ), vc AS (
+      SELECT lang, tok, count(*) AS c FROM tok GROUP BY 1, 2
+    )
+    SELECT lang,
+           CAST(sum(c) AS BIGINT)                                  AS n_tokens,
+           CAST(count(*) AS BIGINT)                                AS n_types,
+           CAST(count(*) FILTER (WHERE c = 1) AS BIGINT)           AS n_hapax,
+           CAST(count(*) FILTER (WHERE c = 2) AS BIGINT)           AS n_dis,
+           CAST(count(*) * 1000000 // sum(c) AS BIGINT)            AS ttr_ppm,
+           CAST(count(*) FILTER (WHERE c = 1) * 1000000 // count(*)
+                AS BIGINT)                                         AS hapax_share_ppm
+    FROM vc GROUP BY lang
+    """,
+    doc=(
+        "Lexical-richness profile per language: type/token counts, hapax "
+        "and dis legomena (vocabulary items seen exactly once/twice), "
+        "type-token ratio and hapax share as exact integer ppm. The "
+        "dataset-card statistics behind tokenizer vocab sizing and "
+        "synthetic-text detection (template-generated corpora crater the "
+        "hapax share; boilerplate craters TTR). Vocab-aggregate-FIRST "
+        "shape: the corpus collapses to (lang, token) counts in one "
+        "partial+final aggregate, and the per-lang rollup runs over the "
+        "vocabulary — never the raw token stream — so the second "
+        "exchange is |V|-bounded at any corpus size."
+    ),
+)
+def q_hapax_ttr(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    vc = (
+        fan_out(docs)
+        .select(
+            F.coalesce("lang", F.lit("(null)")).alias("lang"),
+            F.explode(F.split("text", " ")).alias("tok"),
+        )
+        .groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return vc.groupBy("lang").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.count(F.when(F.col("c") == 1, 1)).cast("bigint").alias("n_hapax"),
+        F.count(F.when(F.col("c") == 2, 1)).cast("bigint").alias("n_dis"),
+        F.expr("CAST(count(1) * 1000000 div sum(c) AS BIGINT)").alias("ttr_ppm"),
+        F.expr(
+            "CAST(count(IF(c = 1, 1, NULL)) * 1000000 div count(1) AS BIGINT)"
+        ).alias("hapax_share_ppm"),
+    )
+
+
+@query(
+    "q_readability",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id,
+             regexp_replace(lower(text), '[^a-z]', ' ', 'g') AS t1,
+             greatest(length(text)
+               - length(replace(replace(replace(text, '.', ''), '!', ''),
+                                '?', '')), 1) AS n_sentences
+      FROM documents
+    ), counted AS (
+      SELECT doc_id, n_sentences,
+             length(replace(regexp_replace(t1, '[a-z]+', '#', 'g'), ' ', ''))
+               AS n_words,
+             length(regexp_replace(
+               regexp_replace(t1, '[aeiouy]+', '#', 'g'), '[^#]', '', 'g'))
+               AS n_syllables
+      FROM base
+    )
+    SELECT doc_id,
+           CAST(n_words AS BIGINT)     AS n_words,
+           CAST(n_sentences AS BIGINT) AS n_sentences,
+           CAST(greatest(n_syllables, n_words) AS BIGINT) AS n_syllables,
+           CASE WHEN n_words = 0 THEN NULL ELSE
+             CAST(206835000
+                  - (1015000 * n_words) // n_sentences
+                  - (84600000 * greatest(n_syllables, n_words)) // n_words
+                  AS BIGINT)
+           END AS flesch_micro
+    FROM counted
+    """,
+    doc=(
+        "Flesch reading-ease score per document with a deterministic "
+        "syllable heuristic (vowel-group runs over [aeiouy], floored at "
+        "one syllable per word) — the classic readability quality signal "
+        "for curation gates beside q_quality_score. Fully ROW-LOCAL: "
+        "words and syllable groups are counted by collapsing regex runs "
+        "to '#' and measuring lengths (no explode, no UDF), sentences by "
+        "pure replace() on terminal punctuation; the regexes stay in the "
+        "Java-regex/RE2 common dialect (q_pii_redact rule). The score is "
+        "emitted in exact integer micro-units via two truncating "
+        "divisions written identically on both engines, so the hash "
+        "cannot drift on FP; zero-word docs emit NULL."
+    ),
+)
+def q_readability(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    t1 = F.regexp_replace(F.lower("text"), "[^a-z]", " ")
+    n_sent = F.greatest(
+        F.length("text")
+        - F.length(
+            F.replace(
+                F.replace(F.replace(F.col("text"), F.lit("."), F.lit("")),
+                          F.lit("!"), F.lit("")),
+                F.lit("?"), F.lit(""),
+            )
+        ),
+        F.lit(1),
+    )
+    n_words = F.length(
+        F.replace(F.regexp_replace(t1, "[a-z]+", "#"), F.lit(" "), F.lit(""))
+    )
+    n_syl = F.length(
+        F.regexp_replace(F.regexp_replace(t1, "[aeiouy]+", "#"), "[^#]", "")
+    )
+    base = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        n_sent.cast("bigint").alias("n_sentences"),
+        F.greatest(n_syl, n_words).cast("bigint").alias("n_syllables"),
+    )
+    return base.select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.when(
+            F.col("n_words") > 0,
+            F.expr(
+                "CAST(206835000 - (1015000 * n_words) div n_sentences"
+                " - (84600000 * n_syllables) div n_words AS BIGINT)"
+            ),
+        ).alias("flesch_micro"),
+    )
+
+
+#: Zipf fit: how many head ranks enter the log-log regression, and the
+#: fixed-point scale for ln() values (milli-units keep every moment sum
+#: far inside int64: |x|,|y| <= ~2e4 milli-units, n=1000 -> n*Sxy <= ~1e14,
+#: x10000 for the slope output <= ~2e18 < 2^63).
+_ZIPF_TOPN = 1000
+_ZIPF_S = 1000
+
+
+@query(
+    "q_zipf_fit",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), vc AS (
+      SELECT tok, count(*) AS c FROM tok GROUP BY tok
+    ), top AS (
+      SELECT c, row_number() OVER (ORDER BY c DESC, tok) AS r
+      FROM vc ORDER BY c DESC, tok LIMIT {_ZIPF_TOPN}
+    ), pts AS (
+      SELECT CAST(floor(ln(r) * {_ZIPF_S} + 0.5) AS BIGINT) AS x,
+             CAST(floor(ln(c) * {_ZIPF_S} + 0.5) AS BIGINT) AS y
+      FROM top
+    )
+    SELECT CAST(count(*) AS BIGINT) AS n_ranks,
+           CAST(((count(*) * sum(x * y) - sum(x) * sum(y)) * 10000)
+                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+             AS slope_e4
+    FROM pts
+    """,
+    doc=(
+        "Zipf's-law fit: least-squares slope of log(frequency) vs "
+        "log(rank) over the top-1000 vocabulary head — natural text sits "
+        "near slope -1; template spam and synthetic corpora bend it, "
+        "making this the distribution-level companion to q_hapax_ttr's "
+        "tail statistics. The global ordering touches only the top-1000 "
+        "candidates (TakeOrderedAndProject per-partition heaps; the "
+        "1000-row rank window is bounded, never corpus-sized), ln() "
+        "values are floored to milli-units so all five regression "
+        "moments accumulate as exact BIGINTs, and the slope is one "
+        "truncating division emitted in 1e-4 units. ln() runs on exact "
+        "integer inputs on both engines, so libm agreement holds to the "
+        "quantization boundary (q_sample_weighted_topk rule)."
+    ),
+)
+def q_zipf_fit(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    vc = (
+        fan_out(docs)
+        .select(F.explode(F.split("text", " ")).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    top = vc.orderBy(F.col("c").desc(), "tok").limit(_ZIPF_TOPN)
+    # row_number over the already-limited head: the single-partition sort
+    # is bounded at _ZIPF_TOPN rows regardless of corpus size.
+    w = Window.orderBy(F.col("c").desc(), "tok")
+    pts = top.withColumn("r", F.row_number().over(w)).select(
+        F.floor(F.log(F.col("r")) * _ZIPF_S + 0.5).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("c")) * _ZIPF_S + 0.5).cast("bigint").alias("y"),
+    )
+    return pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        F.expr(
+            "CAST(((count(1) * sum(x * y) - sum(x) * sum(y)) * 10000)"
+            " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
+        ).alias("slope_e4"),
+    )

@@ -4251,3 +4251,256 @@ def q_cohort_ltv(spark: SparkSession, sf_dir: str):
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Graph analytics, round 7 late: community detection, cores, degree profile
+# ---------------------------------------------------------------------------
+
+#: Label-propagation iteration count and the label-encoding base. K must
+#: exceed every node id (ids here are custkey*2 / suppkey*2+1, bounded by
+#: 2x the key space) and satisfy max_neighbor_count * K < 2^63 — with
+#: K=1e12 that allows per-(node, label) counts up to ~9.2e6, far above any
+#: realistic community fan-in at fixture or production scale. For graphs
+#: with wider id spaces pick K per-graph (or switch the argmax to a
+#: struct comparator); the literal is kept here so the oracle text is
+#: identical by construction.
+_LPA_ITERS = 3
+_LPA_K = 1_000_000_000_000
+
+
+def _lpa_oracle() -> str:
+    cte = """
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ), lbl0 AS (
+      SELECT DISTINCT src AS node, src AS lbl FROM edges
+    )"""
+    for i in range(1, _LPA_ITERS + 1):
+        cte += f""", cnt{i} AS (
+      SELECT e.dst AS node, p.lbl AS lbl, count(*) AS c
+      FROM edges e JOIN lbl{i - 1} p ON e.src = p.node
+      GROUP BY 1, 2
+    ), lbl{i} AS (
+      SELECT node,
+             ((max(c * {_LPA_K} - lbl) + {_LPA_K} - 1) // {_LPA_K})
+               * {_LPA_K} - max(c * {_LPA_K} - lbl) AS lbl
+      FROM cnt{i} GROUP BY node
+    )"""
+    return cte + f"""
+    SELECT node, CAST(lbl AS BIGINT) AS community FROM lbl{_LPA_ITERS}
+    """
+
+
+@query(
+    "q_label_propagation",
+    oracle=_lpa_oracle(),
+    doc=(
+        "Community detection by synchronous LABEL PROPAGATION (Raghavan et "
+        "al. 2007) over the undirected customer-supplier trading graph — "
+        "3 unrolled iterations, each node adopting the most frequent label "
+        "among its neighbors with ties broken toward the SMALLEST label. "
+        "The argmax-with-tie-break is encoded as one BIGINT "
+        "max(c*K - lbl) (K > max node id), so the whole iterative "
+        "algorithm is integer arithmetic and hash-matches the generated-"
+        "CTE DuckDB oracle exactly — the q_pagerank determinism recipe "
+        "applied to the *mode* aggregate instead of a sum. Per iteration: "
+        "one co-partitionable label-to-edges join plus two key-local "
+        "aggregates ((dst,lbl) count, then per-dst argmax) — the Pregel "
+        "shape; at 100 TB the edge list is bucketed on src, labels stay "
+        "8 bytes/node, and iterations checkpoint to parquet to cut "
+        "lineage exactly as in q_pagerank."
+    ),
+)
+def q_label_propagation(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    # Same materialize-once rationale as q_pagerank: every iteration
+    # re-joins the edge list; localCheckpoint (not persist) so repeat
+    # bench runs each pay their own materialization.
+    edges = edges.localCheckpoint(eager=True)
+    state = edges.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(_LPA_ITERS):
+        cnt = (
+            edges.join(state.withColumnRenamed("node", "src"), "src")
+            .groupBy(F.col("dst").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        score = F.col("c") * _LPA_K - F.col("lbl")
+        state = cnt.groupBy("node").agg(F.max(score).alias("s")).select(
+            "node",
+            (
+                F.expr(f"(s + {_LPA_K} - 1) div {_LPA_K}") * _LPA_K - F.col("s")
+            ).alias("lbl"),
+        )
+    return state.select("node", F.col("lbl").cast("bigint").alias("community"))
+
+
+#: k-core threshold and the number of unrolled peeling rounds. The output
+#: contract is "the graph after R peeling rounds at k" — deterministic by
+#: construction; on the fixture graphs 4 rounds reach the fixpoint
+#: (asserted by the rounds-vs-rounds+1 DuckDB test in
+#: tests/test_properties.py; the random-graph replica there checks the
+#: R-round contract itself), and production runs loop until a round
+#: removes nothing, checkpointing per round.
+_KCORE_K = 3
+_KCORE_ROUNDS = 4
+
+
+def _kcore_oracle(rounds: int = _KCORE_ROUNDS) -> str:
+    # `rounds` parametrized so tests/test_properties.py can re-run the
+    # identical CTE program with rounds+1 and assert the fixture graphs
+    # reached their peeling fixpoint by round _KCORE_ROUNDS.
+    cte = f"""
+    WITH pe AS (
+      SELECT DISTINCT l1.l_suppkey AS a, l2.l_suppkey AS b
+      FROM lineitem l1 JOIN lineitem l2 ON l1.l_orderkey = l2.l_orderkey
+      WHERE l1.l_quantity > {_TRI_MIN_QTY} AND l2.l_quantity > {_TRI_MIN_QTY}
+        AND l1.l_suppkey < l2.l_suppkey
+    ), e0 AS (
+      SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b AS src, a AS dst FROM pe
+    )"""
+    for i in range(1, rounds + 1):
+        cte += f""", d{i} AS (
+      SELECT src AS node, count(*) AS d FROM e{i - 1} GROUP BY 1
+    ), a{i} AS (
+      SELECT node FROM d{i} WHERE d >= {_KCORE_K}
+    ), e{i} AS (
+      SELECT e.src, e.dst FROM e{i - 1} e
+      JOIN a{i} s ON e.src = s.node
+      JOIN a{i} t ON e.dst = t.node
+    )"""
+    return cte + f"""
+    SELECT src AS node, CAST(count(*) AS BIGINT) AS core_deg
+    FROM e{rounds} GROUP BY src
+    """
+
+
+@query(
+    "q_kcore",
+    oracle=_kcore_oracle(),
+    doc=(
+        "k-CORE decomposition (k=3) of the co-supplier graph by iterative "
+        "degree peeling (Matula-Beck): each round drops every vertex whose "
+        "current degree is below k and restricts the edge list to "
+        "survivors; 4 unrolled rounds emit each surviving vertex with its "
+        "in-core degree. The dense-subgraph screen used for graph-data "
+        "curation and community seeding (and the classic spam/bot-ring "
+        "signal). Everything is counting — bit-identical across engines "
+        "with no quantization needed. Per round: one key-local degree "
+        "aggregate plus two SEMI-join-shaped restrictions co-partitioned "
+        "on the edge endpoints; at 100 TB the edge list is bucketed on "
+        "src once and every round reuses that partitioning, vertices "
+        "carry 8 bytes of state, and rounds checkpoint like q_pagerank. "
+        "Graph sparsified by the q_triangle_count quantity gate so the "
+        "fixture's co-order blow-up stays C(7,2)-bounded per order."
+    ),
+)
+def q_kcore(spark: SparkSession, sf_dir: str):
+    li = read_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity") > _TRI_MIN_QTY
+    )
+    side = li.select("l_orderkey", "l_suppkey")
+    pe = (
+        side.alias("l1")
+        .join(side.alias("l2"), "l_orderkey")
+        .filter(F.col("l1.l_suppkey") < F.col("l2.l_suppkey"))
+        .select(
+            F.col("l1.l_suppkey").alias("a"), F.col("l2.l_suppkey").alias("b")
+        )
+        .distinct()
+    )
+    edges = pe.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        pe.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    for _ in range(_KCORE_ROUNDS):
+        alive = (
+            edges.groupBy(F.col("src").alias("node"))
+            .agg(F.count(F.lit(1)).alias("d"))
+            .filter(F.col("d") >= _KCORE_K)
+            .select("node")
+        )
+        edges = (
+            edges.join(alive.withColumnRenamed("node", "src"), "src", "left_semi")
+            .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
+            .select("src", "dst")
+        )
+    return (
+        edges.groupBy(F.col("src").alias("node"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
+    )
+
+
+@query(
+    "q_degree_stats",
+    oracle="""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ), deg AS (
+      SELECT src AS node, count(*) AS d FROM edges GROUP BY 1
+    )
+    SELECT CAST(length(bin(d)) AS INTEGER) AS deg_bucket,
+           CAST(count(*) AS BIGINT)        AS n_nodes,
+           CAST(sum(d) AS BIGINT)          AS sum_deg,
+           CAST(min(d) AS BIGINT)          AS min_deg,
+           CAST(max(d) AS BIGINT)          AS max_deg
+    FROM deg GROUP BY 1
+    """,
+    doc=(
+        "Degree-distribution profile of the trading graph: per-node degree "
+        "rolled into EXACT log2 buckets (bucket = bit length of the "
+        "degree, via length(bin(d)) — pure integer semantics on both "
+        "engines, no FP log). The dataset-card statistic for any graph "
+        "workload: the bucket histogram is the power-law/hub evidence "
+        "that motivates q_triangle_count's degree orientation and sizes "
+        "skew mitigations before running joins over the edge list. Two "
+        "key-local aggregates (degree, then a <=64-bucket rollup) — "
+        "partial-agg combines make the second exchange 64 rows per "
+        "partition at any scale."
+    ),
+)
+def q_degree_stats(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    edges0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    deg = edges.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    return deg.groupBy(
+        F.length(F.bin("d")).cast("int").alias("deg_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum("d").cast("bigint").alias("sum_deg"),
+        F.min("d").cast("bigint").alias("min_deg"),
+        F.max("d").cast("bigint").alias("max_deg"),
+    )

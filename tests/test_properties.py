@@ -2197,3 +2197,138 @@ def test_channel_indicators_match_numpy_reference(spark, sf_dir):
     assert got_i.keys() == want_i.keys()
     for k, v in want_i.items():
         assert got_i[k] == v, (k, got_i[k], v)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_label_propagation_matches_bruteforce(spark, pairs):
+    """Synchronous label propagation vs an independent Python replica on
+    random bipartite customer-supplier graphs. Like q_pagerank, the
+    two-sided oracle runs the SAME unrolled program on both engines, so a
+    consistently wrong argmax encoding would pass it; this replica
+    recomputes the three iterations with a plain Counter and an explicit
+    (count, -label) tie-break, cross-checking the c*K - lbl BIGINT
+    encoding on hubs, multi-edges and symmetric ties."""
+    import shutil
+    import tempfile
+    from collections import Counter, defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _LPA_ITERS,
+    )
+
+    d = tempfile.mkdtemp(prefix="lpa_prop_")
+    try:
+        spark.createDataFrame(
+            [(k, c) for k, (c, _) in enumerate(pairs)],
+            "o_orderkey int, o_custkey int",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(k, s) for k, (_, s) in enumerate(pairs)],
+            "l_orderkey int, l_suppkey int",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.node: r.community
+            for r in REGISTRY["q_label_propagation"].fn(spark, d).collect()
+        }
+
+        und = {(2 * c, 2 * s + 1) for c, s in pairs}
+        edges = und | {(b, a) for a, b in und}
+        nbrs = defaultdict(list)
+        for s_, d_ in edges:
+            nbrs[d_].append(s_)
+        lbl = {n: n for n in nbrs}
+        for _ in range(_LPA_ITERS):
+            lbl = {
+                n: max(
+                    Counter(lbl[m] for m in ns).items(),
+                    key=lambda kv: (kv[1], -kv[0]),
+                )[0]
+                for n, ns in nbrs.items()
+            }
+        assert got == lbl, (sorted(und), got, lbl)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 14), st.integers(1, 14)).filter(
+            lambda e: e[0] != e[1]
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_kcore_matches_bruteforce(spark, edges):
+    """R-round k-core peeling vs a set-based Python replica on random
+    graphs — exercises cascaded removals (a vertex alive in round 1 dying
+    in round 3), completely-peeled graphs (empty result), and cliques
+    that survive untouched. Edge synthesis as in the triangle-count
+    property test: each undirected edge is one 2-lineitem order."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _KCORE_K,
+        _KCORE_ROUNDS,
+    )
+
+    d = tempfile.mkdtemp(prefix="kcore_prop_")
+    try:
+        rows = []
+        for k, (a, b) in enumerate(edges):
+            rows += [(k, a, 50.0), (k, b, 50.0)]
+        spark.createDataFrame(
+            rows, "l_orderkey int, l_suppkey int, l_quantity double"
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.node: r.core_deg
+            for r in REGISTRY["q_kcore"].fn(spark, d).collect()
+        }
+
+        und = {tuple(sorted(e)) for e in edges}
+        dir_edges = set(und) | {(b, a) for a, b in und}
+        for _ in range(_KCORE_ROUNDS):
+            deg = Counter(s for s, _ in dir_edges)
+            alive = {n for n, c in deg.items() if c >= _KCORE_K}
+            dir_edges = {
+                (s, t) for s, t in dir_edges if s in alive and t in alive
+            }
+        want = dict(Counter(s for s, _ in dir_edges))
+        assert got == want, (sorted(und), got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+def test_kcore_fixture_reaches_fixpoint(sf_dir):
+    """The q_kcore output contract is 'the graph after R peeling rounds';
+    this pins the documented stronger claim that R=4 rounds ALREADY reach
+    the peeling fixpoint on the fixture graphs, by running the identical
+    generated-CTE program with one extra round in DuckDB and asserting
+    nothing changes. Pure DuckDB — no Spark job."""
+    import duckdb
+
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _KCORE_ROUNDS,
+        _kcore_oracle,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW lineitem AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    at_r = sorted(con.execute(_kcore_oracle()).fetchall())
+    at_r1 = sorted(con.execute(_kcore_oracle(_KCORE_ROUNDS + 1)).fetchall())
+    assert at_r and at_r == at_r1
