@@ -157,6 +157,9 @@ HEADLINE = [
     "q_label_propagation",
     "q_kcore",
     "q_degree_stats",
+    "q_autocorr",
+    "q_bfs_reach",
+    "q_rrf_fusion",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1146,3 +1146,130 @@ def q_ichimoku(spark: SparkSession, sf_dir: str):
         "chikou",
         (F.col("close") > F.greatest(span_a, F.col("span_b"))).alias("above_cloud"),
     )
+
+
+#: Autocorrelation lags probed per (symbol, day). Per-day grouping bounds
+#: pair counts at 1440 minutes, so every exact moment stays far inside
+#: int64 at ANY corpus scale: cents <= ~56000 -> c^2 <= 3.2e9, and
+#: n * Sxx <= 1440^2 * 3.2e9 ~ 6.6e15 << 2^63.
+_ACF_LAGS = (1, 2, 3)
+
+
+@query(
+    "q_autocorr",
+    oracle=f"""
+    WITH closes AS (
+      {_SQL_CLOSES}
+    ), cents AS (
+      SELECT symbol, CAST(date_trunc('day', minute) AS DATE) AS day, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM closes
+    ), lagged AS (
+      SELECT symbol, day, c AS y,
+             lag(c, 1) OVER w AS x1,
+             lag(c, 2) OVER w AS x2,
+             lag(c, 3) OVER w AS x3
+      FROM cents
+      WINDOW w AS (PARTITION BY symbol, day ORDER BY minute)
+    ), pairs AS (
+      SELECT symbol, day, 1 AS lag, x1 AS x, y FROM lagged WHERE x1 IS NOT NULL
+      UNION ALL
+      SELECT symbol, day, 2 AS lag, x2 AS x, y FROM lagged WHERE x2 IS NOT NULL
+      UNION ALL
+      SELECT symbol, day, 3 AS lag, x3 AS x, y FROM lagged WHERE x3 IS NOT NULL
+    ), agg AS (
+      SELECT symbol, day, lag,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT symbol, day, CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE floor(1.0 * (n * sxy - sx * sy)
+                           / (sqrt(1.0 * (n * sxx - sx * sx))
+                              * sqrt(1.0 * (n * syy - sy * sy)))
+                           * 1000000.0 + 0.5) / 1000000.0 END AS acf
+    FROM agg
+    """,
+    doc=(
+        "Per-(symbol, day) AUTOCORRELATION FUNCTION at lags 1/2/3 over "
+        "minute closes — the mean-reversion/momentum diagnostic that sits "
+        "beside q_seasonality (fixed daypart means) and q_return_corr "
+        "(cross-symbol): ACF near zero says the series is "
+        "martingale-like, persistent positive lags say trending. Pearson "
+        "correlation of the series against its own lag from CENT-SCALED "
+        "exact int64 moments (the q_market_beta discipline): the only FP "
+        "steps are two IEEE-correctly-rounded sqrt calls on exact "
+        "integer-valued doubles, one multiply, one divide, then the "
+        "floor-scale rounding both engines write identically — "
+        "value-hash bit-stable where covar/stddev aggregates of doubles "
+        "drift with partial-agg order. Plan: the whole lag family rides "
+        "ONE (symbol, day) window exchange (three lag columns in a "
+        "single pass), the pair unpivot is a row-local explode, and the "
+        "moment aggregate is partial+final on the same key — constant "
+        "rows per group, no global sort anywhere."
+    ),
+)
+def q_autocorr(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        F.date_trunc("day", "minute").cast("date").alias("day"),
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol", "day").orderBy("minute")
+    lagged = cents.select(
+        "symbol",
+        "day",
+        F.col("c").alias("y"),
+        *[F.lag("c", k).over(w).alias(f"x{k}") for k in _ACF_LAGS],
+    )
+    pairs = (
+        lagged.select(
+            "symbol",
+            "day",
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(k).alias("lag"), F.col(f"x{k}").alias("x")
+                        )
+                        for k in _ACF_LAGS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.x").isNotNull())
+        .select("symbol", "day", F.col("p.lag").alias("lag"), F.col("p.x").alias("x"), "y")
+    )
+    agg = pairs.groupBy("symbol", "day", "lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        "symbol",
+        "day",
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (dx != 0) & (dy != 0),
+            F.floor(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0,
+        ).alias("acf"),
+    )

@@ -1765,10 +1765,10 @@ _BM25_K1, _BM25_B = 1.2, 0.75
 _BM25_TERMS = ("merge", "scan", "window")
 _BM25_TOPK = 10
 
-
-@query(
-    "q_bm25",
-    oracle=f"""
+#: The BM25 scoring CTE chain — ONE textual source of truth shared by the
+#: q_bm25 oracle and the q_rrf_fusion oracle (the q_lang_confusion rule:
+#: a scorer referenced by two queries must not be able to drift apart).
+_SQL_BM25_SCORED = f"""
     WITH toks AS (
       SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
     ), dl AS (
@@ -1790,11 +1790,19 @@ _BM25_TOPK = 10
                   + {_BM25_B} * dl.dl / stats.avgdl))
                * 1000000.0 + 0.5) AS BIGINT) AS c_micro
       FROM tf JOIN df USING (term) JOIN dl USING (doc_id) CROSS JOIN stats
-    )
-    SELECT doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk FROM (
-      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro,
-             row_number() OVER (ORDER BY sum(c_micro) DESC, doc_id) AS rnk
+    ), bm25 AS (
+      SELECT doc_id, CAST(sum(c_micro) AS BIGINT) AS score_micro
       FROM contrib GROUP BY doc_id
+    )"""
+
+
+@query(
+    "q_bm25",
+    oracle=f"""{_SQL_BM25_SCORED}
+    SELECT doc_id, score_micro, CAST(rnk AS INTEGER) AS rnk FROM (
+      SELECT doc_id, score_micro,
+             row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+      FROM bm25
     ) WHERE rnk <= {_BM25_TOPK}
     """,
     doc=(
@@ -1815,6 +1823,20 @@ _BM25_TOPK = 10
     ),
 )
 def q_bm25(spark: SparkSession, sf_dir: str):
+    scored = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_TOPK)
+    )
+    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    # row_number over the already-limited 10 rows: the single-partition
+    # sort this window implies is bounded at TOPK regardless of scale.
+    return scored.withColumn("rnk", F.row_number().over(w))
+
+
+def _bm25_scored(spark: SparkSession, sf_dir: str):
+    """(doc_id, score_micro) for every doc matching a probe term — the
+    Spark twin of _SQL_BM25_SCORED, shared by q_bm25 and q_rrf_fusion."""
     docs = read_table(spark, sf_dir, "documents")
     # Doc length is size(split(...)) — ROW-LOCAL, no explode and no
     # corpus-wide shuffle on doc_id for the dl side (equals the oracle's
@@ -1839,20 +1861,14 @@ def q_bm25(spark: SparkSession, sf_dir: str):
     c_micro = F.floor(
         idf * (F.col("tf") * (_BM25_K1 + 1.0)) / denom * 1000000.0 + 0.5
     ).cast("bigint")
-    scored = (
+    return (
         tf.join(F.broadcast(df), "term")
         .join(dl, "doc_id")
         .join(F.broadcast(stats))
         .select("doc_id", c_micro.alias("c_micro"))
         .groupBy("doc_id")
         .agg(F.sum("c_micro").cast("bigint").alias("score_micro"))
-        .orderBy(F.col("score_micro").desc(), "doc_id")
-        .limit(_BM25_TOPK)
     )
-    w = Window.orderBy(F.col("score_micro").desc(), "doc_id")
-    # row_number over the already-limited 10 rows: the single-partition
-    # sort this window implies is bounded at TOPK regardless of scale.
-    return scored.withColumn("rnk", F.row_number().over(w))
 
 
 #: Co-occurrence window (token distance 1..2) and the minimum pair count
@@ -2521,5 +2537,127 @@ def q_bpe_fertility(spark: SparkSession, sf_dir: str):
             F.expr("CAST(n_tokens * 1000000 div n_words AS BIGINT)").alias(
                 "fertility_ppm"
             ),
+        )
+    )
+
+
+#: RRF constant (Cormack et al. 2009's k=60, the Elasticsearch/Vespa
+#: hybrid-search default) and the per-ranker candidate pool depth.
+_RRF_K = 60
+_RRF_POOL = 50
+
+
+@query(
+    "q_rrf_fusion",
+    oracle=f"""{_SQL_BM25_SCORED}, bm25_rnk AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rnk
+        FROM bm25
+      ) WHERE rnk <= {_RRF_POOL}
+    ), dens0 AS (
+      SELECT doc_id,
+             CAST(length(list_filter(string_split(text, ' '),
+                                     t -> t IN {_BM25_TERMS!r})) AS BIGINT)
+               AS tf_total,
+             CAST(length(string_split(text, ' ')) AS BIGINT) AS dl
+      FROM documents
+    ), dens_rnk AS (
+      SELECT doc_id, rnk FROM (
+        SELECT doc_id,
+               row_number() OVER (
+                 ORDER BY tf_total * 1000000 // dl DESC, doc_id) AS rnk
+        FROM dens0 WHERE tf_total > 0
+      ) WHERE rnk <= {_RRF_POOL}
+    ), fused AS (
+      SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+             coalesce(1000000 // ({_RRF_K} + b.rnk), 0)
+               + coalesce(1000000 // ({_RRF_K} + d.rnk), 0) AS rrf_micro,
+             b.rnk AS bm25_rnk, d.rnk AS density_rnk
+      FROM bm25_rnk b FULL OUTER JOIN dens_rnk d ON b.doc_id = d.doc_id
+    )
+    SELECT doc_id, CAST(rrf_micro AS BIGINT) AS rrf_micro,
+           CAST(bm25_rnk AS INTEGER) AS bm25_rnk,
+           CAST(density_rnk AS INTEGER) AS density_rnk
+    FROM (
+      SELECT *, row_number() OVER (ORDER BY rrf_micro DESC, doc_id) AS rr
+      FROM fused
+    ) WHERE rr <= {_BM25_TOPK}
+    """,
+    doc=(
+        "HYBRID RETRIEVAL via Reciprocal Rank Fusion (Cormack et al. "
+        "2009, k=60 — the Elasticsearch/Vespa default): the BM25 ranking "
+        "(same scorer as q_bm25, ONE textual source of truth via the "
+        "shared CTE chain / _bm25_scored helper) fused with a "
+        "term-density ranking (probe-term occurrences per token, a "
+        "row-local array filter — standing in for the dense/vector leg "
+        "of production hybrid search, which plugs in at the same "
+        "doc_id+rank interface). RRF needs only RANKS, never score "
+        "calibration, which is exactly why it is the production fusion "
+        "default — and why it hash-matches here: contributions are "
+        "1e6 div (60+rank) integer divisions, summed as BIGINTs, zero "
+        "FP anywhere past BM25's already-quantized micro-scores. Plan: "
+        "each ranker's global ordering is orderBy+limit "
+        "(TakeOrderedAndProject, 50-row driver merge), the fusion is a "
+        "full-outer join of two <=50-row sets, and the final top-10 "
+        "window sorts a bounded set — nothing corpus-sized past the "
+        "two scoring aggregates, at any scale."
+    ),
+)
+def q_rrf_fusion(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    b_pool = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    wb = Window.orderBy(F.col("score_micro").desc(), "doc_id")
+    b_rnk = b_pool.withColumn("bm25_rnk", F.row_number().over(wb)).select(
+        "doc_id", "bm25_rnk"
+    )
+    is_probe = " or ".join(f"t = '{w}'" for w in _BM25_TERMS)
+    dens0 = docs.select(
+        "doc_id",
+        F.expr(
+            f"CAST(size(filter(split(text, ' '), t -> {is_probe})) AS BIGINT)"
+        ).alias("tf_total"),
+        F.size(F.split("text", " ")).cast("bigint").alias("dl"),
+    )
+    d_pool = (
+        dens0.filter(F.col("tf_total") > 0)
+        .select(
+            "doc_id", F.expr("tf_total * 1000000 div dl").alias("d_micro")
+        )
+        .orderBy(F.col("d_micro").desc(), "doc_id")
+        .limit(_RRF_POOL)
+    )
+    wd = Window.orderBy(F.col("d_micro").desc(), "doc_id")
+    d_rnk = d_pool.withColumn("density_rnk", F.row_number().over(wd)).select(
+        "doc_id", "density_rnk"
+    )
+    fused = b_rnk.join(d_rnk, "doc_id", "full_outer").select(
+        "doc_id",
+        (
+            F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + bm25_rnk)"), F.lit(0)
+            )
+            + F.coalesce(
+                F.expr(f"1000000 div ({_RRF_K} + density_rnk)"), F.lit(0)
+            )
+        )
+        .cast("bigint")
+        .alias("rrf_micro"),
+        "bm25_rnk",
+        "density_rnk",
+    )
+    wf = Window.orderBy(F.col("rrf_micro").desc(), "doc_id")
+    return (
+        fused.withColumn("rr", F.row_number().over(wf))
+        .filter(F.col("rr") <= _BM25_TOPK)
+        .select(
+            "doc_id",
+            "rrf_micro",
+            F.col("bm25_rnk").cast("int").alias("bm25_rnk"),
+            F.col("density_rnk").cast("int").alias("density_rnk"),
         )
     )

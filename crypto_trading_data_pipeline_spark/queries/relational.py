@@ -4504,3 +4504,99 @@ def q_degree_stats(spark: SparkSession, sf_dir: str):
         F.min("d").cast("bigint").alias("min_deg"),
         F.max("d").cast("bigint").alias("max_deg"),
     )
+
+
+#: BFS seed selection (customers of one nation) and the unrolled round
+#: count. 3 rounds covers cust->supp->cust->supp; production loops until
+#: the frontier empties, checkpointing per round like q_pagerank.
+_BFS_SEED_NATION = 19
+_BFS_ROUNDS = 3
+
+
+def _bfs_oracle() -> str:
+    cte = f"""
+    WITH edges0 AS (
+      SELECT DISTINCT o_custkey * 2 AS src, l_suppkey * 2 + 1 AS dst
+      FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ), edges AS (
+      SELECT src, dst FROM edges0 UNION ALL SELECT dst AS src, src AS dst FROM edges0
+    ), d0 AS (
+      SELECT DISTINCT c_custkey * 2 AS node, 0 AS dist
+      FROM customer WHERE c_nationkey = {_BFS_SEED_NATION}
+    )"""
+    for i in range(1, _BFS_ROUNDS + 1):
+        cte += f""", d{i} AS (
+      SELECT node, min(dist) AS dist FROM (
+        SELECT node, dist FROM d{i - 1}
+        UNION ALL
+        SELECT e.dst AS node, p.dist + 1 AS dist
+        FROM edges e JOIN d{i - 1} p ON e.src = p.node
+      ) GROUP BY node
+    )"""
+    return cte + f"""
+    SELECT node, CAST(dist AS INTEGER) AS dist FROM d{_BFS_ROUNDS}
+    """
+
+
+@query(
+    "q_bfs_reach",
+    oracle=_bfs_oracle(),
+    doc=(
+        "Multi-source BREADTH-FIRST SEARCH: shortest-hop distance from "
+        "one nation's customers through the undirected customer-supplier "
+        "trading graph, 3 unrolled rounds — the traversal primitive "
+        "(supply-chain blast radius, fraud-ring proximity, influence "
+        "reach) completing the graph family beside PageRank/LPA/k-core. "
+        "Pure integer hop counts — bit-identical across engines with no "
+        "quantization. The Spark plan expands only the FRONTIER (nodes "
+        "first reached in the previous round) instead of the oracle's "
+        "whole-state self-union — provably the same result (expanding a "
+        "settled node can only rediscover neighbors at a larger "
+        "distance, which min() discards), and the per-round join cost "
+        "tracks |frontier| edges, not |reached|; at 100 TB the edge "
+        "list is bucketed on src once, rounds checkpoint like "
+        "q_pagerank, and the loop exits when the frontier empties."
+    ),
+)
+def q_bfs_reach(spark: SparkSession, sf_dir: str):
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    cust = read_table(spark, sf_dir, "customer")
+    edges0 = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    edges = edges0.union(
+        edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    edges = edges.localCheckpoint(eager=True)
+    state = (
+        cust.filter(F.col("c_nationkey") == _BFS_SEED_NATION)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .distinct()
+        .withColumn("dist", F.lit(0))
+    )
+    frontier = state
+    for i in range(1, _BFS_ROUNDS + 1):
+        reached = (
+            edges.join(
+                frontier.withColumnRenamed("node", "src").select("src"), "src"
+            )
+            .select(F.col("dst").alias("node"), F.lit(i).alias("dist"))
+            .distinct()
+        )
+        new_state = (
+            state.unionByName(reached)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+        # Frontier = nodes first reached THIS round; localCheckpoint cuts
+        # the per-round lineage growth exactly as in q_pagerank.
+        new_state = new_state.localCheckpoint(eager=True)
+        frontier = new_state.filter(F.col("dist") == i)
+        state = new_state
+    return state.select("node", F.col("dist").cast("int").alias("dist"))

@@ -115,6 +115,16 @@ QUERIES = [
     "q_ann_recall_eval",
     "q_dup_cluster_stats",
     "q_neardup_threshold_sweep",
+    # r7 late additions (corpus statistics, graph family, ACF, BFS, RRF).
+    "q_hapax_ttr",
+    "q_readability",
+    "q_zipf_fit",
+    "q_label_propagation",
+    "q_kcore",
+    "q_degree_stats",
+    "q_autocorr",
+    "q_bfs_reach",
+    "q_rrf_fusion",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -284,6 +284,9 @@ _SINGLE_PARTITION_OK = {
                            # window over the already-limited top-k
     "q_funnel_windowed",   # three 1-row step-count scalars joined into
                            # the one funnel report row
+    "q_rrf_fusion",        # inherits q_bm25's one-row (n, avgdl) scalar;
+                           # every rank window sorts an already-limited
+                           # <=50-row pool
 }
 
 

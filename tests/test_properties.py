@@ -2332,3 +2332,235 @@ def test_kcore_fixture_reaches_fixpoint(sf_dir):
     at_r = sorted(con.execute(_kcore_oracle()).fetchall())
     at_r1 = sorted(con.execute(_kcore_oracle(_KCORE_ROUNDS + 1)).fetchall())
     assert at_r and at_r == at_r1
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 8), st.integers(1, 8)),
+        min_size=0,
+        max_size=25,
+    ),
+    st.sets(st.integers(1, 8), max_size=8),
+)
+def test_bfs_reach_matches_bruteforce(spark, pairs, seeds):
+    """q_bfs_reach vs a plain frontier BFS in Python on random bipartite
+    graphs with a random seed set — exercises isolated seeds (customers
+    with no orders: distance 0, absent from the edge list), empty seed
+    sets, and nodes reachable by multiple paths where min() must keep
+    the first discovery."""
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _BFS_ROUNDS,
+        _BFS_SEED_NATION,
+    )
+
+    d = tempfile.mkdtemp(prefix="bfs_prop_")
+    try:
+        spark.createDataFrame(
+            [(k, c) for k, (c, _) in enumerate(pairs)] or [(0, 99)],
+            "o_orderkey int, o_custkey int",
+        ).write.parquet(f"{d}/orders.parquet")
+        spark.createDataFrame(
+            [(k, s) for k, (_, s) in enumerate(pairs)] or [(1, 99)],
+            "l_orderkey int, l_suppkey int",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        spark.createDataFrame(
+            [(c, _BFS_SEED_NATION if c in seeds else 3) for c in range(1, 9)],
+            "c_custkey int, c_nationkey int",
+        ).write.parquet(f"{d}/customer.parquet")
+        got = {
+            r.node: r.dist
+            for r in REGISTRY["q_bfs_reach"].fn(spark, d).collect()
+        }
+
+        und = {(2 * c, 2 * s + 1) for c, s in pairs}
+        edges = und | {(b, a) for a, b in und}
+        dist = {2 * c: 0 for c in seeds}
+        for i in range(1, _BFS_ROUNDS + 1):
+            frontier = {n for n, dd in dist.items() if dd == i - 1}
+            for s_, t_ in edges:
+                if s_ in frontier and t_ not in dist:
+                    dist[t_] = i
+        assert got == dist, (sorted(und), sorted(seeds), got, dist)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),   # symbol index
+            st.integers(0, 1),   # day
+            st.integers(0, 30),  # minute of day
+            st.floats(min_value=0.01, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_autocorr_matches_python_replica(spark, ticks):
+    """q_autocorr vs an independent Python replica — same cent
+    quantization, same exact int64 moments, same sqrt/divide/floor-scale
+    IEEE op order. Catches formula bugs the two-sided oracle can't (both
+    engines run the same moment algebra), plus the row-lag-vs-minute-lag
+    and close-tie-break (arg_max by ts) semantics on sparse minutes and
+    multi-tick minutes."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import _ACF_LAGS
+
+    d = tempfile.mkdtemp(prefix="acf_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (
+                i,
+                base + timedelta(days=day, minutes=minute, microseconds=i),
+                1,
+                f"s{sym}",
+                price,
+            )
+            for i, (sym, day, minute, price) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.symbol, r.day, r.lag): (r.n_pairs, r.acf)
+            for r in REGISTRY["q_autocorr"].fn(spark, d).collect()
+        }
+
+        closes = {}
+        for i, (sym, day, minute, price) in enumerate(ticks):
+            key = (f"s{sym}", day, minute)
+            if key not in closes or i > closes[key][0]:
+                closes[key] = (i, price)
+        series = defaultdict(list)
+        for (sym, day, minute), (_, price) in sorted(closes.items()):
+            series[(sym, day)].append(math.floor(price * 100.0 + 0.5))
+        want = {}
+        for (sym, day), cs in series.items():
+            dday = (base + timedelta(days=day)).date()
+            for k in _ACF_LAGS:
+                xs, ys = cs[: len(cs) - k], cs[k:]
+                if not xs:
+                    continue
+                n = len(xs)
+                sx, sy = sum(xs), sum(ys)
+                sxx = sum(x * x for x in xs)
+                syy = sum(y * y for y in ys)
+                sxy = sum(x * y for x, y in zip(xs, ys))
+                dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+                if dx == 0 or dy == 0:
+                    acf = None
+                else:
+                    acf = (
+                        math.floor(
+                            (n * sxy - sx * sy)
+                            / (math.sqrt(dx) * math.sqrt(dy))
+                            * 1000000.0
+                            + 0.5
+                        )
+                        / 1000000.0
+                    )
+                want[(sym, dday, k)] = (n, acf)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_r7_doc, min_size=2, max_size=20))
+def test_rrf_fusion_matches_python_replica(spark, texts):
+    """q_rrf_fusion vs a full Python replica of both rankers and the
+    fusion: BM25 micro-scores (the test_bm25 replica), the integer
+    term-density ranker, 50-deep pools, 1e6//(60+rank) contributions,
+    and the (rrf desc, doc_id) final order — catches rank-off-by-one
+    and tie-break drift the two-sided oracle can't."""
+    import math
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _BM25_TOPK,
+        _RRF_K,
+        _RRF_POOL,
+    )
+
+    d = tempfile.mkdtemp(prefix="rrf_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = [
+            (r.doc_id, r.rrf_micro, r.bm25_rnk, r.density_rnk)
+            for r in REGISTRY["q_rrf_fusion"].fn(spark, d).collect()
+        ]
+
+        docs = {i: t.split(" ") for i, t in enumerate(texts)}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        df = {q: sum(1 for t in docs.values() if q in t) for q in _BM25_TERMS}
+        bm25 = {}
+        for i, toks in docs.items():
+            s = 0
+            for q in _BM25_TERMS:
+                tf = toks.count(q)
+                if tf == 0:
+                    continue
+                idf = math.log((n - df[q] + 0.5) / (df[q] + 0.5) + 1.0)
+                s += math.floor(
+                    idf
+                    * (tf * (_BM25_K1 + 1.0))
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(toks) / avgdl))
+                    * 1000000.0
+                    + 0.5
+                )
+            if any(q in toks for q in _BM25_TERMS):
+                bm25[i] = s
+        b_rnk = {
+            i: r + 1
+            for r, (i, _) in enumerate(
+                sorted(bm25.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_POOL]
+            )
+        }
+        dens = {
+            i: sum(toks.count(q) for q in _BM25_TERMS) * 1000000 // len(toks)
+            for i, toks in docs.items()
+            if sum(toks.count(q) for q in _BM25_TERMS) > 0
+        }
+        d_rnk = {
+            i: r + 1
+            for r, (i, _) in enumerate(
+                sorted(dens.items(), key=lambda kv: (-kv[1], kv[0]))[:_RRF_POOL]
+            )
+        }
+        fused = {
+            i: (1000000 // (_RRF_K + b_rnk[i]) if i in b_rnk else 0)
+            + (1000000 // (_RRF_K + d_rnk[i]) if i in d_rnk else 0)
+            for i in set(b_rnk) | set(d_rnk)
+        }
+        want = [
+            (i, s, b_rnk.get(i), d_rnk.get(i))
+            for i, s in sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[
+                :_BM25_TOPK
+            ]
+        ]
+        assert sorted(got) == sorted(want), (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
