@@ -1840,7 +1840,8 @@ _ZIPF_S = 1000
     )
     SELECT CAST(count(*) AS BIGINT) AS n_ranks,
            CAST(((count(*) * sum(x * y) - sum(x) * sum(y)) * 10000)
-                // (count(*) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)
+                // nullif(count(*) * sum(x * x) - sum(x) * sum(x), 0)
+                AS BIGINT)
              AS slope_e4
     FROM pts
     """,
@@ -1877,8 +1878,12 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str):
     )
     return pts.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_ranks"),
+        # nullif: a degenerate head where every point shares one x
+        # (all-identical token counts at a single rank) has no defined
+        # slope; both engines emit NULL instead of raising.
         F.expr(
             "CAST(((count(1) * sum(x * y) - sum(x) * sum(y)) * 10000)"
-            " div (count(1) * sum(x * x) - sum(x) * sum(x)) AS BIGINT)"
+            " div nullif(count(1) * sum(x * x) - sum(x) * sum(x), 0)"
+            " AS BIGINT)"
         ).alias("slope_e4"),
     )

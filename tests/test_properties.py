@@ -2564,3 +2564,127 @@ def test_rrf_fusion_matches_python_replica(spark, texts):
         assert sorted(got) == sorted(want), (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.text(
+            alphabet="abcdefgz .!?AB3",
+            min_size=0,
+            max_size=60,
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_readability_matches_python_replica(spark, texts):
+    """q_readability vs an independent Python replica of the Flesch
+    micro-unit pipeline — regex word/syllable collapse, replace()-based
+    sentence count, floor-at-one, truncating divisions — on arbitrary
+    text including empty strings, no letters, digits, and unpunctuated
+    runs. The oracle runs the SAME regex program in DuckDB, so a wrong
+    vowel class or a mis-ordered collapse would pass two-sided; this
+    recomputes from the definition with re.findall."""
+    import re
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="read_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = {
+            r.doc_id: (r.n_words, r.n_sentences, r.n_syllables, r.flesch_micro)
+            for r in REGISTRY["q_readability"].fn(spark, d).collect()
+        }
+
+        want = {}
+        for i, t in enumerate(texts):
+            low = re.sub(r"[^a-z]", " ", t.lower())
+            words = re.findall(r"[a-z]+", low)
+            n_words = len(words)
+            n_sent = max(sum(t.count(p) for p in ".!?"), 1)
+            n_syl = sum(len(re.findall(r"[aeiouy]+", w)) for w in words)
+            n_syl = max(n_syl, n_words)
+            if n_words == 0:
+                fl = None
+            else:
+                # Both `div` arguments are non-negative, so Python's
+                # flooring // equals Spark/DuckDB's truncating div.
+                fl = (
+                    206835000
+                    - (1015000 * n_words) // n_sent
+                    - (84600000 * n_syl) // n_words
+                )
+            want[i] = (n_words, n_sent, n_syl, fl)
+        assert got == want, (texts, got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_r7_doc, min_size=1, max_size=25))
+def test_zipf_fit_matches_python_replica(spark, texts):
+    """q_zipf_fit vs an independent Python least-squares on the SAME
+    quantized (milli-ln rank, milli-ln count) points — catches a wrong
+    regression moment formula that the generated-identical oracle
+    cannot — and, where the fit is defined, sanity-bounds it against
+    numpy.polyfit on the unquantized points (quantization + truncating
+    division bound the gap)."""
+    import math
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _ZIPF_S,
+        _ZIPF_TOPN,
+    )
+
+    d = tempfile.mkdtemp(prefix="zipf_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        row = REGISTRY["q_zipf_fit"].fn(spark, d).collect()[0]
+
+        vc = Counter(t for txt in texts for t in txt.split(" "))
+        top = sorted(vc.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOPN]
+        pts = [
+            (
+                math.floor(math.log(r + 1) * _ZIPF_S + 0.5),
+                math.floor(math.log(c) * _ZIPF_S + 0.5),
+            )
+            for r, (_, c) in enumerate(top)
+        ]
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        assert row.n_ranks == n
+        denom = n * sxx - sx * sx
+        if denom == 0:
+            # all points share one x (single rank): slope undefined;
+            # the query's division yields NULL on both engines.
+            assert row.slope_e4 is None
+            return
+        # truncation toward zero, matching `div` (denom > 0 always):
+        num = (n * sxy - sx * sy) * 10000
+        want = abs(num) // denom
+        want = want if num >= 0 else -want
+        assert row.slope_e4 == want, (top, row.slope_e4, want)
+
+        import numpy as np
+
+        xs = [math.log(r + 1) for r in range(n)]
+        ys = [math.log(c) for _, c in top]
+        if n >= 2 and len(set(xs)) > 1:
+            slope = np.polyfit(xs, ys, 1)[0]
+            assert abs(row.slope_e4 / 10000.0 - slope) < 0.05, (
+                row.slope_e4,
+                slope,
+            )
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
