@@ -312,16 +312,53 @@ def _load_previous_round(sf: float) -> dict:
             if len(queries) < max(10, len(HEADLINE) // 2):
                 continue
         if queries:
-            return {"_round": n, **queries}
+            calib = (parsed or {}).get("calib_sec", rec.get("calib_sec"))
+            out = {"_round": n, **queries}
+            if isinstance(calib, (int, float)) and calib > 0:
+                out["_calib_sec"] = calib
+            return out
     return {}
 
 
-def _compare_to_previous(timings: dict, prev: dict):
-    """(deltas, regressions): per-query seconds vs the previous round for
-    every query present in both, and the subset slower by both the relative
-    and absolute regression bounds."""
+def _calibration_sec(spark) -> float:
+    """Best-of-3 wall time of a FIXED synthetic workload (range scan →
+    modular arithmetic → hash-shuffle aggregate → noop write) that never
+    changes across rounds. Round 7 found 24 'regressions' that were a
+    uniform +0.2-0.4 s across unrelated sub-second plans — the box was
+    simply slower than when the previous round's numbers were taken, and
+    nothing in the record could prove it. This constant workload is the
+    machine-speed ruler: a calibration ratio ≈ the uniform drift says
+    'environment', a flat calibration with real per-query deltas says
+    'code'."""
+    import time as _time
+
+    best = float("inf")
+    for _ in range(3):
+        t0 = _time.time()
+        (
+            spark.range(0, 20_000_000, 1, 32)
+            .selectExpr("id % 9973 AS k", "(id * 2654435761) % 1000003 AS v")
+            .groupBy("k")
+            .agg({"v": "sum", "*": "count"})
+            .write.mode("overwrite")
+            .format("noop")
+            .save()
+        )
+        best = min(best, _time.time() - t0)
+    return round(best, 3)
+
+
+def _compare_to_previous(timings: dict, prev: dict, calib_ratio=None):
+    """(deltas, regressions, regressions_normalized): per-query seconds vs
+    the previous round for every query present in both, the subset slower
+    by both the relative and absolute regression bounds, and that same test
+    re-run with current timings divided by the machine-speed calibration
+    ratio (clamped to >= 1 so a FASTER box never hides a code regression;
+    equal to the raw list when no prior calibration exists)."""
     deltas: dict[str, float] = {}
     regressions: list[dict] = []
+    norm: list[dict] = []
+    scale = max(calib_ratio, 1.0) if isinstance(calib_ratio, (int, float)) else 1.0
     for name, now in timings.items():
         before = prev.get(name)
         if not isinstance(before, (int, float)) or before <= 0:
@@ -332,7 +369,19 @@ def _compare_to_previous(timings: dict, prev: dict):
             regressions.append(
                 {"query": name, "prev_sec": before, "now_sec": now, "delta_sec": delta}
             )
-    return deltas, regressions
+        adj = now / scale
+        if (adj - before) > _REGRESSION_ABS_SEC and adj > before * (
+            1 + _REGRESSION_REL
+        ):
+            norm.append(
+                {
+                    "query": name,
+                    "prev_sec": before,
+                    "now_sec": now,
+                    "now_normalized_sec": round(adj, 3),
+                }
+            )
+    return deltas, regressions, norm
 
 
 def main() -> None:
@@ -423,8 +472,20 @@ def main() -> None:
     load_after = _loadavg()
 
     total = round(sum(timings.values()), 3)
+    try:
+        calib_sec = _calibration_sec(spark)
+    except Exception:  # noqa: BLE001 — the ruler must never kill the bench
+        calib_sec = None
     prev = _load_previous_round(sf)
-    deltas, regressions = _compare_to_previous(timings, prev)
+    calib_prev = prev.get("_calib_sec")
+    calib_ratio = (
+        round(calib_sec / calib_prev, 3)
+        if isinstance(calib_sec, (int, float)) and isinstance(calib_prev, (int, float))
+        else None
+    )
+    deltas, regressions, regressions_norm = _compare_to_previous(
+        timings, prev, calib_ratio
+    )
     try:
         stream_stats = bench_streaming(spark, sf_dir)
     except Exception as exc:  # noqa: BLE001
@@ -446,6 +507,20 @@ def main() -> None:
         "prev_round": prev.get("_round"),
         "deltas_vs_prev": deltas,
         "regressions": regressions,
+        # Machine-speed ruler: the same fixed synthetic workload timed every
+        # round. regressions_machine_normalized re-tests each raw regression
+        # with the current timing divided by calib ratio (clamped >= 1) —
+        # entries surviving normalization are code, the rest environment.
+        "calib_sec": calib_sec,
+        "calib_prev_sec": calib_prev,
+        "calib_ratio": calib_ratio,
+        "regressions_machine_normalized": regressions_norm,
+        # Median per-query delta vs prev: a nonzero median across ~all
+        # compared queries is uniform drift (environment), since a code
+        # change moves its own queries, not the whole suite's median.
+        "delta_median_sec": (
+            round(sorted(deltas.values())[len(deltas) // 2], 3) if deltas else None
+        ),
         # Contention evidence (r5: driver bench 3x the committed local bench
         # on identical code — now every record carries system load and
         # per-query run spread so a contended round is diagnosable from the
@@ -482,6 +557,8 @@ def main() -> None:
             "timing",
             "load_avg_before",
             "load_avg_after",
+            "calib_prev_sec",
+            "regressions_machine_normalized",
         )
     }
     compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
@@ -492,6 +569,9 @@ def main() -> None:
         (load_after or [None])[0],
     ]
     compact["n_regressions"] = len(regressions)
+    # Raw count minus the entries the machine-speed ruler explains away;
+    # full normalized list in the BENCH_LOCAL.json sidecar.
+    compact["n_regressions_normalized"] = len(regressions_norm)
     compact["regressions"] = sorted(
         regressions, key=lambda r: -r["delta_sec"]
     )[:3]
