@@ -160,6 +160,7 @@ HEADLINE = [
     "q_autocorr",
     "q_bfs_reach",
     "q_rrf_fusion",
+    "q_scd2",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2869,6 +2869,97 @@ def q_event_transitions(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "q_scd2",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(event_type) OVER w IS NULL
+                    OR lag(event_type) OVER w <> event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), isl AS (
+      SELECT user_id, event_type, ts,
+             sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM seq
+    ), runs AS (
+      SELECT user_id, island, min(event_type) AS event_type,
+             min(ts) AS valid_from, count(*) AS n_events
+      FROM isl GROUP BY user_id, island
+    )
+    SELECT user_id,
+           CAST(island AS INT) AS version,
+           event_type,
+           CAST(valid_from AS TIMESTAMP) AS valid_from,
+           CAST(lead(valid_from) OVER (PARTITION BY user_id
+                                       ORDER BY island) AS TIMESTAMP)
+             AS valid_to,
+           CAST(n_events AS BIGINT) AS n_events,
+           lead(valid_from) OVER (PARTITION BY user_id ORDER BY island)
+             IS NULL AS is_current
+    FROM runs
+    """,
+    doc=(
+        "Slowly-changing-dimension TYPE-2 build: each user's event_type "
+        "stream collapses into validity intervals [valid_from, valid_to) "
+        "via gaps-and-islands — lag() marks change points, a running sum "
+        "numbers the islands, one aggregate per island takes the interval "
+        "bounds, and lead() closes each version with the next one's start "
+        "(open interval + is_current on the last). This is the warehouse "
+        "history-keeping op q_cdc_apply (latest-state upsert) deliberately "
+        "discards, and the run-collapsed completion of q_scd2_intervals "
+        "(which keeps one interval PER EVENT, no change detection). ONE "
+        "exchange end-to-end: the hash shuffle on user_id "
+        "from the first window also satisfies the (user_id, island) "
+        "aggregate (subset clustering) and both island-level windows, and "
+        "those windows run on the run-count-sized table, not the events. "
+        "Deterministic (ts, event_id) ordering; island ids double as "
+        "version numbers."
+    ),
+)
+def q_scd2(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("event_type").over(w).isNull()
+            | (F.lag("event_type").over(w) != F.col("event_type")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    )
+    isl = seq.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("chg")
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .alias("island"),
+    )
+    runs = isl.groupBy("user_id", "island").agg(
+        F.min("event_type").alias("event_type"),
+        F.min("ts").alias("valid_from"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    wv = Window.partitionBy("user_id").orderBy("island")
+    return runs.select(
+        "user_id",
+        F.col("island").cast("int").alias("version"),
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(wv).alias("valid_to"),
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.lead("valid_from").over(wv).isNull().alias("is_current"),
+    )
+
+
 #: IVM cutoff: history/delta split point for the merge demonstration
 #: (fixture events span 2024-01-01..01-30; the last ~5 days are "new").
 _IVM_CUTOFF = "2024-01-25"

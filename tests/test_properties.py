@@ -2688,3 +2688,47 @@ def test_zipf_fit_matches_python_replica(spark, texts):
             )
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=4, deadline=None)
+@given(_evt_rows)
+def test_scd2_matches_python_replica(spark, tmp_path_factory, rows):
+    """q_scd2 (gaps-and-islands TYPE-2 build) vs a brute-force Python run
+    collapse: per-user (ts, event_id)-ordered streams, consecutive equal
+    event_types merged into one versioned row, valid_to = next version's
+    valid_from, open interval + is_current only on the last. The oracle
+    runs the same islands construction in DuckDB, so a shared off-by-one
+    in the island numbering would pass two-sided; this recomputes from
+    the definition with a plain loop."""
+    from crypto_trading_data_pipeline_spark.queries.relational import q_scd2
+
+    d = tmp_path_factory.mktemp("scd2")
+    data = _write_events(spark, d, rows)
+
+    got = {
+        (r["user_id"], r["version"]): (
+            r["event_type"],
+            r["valid_from"],
+            r["valid_to"],
+            r["n_events"],
+            r["is_current"],
+        )
+        for r in q_scd2(spark, str(d)).collect()
+    }
+
+    by_user = {}
+    for eid, ts, u, et in data:
+        by_user.setdefault(u, []).append((ts, eid, et))
+    want = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        runs = []  # (event_type, valid_from, n_events)
+        for ts, _eid, et in evs:
+            if runs and runs[-1][0] == et:
+                runs[-1][2] += 1
+            else:
+                runs.append([et, ts, 1])
+        for v, (et, vf, n) in enumerate(runs, start=1):
+            vt = runs[v][1] if v < len(runs) else None
+            want[(u, v)] = (et, vf, vt, n, vt is None)
+    assert got == want
