@@ -125,6 +125,7 @@ QUERIES = [
     "q_autocorr",
     "q_bfs_reach",
     "q_rrf_fusion",
+    "q_scd2",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
