@@ -2455,9 +2455,11 @@ def test_autocorr_matches_python_replica(spark, ticks):
         for (sym, day), cs in series.items():
             dday = (base + timedelta(days=day)).date()
             for k in _ACF_LAGS:
-                xs, ys = cs[: len(cs) - k], cs[k:]
-                if not xs:
+                # k >= len(cs) has no pairs at all; a bare cs[: len - k]
+                # would be a NEGATIVE slice fabricating one.
+                if k >= len(cs):
                     continue
+                xs, ys = cs[: len(cs) - k], cs[k:]
                 n = len(xs)
                 sx, sy = sum(xs), sum(ys)
                 sxx = sum(x * x for x in xs)
