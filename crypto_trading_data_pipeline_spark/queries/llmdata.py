@@ -1474,18 +1474,24 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
     p1 = p2), and greedy keeps exactly the even offsets within each
     island — provably identical to the sequential fold the Spark side
     runs (a merged symbol p1||p2 can never equal p1, so the fold cannot
-    cascade; for p1 <> p2 matches are never adjacent)."""
+    cascade; for p1 <> p2 matches are never adjacent).
+
+    Every CTE is MATERIALIZED: DuckDB inlines plain CTEs, and each apply
+    round references pos{r} three times (p / kept / kept-prev) plus t{r}
+    twice via scalar subqueries, so inlining re-executes earlier rounds
+    ~3^r times — measured 19-31 s for the 3-round tokens/fertility
+    variants vs 0.05 s materialized, identical results."""
     if emit == "fertility":
         # Per-(lang, word) counts first; the training vocab rolls them up,
         # so the corpus is tokenized once for both training and the
         # per-lang fertility join.
         sql = """
-    WITH wl AS (
+    WITH wl AS MATERIALIZED (
       SELECT lang, w, CAST(count(*) AS BIGINT) AS wc
       FROM (SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents)
       WHERE w <> ''
       GROUP BY lang, w
-    ), v0 AS (
+    ), v0 AS MATERIALIZED (
       SELECT w, CAST(sum(wc) AS BIGINT) AS wc,
              list_transform(range(1, length(w) + 1),
                             i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
@@ -1494,7 +1500,7 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
     )"""
     else:
         sql = """
-    WITH v0 AS (
+    WITH v0 AS MATERIALIZED (
       SELECT w, CAST(count(*) AS BIGINT) AS wc,
              list_transform(range(1, length(w) + 1),
                             i -> substr(w, CAST(i AS INTEGER), 1)) AS syms
@@ -1504,30 +1510,30 @@ def _bpe_merges_oracle(n_merges: int = _BPE_MERGES, emit: str = "merges") -> str
     )"""
     apply_rounds = n_merges if emit in ("tokens", "fertility") else n_merges - 1
     for r in range(n_merges):
-        sql += f""", p{r} AS (
+        sql += f""", p{r} AS MATERIALIZED (
       SELECT syms[i] AS p1, syms[i + 1] AS p2, CAST(sum(wc) AS BIGINT) AS cnt
       FROM (SELECT wc, syms, unnest(range(1, len(syms))) AS i
             FROM v{r} WHERE len(syms) >= 2)
       GROUP BY 1, 2
-    ), t{r} AS (
+    ), t{r} AS MATERIALIZED (
       SELECT p1, p2, cnt FROM p{r} ORDER BY cnt DESC, p1, p2 LIMIT 1
     )"""
         if r < apply_rounds:
-            sql += f""", pos{r} AS (
+            sql += f""", pos{r} AS MATERIALIZED (
       SELECT w, wc, i, syms[i] AS s, syms[i + 1] AS s_next,
              CASE WHEN i < len(syms)
                        AND syms[i] = (SELECT p1 FROM t{r})
                        AND syms[i + 1] = (SELECT p2 FROM t{r})
                   THEN 1 ELSE 0 END AS hit
       FROM (SELECT w, wc, syms, unnest(range(1, len(syms) + 1)) AS i FROM v{r})
-    ), isl{r} AS (
+    ), isl{r} AS MATERIALIZED (
       SELECT w, i, i - row_number() OVER (PARTITION BY w ORDER BY i) AS g
       FROM pos{r} WHERE hit = 1
-    ), kept{r} AS (
+    ), kept{r} AS MATERIALIZED (
       SELECT w, i FROM (
         SELECT w, i, min(i) OVER (PARTITION BY w, g) AS i0 FROM isl{r}
       ) WHERE (i - i0) % 2 = 0
-    ), v{r + 1} AS (
+    ), v{r + 1} AS MATERIALIZED (
       SELECT p.w, any_value(p.wc) AS wc,
              list(CASE WHEN k.i IS NOT NULL THEN p.s || p.s_next ELSE p.s END
                   ORDER BY p.i) AS syms
