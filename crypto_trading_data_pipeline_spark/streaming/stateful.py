@@ -542,3 +542,117 @@ def streaming_attribution(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+SCD2_SCHEMA = (
+    "user_id long, version int, event_type string, valid_from timestamp, "
+    "valid_to timestamp, n_events long, is_current boolean"
+)
+#: The OPEN run only — closed versions are emitted once and never revisited,
+#: so state is O(1) per user however long the history grows: (island number,
+#: run type, run start micros, events in run, last-seen (micros, event_id)
+#: for the ordered-arrival fold).
+_SCD2_STATE = (
+    "island int, run_type string, from_us long, n_events long, "
+    "last_us long, last_id long"
+)
+
+
+def _scd2_update(key, pdfs, state: GroupState):
+    """Fold a user's micro-batch into the open SCD2 run.
+
+    Arrival-order fold: each event either extends the open run (same
+    event_type) or closes it — the closed version is emitted with
+    valid_to = the boundary event's timestamp and never revisited — and
+    opens island+1. Under per-user event-time-ordered arrival (the Kafka
+    keyed-partition contract) arrival order IS event order, making every
+    emitted row bit-exact vs the batch q_scd2; the batch-equivalence test
+    drains runs across micro-batch boundaries to prove it. Within a
+    micro-batch the rows are explicitly (ts, event_id)-sorted, so only
+    CROSS-batch disorder can differ from the batch build."""
+    if state.exists:
+        island, run_type, from_us, n_events, last_us, last_id = state.get
+    else:
+        island = 0
+        run_type = from_us = n_events = last_us = last_id = None
+
+    closed: list[tuple] = []
+    for pdf in pdfs:
+        if pdf.empty:
+            continue
+        pdf = pdf.sort_values(["ts", "event_id"])
+        us = (pdf["ts"].astype("int64") // 1000).to_numpy()  # ns -> us
+        eid = pdf["event_id"].to_numpy()
+        et = pdf["event_type"].to_numpy()
+        for i in range(len(pdf)):
+            t, e, ch = int(us[i]), int(eid[i]), str(et[i])
+            if run_type is None:
+                island, run_type, from_us, n_events = 1, ch, t, 1
+            elif ch == run_type:
+                n_events += 1
+            else:
+                closed.append(
+                    (island, run_type, from_us, t, n_events, False)
+                )
+                island, run_type, from_us, n_events = island + 1, ch, t, 1
+            last_us, last_id = t, e
+
+    state.update((island, run_type, from_us, n_events, last_us, last_id))
+    rows = closed + [(island, run_type, from_us, None, n_events, True)]
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]] * len(rows),
+            "version": [r[0] for r in rows],
+            "event_type": [r[1] for r in rows],
+            "valid_from": pd.to_datetime([r[2] for r in rows], unit="us"),
+            "valid_to": pd.to_datetime([r[3] for r in rows], unit="us"),
+            "n_events": [r[4] for r in rows],
+            "is_current": [r[5] for r in rows],
+        }
+    )
+
+
+def streaming_scd2(
+    events: DataFrame,
+    *,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Streaming twin of q_scd2 (queries/relational.py): Type-2 SCD
+    dimension maintenance, incremental.
+
+    The batch query re-runs the gaps-and-islands build over the whole
+    event log; this operator keeps only the OPEN run per user (O(1)
+    state) and emits each version at most once-closed plus the refreshed
+    current row per micro-batch, so a last-write-wins upsert on
+    (user_id, version) — exactly what the foreachBatch merge sink already
+    does for candles — maintains the full history table at O(batch)
+    cost. Versions, interval bounds, counts and is_current are bit-exact
+    vs the batch q_scd2 under per-user event-time-ordered arrival
+    (asserted across micro-batch boundaries in tests/test_streaming.py);
+    rows within a batch are (ts, event_id)-sorted so only cross-batch
+    disorder is outside the contract. Timezone: the fold runs on epoch
+    MICROS and the emitted bounds are tz-naive UTC wall timestamps, the
+    repo-wide NTZ contract (see utc_wall_ntz)."""
+    from pyspark.sql.types import TimestampType
+
+    from ..io import utc_wall_ntz
+
+    ts_expr = F.col(ts_col)
+    if isinstance(events.schema[ts_col].dataType, TimestampType):
+        ts_expr = utc_wall_ntz(ts_expr)
+    projected = events.select(
+        F.col(user_col).cast("long").alias("user_id"),
+        ts_expr.alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(type_col).cast("string").alias("event_type"),
+    )
+    return projected.groupBy("user_id").applyInPandasWithState(
+        _scd2_update,
+        outputStructType=SCD2_SCHEMA,
+        stateStructType=_SCD2_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1102,3 +1102,90 @@ def test_streaming_attribution_matches_batch(spark, tmp_path):
         f, l = got.get(r.last_channel, (0, 0))
         got[r.last_channel] = (f, l + 1)
     assert got == want
+
+
+def test_streaming_scd2_matches_batch(spark, tmp_path):
+    """streaming_scd2 drained over ordered micro-batches, upserted
+    last-write-wins on (user_id, version), must equal the batch q_scd2
+    gaps-and-islands build on the union of all events — including a run
+    that SPANS a micro-batch boundary (open version re-emitted with a
+    growing count), a run that closes exactly at the boundary, and a
+    user who first appears mid-stream."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.queries.relational import q_scd2
+    from crypto_trading_data_pipeline_spark.streaming.stateful import streaming_scd2
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (int(eid), pd.Timestamp(ts).to_pydatetime(), int(u), et)
+                for eid, ts, u, et in rows
+            ],
+            "event_id long, ts timestamp, user_id long, event_type string",
+        )
+
+    # User 1: view view | view click click -> v1 view(3) spans the
+    #         boundary, then closes; v2 click(2) current.
+    # User 2: click | view -> v1 closes exactly at the boundary.
+    # User 3: appears only in b2.
+    b1 = [
+        (1, "2024-01-01 10:00:00", 1, "view"),
+        (2, "2024-01-01 11:00:00", 1, "view"),
+        (10, "2024-01-01 09:00:00", 2, "click"),
+    ]
+    b2 = [
+        (3, "2024-01-02 08:00:00", 1, "view"),
+        (4, "2024-01-02 09:00:00", 1, "click"),
+        (5, "2024-01-02 10:00:00", 1, "click"),
+        (11, "2024-01-02 11:00:00", 2, "view"),
+        (20, "2024-01-02 12:00:00", 3, "error"),
+    ]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, event_type string"
+    ).parquet(str(indir / "*.parquet"))
+    latest = {}
+    q = (
+        streaming_scd2(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, eid: latest.update(
+                {(r.user_id, r.version): r for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # Mid-stream snapshot: user 1's open run must already be visible.
+        assert latest[(1, 1)].event_type == "view"
+        assert latest[(1, 1)].n_events == 2 and latest[(1, 1)].is_current
+        mk(b2).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    d = tmp_path / "all"
+    d.mkdir()
+    mk(b1 + b2).write.mode("overwrite").parquet(str(d / "events.parquet"))
+    want = {
+        (r.user_id, r.version): (
+            r.event_type,
+            r.valid_from,
+            r.valid_to,
+            r.n_events,
+            r.is_current,
+        )
+        for r in q_scd2(spark, str(d)).collect()
+    }
+    got = {
+        k: (r.event_type, r.valid_from, r.valid_to, r.n_events, r.is_current)
+        for k, r in latest.items()
+    }
+    assert got == want, (got, want)
