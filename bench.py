@@ -1,6 +1,12 @@
 """Benchmark harness: runs the headline declared queries at
 $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
-and prints ONE JSON line with total + per-query wall seconds.
+and prints the record as JSON on stdout.
+
+Output layout (the consumer keeps the LAST ~2000 stdout chars and parses
+the FINAL line): first the full compact record — per-query timings for
+tail salvage — then a final summary line that always fits the buffer
+(headline metric, counts, calibration, 12 slowest queries). The complete
+record is also written to BENCH_LOCAL.json beside this script.
 
 Each query is fully executed via the noop sink (format("noop")) so the whole
 plan runs — no collect() driver bottleneck, no disk write skew.
@@ -266,7 +272,7 @@ def _salvage_tail_timings(tail: str) -> dict[str, float]:
     }
 
 
-def _load_previous_round(sf: float) -> dict:
+def _load_previous_round(sf: float, here: str | None = None) -> dict:
     """Per-query timings from the latest USABLE prior BENCH_r{N}.json next
     to this script, plus its round tag under "_round".
 
@@ -281,7 +287,8 @@ def _load_previous_round(sf: float) -> dict:
     import glob
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
     cur = os.environ.get("SPARK_GRAFT_ROUND")
     cur = int(cur) if cur and cur.isdigit() else None
     rounds = []
@@ -302,14 +309,37 @@ def _load_previous_round(sf: float) -> dict:
         rec_sf = (parsed or {}).get("sf", rec.get("sf"))
         if isinstance(rec_sf, (int, float)) and abs(rec_sf - sf) > 1e-9:
             continue
-        queries = (parsed or {}).get("queries")
-        if not (isinstance(queries, dict) and queries):
-            queries = _salvage_tail_timings(rec.get("tail") or "")
-            # A head-truncated tail can salvage only a partial subset; a
-            # too-small set would silently exempt most queries from the
-            # regression comparison, so keep scanning older complete rounds
-            # instead (the salvage is a fallback, not a license to compare
-            # against 5 queries).
+        # Since r7 the parsed final line carries only the 12 slowest
+        # queries (the full line overflows the driver's 2000-char tail);
+        # merge it with whatever the tail salvage reaches of the full
+        # line printed just before it. The two describe the SAME run, so
+        # the union is consistent.
+        queries = dict(_salvage_tail_timings(rec.get("tail") or ""))
+        p_queries = (parsed or {}).get("queries")
+        if isinstance(p_queries, dict):
+            queries.update(
+                {k: v for k, v in p_queries.items() if isinstance(v, (int, float))}
+            )
+        # A truncated tail can salvage only a partial subset; a too-small
+        # set would silently exempt most queries from the regression
+        # comparison, so top it up from the committed full sidecar of the
+        # SAME round's local run when available (BENCH_LOCAL.json is
+        # written by every bench invocation and committed per round), and
+        # keep scanning older complete rounds if still too small.
+        if len(queries) < max(10, len(HEADLINE) // 2):
+            try:
+                with open(os.path.join(here, "BENCH_LOCAL.json")) as f:
+                    local = json.load(f)
+                if (
+                    isinstance(local.get("sf"), (int, float))
+                    and abs(local["sf"] - sf) < 1e-9
+                    and isinstance(local.get("queries"), dict)
+                ):
+                    for k, v in local["queries"].items():
+                        if k not in queries and isinstance(v, (int, float)):
+                            queries[k] = v
+            except (OSError, ValueError):
+                pass
             if len(queries) < max(10, len(HEADLINE) // 2):
                 continue
         if queries:
@@ -589,6 +619,43 @@ def main() -> None:
         worst = max(spreads_steady, key=spreads_steady.get)
         compact["noisiest_steady"] = [worst, spreads_steady[worst]]
     print(json.dumps(compact, separators=(",", ":")), flush=True)
+    # The driver keeps only the LAST ~2000 stdout chars and parses the
+    # final line: once the suite outgrew ~45 queries the compact line
+    # truncated mid-queries and every such round recorded parsed:null
+    # (r3, r6 — confirmed against the committed BENCH_r*.json). So the
+    # FINAL line is a summary that always fits: every scalar, the
+    # slowest 12 queries, and a pointer to the full record. The full
+    # compact line above still feeds _salvage_tail_timings with as many
+    # per-query timings as the tail window reaches.
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    summary = {
+        k: compact.get(k)
+        for k in (
+            "metric",
+            "value",
+            "unit",
+            "total_is_complete",
+            "n_ok",
+            "n_err",
+            "prev_round",
+            "n_regressions",
+            "n_regressions_normalized",
+            "calib_sec",
+            "calib_ratio",
+            "delta_median_sec",
+            "load1",
+            "noisiest_steady",
+            "sf",
+            "streaming_rows_per_sec",
+        )
+        if k in compact
+    }
+    summary["queries"] = {n: round(t, 2) for n, t in slowest.items()}
+    summary["queries_note"] = f"12 slowest of {len(timings)}; full set in BENCH_LOCAL.json + the line above"
+    summary["regressions"] = compact["regressions"][:2]
+    if errors:
+        summary["errors"] = compact["errors"]
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     # Full record to a sidecar file (the driver's stdout tail buffer
     # truncated r3's long line into parsed:null).
     here = os.path.dirname(os.path.abspath(__file__))

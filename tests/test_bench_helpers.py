@@ -58,3 +58,61 @@ def test_prev_round_skips_non_numeric_entries():
     prev = {"_round": 6, "qa": "err: boom", "qb": 0.0}
     deltas, raw, norm = bench._compare_to_previous({"qa": 1.0, "qb": 1.0}, prev)
     assert deltas == {} and raw == [] and norm == []
+
+
+def test_prev_round_merges_summary_with_salvage_and_sidecar(tmp_path, monkeypatch):
+    """Since r7 the driver-parsed final line holds only the 12 slowest
+    queries; _load_previous_round must union it with the tail-salvaged
+    full line and, when still below the coverage threshold, top up from
+    the committed BENCH_LOCAL.json sidecar of the same sf."""
+    import json
+
+    # The coverage threshold scales with the real HEADLINE; pin a small
+    # one so the 14-query fixture exercises accept-after-top-up.
+    monkeypatch.setattr(bench, "HEADLINE", [f"q_{i}" for i in range(20)])
+
+    # Driver round file: summary-parsed (2 queries) + a tail fragment of
+    # the full line carrying 2 more.
+    tail = '"q_c":0.30,"q_d":0.40,"errors":{},"n_ok":4,"sf":0.1}'
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps(
+            {
+                "rc": 0,
+                "tail": tail,
+                "parsed": {
+                    "sf": 0.1,
+                    "queries": {"q_a": 1.0, "q_b": 0.5},
+                    "calib_sec": 0.3,
+                },
+            }
+        )
+    )
+    # Committed sidecar: the full set, same sf.
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps(
+            {
+                "sf": 0.1,
+                "queries": {f"q_{c}": 0.1 * i for i, c in enumerate("abcdefghijklmn")},
+            }
+        )
+    )
+    prev = bench._load_previous_round(0.1, here=str(tmp_path))
+    assert prev["_round"] == 7 and prev["_calib_sec"] == 0.3
+    # Parsed entries win over sidecar values; salvage fills q_c/q_d;
+    # sidecar fills the rest.
+    assert prev["q_a"] == 1.0 and prev["q_b"] == 0.5
+    assert prev["q_c"] == 0.30 and prev["q_d"] == 0.40
+    assert "q_n" in prev and len([k for k in prev if k.startswith("q_")]) == 14
+
+
+def test_prev_round_skips_other_sf_sidecar(tmp_path):
+    import json
+
+    (tmp_path / "BENCH_r07.json").write_text(
+        json.dumps({"rc": 0, "tail": "", "parsed": {"sf": 0.1, "queries": {"q_a": 1.0}}})
+    )
+    (tmp_path / "BENCH_LOCAL.json").write_text(
+        json.dumps({"sf": 0.01, "queries": {f"q_{i}": 1.0 for i in range(50)}})
+    )
+    # Sidecar is another sf: no top-up, coverage too small, round skipped.
+    assert bench._load_previous_round(0.1, here=str(tmp_path)) == {}
