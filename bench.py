@@ -167,6 +167,7 @@ HEADLINE = [
     "q_bfs_reach",
     "q_rrf_fusion",
     "q_scd2",
+    "q_token_budget_mix",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1421,6 +1421,192 @@ def q_temperature_mix(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Token-budgeted mixture: fraction of the corpus's total TOKENS the
+#: assembled mix targets (exact integer: sum * NUM // DEN).
+_TBMIX_NUM, _TBMIX_DEN = 3, 10
+
+
+@query(
+    "q_token_budget_mix",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+      FROM documents
+    ), ps AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(nt) AS BIGINT) AS t_s
+      FROM tok GROUP BY source
+    ), sc AS (
+      SELECT source, n_docs, t_s,
+             CAST(floor(pow(t_s * 1.0, {_TMIX_ALPHA}) * 1000000.0 + 0.5)
+                  AS BIGINT) AS s_micro
+      FROM ps
+    ), den AS (
+      SELECT sum(s_micro) AS denom,
+             CAST(sum(t_s) * {_TBMIX_NUM} // {_TBMIX_DEN} AS BIGINT) AS target
+      FROM sc
+    ), bud AS (
+      SELECT source, n_docs, t_s,
+             CAST(s_micro * target // denom AS BIGINT) AS token_budget
+      FROM sc CROSS JOIN den
+    ), r AS (
+      SELECT doc_id, source, nt,
+             coalesce(sum(nt) OVER (
+               PARTITION BY source
+               ORDER BY {dedup_hash.sql_token_hash("CAST(doc_id AS VARCHAR)")},
+                        doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ), 0) AS cum_before
+      FROM tok
+    ), sel AS (
+      SELECT r.source, CAST(count(*) AS BIGINT) AS n_selected,
+             CAST(sum(r.nt) AS BIGINT) AS selected_tokens
+      FROM r JOIN bud b ON r.source = b.source
+      WHERE r.cum_before < b.token_budget
+      GROUP BY r.source
+    )
+    SELECT b.source, b.n_docs, b.t_s AS total_tokens, b.token_budget,
+           CAST(coalesce(s.n_selected, 0) AS BIGINT) AS n_selected,
+           CAST(coalesce(s.selected_tokens, 0) AS BIGINT) AS selected_tokens,
+           CAST(coalesce(s.selected_tokens, 0) * 1000000
+                // nullif(b.token_budget, 0) AS BIGINT) AS fill_ppm
+    FROM bud b LEFT JOIN sel s ON b.source = s.source
+    """,
+    doc=(
+        "Token-budgeted mixture assembly — the step AFTER "
+        "q_temperature_mix's policy: per-source TOKEN budgets (n^alpha "
+        "temperature weights applied to a 30%-of-corpus token target, all "
+        "exact integer arithmetic) filled greedily in deterministic "
+        "id-hash order — docs keep while the tokens BEFORE them fit the "
+        "budget, so the crossing doc is included and the draw is "
+        "reproducible and append-stable per source. Emits the per-source "
+        "audit (docs/tokens selected vs budget, fill ppm) a mixture build "
+        "publishes alongside the selected set.\n\n"
+        "Scale shape: the oracle states the semantics with a per-source "
+        "running-token window; the Spark plan is the two-phase "
+        "q_mixture_sample construction generalized from row ranks to a "
+        "WEIGHTED prefix sum — (1) a per-(source, hash-bucket) token "
+        f"histogram ({_MIX_BUCKETS} rows/source) locates each source's "
+        "boundary bucket and residual token budget, (2) whole buckets "
+        "below the boundary keep via a broadcast join and only the "
+        f"boundary bucket (~1/{_MIX_BUCKETS} of one source) runs a local "
+        "running sum. Bucket order is hash order, so below+local_before "
+        "< budget is exactly the single-window cum_before < budget. "
+        "pow() runs on exact integer token totals on both engines "
+        "(the q_temperature_mix libm-agreement rule)."
+    ),
+)
+def q_token_budget_mix(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    h = dedup_hash.token_hash(F.col("doc_id").cast("string"))
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("nt"),
+        h.alias("h"),
+        (h / _MIX_BUCKET_WIDTH).cast("int").alias("b"),
+    )
+
+    ps = base.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("nt").cast("bigint").alias("t_s"),
+    )
+    sc = ps.withColumn(
+        "s_micro",
+        F.floor(F.pow(F.col("t_s") * 1.0, F.lit(_TMIX_ALPHA)) * 1000000.0 + 0.5).cast(
+            "bigint"
+        ),
+    )
+    den = sc.agg(
+        F.sum("s_micro").alias("denom"),
+        F.expr(f"CAST(sum(t_s) * {_TBMIX_NUM} div {_TBMIX_DEN} AS BIGINT)").alias(
+            "target"
+        ),
+    )
+    # |sources| rows, consumed three times (phase-1 join, phase-2 join,
+    # final audit): localCheckpoint so the scan+aggregate subtree plans
+    # once, not per consumer (the q_rfm_segments chained-reuse lesson);
+    # eager + not persist() per the q_pagerank cache-leak rationale.
+    bud = (
+        sc.join(F.broadcast(den))
+        .select(
+            "source",
+            "n_docs",
+            "t_s",
+            F.expr("CAST(s_micro * target div denom AS BIGINT)").alias("token_budget"),
+        )
+        .localCheckpoint(eager=True)
+    )
+
+    # Phase 1: per-(source, bucket) token histogram -> boundary bucket +
+    # residual token budget. |hist| <= n_sources * _MIX_BUCKETS.
+    hist = base.groupBy("source", "b").agg(F.sum("nt").alias("btok"))
+    wcum = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = hist.select(
+        "source",
+        "b",
+        "btok",
+        F.coalesce(F.sum("btok").over(wcum), F.lit(0)).alias("below"),
+    ).join(F.broadcast(bud.select("source", "token_budget")), "source")
+    bound = cum.filter(
+        (F.col("below") < F.col("token_budget"))
+        & (F.col("below") + F.col("btok") >= F.col("token_budget"))
+    ).select(
+        "source",
+        F.col("b").alias("b_star"),
+        (F.col("token_budget") - F.col("below")).alias("residual"),
+    )
+
+    # Phase 2: whole buckets below the boundary keep without sorting. A
+    # source with NO boundary bucket either fits entirely inside its
+    # budget (budget >= t_s: keep all) or has budget 0 (keep none) — the
+    # t_s check distinguishes them.
+    j = base.join(F.broadcast(bound), "source", "left").join(
+        F.broadcast(bud.select("source", "t_s", "token_budget")), "source"
+    )
+    keep_whole = j.filter(
+        F.when(F.col("b_star").isNull(), F.col("token_budget") >= F.col("t_s")).otherwise(
+            F.col("b") < F.col("b_star")
+        )
+    )
+    wb = Window.partitionBy("source", "b").orderBy("h", "doc_id")
+    boundary = (
+        j.filter(F.col("b") == F.col("b_star"))
+        .withColumn(
+            "local_before",
+            F.coalesce(
+                F.sum("nt").over(wb.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit(0),
+            ),
+        )
+        .filter(F.col("local_before") < F.col("residual"))
+    )
+    selected = keep_whole.select("source", "nt").unionAll(
+        boundary.select("source", "nt")
+    )
+    sel = selected.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_selected"),
+        F.sum("nt").cast("bigint").alias("selected_tokens"),
+    )
+    return bud.join(sel, "source", "left").select(
+        "source",
+        "n_docs",
+        F.col("t_s").alias("total_tokens"),
+        "token_budget",
+        F.coalesce("n_selected", F.lit(0)).cast("bigint").alias("n_selected"),
+        F.coalesce("selected_tokens", F.lit(0)).cast("bigint").alias("selected_tokens"),
+        F.expr(
+            "CAST(coalesce(selected_tokens, 0) * 1000000"
+            " div nullif(token_budget, 0) AS BIGINT)"
+        ).alias("fill_ppm"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Repeated-substring spans (X2 extension): the exact-substring complement of
 # q_dup_ngrams. Dup-ngram fraction says HOW MUCH of a doc repeats somewhere;

@@ -126,6 +126,7 @@ QUERIES = [
     "q_bfs_reach",
     "q_rrf_fusion",
     "q_scd2",
+    "q_token_budget_mix",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

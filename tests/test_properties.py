@@ -2734,3 +2734,78 @@ def test_scd2_matches_python_replica(spark, tmp_path_factory, rows):
             vt = runs[v][1] if v < len(runs) else None
             want[(u, v)] = (et, vf, vt, n, vt is None)
     assert got == want
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # source index
+            _r7_doc,
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_token_budget_mix_matches_python_replica(spark, rows):
+    """q_token_budget_mix vs a brute-force Python replica of the whole
+    chain — n^alpha micro-weights, integer token target, per-source
+    hash-ordered greedy fill including the crossing doc — on corpora
+    with skewed source sizes (single-doc sources, empty budgets at tiny
+    targets). The Spark side runs the two-phase bucketed prefix sum;
+    this recomputes from the single-ordering definition, so a boundary
+    off-by-one between the phases cannot hide."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _TBMIX_DEN,
+        _TBMIX_NUM,
+        _TMIX_ALPHA,
+    )
+
+    d = tempfile.mkdtemp(prefix="tbmix_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, t, f"src{s}") for i, (s, t) in enumerate(rows)],
+            "doc_id long, text string, source string",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.source: (
+                r.n_docs,
+                r.total_tokens,
+                r.token_budget,
+                r.n_selected,
+                r.selected_tokens,
+                r.fill_ppm,
+            )
+            for r in REGISTRY["q_token_budget_mix"].fn(spark, d).collect()
+        }
+
+        per = defaultdict(list)  # source -> [(hash, doc_id, n_tokens)]
+        for i, (s, t) in enumerate(rows):
+            per[f"src{s}"].append((py_token_hash(str(i)), i, len(t.split(" "))))
+        t_s = {s: sum(n for _, _, n in v) for s, v in per.items()}
+        target = sum(t_s.values()) * _TBMIX_NUM // _TBMIX_DEN
+        s_micro = {
+            s: math.floor(math.pow(float(v), _TMIX_ALPHA) * 1000000.0 + 0.5)
+            for s, v in t_s.items()
+        }
+        denom = sum(s_micro.values())
+        want = {}
+        for s, docs in per.items():
+            budget = s_micro[s] * target // denom
+            cum = n_sel = sel_tok = 0
+            for _, _, n in sorted(docs):
+                if cum < budget:
+                    n_sel += 1
+                    sel_tok += n
+                cum += n
+            fill = sel_tok * 1000000 // budget if budget > 0 else None
+            want[s] = (len(docs), t_s[s], budget, n_sel, sel_tok, fill)
+        assert got == want, (rows, got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
