@@ -11,6 +11,8 @@ per partition is O(frame), independent of history length.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1272,4 +1274,530 @@ def q_autocorr(spark: SparkSession, sf_dir: str):
             )
             / 1000000.0,
         ).alias("acf"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Risk-adjusted performance (X22 extension). The indicator family above
+# DESCRIBES the price series; these three queries EVALUATE it the way a
+# trading desk does — risk-adjusted return (Sharpe/Sortino/hit rate),
+# range-based realized-volatility estimators (Parkinson/Garman-Klass/
+# Rogers-Satchell), and a full signal->position->PnL backtest. All follow
+# the q_autocorr exact-integer-moment discipline: returns are quantized to
+# basis points with INTEGER division (c*10000 div prev - 10000), so every
+# aggregate is an exact int64 sum — the only FP anywhere is the final
+# per-group metric expression, written textually identically on both
+# engines with floor-scale rounding.
+# ---------------------------------------------------------------------------
+
+_RET_CLAMP_BP = 10_000  # +-100% per minute; keeps rq^2 sums in int64 headroom
+
+
+def _ret_bp(spark, sf_dir):
+    """Per-(symbol, minute) basis-point returns as exact int64.
+
+    rq = (c_t * 10000) div c_{t-1} - 10000 on positive cent prices —
+    integer division, identical floor semantics in Spark (`div`) and
+    DuckDB (`//`) for positive operands. Clamped to +-10000 bp so
+    sum(rq^2) over any fixture scale stays far inside int64 (worst case
+    1e8 per row; 9e10 rows to overflow — a ~50 PB tick history).
+    """
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("minute")
+    prev = F.lag("c", 1).over(w)
+    rq_raw = F.expr("(c * 10000) div prev_c - 10000")
+    return (
+        cents.withColumn("prev_c", prev)
+        .filter(F.col("prev_c").isNotNull())
+        .withColumn(
+            "rq",
+            F.greatest(
+                F.lit(-_RET_CLAMP_BP).cast("bigint"),
+                F.least(F.lit(_RET_CLAMP_BP).cast("bigint"), rq_raw),
+            ),
+        )
+        .select("symbol", "minute", "rq")
+    )
+
+
+_SQL_RET_BP = f"""
+      SELECT symbol, minute,
+             greatest(-{_RET_CLAMP_BP}, least({_RET_CLAMP_BP},
+                      (c * 10000) // prev_c - 10000)) AS rq
+      FROM (
+        SELECT symbol, minute,
+               CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c,
+               lag(CAST(floor(close * 100.0 + 0.5) AS BIGINT), 1)
+                 OVER (PARTITION BY symbol ORDER BY minute) AS prev_c
+        FROM ({_SQL_CLOSES})
+      ) WHERE prev_c IS NOT NULL
+"""
+
+
+@query(
+    "q_risk_metrics",
+    oracle=f"""
+    WITH rets AS (
+      {_SQL_RET_BP}
+    ), agg AS (
+      SELECT symbol,
+             CAST(count(*) AS BIGINT)        AS n,
+             CAST(sum(rq) AS BIGINT)         AS s1,
+             CAST(sum(rq * rq) AS BIGINT)    AS s2,
+             CAST(sum(CASE WHEN rq < 0 THEN rq * rq ELSE 0 END) AS BIGINT)
+                                             AS s2d,
+             CAST(sum(CASE WHEN rq > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                                             AS n_pos
+      FROM rets GROUP BY symbol
+    )
+    SELECT symbol, n AS n_ret,
+           floor(s1 * 1.0 / n * 100.0 + 0.5) / 100.0 AS mean_bp,
+           floor(sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                 * 100.0 + 0.5) / 100.0 AS vol_bp,
+           CASE WHEN s2 * n > s1 * s1 THEN
+             floor((s1 * 1.0 / n)
+                   / sqrt((s2 * 1.0 / n) - (s1 * 1.0 / n) * (s1 * 1.0 / n))
+                   * 1000000.0 + 0.5) / 1000000.0 END AS sharpe,
+           CASE WHEN s2d > 0 THEN
+             floor((s1 * 1.0 / n) / sqrt(s2d * 1.0 / n)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS sortino,
+           floor(n_pos * 1.0 / n * 1000000.0 + 0.5) / 1000000.0 AS hit_rate
+    FROM agg
+    """,
+    doc=(
+        "Risk-adjusted performance per symbol — Sharpe, Sortino, hit "
+        "rate, mean and volatility of minute returns. Returns are "
+        "BASIS-POINT-QUANTIZED with integer division (the defined "
+        "metric, not an approximation of an FP one), so the five "
+        "moments are exact int64 sums: one partial+final aggregate "
+        "per symbol after the lag window's single symbol exchange, "
+        "value-hash bit-stable under any partial-agg order. The only "
+        "FP is the final per-symbol expression (one sqrt on an "
+        "exact-integer-derived double), floor-scale rounded "
+        "identically on both engines. At 100 TB: the window and the "
+        "aggregate ride the same symbol partitioning — one exchange "
+        "total, constant output rows per symbol."
+    ),
+)
+def q_risk_metrics(spark: SparkSession, sf_dir: str):
+    rets = _ret_bp(spark, sf_dir)
+    rq = F.col("rq")
+    agg = rets.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(rq).cast("bigint").alias("s1"),
+        F.sum(rq * rq).cast("bigint").alias("s2"),
+        F.sum(F.when(rq < 0, rq * rq).otherwise(F.lit(0).cast("bigint")))
+        .cast("bigint")
+        .alias("s2d"),
+        F.sum(F.when(rq > 0, 1).otherwise(0)).cast("bigint").alias("n_pos"),
+    )
+    n, s1, s2, s2d = F.col("n"), F.col("s1"), F.col("s2"), F.col("s2d")
+    mean = s1 * 1.0 / n
+    var = (s2 * 1.0 / n) - mean * mean
+    return agg.select(
+        "symbol",
+        n.alias("n_ret"),
+        (F.floor(mean * 100.0 + 0.5) / 100.0).alias("mean_bp"),
+        (F.floor(F.sqrt(var) * 100.0 + 0.5) / 100.0).alias("vol_bp"),
+        F.when(
+            s2 * n > s1 * s1,
+            F.floor(mean / F.sqrt(var) * 1000000.0 + 0.5) / 1000000.0,
+        ).alias("sharpe"),
+        F.when(
+            s2d > 0,
+            F.floor(mean / F.sqrt(s2d * 1.0 / n) * 1000000.0 + 0.5) / 1000000.0,
+        ).alias("sortino"),
+        (F.floor(F.col("n_pos") * 1.0 / n * 1000000.0 + 0.5) / 1000000.0).alias(
+            "hit_rate"
+        ),
+    )
+
+
+_SQL_OHLC_CENTS = """
+      SELECT event_type                  AS symbol,
+             date_trunc('minute', ts)    AS minute,
+             CAST(floor(arg_min(value, ts) * 100.0 + 0.5) AS BIGINT) AS o,
+             CAST(floor(max(value)       * 100.0 + 0.5) AS BIGINT) AS h,
+             CAST(floor(min(value)       * 100.0 + 0.5) AS BIGINT) AS l,
+             CAST(floor(arg_max(value, ts) * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0.0 GROUP BY 1, 2
+"""
+
+
+@query(
+    "q_realized_vol",
+    oracle=f"""
+    WITH bars AS (
+      {_SQL_OHLC_CENTS}
+    ), terms AS (
+      SELECT symbol, CAST(date_trunc('day', minute) AS DATE) AS day,
+             CAST(floor(ln(h * 1.0 / l) * ln(h * 1.0 / l) * 1000000000000.0
+                        + 0.5) AS BIGINT) AS t_park,
+             CAST(floor((0.5 * ln(h * 1.0 / l) * ln(h * 1.0 / l)
+                         - (2.0 * ln(2.0) - 1.0)
+                           * ln(c * 1.0 / o) * ln(c * 1.0 / o))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS t_gk,
+             CAST(floor((ln(h * 1.0 / c) * ln(h * 1.0 / o)
+                         + ln(l * 1.0 / c) * ln(l * 1.0 / o))
+                        * 1000000000000.0 + 0.5) AS BIGINT) AS t_rs
+      FROM bars
+    ), agg AS (
+      SELECT symbol, day, CAST(count(*) AS BIGINT) AS n_bars,
+             CAST(sum(t_park) AS BIGINT) AS s_park,
+             CAST(sum(t_gk) AS BIGINT)   AS s_gk,
+             CAST(sum(t_rs) AS BIGINT)   AS s_rs
+      FROM terms GROUP BY 1, 2
+    )
+    SELECT symbol, day, n_bars,
+           floor(sqrt(s_park * 1.0 / n_bars / 1000000000000.0
+                      / (4.0 * ln(2.0))) * 100000000.0 + 0.5)
+             / 100000000.0 AS park_vol,
+           CASE WHEN s_gk >= 0 THEN
+             floor(sqrt(s_gk * 1.0 / n_bars / 1000000000000.0)
+                   * 100000000.0 + 0.5) / 100000000.0 END AS gk_vol,
+           CASE WHEN s_rs >= 0 THEN
+             floor(sqrt(s_rs * 1.0 / n_bars / 1000000000000.0)
+                   * 100000000.0 + 0.5) / 100000000.0 END AS rs_vol
+    FROM agg
+    """,
+    doc=(
+        "Range-based realized-volatility estimators per (symbol, day) — "
+        "Parkinson (high/low), Garman-Klass (+open/close), and "
+        "Rogers-Satchell (drift-robust) — the estimators that extract "
+        "5-10x more efficiency from OHLC bars than close-to-close "
+        "variance (q_returns_volatility). Each per-minute term is "
+        "quantized to an exact int64 at 1e12 BEFORE summation, so the "
+        "daily aggregate is an exact integer sum (no FP partial-agg "
+        "order drift); the ln() calls operate on per-row ratios of "
+        "exact cent prices, deterministic per row. GK and RS can go "
+        "negative on pathological bars (close outside [low, high] "
+        "cannot happen, but GK's subtraction can) — emitted NULL "
+        "rather than an FP-domain error, matched in both engines. "
+        "Plan: one aggregate over events, one row-local projection, "
+        "one partial+final (symbol, day) aggregate."
+    ),
+)
+def q_realized_vol(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    cents = lambda col: F.floor(col * 100.0 + 0.5).cast("bigint")  # noqa: E731
+    bars = (
+        e.filter(F.col("value") > 0.0)
+        .groupBy(
+            F.col("event_type").alias("symbol"),
+            F.date_trunc("minute", "ts").alias("minute"),
+        )
+        .agg(
+            cents(F.min_by("value", "ts")).alias("o"),
+            cents(F.max("value")).alias("h"),
+            cents(F.min("value")).alias("l"),
+            cents(F.max_by("value", "ts")).alias("c"),
+        )
+    )
+    lhl = F.log(F.col("h") * 1.0 / F.col("l"))
+    loc = F.log(F.col("c") * 1.0 / F.col("o"))
+    lhc = F.log(F.col("h") * 1.0 / F.col("c"))
+    lho = F.log(F.col("h") * 1.0 / F.col("o"))
+    llc = F.log(F.col("l") * 1.0 / F.col("c"))
+    llo = F.log(F.col("l") * 1.0 / F.col("o"))
+    scale = 1000000000000.0
+    two_ln2_m1 = 2.0 * math.log(2.0) - 1.0
+    terms = bars.select(
+        "symbol",
+        F.date_trunc("day", "minute").cast("date").alias("day"),
+        F.floor(lhl * lhl * scale + 0.5).cast("bigint").alias("t_park"),
+        F.floor((0.5 * lhl * lhl - two_ln2_m1 * loc * loc) * scale + 0.5)
+        .cast("bigint")
+        .alias("t_gk"),
+        F.floor((lhc * lho + llc * llo) * scale + 0.5).cast("bigint").alias("t_rs"),
+    )
+    agg = terms.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        F.sum("t_park").cast("bigint").alias("s_park"),
+        F.sum("t_gk").cast("bigint").alias("s_gk"),
+        F.sum("t_rs").cast("bigint").alias("s_rs"),
+    )
+    out8 = lambda x: F.floor(x * 100000000.0 + 0.5) / 100000000.0  # noqa: E731
+    n = F.col("n_bars")
+    return agg.select(
+        "symbol",
+        "day",
+        n,
+        out8(F.sqrt(F.col("s_park") * 1.0 / n / scale / (4.0 * math.log(2.0)))).alias(
+            "park_vol"
+        ),
+        F.when(F.col("s_gk") >= 0, out8(F.sqrt(F.col("s_gk") * 1.0 / n / scale))).alias(
+            "gk_vol"
+        ),
+        F.when(F.col("s_rs") >= 0, out8(F.sqrt(F.col("s_rs") * 1.0 / n / scale))).alias(
+            "rs_vol"
+        ),
+    )
+
+
+@query(
+    "q_backtest_sma",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), sig AS (
+      SELECT symbol, minute, c,
+             CASE WHEN count(*) OVER w20 = 20 THEN
+               CASE WHEN sum(c) OVER w5 * 4 > sum(c) OVER w20
+                    THEN 1 ELSE 0 END
+             END AS signal
+      FROM cents
+      WINDOW w5  AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 4 PRECEDING AND CURRENT ROW),
+             w20 AS (PARTITION BY symbol ORDER BY minute
+                     ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)
+    ), pos AS (
+      SELECT symbol, minute, c, signal,
+             lag(signal) OVER w AS p,
+             lag(signal, 2) OVER w AS pp,
+             greatest(-10000, least(10000,
+               (c * 10000) // lag(c) OVER w - 10000)) AS rq
+      FROM sig
+      WINDOW w AS (PARTITION BY symbol ORDER BY minute)
+    )
+    SELECT symbol,
+           CAST(count(*) AS BIGINT) AS n_bars,
+           CAST(sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_long_bars,
+           CAST(sum(CASE WHEN p IS NOT NULL AND pp IS NOT NULL
+                              AND p <> pp THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_trades,
+           CAST(sum(CASE WHEN p = 1 THEN rq ELSE 0 END) AS BIGINT)
+             AS strat_ret_bp,
+           CAST(sum(CASE WHEN p IS NOT NULL THEN rq ELSE 0 END) AS BIGINT)
+             AS bh_ret_bp,
+           CASE WHEN sum(CASE WHEN p = 1 THEN 1 ELSE 0 END) > 0 THEN
+             floor(sum(CASE WHEN p = 1 AND rq > 0 THEN 1 ELSE 0 END) * 1.0
+                   / sum(CASE WHEN p = 1 THEN 1 ELSE 0 END)
+                   * 1000000.0 + 0.5) / 1000000.0 END AS win_rate
+    FROM pos GROUP BY symbol
+    """,
+    doc=(
+        "Vectorized SMA(5)/SMA(20) crossover backtest per symbol: "
+        "signal -> next-bar position -> per-bar strategy PnL vs "
+        "buy-and-hold, plus trade count and long-bar win rate. The "
+        "crossover compares INTEGER window sums cross-multiplied "
+        "(sum5*4 > sum20 <=> sma5 > sma20 — no FP averages), the "
+        "position is lag(signal) (enter on the NEXT bar: no "
+        "look-ahead bias), returns are the basis-point integer "
+        "quantization shared with q_risk_metrics, and every output "
+        "except win_rate is an exact int64 sum — a backtest whose "
+        "result is bit-reproducible across engines and partial-agg "
+        "orders. Plan: both SMA frames and the lag ride ONE "
+        "(symbol ORDER BY minute) window exchange (three frames, "
+        "one sort), then one partial+final aggregate per symbol."
+    ),
+)
+def q_backtest_sma(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    wo = Window.partitionBy("symbol").orderBy("minute")
+    w5 = wo.rowsBetween(-4, 0)
+    w20 = wo.rowsBetween(-19, 0)
+    sig = cents.withColumn(
+        "signal",
+        F.when(
+            F.count(F.lit(1)).over(w20) == 20,
+            F.when(F.sum("c").over(w5) * 4 > F.sum("c").over(w20), 1).otherwise(0),
+        ),
+    )
+    pos = sig.select(
+        "symbol",
+        "minute",
+        "c",
+        "signal",
+        F.lag("signal").over(wo).alias("p"),
+        F.lag("signal", 2).over(wo).alias("pp"),
+        F.greatest(
+            F.lit(-10000).cast("bigint"),
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.expr(
+                    "(c * 10000) div lag(c) over "
+                    "(partition by symbol order by minute) - 10000"
+                ),
+            ),
+        ).alias("rq"),
+    )
+    p, pp, rq = F.col("p"), F.col("pp"), F.col("rq")
+    zero = F.lit(0).cast("bigint")
+    n_long = F.sum(F.when(p == 1, 1).otherwise(0)).cast("bigint")
+    return pos.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_bars"),
+        n_long.alias("n_long_bars"),
+        F.sum(F.when(p.isNotNull() & pp.isNotNull() & (p != pp), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_trades"),
+        F.sum(F.when(p == 1, rq).otherwise(zero)).cast("bigint").alias("strat_ret_bp"),
+        F.sum(F.when(p.isNotNull(), rq).otherwise(zero))
+        .cast("bigint")
+        .alias("bh_ret_bp"),
+        F.when(
+            n_long > 0,
+            F.floor(
+                F.sum(F.when((p == 1) & (rq > 0), 1).otherwise(0))
+                * 1.0
+                / n_long
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0,
+        ).alias("win_rate"),
+    )
+
+
+_PAIR_A, _PAIR_B = "view", "click"
+
+
+@query(
+    "q_pairs_spread",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES}) WHERE symbol IN ('{_PAIR_A}', '{_PAIR_B}')
+    ), pair AS (
+      SELECT a.minute, a.c AS pa, b.c AS pb
+      FROM (SELECT minute, c FROM cents WHERE symbol = '{_PAIR_A}') a
+      JOIN (SELECT minute, c FROM cents WHERE symbol = '{_PAIR_B}') b
+      USING (minute)
+    ), mom AS (
+      SELECT CAST(count(*) AS BIGINT)       AS n,
+             CAST(sum(pa) AS BIGINT)        AS sa,
+             CAST(sum(pb) AS BIGINT)        AS sb,
+             CAST(sum(pb * pb) AS BIGINT)   AS sbb,
+             CAST(sum(pa * pb) AS BIGINT)   AS sab
+      FROM pair
+    ), beta AS (
+      SELECT n, greatest(-10000, least(10000,
+               CAST(floor((n * sab - sa * sb) * 1.0
+                          / (n * sbb - sb * sb) * 100.0 + 0.5) AS BIGINT)))
+               AS b_hecto
+      FROM mom WHERE n * sbb - sb * sb <> 0
+    ), spr AS (
+      SELECT p.minute, p.pa * 100 - b.b_hecto * p.pb AS s, b.b_hecto, b.n
+      FROM pair p CROSS JOIN beta b
+    ), sagg AS (
+      SELECT any_value(b_hecto) AS b_hecto,
+             CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(s) AS BIGINT) AS s1,
+             CAST(sum(CAST(s AS HUGEINT) * s) AS DOUBLE) AS s2
+      FROM spr
+    ), stats AS (
+      SELECT b_hecto, n, s1 * 1.0 / n AS mean,
+             sqrt(s2 / n - (s1 * 1.0 / n) * (s1 * 1.0 / n)) AS sd
+      FROM sagg
+    )
+    SELECT '{_PAIR_A}' AS symbol_a, '{_PAIR_B}' AS symbol_b,
+           st.n AS n_minutes,
+           floor(st.b_hecto * 1.0 / 100.0 * 100.0 + 0.5) / 100.0 AS beta,
+           floor(st.mean / 100.0 * 10000.0 + 0.5) / 10000.0 AS spread_mean_c,
+           floor(st.sd / 100.0 * 10000.0 + 0.5) / 10000.0 AS spread_sd_c,
+           CAST(sum(CASE WHEN abs((sp.s - st.mean) / st.sd) > 2.0
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_sig2
+    FROM spr sp CROSS JOIN stats st
+    GROUP BY st.n, st.b_hecto, st.mean, st.sd
+    """,
+    doc=(
+        "Pairs-trading spread monitor for a fixed symbol pair: OLS hedge "
+        "ratio from exact int64 cent moments, hedged spread quantized to "
+        "exact centi-cent int64 (beta held at 2dp so the spread stays "
+        "integer), then z-scored and counted beyond 2 sigma. The hedge "
+        "ratio and spread moments are exact integer sums (sum(s^2) "
+        "accumulated in HUGEINT/DECIMAL(38,0) — s^2 can exceed int64 at "
+        "clamped-beta extremes); mean/sd/z are computed from those exact "
+        "integers with IDENTICAL FP expressions both sides, so even the "
+        "z>2 comparisons agree bit-for-bit. Plan: the per-minute pair "
+        "join rides the minute key; the two scalar stages (moments, "
+        "stats) are 1-row broadcasts back onto the pair rows — two "
+        "passes over a |minutes|-bounded table, no collect."
+    ),
+)
+def q_pairs_spread(spark: SparkSession, sf_dir: str):
+    cents = (
+        _closes(spark, sf_dir)
+        .filter(F.col("symbol").isin(_PAIR_A, _PAIR_B))
+        .select(
+            "symbol",
+            "minute",
+            F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+        )
+    )
+    pa = cents.filter(F.col("symbol") == _PAIR_A).select(
+        "minute", F.col("c").alias("pa")
+    )
+    pb = cents.filter(F.col("symbol") == _PAIR_B).select(
+        "minute", F.col("c").alias("pb")
+    )
+    pair = pa.join(pb, "minute")
+    mom = pair.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("pa").cast("bigint").alias("sa"),
+        F.sum("pb").cast("bigint").alias("sb"),
+        F.sum(F.col("pb") * F.col("pb")).cast("bigint").alias("sbb"),
+        F.sum(F.col("pa") * F.col("pb")).cast("bigint").alias("sab"),
+    )
+    num = F.col("n") * F.col("sab") - F.col("sa") * F.col("sb")
+    den = F.col("n") * F.col("sbb") - F.col("sb") * F.col("sb")
+    beta = mom.filter(den != 0).select(
+        F.greatest(
+            F.lit(-10000).cast("bigint"),
+            F.least(
+                F.lit(10000).cast("bigint"),
+                F.floor(num * 1.0 / den * 100.0 + 0.5).cast("bigint"),
+            ),
+        ).alias("b_hecto")
+    )
+    spr = pair.crossJoin(F.broadcast(beta)).select(
+        "minute",
+        (F.col("pa") * 100 - F.col("b_hecto") * F.col("pb")).alias("s"),
+        "b_hecto",
+    )
+    sagg = spr.agg(
+        F.any_value("b_hecto").alias("b_hecto"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("s").cast("bigint").alias("s1"),
+        F.sum(F.col("s").cast("decimal(19,0)") * F.col("s").cast("decimal(19,0)"))
+        .cast("double")
+        .alias("s2"),
+    )
+    mean = F.col("s1") * 1.0 / F.col("n")
+    stats = sagg.select(
+        F.col("b_hecto").alias("bh"),
+        "n",
+        mean.alias("mean"),
+        F.sqrt(F.col("s2") / F.col("n") - mean * mean).alias("sd"),
+    )
+    joined = spr.drop("b_hecto").crossJoin(F.broadcast(stats))
+    return joined.groupBy("n", "bh", "mean", "sd").agg(
+        F.sum(
+            F.when(F.abs((F.col("s") - F.col("mean")) / F.col("sd")) > 2.0, 1).otherwise(
+                0
+            )
+        )
+        .cast("bigint")
+        .alias("n_sig2")
+    ).select(
+        F.lit(_PAIR_A).alias("symbol_a"),
+        F.lit(_PAIR_B).alias("symbol_b"),
+        F.col("n").alias("n_minutes"),
+        (F.floor(F.col("bh") * 1.0 / 100.0 * 100.0 + 0.5) / 100.0).alias("beta"),
+        (F.floor(F.col("mean") / 100.0 * 10000.0 + 0.5) / 10000.0).alias(
+            "spread_mean_c"
+        ),
+        (F.floor(F.col("sd") / 100.0 * 10000.0 + 0.5) / 10000.0).alias("spread_sd_c"),
+        "n_sig2",
     )
