@@ -2073,3 +2073,60 @@ def q_zipf_fit(spark: SparkSession, sf_dir: str):
             " AS BIGINT)"
         ).alias("slope_e4"),
     )
+
+
+_HH_K = 200  # report items with frequency > n/200 (0.5% of the token stream)
+_HH_M = 800  # Misra-Gries counters per partition (4x headroom over _HH_K)
+
+
+@query(
+    "q_heavy_hitters",
+    oracle=f"""
+    WITH t AS (
+      SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+    ), tot AS (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM t
+    )
+    SELECT tok, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(count(*) * 1000000 // n AS BIGINT) AS share_ppm
+    FROM t CROSS JOIN tot
+    GROUP BY tok, n
+    HAVING count(*) * {_HH_K} > n
+    """,
+    doc=(
+        "Exact phi-frequent items (tokens above 1/200 of the stream) "
+        "WITHOUT the full-vocabulary shuffle: per-partition Misra-Gries "
+        "summaries (operators/sketches.py) ship at most 800 candidate "
+        "tokens per partition — provably a superset of every token above "
+        "the threshold (pigeonhole: a globally-frequent token is "
+        "locally frequent in at least one partition) — then an exact "
+        "recount of candidates only, via a broadcast semi-join back onto "
+        "the token stream. The output is EXACT (counts from the recount, "
+        "threshold applied to exact counts), which is why a plain-SQL "
+        "oracle can hash-match a sketch-routed plan. At 100 TB: the "
+        "vocabulary-sized exchange becomes partitions x 800 rows, the "
+        "recount aggregates only rows matching a <=|candidates| hash "
+        "set, and the 1-row total rides a broadcast nested-loop join. "
+        "The guarantee needs MG counters m >= K-1; m = 4K keeps the "
+        "false-candidate recount small."
+    ),
+)
+def q_heavy_hitters(spark: SparkSession, sf_dir: str):
+    from ..operators.sketches import misra_gries_candidates
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.explode(F.split(F.col("text"), " ")).alias("tok"))
+    cand = misra_gries_candidates(toks, "tok", _HH_M).distinct()
+    tot = toks.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        toks.join(F.broadcast(cand), "tok", "left_semi")
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        .crossJoin(F.broadcast(tot))
+        .filter(F.col("cnt") * _HH_K > F.col("n"))
+        .select(
+            "tok",
+            "cnt",
+            F.expr("CAST(cnt * 1000000 div n AS BIGINT)").alias("share_ppm"),
+        )
+    )

@@ -287,6 +287,11 @@ _SINGLE_PARTITION_OK = {
     "q_rrf_fusion",        # inherits q_bm25's one-row (n, avgdl) scalar;
                            # every rank window sorts an already-limited
                            # <=50-row pool
+    "q_pairs_spread",      # 1-row pair-moment + hedge-ratio + stats
+                           # scalars, each broadcast back onto the pair rows
+    "q_heavy_hitters",     # 1-row token-total scalar the threshold rides
+    "q_naive_bayes",       # 1-row (vocab, n_train) smoothing scalar
+    "q_dsir_weights",      # 1-row (r_tot, t_tot) distribution totals
 }
 
 

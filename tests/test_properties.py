@@ -2809,3 +2809,41 @@ def test_token_budget_mix_matches_python_replica(spark, rows):
         assert got == want, (rows, got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+# --- Misra-Gries heavy-hitter guarantee -------------------------------------
+#
+# The q_heavy_hitters plan is exact ONLY IF the per-partition Misra-Gries
+# candidate set is a superset of the true phi-frequent items; the SQL oracle
+# cannot see a violated guarantee on data where no token happens to be
+# near the threshold. This drives skewed random streams (Zipf-ish repeats)
+# through misra_gries_candidates at a tiny m over MANY partitions and
+# asserts the superset property plus the <= m rows-per-partition bound.
+@given(
+    st.lists(
+        st.integers(min_value=0, max_value=30).map(lambda i: f"t{i}"),
+        min_size=1,
+        max_size=400,
+    )
+)
+@settings(max_examples=15, deadline=None)
+def test_misra_gries_candidates_superset(spark, stream):
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.operators.sketches import (
+        misra_gries_candidates,
+    )
+
+    m = 5
+    n_part = 4
+    df = spark.createDataFrame([(t,) for t in stream], "tok string").repartition(
+        n_part
+    )
+    got = {r.tok for r in misra_gries_candidates(df, "tok", m).collect()}
+    n = len(stream)
+    true_heavy = {t for t, c in Counter(stream).items() if c * (m + 1) > n}
+    assert true_heavy <= got, (
+        f"MG({m}) dropped heavy hitters {true_heavy - got} on n={n}"
+    )
+    # Output bound: at most m candidates per partition.
+    assert len(got) <= m * n_part
