@@ -65,6 +65,7 @@ from . import llmdata  # noqa: E402,F401
 from . import dedup_advanced  # noqa: E402,F401
 from . import finance  # noqa: E402,F401
 from . import corpus_ops  # noqa: E402,F401
+from . import ml  # noqa: E402,F401
 
 # ---------------------------------------------------------------------------
 # Driver correctness-window rotation.
