@@ -656,3 +656,79 @@ def streaming_scd2(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HH_SCHEMA = "source string, tok string, cnt_lb long, n_seen long"
+#: Misra-Gries summary per key: parallel token/counter arrays + items seen.
+_HH_STATE = "toks array<string>, cnts array<long>, n long"
+
+
+def _hh_update_factory(m: int):
+    def update(key, pdfs, state: GroupState):
+        """Fold this batch's tokens into the key's Misra-Gries(m) summary.
+
+        The same mergeable reduction as the batch partial
+        (operators/sketches.py::misra_gries_candidates): value_counts per
+        batch, merge, prune back to m counters by subtracting the
+        (m+1)-th largest. Sequential folding over micro-batches IS the
+        classic streaming Misra-Gries, so after any prefix of the stream
+        the candidate set contains every token with frequency >
+        n_seen/(m+1) for this key — the property the superset test pins."""
+        import numpy as np
+
+        toks, cnts, n = state.get if state.exists else ([], [], 0)
+        counts = {t: int(c) for t, c in zip(toks, cnts)}
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            vc = pdf["tok"].value_counts()
+            n += int(vc.sum())
+            for t, c in vc.items():
+                counts[t] = counts.get(t, 0) + int(c)
+            if len(counts) > m:
+                vals = np.sort(np.fromiter(counts.values(), dtype=np.int64))
+                thresh = int(vals[-(m + 1)])
+                counts = {t: c - thresh for t, c in counts.items() if c > thresh}
+        state.update((list(counts.keys()), [int(v) for v in counts.values()], n))
+        yield pd.DataFrame(
+            {
+                "source": pd.Series([key[0]] * len(counts), dtype="object"),
+                "tok": pd.Series(list(counts.keys()), dtype="object"),
+                "cnt_lb": pd.Series(list(counts.values()), dtype="int64"),
+                "n_seen": pd.Series([n] * len(counts), dtype="int64"),
+            }
+        )
+
+    return update
+
+
+def streaming_heavy_hitters(
+    items: DataFrame,
+    *,
+    key_col: str = "source",
+    item_col: str = "tok",
+    m: int = 64,
+) -> DataFrame:
+    """Streaming per-key heavy-hitter candidates — the incremental twin of
+    q_heavy_hitters' partition partial, keyed (e.g. per ingest source).
+
+    State per key is ONE Misra-Gries(m) summary: at most m (token,
+    counter) pairs plus the items-seen total, however long the stream —
+    the bounded-state answer to "which tokens dominate this source" that
+    an exact per-token streaming count (unbounded keys) cannot give.
+    After every micro-batch the emitted candidates provably include every
+    token above n_seen/(m+1) of the key's stream so far; counters are
+    lower bounds within n_seen/(m+1) of the true count (Misra & Gries
+    1982). Production finishes exactly like the batch query: periodic
+    exact recount of the candidate set only."""
+    projected = items.select(
+        F.col(key_col).cast("string").alias("source"),
+        F.col(item_col).cast("string").alias("tok"),
+    )
+    return projected.groupBy("source").applyInPandasWithState(
+        _hh_update_factory(m),
+        outputStructType=HH_SCHEMA,
+        stateStructType=_HH_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

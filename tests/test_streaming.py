@@ -1189,3 +1189,73 @@ def test_streaming_scd2_matches_batch(spark, tmp_path):
         for k, r in latest.items()
     }
     assert got == want, (got, want)
+
+
+def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
+    """Per-key streaming Misra-Gries: after draining two micro-batches,
+    every token above n/(m+1) of its key's stream must be among the
+    emitted candidates (the pigeonhole guarantee, held ACROSS batch
+    boundaries by the persisted summary), counters must be lower bounds
+    within n/(m+1), and state stays bounded at m candidates per key."""
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_heavy_hitters,
+    )
+
+    m = 4
+    # Skewed per-source streams; srcB's heavy token arrives mostly in
+    # batch 2, so only a summary that SURVIVES the batch boundary finds it.
+    b1 = [("srcA", "hot")] * 30 + [("srcA", f"c{i}") for i in range(20)] + [
+        ("srcB", f"c{i}") for i in range(15)
+    ] + [("srcB", "warm")] * 5
+    b2 = [("srcA", "hot")] * 10 + [("srcB", "warm")] * 25 + [
+        ("srcB", f"d{i}") for i in range(10)
+    ]
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "source string, tok string")
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+    stream = spark.readStream.schema("source string, tok string").parquet(
+        str(indir / "*.parquet")
+    )
+    latest: dict = {}
+
+    def sink(df, eid):
+        for r in df.collect():
+            latest.setdefault(r.source, {})
+            latest[r.source] = {
+                x.tok: (x.cnt_lb, x.n_seen)
+                for x in df.filter(df.source == r.source).collect()
+            }
+
+    q = (
+        streaming_heavy_hitters(stream, m=m)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    truth = {}
+    for s, t in b1 + b2:
+        truth.setdefault(s, Counter())[t] += 1
+    for s, ctr in truth.items():
+        n = sum(ctr.values())
+        got = latest[s]
+        assert len(got) <= m, f"{s}: state exceeded m"
+        heavy = {t for t, c in ctr.items() if c * (m + 1) > n}
+        assert heavy <= set(got), f"{s}: missed {heavy - set(got)}"
+        for t, (lb, n_seen) in got.items():
+            assert n_seen == n
+            assert lb <= ctr[t], f"{s}/{t}: lb {lb} > true {ctr[t]}"
+            assert ctr[t] - lb <= n // (m + 1) + 1, f"{s}/{t}: bound violated"
