@@ -168,6 +168,15 @@ HEADLINE = [
     "q_rrf_fusion",
     "q_scd2",
     "q_token_budget_mix",
+    "q_risk_metrics",
+    "q_realized_vol",
+    "q_backtest_sma",
+    "q_pairs_spread",
+    "q_link_predict",
+    "q_heavy_hitters",
+    "q_logreg_train",
+    "q_naive_bayes",
+    "q_dsir_weights",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

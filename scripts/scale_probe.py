@@ -127,6 +127,16 @@ QUERIES = [
     "q_rrf_fusion",
     "q_scd2",
     "q_token_budget_mix",
+    # r8 additions measured the round they ship.
+    "q_risk_metrics",
+    "q_realized_vol",
+    "q_backtest_sma",
+    "q_pairs_spread",
+    "q_link_predict",
+    "q_heavy_hitters",
+    "q_logreg_train",
+    "q_naive_bayes",
+    "q_dsir_weights",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
