@@ -177,6 +177,10 @@ HEADLINE = [
     "q_logreg_train",
     "q_naive_bayes",
     "q_dsir_weights",
+    "q_cusum",
+    "q_kneser_ney",
+    "q_kaplan_meier",
+    "q_ab_test",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1801,3 +1801,117 @@ def q_pairs_spread(spark: SparkSession, sf_dir: str):
         (F.floor(F.col("sd") / 100.0 * 10000.0 + 0.5) / 10000.0).alias("spread_sd_c"),
         "n_sig2",
     )
+
+
+_CUSUM_K = 20   # allowance per bar, basis points (slack before drift counts)
+_CUSUM_H = 200  # alarm threshold, basis points
+
+
+@query(
+    "q_cusum",
+    oracle=f"""
+    WITH rets AS (
+      {_SQL_RET_BP}
+    ), days AS (
+      SELECT symbol, CAST(date_trunc('day', minute) AS DATE) AS day,
+             list(rq ORDER BY minute) AS rqs
+      FROM rets GROUP BY 1, 2
+    ), folded AS (
+      -- Single packed-BIGINT accumulator acc = m * 2^32 + s (both bounded
+      -- by 1440 bars x ~1e4 bp < 2^31): DuckDB 1.0's list_reduce returns
+      -- STALE element values in the second field of a struct accumulator
+      -- (verified: m picked up the previous row's x), so the recursion is
+      -- encoded in ONE integer expression instead. The synthetic
+      -- prepended 0-return is the seed: processing x=0 from state 0 is a
+      -- fixpoint, so seed == initial state. Down-shift CUSUM on x is
+      -- up-shift CUSUM on -x.
+      SELECT symbol, day, CAST(len(rqs) AS BIGINT) AS n_ret,
+             list_reduce(list_prepend(CAST(0 AS BIGINT), rqs),
+               (acc, x) -> greatest(acc // 4294967296,
+                             greatest(CAST(0 AS BIGINT),
+                                      acc % 4294967296 + x - {_CUSUM_K}))
+                           * 4294967296
+                           + greatest(CAST(0 AS BIGINT),
+                                      acc % 4294967296 + x - {_CUSUM_K})) AS up,
+             list_reduce(list_prepend(CAST(0 AS BIGINT),
+                                      list_transform(rqs, x -> -x)),
+               (acc, x) -> greatest(acc // 4294967296,
+                             greatest(CAST(0 AS BIGINT),
+                                      acc % 4294967296 + x - {_CUSUM_K}))
+                           * 4294967296
+                           + greatest(CAST(0 AS BIGINT),
+                                      acc % 4294967296 + x - {_CUSUM_K})) AS dn
+      FROM days
+    )
+    SELECT symbol, day, n_ret,
+           up // 4294967296 AS cusum_up_max,
+           dn // 4294967296 AS cusum_down_max,
+           up // 4294967296 >= {_CUSUM_H} AS shift_up,
+           dn // 4294967296 >= {_CUSUM_H} AS shift_down
+    FROM folded
+    """,
+    doc=(
+        "Two-sided CUSUM change-point detection per (symbol, day) over "
+        "basis-point minute returns: the sequential-test recursion "
+        "s_t = max(0, s_(t-1) + x_t - k) plus its running max, with the "
+        "down side run as the up side on -x — flags a sustained mean "
+        "shift the z-score/MAD outlier screens can't see because no "
+        "single observation is extreme. The recursion is order-sensitive "
+        "and inexpressible as a window frame, so both engines run a "
+        "sequential fold over the day's ordered return array (the q_macd "
+        "technique) — but unlike MACD's FP EMA the CUSUM state is PURE "
+        "INT64: (state, running max) packed into one integer accumulator "
+        "m*2^32 + s (each bounded by 1440 bars x ~1e4 bp < 2^31), which "
+        "both sidesteps a DuckDB 1.0 stale-element bug in multi-field "
+        "struct accumulators (documented in the oracle) and needs no "
+        "rounding discipline at all. Shape: the lag window and the "
+        "day-array aggregate ride one symbol exchange; arrays bounded at "
+        "1440 bars/day, each fold O(n) inside codegen."
+    ),
+)
+def q_cusum(spark: SparkSession, sf_dir: str):
+    rets = _ret_bp(spark, sf_dir)
+    days = (
+        rets.groupBy(
+            "symbol", F.date_trunc("day", "minute").cast("date").alias("day")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("minute", "rq"))).alias("bars"))
+        .select(
+            "symbol",
+            "day",
+            F.transform("bars", lambda b: b["rq"]).alias("rqs"),
+        )
+    )
+    zero = F.lit(0).cast("long")
+    k = F.lit(_CUSUM_K).cast("long")
+    mask32 = F.lit(4294967295).cast("long")
+
+    def fold(arr):
+        # acc = m << 32 | s, both fields < 2^31 and non-negative, so the
+        # unpack is pure integer shifts/masks (no FP division anywhere —
+        # m * 2^32 exceeds 2^53, where a double round-trip would corrupt).
+        def step(acc, x):
+            s2 = F.greatest(zero, acc.bitwiseAND(mask32) + x - k)
+            m2 = F.greatest(F.shiftright(acc, 32), s2)
+            return F.shiftleft(m2, 32) + s2
+
+        return F.aggregate(arr, zero, step)
+
+    folded = days.select(
+        "symbol",
+        "day",
+        F.size("rqs").cast("bigint").alias("n_ret"),
+        fold(F.col("rqs")).alias("up"),
+        fold(F.transform("rqs", lambda x: -x)).alias("dn"),
+    )
+    up_m = F.shiftright(F.col("up"), 32)
+    dn_m = F.shiftright(F.col("dn"), 32)
+    return folded.select(
+        "symbol",
+        "day",
+        "n_ret",
+        up_m.alias("cusum_up_max"),
+        dn_m.alias("cusum_down_max"),
+        (up_m >= _CUSUM_H).alias("shift_up"),
+        (dn_m >= _CUSUM_H).alias("shift_down"),
+    )

@@ -2667,3 +2667,129 @@ def q_rrf_fusion(spark: SparkSession, sf_dir: str):
             F.col("density_rnk").cast("int").alias("density_rnk"),
         )
     )
+
+
+_KN_D = 0.75  # absolute discount (the standard Kneser-Ney choice)
+
+
+@query(
+    "q_kneser_ney",
+    oracle=f"""
+    WITH t0 AS MATERIALIZED (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), big AS MATERIALIZED (
+      SELECT doc_id,
+             unnest([toks[i] || ' ' || toks[i + 1] FOR i IN range(1, len(toks))]) AS bg
+      FROM t0 WHERE len(toks) >= 2
+    ), cb AS MATERIALIZED (
+      SELECT bg, CAST(count(*) AS BIGINT) AS cb FROM big GROUP BY bg
+    ), pair AS MATERIALIZED (
+      SELECT bg, cb,
+             string_split(bg, ' ')[1] AS v, string_split(bg, ' ')[2] AS w
+      FROM cb
+    ), ctx AS MATERIALIZED (
+      SELECT v, CAST(sum(cb) AS BIGINT) AS ctx,
+             CAST(count(*) AS BIGINT) AS n1f
+      FROM pair GROUP BY v
+    ), cont AS MATERIALIZED (
+      SELECT w, CAST(count(*) AS BIGINT) AS n1b FROM pair GROUP BY w
+    ), tt AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS t FROM pair
+    ), lp AS MATERIALIZED (
+      SELECT pair.bg,
+             CAST(floor(ln(((pair.cb - {_KN_D}) / ctx.ctx)
+                           + (({_KN_D} * ctx.n1f) / ctx.ctx)
+                             * ((cont.n1b * 1.0) / tt.t))
+                        * 1000000.0) AS BIGINT) AS lp
+      FROM pair JOIN ctx USING (v) JOIN cont USING (w) CROSS JOIN tt
+    )
+    SELECT big.doc_id,
+           CAST(count(*) AS BIGINT) AS n_bigrams,
+           CAST(-sum(lp.lp) AS BIGINT) AS nll_micro,
+           floor(-sum(lp.lp) * 1.0 / count(*) / 1000000.0 * 10000.0 + 0.5)
+             / 10000.0 AS avg_nll
+    FROM big JOIN lp USING (bg)
+    GROUP BY big.doc_id
+    """,
+    doc=(
+        "Interpolated Kneser-Ney bigram LM score per document — the "
+        "KenLM-style smoothing the CCNet/Wikipedia-LM quality filter "
+        "actually uses, upgrading q_bigram_lm's add-one: absolute "
+        "discount D=0.75 on bigram counts, mass redistributed by the "
+        "CONTINUATION probability (how many distinct contexts a word "
+        "follows — the 'San Francisco' effect add-one cannot model). "
+        "All smoothing statistics (context totals, distinct-continuation "
+        "and distinct-left-context counts, bigram-type total) derive "
+        "from the bigram count table itself; each distinct pair's "
+        "log-prob is computed ONCE, floor-quantized to int64 micro-nats, "
+        "and the per-doc score is an exact integer sum over the doc's "
+        "bigram occurrences. Shapes follow the q_bigram_lm web-scale "
+        "rule: every vocab-sized table shuffle-joins on its key (bg, v, "
+        "w), only the 1-row type total broadcasts; scoring is one join "
+        "of the doc bigram stream against the pair-lp table on bg."
+    ),
+)
+def q_kneser_ney(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    big = (
+        fan_out(docs)
+        .select("doc_id", F.explode_outer(bigrams).alias("bg"))
+        .filter(F.col("bg").isNotNull())
+    )
+    cb = big.groupBy("bg").agg(F.count(F.lit(1)).cast("bigint").alias("cb"))
+    pair = cb.select(
+        "bg",
+        "cb",
+        F.element_at(F.split(F.col("bg"), " "), 1).alias("v"),
+        F.element_at(F.split(F.col("bg"), " "), 2).alias("w"),
+    )
+    ctx = pair.groupBy("v").agg(
+        F.sum("cb").cast("bigint").alias("ctx"),
+        F.count(F.lit(1)).cast("bigint").alias("n1f"),
+    )
+    cont = pair.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("n1b"))
+    tt = pair.agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    d = _KN_D
+    p_kn = ((F.col("cb") - d) / F.col("ctx")) + (
+        (d * F.col("n1f")) / F.col("ctx")
+    ) * ((F.col("n1b") * 1.0) / F.col("t"))
+    lp = (
+        pair.join(ctx, "v")
+        .join(cont, "w")
+        .crossJoin(F.broadcast(tt))
+        .select(
+            "bg",
+            F.floor(F.log(p_kn) * 1000000.0).cast("bigint").alias("lp"),
+        )
+    )
+    return (
+        big.join(lp, "bg")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            (-F.sum("lp")).cast("bigint").alias("nll_micro"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            "nll_micro",
+            (
+                F.floor(
+                    F.col("nll_micro") * 1.0 / F.col("n_bigrams") / 1000000.0
+                    * 10000.0
+                    + 0.5
+                )
+                / 10000.0
+            ).alias("avg_nll"),
+        )
+    )

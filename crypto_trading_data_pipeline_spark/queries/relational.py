@@ -3444,7 +3444,12 @@ _DECAY_MAX_AGE = 20
         "partial+final aggregate on user_id, top-20 via "
         "TakeOrderedAndProject — no global sort. The integer-dyadic trick "
         "generalizes: any half-life is a day-shift, any event weight a "
-        "scaled long."
+        "scaled long. Overflow budget is DISTRIBUTIONAL, not just a row "
+        "count: the worst case concentrates every row at age 1 (term "
+        "cents*2^19 ~ 2.6e10 at the fixture's max price), which saturates "
+        "int64 near ~3.5e8 rows per user — a skewed-age corpus at that "
+        "scale needs per-(user, day) partials summed at a lower shift, or "
+        "a smaller max_age, before this single-sum form is safe."
     ),
 )
 def q_decay_score(spark: SparkSession, sf_dir: str):
@@ -4817,4 +4822,226 @@ def q_link_predict(spark: SparkSession, sf_dir: str):
             F.col("aa_micro").desc(), F.col("cn").desc(), "cust_a", "cust_b"
         )
         .limit(_LP_TOPK)
+    )
+
+
+_KM_CENSOR_DAYS = 7  # users active within the last week are right-censored
+
+
+@query(
+    "q_kaplan_meier",
+    oracle=f"""
+    WITH spans AS (
+      SELECT user_id,
+             CAST(min(ts) AS DATE) AS first_day,
+             CAST(max(ts) AS DATE) AS last_day
+      FROM events GROUP BY user_id
+    ), cut AS (
+      SELECT CAST(max(ts) AS DATE) - {_KM_CENSOR_DAYS} AS censor_day FROM events
+    ), durs AS (
+      SELECT user_id,
+             CAST(last_day - first_day AS BIGINT) AS dur,
+             CASE WHEN last_day <= cut.censor_day THEN 1 ELSE 0 END AS died
+      FROM spans CROSS JOIN cut
+    ), byd AS (
+      SELECT dur,
+             CAST(sum(died) AS BIGINT) AS d,
+             CAST(sum(1 - died) AS BIGINT) AS c
+      FROM durs GROUP BY dur
+    ), risk AS (
+      SELECT dur, d, c,
+             CAST(sum(d + c) OVER (ORDER BY dur DESC) AS BIGINT) AS n_risk
+      FROM byd
+    ), terms AS (
+      SELECT dur, d, c, n_risk,
+             CASE WHEN d = 0 THEN CAST(0 AS BIGINT)
+                  WHEN n_risk > d THEN
+                    CAST(floor(ln((n_risk - d) * 1.0 / n_risk) * 1000000.0)
+                         AS BIGINT)
+             END AS lterm,
+             CASE WHEN d >= n_risk THEN 1 ELSE 0 END AS wipe
+      FROM risk
+    ), cum AS (
+      SELECT dur, d, c, n_risk,
+             sum(lterm) OVER (ORDER BY dur) AS cl,
+             max(wipe) OVER (ORDER BY dur) AS wiped
+      FROM terms
+    )
+    SELECT dur AS duration_days, n_risk, d AS n_events, c AS n_censored,
+           CASE WHEN wiped = 1 THEN 0.0
+                ELSE floor(exp(cl * 1.0 / 1000000.0) * 1000000.0 + 0.5)
+                     / 1000000.0 END AS surv
+    FROM cum
+    """,
+    doc=(
+        "Kaplan-Meier survival curve for user lifetime (days between "
+        "first and last event), right-censoring users still active in "
+        "the final week — THE retention statistic naive churn averages "
+        "get wrong, because censored users contribute to the at-risk "
+        "denominator for as long as they are observed without being "
+        "counted as churn. Per-duration death/censor counts come from "
+        "one user-level aggregate; the at-risk counts are a DESC "
+        "running sum and the survival product is exp of a running sum "
+        "of per-duration ln terms, each floor-quantized to int64 "
+        "micro-nats BEFORE the cumulative sum (exact integer "
+        "accumulation; the d >= n_risk full-wipe time point zeroes the "
+        "curve from there on, avoiding ln(0)). Scale shape: everything "
+        "after the user aggregate operates on the |distinct durations| "
+        "table — bounded by the observation window in DAYS (<=31 rows "
+        "here, a few thousand at decade horizons), so its "
+        "single-partition windows are bounded-size by construction."
+    ),
+)
+def q_kaplan_meier(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    spans = e.groupBy("user_id").agg(
+        F.min("ts").cast("date").alias("first_day"),
+        F.max("ts").cast("date").alias("last_day"),
+    )
+    cut = e.agg(
+        F.date_sub(F.max("ts").cast("date"), _KM_CENSOR_DAYS).alias("censor_day")
+    )
+    durs = spans.crossJoin(F.broadcast(cut)).select(
+        F.datediff("last_day", "first_day").cast("bigint").alias("dur"),
+        F.when(F.col("last_day") <= F.col("censor_day"), 1).otherwise(0).alias(
+            "died"
+        ),
+    )
+    byd = durs.groupBy("dur").agg(
+        F.sum("died").cast("bigint").alias("d"),
+        F.sum(1 - F.col("died")).cast("bigint").alias("c"),
+    )
+    wdesc = Window.orderBy(F.col("dur").desc()).rangeBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = byd.withColumn(
+        "n_risk", F.sum(F.col("d") + F.col("c")).over(wdesc).cast("bigint")
+    )
+    lterm = F.when(F.col("d") == 0, F.lit(0).cast("bigint")).when(
+        F.col("n_risk") > F.col("d"),
+        F.floor(
+            F.log((F.col("n_risk") - F.col("d")) * 1.0 / F.col("n_risk"))
+            * 1000000.0
+        ).cast("bigint"),
+    )
+    terms = risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        lterm.alias("lterm"),
+        F.when(F.col("d") >= F.col("n_risk"), 1).otherwise(0).alias("wipe"),
+    )
+    wasc = Window.orderBy("dur").rangeBetween(Window.unboundedPreceding, 0)
+    cum = terms.select(
+        "dur",
+        "d",
+        "c",
+        "n_risk",
+        F.sum("lterm").over(wasc).alias("cl"),
+        F.max("wipe").over(wasc).alias("wiped"),
+    )
+    return cum.select(
+        F.col("dur").alias("duration_days"),
+        "n_risk",
+        F.col("d").alias("n_events"),
+        F.col("c").alias("n_censored"),
+        F.when(F.col("wiped") == 1, F.lit(0.0))
+        .otherwise(
+            F.floor(F.exp(F.col("cl") * 1.0 / 1000000.0) * 1000000.0 + 0.5)
+            / 1000000.0
+        )
+        .alias("surv"),
+    )
+
+
+@query(
+    "q_ab_test",
+    oracle="""
+    WITH users AS (
+      SELECT user_id, CAST(user_id % 2 AS INTEGER) AS variant,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS conv
+      FROM events GROUP BY user_id
+    ), agg AS (
+      SELECT CAST(sum(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(sum(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(sum(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+      FROM users
+    )
+    SELECT n_a, conv_a, n_b, conv_b,
+           floor(conv_a * 1.0 / n_a * 1000000.0 + 0.5) / 1000000.0 AS rate_a,
+           floor(conv_b * 1.0 / n_b * 1000000.0 + 0.5) / 1000000.0 AS rate_b,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             floor((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                   / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                          * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                          * (1.0 / n_a + 1.0 / n_b))
+                   * 1000000.0 + 0.5) / 1000000.0 END AS z,
+           CASE WHEN conv_a + conv_b > 0 AND conv_a + conv_b < n_a + n_b THEN
+             abs((conv_b * 1.0 / n_b - conv_a * 1.0 / n_a)
+                 / sqrt(((conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 - (conv_a + conv_b) * 1.0 / (n_a + n_b))
+                        * (1.0 / n_a + 1.0 / n_b))) > 1.96
+           ELSE FALSE END AS significant
+    FROM agg
+    """,
+    doc=(
+        "Two-proportion A/B conversion z-test: deterministic 50/50 "
+        "variant split on user_id parity, conversion = any purchase "
+        "event, pooled-variance z statistic and the 95% significance "
+        "verdict — the experimentation-readout complement of the drift "
+        "family (q_chi_square tests mix shift, this tests a DESIGNED "
+        "split). All counts are exact int64 from one user-level "
+        "aggregate + one 4-way conditional rollup; the z expression is "
+        "IDENTICAL FP both sides (divisions and one sqrt on exact-int-"
+        "derived doubles), so even the boolean significance comparison "
+        "agrees bit-for-bit. Scale shape: one user_id aggregate (the "
+        "only data-sized exchange) collapsing to a 1-row report."
+    ),
+)
+def q_ab_test(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    users = e.groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("conv")
+    ).select((F.col("user_id") % 2).cast("int").alias("variant"), "conv")
+    agg = users.agg(
+        F.sum(F.when(F.col("variant") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_a"),
+        F.sum(F.when(F.col("variant") == 0, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_a"),
+        F.sum(F.when(F.col("variant") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("conv")).otherwise(0))
+        .cast("bigint")
+        .alias("conv_b"),
+    )
+    ra = F.col("conv_a") * 1.0 / F.col("n_a")
+    rb = F.col("conv_b") * 1.0 / F.col("n_b")
+    pp = (F.col("conv_a") + F.col("conv_b")) * 1.0 / (F.col("n_a") + F.col("n_b"))
+    z = (rb - ra) / F.sqrt(
+        pp * (1.0 - pp) * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    # A degenerate experiment (0% or 100% pooled conversion) has zero
+    # pooled variance: z undefined (NULL), significance false — and the
+    # guard must precede the expression or ANSI mode raises on the divide.
+    ok = (
+        (F.col("conv_a") + F.col("conv_b") > 0)
+        & (F.col("conv_a") + F.col("conv_b") < F.col("n_a") + F.col("n_b"))
+    )
+    return agg.select(
+        "n_a",
+        "conv_a",
+        "n_b",
+        "conv_b",
+        (F.floor(ra * 1000000.0 + 0.5) / 1000000.0).alias("rate_a"),
+        (F.floor(rb * 1000000.0 + 0.5) / 1000000.0).alias("rate_b"),
+        F.when(ok, F.floor(z * 1000000.0 + 0.5) / 1000000.0).alias("z"),
+        F.when(ok, F.abs(z) > 1.96).otherwise(F.lit(False)).alias("significant"),
     )

@@ -137,6 +137,10 @@ QUERIES = [
     "q_logreg_train",
     "q_naive_bayes",
     "q_dsir_weights",
+    "q_cusum",
+    "q_kneser_ney",
+    "q_kaplan_meier",
+    "q_ab_test",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -292,6 +292,10 @@ _SINGLE_PARTITION_OK = {
     "q_heavy_hitters",     # 1-row token-total scalar the threshold rides
     "q_naive_bayes",       # 1-row (vocab, n_train) smoothing scalar
     "q_dsir_weights",      # 1-row (r_tot, t_tot) distribution totals
+    "q_kneser_ney",        # 1-row bigram-type total scalar
+    "q_kaplan_meier",      # windows over the |distinct durations| table,
+                           # bounded by the observation span in days
+    "q_ab_test",           # 4-count experiment rollup into the 1-row report
 }
 
 
