@@ -181,6 +181,7 @@ HEADLINE = [
     "q_kneser_ney",
     "q_kaplan_meier",
     "q_ab_test",
+    "q_video_frames",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

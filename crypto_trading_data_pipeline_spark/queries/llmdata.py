@@ -2793,3 +2793,77 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str):
             ).alias("avg_nll"),
         )
     )
+
+
+@query(
+    "q_video_frames",
+    oracle="""
+    WITH params AS (
+      SELECT doc_id,
+             CAST(3 + doc_id % 5 AS INTEGER)  AS width,
+             CAST(2 + doc_id % 3 AS INTEGER)  AS height,
+             CAST(5 + doc_id % 12 AS BIGINT)  AS n_frames
+      FROM documents
+    ), lumas AS (
+      SELECT doc_id, width, height, n_frames,
+             [CAST(floor(((doc_id * 7 + i * 11) % 256) * 0.299) AS BIGINT)
+              FOR i IN range(0, CAST(n_frames AS INTEGER), 2)] AS ls
+      FROM params
+    )
+    SELECT doc_id AS media_id, width, height, n_frames,
+           CAST(len(ls) AS BIGINT) AS n_sampled,
+           CAST(list_sum(ls) AS BIGINT) AS luma_floor_sum,
+           CAST(coalesce(list_sum(
+             [abs(ls[i + 1] - ls[i]) FOR i IN range(1, len(ls))]), 0)
+             AS BIGINT) AS motion_sum
+    FROM lumas
+    """,
+    doc=(
+        "VIDEO frame-sampling round-trip with a full hash-match oracle — "
+        "the third media type beside q_media_roundtrip's image/audio: per "
+        "doc, synthesize a real multi-frame raw-video container (VID0 "
+        "header + n solid-color RGB frames derived from doc_id) inside "
+        "Arrow-batched mapInPandas, then run it through the REAL numpy "
+        "frame-sampling decoder (operators/multimodal.py "
+        "video_frame_sample: header parse, (n,h,w,3) reshape, every-2nd-"
+        "frame keyframe subsampling, per-frame Rec.601 luma, abs-diff "
+        "motion signal). Solid frames make the per-frame floored luma "
+        "integer-exact, so the oracle predicts the decoded aggregates "
+        "arithmetically — container framing, byte round-trip, stride "
+        "arithmetic, and motion diffs are all inside the hash. The "
+        "motion_sum is the scene-change signal that decides extraction "
+        "density in a real pipeline. Payloads never shuffle: synth + "
+        "decode fuse in one narrow stage, executor memory bounded by the "
+        "Arrow batch."
+    ),
+)
+def q_video_frames(spark: SparkSession, sf_dir: str):
+    import pandas as pd
+
+    from ..operators.multimodal import encode_raw_video, video_frame_sample
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    out_schema = (
+        "media_id long, width int, height int, n_frames long, "
+        "n_sampled long, luma_floor_sum long, motion_sum long"
+    )
+
+    def synth_and_decode(batches):
+        import numpy as np
+
+        for pdf in batches:
+            ids = pdf["doc_id"].astype("int64")
+            vids = []
+            for d in ids:
+                w, h, n = 3 + d % 5, 2 + d % 3, 5 + d % 12
+                frames = np.zeros((n, h, w, 3), dtype="uint8")
+                for i in range(n):
+                    frames[i, :, :, 0] = (d * 7 + i * 11) % 256
+                vids.append(encode_raw_video(frames))
+            feats = video_frame_sample(pd.Series(vids), stride=2)
+            out = pd.DataFrame({"media_id": ids.to_numpy()})
+            for c in feats.columns:
+                out[c] = feats[c].to_numpy()
+            yield out
+
+    return docs.mapInPandas(synth_and_decode, schema=out_schema)

@@ -141,6 +141,7 @@ QUERIES = [
     "q_kneser_ney",
     "q_kaplan_meier",
     "q_ab_test",
+    "q_video_frames",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset

@@ -256,3 +256,44 @@ def test_wav_audio_decode_real_path(spark):
     assert abs(rows[1].rms_level - amp / np.sqrt(2)) < amp * 0.01
     assert (rows[2].sample_rate, rows[2].duration_ms, rows[2].rms_level) == (8000, 100, 0)
     assert (rows[3].sample_rate, rows[3].duration_ms, rows[3].rms_level) == (0, 0, 0)
+
+
+def test_video_frame_sample_decoder_properties():
+    """The raw-video frame sampler against a numpy reference on gradient
+    (non-solid) frames — where per-frame luma is NOT integer-exact, so
+    this covers what the solid-frame oracle of q_video_frames cannot:
+    the mean-then-floor path, stride=1 (keep all), a single-frame video
+    (motion undefined -> 0), and malformed payloads."""
+    import numpy as np
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.operators.multimodal import (
+        encode_raw_video,
+        video_frame_sample,
+    )
+
+    rng = np.random.default_rng(11)
+    frames = rng.integers(0, 256, size=(7, 4, 5, 3), dtype=np.uint8)
+    one = rng.integers(0, 256, size=(1, 2, 2, 3), dtype=np.uint8)
+    got = video_frame_sample(
+        pd.Series(
+            [encode_raw_video(frames), encode_raw_video(one), b"", b"VID0\x01"]
+        ),
+        stride=1,
+    )
+
+    sampled = frames.astype("float64")
+    luma = (
+        0.299 * sampled[..., 0] + 0.587 * sampled[..., 1] + 0.114 * sampled[..., 2]
+    ).mean(axis=(1, 2))
+    fl = np.floor(luma).astype("int64")
+    assert got.iloc[0].to_dict() == {
+        "width": 5,
+        "height": 4,
+        "n_frames": 7,
+        "n_sampled": 7,
+        "luma_floor_sum": int(fl.sum()),
+        "motion_sum": int(np.abs(np.diff(fl)).sum()),
+    }
+    assert got.iloc[1]["n_sampled"] == 1 and got.iloc[1]["motion_sum"] == 0
+    assert (got.iloc[2] == 0).all() and (got.iloc[3] == 0).all()
