@@ -75,9 +75,15 @@ from . import ml  # noqa: E402,F401
 # import time (no frozen name lists — the r3..r5 frozen-list approach left
 # six queries unchecked for two rounds):
 #
-#   1. queries with no driver row in ANY round (this automatically includes
-#      anything newly registered this round),
-#   2. padded to 50 with the stalest-checked queries (ascending last-checked
+#   1. queries whose registered oracle has NEVER been hash-run (rows-only
+#      history + an oracle now registered) — they were registered in an
+#      EARLIER round and have already waited ≥1 full round for their hash
+#      row, so they outrank brand-new entries (the r6→r7 q_kmeans_ivf case:
+#      with upgraded ranked after never-checked, any round that registers
+#      ≥50 new queries starves an upgraded oracle forever),
+#   2. queries with no driver row in ANY round (anything newly registered
+#      this round),
+#   3. padded to 50 with the stalest-checked queries (ascending last-checked
 #      round, registry order as tiebreak).
 #
 # Queries outside the window retain the identical DuckDB-oracle check in
@@ -132,7 +138,7 @@ def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
         (n for n in REGISTRY if n in latest and n not in upgraded),
         key=lambda n: (latest[n], order[n]),
     )
-    return (never + upgraded + rest)[:size]
+    return (upgraded + never + rest)[:size]
 
 
 def _rotate_window(priority: list[str]) -> None:

@@ -1915,3 +1915,238 @@ def q_cusum(spark: SparkSession, sf_dir: str):
         (up_m >= _CUSUM_H).alias("shift_up"),
         (dn_m >= _CUSUM_H).alias("shift_down"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Forecasting family: the one time-series capability the indicator set
+# stops short of — producing a FORWARD value and scoring forecast skill.
+# Reference: n/a (extension operators; the reference's processor stops at
+# raw candles, spark_processor/processor.py:77-101).
+# ---------------------------------------------------------------------------
+
+#: Holt smoothing constants as exact dyadic rationals: alpha = 1/4,
+#: beta = 1/8 — the recursion stays in pure int64 (no FP, no rounding
+#: discipline), the same reason q_cusum picked integer state.
+_HOLT_SHIFT_L = 4194304  # 2^22 field width for the packed (level, trend)
+_HOLT_B_OFF = 2097152    # 2^21 trend offset; |trend| clamped < 2^21 cents/bar
+_HOLT_B_CLAMP = _HOLT_B_OFF - 1
+
+
+@query(
+    "q_holt_forecast",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), days AS (
+      SELECT symbol, CAST(date_trunc('day', minute) AS DATE) AS day,
+             list(c ORDER BY minute) AS cs
+      FROM cents GROUP BY 1, 2
+    ), folded AS (
+      -- acc = level * 2^22 + (trend + 2^21), level >= 0 < 2^31, so acc is
+      -- a single non-negative BIGINT (the q_cusum packing: DuckDB 1.0's
+      -- list_reduce corrupts multi-field struct accumulators). Seed -1 is
+      -- the uninitialized sentinel: the first bar sets l_1 = x, b_1 = 0.
+      -- Integer division: DuckDB // and Spark div BOTH truncate toward
+      -- zero (verified on negative operands), so the signed trend
+      -- recursion needs no floor/offset gymnastics.
+      SELECT symbol, day, CAST(len(cs) AS BIGINT) AS n_bars,
+             list_reduce(list_prepend(CAST(-1 AS BIGINT), cs),
+               (acc, x) -> CASE WHEN acc < 0
+                 THEN x * {_HOLT_SHIFT_L} + {_HOLT_B_OFF}
+                 ELSE greatest(CAST(0 AS BIGINT),
+                        x + 3 * (acc // {_HOLT_SHIFT_L}
+                                 + acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF})) // 4
+                        * {_HOLT_SHIFT_L}
+                      + greatest(CAST(-{_HOLT_B_CLAMP} AS BIGINT),
+                          least(CAST({_HOLT_B_CLAMP} AS BIGINT),
+                            (greatest(CAST(0 AS BIGINT),
+                               x + 3 * (acc // {_HOLT_SHIFT_L}
+                                        + acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF})) // 4
+                             - acc // {_HOLT_SHIFT_L}
+                             + 7 * (acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF})) // 8))
+                      + {_HOLT_B_OFF}
+               END) AS acc
+      FROM days
+    )
+    SELECT symbol, day, n_bars,
+           acc // {_HOLT_SHIFT_L} AS level_c,
+           acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF} AS trend_c,
+           acc // {_HOLT_SHIFT_L} + (acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF})
+             AS forecast1_c,
+           acc // {_HOLT_SHIFT_L} + 5 * (acc % {_HOLT_SHIFT_L} - {_HOLT_B_OFF})
+             AS forecast5_c
+    FROM folded
+    """,
+    doc=(
+        "Holt double exponential smoothing (level + trend) per (symbol, "
+        "day) over minute cent closes, INTEGER-QUANTIZED with dyadic "
+        "smoothing constants alpha=1/4, beta=1/8: l_t = (x_t + 3(l+b)) div "
+        "4, b_t = ((l_t - l) + 7b) div 8 — the whole recursion is exact "
+        "int64 (both engines' integer division truncates toward zero, "
+        "verified on negative operands), so the h-step forecasts l + h*b "
+        "hash-match bit-for-bit with no rounding discipline. The "
+        "order-sensitive fold is inexpressible as a window frame, so both "
+        "engines run the q_cusum machinery: per-day ordered array (<= "
+        "1440 bars), single packed-BIGINT accumulator level*2^22 + "
+        "(trend + 2^21) with a -1 uninitialized-seed sentinel (l_1 = x_1, "
+        "b_1 = 0), trend clamped to +-(2^21 - 1) cents/bar. Shape: one "
+        "symbol exchange feeds the day-array aggregate; the fold is O(n) "
+        "inside codegen; output is day-granular (rows ~ symbols x days, "
+        "never ~ bars)."
+    ),
+)
+def q_holt_forecast(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    days = (
+        cents.groupBy(
+            "symbol", F.date_trunc("day", "minute").cast("date").alias("day")
+        )
+        .agg(F.array_sort(F.collect_list(F.struct("minute", "c"))).alias("bars"))
+        .select(
+            "symbol", "day", F.transform("bars", lambda b: b["c"]).alias("cs")
+        )
+    )
+
+    shift_l = F.lit(_HOLT_SHIFT_L).cast("long")
+    b_off = F.lit(_HOLT_B_OFF).cast("long")
+    b_clamp = F.lit(_HOLT_B_CLAMP).cast("long")
+    zero = F.lit(0).cast("long")
+
+    def step(acc, x):
+        # acc >= 0 once initialized, so shiftright/bitwiseAND unpack the
+        # packed fields exactly (floor == trunc on non-negatives).
+        l_prev = F.shiftright(acc, 22)
+        b_prev = acc.bitwiseAND(F.lit(_HOLT_SHIFT_L - 1).cast("long")) - b_off
+        # l_new = trunc((x + 3*(l+b)) / 4), numerator clamped >= 0 so the
+        # shift IS the truncating division.
+        l_new = F.shiftright(F.greatest(zero, x + 3 * (l_prev + b_prev)), 2)
+        # b_new = trunc(((l_new - l_prev) + 7*b_prev) / 8) on a SIGNED
+        # numerator: (n - n % 8) is an exact multiple of 8 with Spark's
+        # dividend-sign remainder, so the FP division is exact (|n| < 2^34)
+        # and matches DuckDB's truncating // bit-for-bit.
+        b_num = l_new - l_prev + 7 * b_prev
+        b_new = ((b_num - b_num % 8) / 8).cast("long")
+        b_new = F.greatest(-b_clamp, F.least(b_clamp, b_new))
+        return F.shiftleft(l_new, 22) + b_new + b_off
+
+    def fold(arr):
+        return F.aggregate(
+            arr,
+            F.lit(-1).cast("long"),
+            lambda acc, x: F.when(acc < 0, F.shiftleft(x, 22) + b_off).otherwise(
+                step(acc, x)
+            ),
+        )
+
+    folded = days.select(
+        "symbol",
+        "day",
+        F.size("cs").cast("bigint").alias("n_bars"),
+        fold(F.col("cs")).alias("acc"),
+    )
+    lvl = F.shiftright(F.col("acc"), 22)
+    trd = F.col("acc").bitwiseAND(F.lit(_HOLT_SHIFT_L - 1).cast("long")) - F.lit(
+        _HOLT_B_OFF
+    ).cast("long")
+    return folded.select(
+        "symbol",
+        "day",
+        "n_bars",
+        lvl.alias("level_c"),
+        trd.alias("trend_c"),
+        (lvl + trd).alias("forecast1_c"),
+        (lvl + 5 * trd).alias("forecast5_c"),
+    )
+
+
+_FE_PERIOD = 60        # seasonal-naive lag: 60 minute bars = hourly cycle
+_FE_ERR_CLAMP = 100_000  # cap |err| at $1000 in cents: err^2 <= 1e10, so
+#                          int64 SSE survives ~9e8 scored rows (sf ~ 700)
+
+
+@query(
+    "q_forecast_eval",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), lagged AS (
+      SELECT symbol, c,
+             lag(c, 1)  OVER (PARTITION BY symbol ORDER BY minute) AS c1,
+             lag(c, {_FE_PERIOD}) OVER (PARTITION BY symbol ORDER BY minute) AS cs
+      FROM cents
+    ), errs AS (
+      SELECT symbol,
+             least(abs(c - c1), {_FE_ERR_CLAMP}) AS en,
+             least(abs(c - cs), {_FE_ERR_CLAMP}) AS es
+      FROM lagged WHERE cs IS NOT NULL
+    )
+    SELECT symbol,
+           CAST(count(*) AS BIGINT)  AS n_scored,
+           CAST(sum(en) AS BIGINT)   AS sae_naive,
+           CAST(sum(es) AS BIGINT)   AS sae_snaive,
+           CAST(sum(en * en) AS BIGINT) AS sse_naive,
+           CAST(sum(es * es) AS BIGINT) AS sse_snaive,
+           CASE WHEN sum(en) > 0
+                THEN CAST(sum(es) AS BIGINT) * 10000 // CAST(sum(en) AS BIGINT)
+           END AS mase_bp
+    FROM errs GROUP BY symbol
+    """,
+    doc=(
+        "Forecast-skill evaluation per symbol: seasonal-naive (predict the "
+        "close 60 bars ago) vs the naive random-walk baseline "
+        "(predict the previous close), scored on the SAME row set (rows "
+        "with a full seasonal history — a seasonal lag implies the naive "
+        "lag exists). Errors are exact int64 cents clamped at "
+        "$1000/bar, so SAE/SSE and the MASE ratio (basis points, integer "
+        "division) hash-match exactly — MASE < 10000 bp means hourly "
+        "seasonality carries real signal beyond the random walk. Shape: "
+        "both lags and the final aggregate ride ONE symbol exchange (the "
+        "indicator-family discipline); output is one row per symbol."
+    ),
+)
+def q_forecast_eval(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("minute")
+    clamp = F.lit(_FE_ERR_CLAMP).cast("long")
+    lagged = cents.select(
+        "symbol",
+        "c",
+        F.lag("c", 1).over(w).alias("c1"),
+        F.lag("c", _FE_PERIOD).over(w).alias("cs"),
+    ).filter(F.col("cs").isNotNull())
+    errs = lagged.select(
+        "symbol",
+        F.least(F.abs(F.col("c") - F.col("c1")), clamp).alias("en"),
+        F.least(F.abs(F.col("c") - F.col("cs")), clamp).alias("es"),
+    )
+    agg = errs.groupBy("symbol").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_scored"),
+        F.sum("en").cast("bigint").alias("sae_naive"),
+        F.sum("es").cast("bigint").alias("sae_snaive"),
+        F.sum(F.col("en") * F.col("en")).cast("bigint").alias("sse_naive"),
+        F.sum(F.col("es") * F.col("es")).cast("bigint").alias("sse_snaive"),
+    )
+    return agg.select(
+        "symbol",
+        "n_scored",
+        "sae_naive",
+        "sae_snaive",
+        "sse_naive",
+        "sse_snaive",
+        F.when(
+            F.col("sae_naive") > 0,
+            F.expr("sae_snaive * 10000 div sae_naive"),
+        ).alias("mase_bp"),
+    )

@@ -209,7 +209,9 @@ def test_driver_window_holds_rotated_queries():
         if n in latest and n not in hash_checked and REGISTRY[n].oracle is not None
     ]
     priority = set(never) | set(upgraded)
-    priority_list = never + upgraded  # registry order within each tier
+    # Upgraded oracles outrank never-checked: they registered in an earlier
+    # round and have already waited >= 1 full round for their hash row.
+    priority_list = upgraded + never  # registry order within each tier
     if len(priority_list) >= _WINDOW_SIZE:
         # More unproven queries than slots: the window is exactly the first
         # WINDOW_SIZE priority entries; the overflow is never silently
@@ -2847,3 +2849,154 @@ def test_misra_gries_candidates_superset(spark, stream):
     )
     # Output bound: at most m candidates per partition.
     assert len(got) <= m * n_part
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),   # symbol index
+            st.integers(0, 1),   # day
+            st.integers(0, 30),  # minute of day
+            st.floats(min_value=0.01, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_holt_forecast_matches_python_replica(spark, ticks):
+    """q_holt_forecast vs an independent Python fold — same cent
+    quantization, same integer-quantized Holt recursion (alpha=1/4,
+    beta=1/8, truncating division), same l_1=x_1/b_1=0 seed. Catches a
+    consistently-wrong recursion the two-sided oracle can't (both engines
+    run the same packed-accumulator fold), plus the multi-tick-minute
+    close tie-break and the pack/unpack bit layout."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _HOLT_B_CLAMP,
+    )
+
+    def tdiv(n, d):
+        """Truncate-toward-zero integer division (Spark div / DuckDB //)."""
+        q = abs(n) // d
+        return q if n >= 0 else -q
+
+    d = tempfile.mkdtemp(prefix="holt_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (
+                i,
+                base + timedelta(days=day, minutes=minute, microseconds=i),
+                1,
+                f"s{sym}",
+                price,
+            )
+            for i, (sym, day, minute, price) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.symbol, r.day): (
+                r.n_bars, r.level_c, r.trend_c, r.forecast1_c, r.forecast5_c
+            )
+            for r in REGISTRY["q_holt_forecast"].fn(spark, d).collect()
+        }
+
+        closes = {}
+        for i, (sym, day, minute, price) in enumerate(ticks):
+            key = (f"s{sym}", day, minute)
+            if key not in closes or i > closes[key][0]:
+                closes[key] = (i, price)
+        series = defaultdict(list)
+        for (sym, day, minute), (_, price) in sorted(closes.items()):
+            series[(sym, day)].append(math.floor(price * 100.0 + 0.5))
+        want = {}
+        for (sym, day), cs in series.items():
+            l, b = cs[0], 0
+            for x in cs[1:]:
+                l2 = max(0, x + 3 * (l + b)) // 4
+                b2 = tdiv(l2 - l + 7 * b, 8)
+                b2 = max(-_HOLT_B_CLAMP, min(_HOLT_B_CLAMP, b2))
+                l, b = l2, b2
+            dday = (base + timedelta(days=day)).date()
+            want[(sym, dday)] = (len(cs), l, b, l + b, l + 5 * b)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.dictionaries(
+        st.integers(0, 90),  # minute of day (>= 62 distinct => scored rows)
+        st.floats(min_value=0.01, max_value=500.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=62,
+    )
+)
+def test_forecast_eval_matches_python_replica(spark, minute_prices):
+    """q_forecast_eval vs an independent Python replica: same row-lag
+    semantics (seasonal lag 60 over the ROW series, not calendar
+    minutes), same error clamp, same exact int64 SAE/SSE and the
+    truncating MASE basis-point ratio."""
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _FE_ERR_CLAMP,
+        _FE_PERIOD,
+    )
+
+    d = tempfile.mkdtemp(prefix="fcev_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(minutes=m, microseconds=i), 1, "s0", p)
+            for i, (m, p) in enumerate(sorted(minute_prices.items()))
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.symbol: (
+                r.n_scored, r.sae_naive, r.sae_snaive,
+                r.sse_naive, r.sse_snaive, r.mase_bp,
+            )
+            for r in REGISTRY["q_forecast_eval"].fn(spark, d).collect()
+        }
+
+        cs = [
+            math.floor(p * 100.0 + 0.5)
+            for _, p in sorted(minute_prices.items())
+        ]
+        en, es = [], []
+        for i in range(_FE_PERIOD, len(cs)):
+            en.append(min(abs(cs[i] - cs[i - 1]), _FE_ERR_CLAMP))
+            es.append(min(abs(cs[i] - cs[i - _FE_PERIOD]), _FE_ERR_CLAMP))
+        want = {}
+        if en:
+            sae_n, sae_s = sum(en), sum(es)
+            want["s0"] = (
+                len(en), sae_n, sae_s,
+                sum(e * e for e in en), sum(e * e for e in es),
+                (sae_s * 10000) // sae_n if sae_n > 0 else None,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
