@@ -182,6 +182,10 @@ HEADLINE = [
     "q_kaplan_meier",
     "q_ab_test",
     "q_video_frames",
+    "q_holt_forecast",
+    "q_forecast_eval",
+    "q_late_data_audit",
+    "q_rolling_median",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

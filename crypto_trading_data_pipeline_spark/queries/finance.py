@@ -2150,3 +2150,89 @@ def q_forecast_eval(spark: SparkSession, sf_dir: str):
             F.expr("sae_snaive * 10000 div sae_naive"),
         ).alias("mase_bp"),
     )
+
+
+_RM_N = 30        # rolling frame length (bars)
+_RM_MID = 15      # lower-median index, 1-based, of a full 30-bar frame
+_RM_K = 5         # outlier threshold: |close - med| > K * MAD
+
+
+@query(
+    "q_rolling_median",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), framed AS (
+      SELECT symbol, minute, c,
+             list(c) OVER (PARTITION BY symbol ORDER BY minute
+                           ROWS BETWEEN {_RM_N - 1} PRECEDING AND CURRENT ROW)
+               AS frame,
+             row_number() OVER (PARTITION BY symbol ORDER BY minute) AS rn
+      FROM cents
+    ), med AS (
+      SELECT symbol, minute, c,
+             list_sort(frame)[{_RM_MID}] AS med_c, frame
+      FROM framed WHERE rn >= {_RM_N}
+    )
+    SELECT symbol, minute, c AS close_c, med_c,
+           list_sort(list_transform(frame, x -> abs(x - med_c)))[{_RM_MID}]
+             AS mad_c,
+           abs(c - med_c) > {_RM_K} *
+             list_sort(list_transform(frame, x -> abs(x - med_c)))[{_RM_MID}]
+             AS outlier
+    FROM med
+    """,
+    doc=(
+        "Rolling EXACT median and median-absolute-deviation bands over a "
+        "30-bar frame per symbol — the robust price filter whose "
+        "breakdown point (50%) survives the outliers a rolling "
+        "mean/stddev band is dragged by (q_bollinger's failure mode "
+        "during flash events). No engine exposes an exact median as an "
+        "incremental frame aggregate, so both engines materialize the "
+        "30-element frame as a window LIST and take order statistics "
+        "row-locally: lower median = sorted[15] of the full frame, MAD = "
+        "lower median of |x - med| over the same frame, outlier = "
+        "deviation > 5*MAD — all exact int64 cents, zero FP. Shape: ONE "
+        "symbol exchange shared by the frame window, row_number guard "
+        "and downstream expressions; per-row cost is O(n log n) on a "
+        "CONSTANT n=30 inside codegen (no UDF), memory O(frame) per row "
+        "exactly like any bounded frame aggregate. Warm-up rows "
+        "(partial frames) are excluded — a 30-bar statistic over 3 bars "
+        "is not that statistic."
+    ),
+)
+def q_rolling_median(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("minute")
+    framed = cents.select(
+        "symbol",
+        "minute",
+        "c",
+        F.collect_list("c")
+        .over(w.rowsBetween(-(_RM_N - 1), Window.currentRow))
+        .alias("frame"),
+        F.row_number().over(w).alias("rn"),
+    ).filter(F.col("rn") >= _RM_N)
+    med = framed.withColumn(
+        "med_c", F.element_at(F.array_sort("frame"), _RM_MID)
+    )
+    mad = F.element_at(
+        F.array_sort(
+            F.transform("frame", lambda x: F.abs(x - F.col("med_c")))
+        ),
+        _RM_MID,
+    )
+    return med.select(
+        "symbol",
+        "minute",
+        F.col("c").alias("close_c"),
+        "med_c",
+        mad.alias("mad_c"),
+        (F.abs(F.col("c") - F.col("med_c")) > _RM_K * mad).alias("outlier"),
+    )

@@ -5045,3 +5045,72 @@ def q_ab_test(spark: SparkSession, sf_dir: str):
         F.when(ok, F.floor(z * 1000000.0 + 0.5) / 1000000.0).alias("z"),
         F.when(ok, F.abs(z) > 1.96).otherwise(F.lit(False)).alias("significant"),
     )
+
+
+#: Lateness histogram bucket edges (seconds). Lateness of an event =
+#: how far the per-key event-time high-water mark had already advanced
+#: past it when it arrived — the statistic that tells you what a
+#: streaming watermark of W would DROP.
+_LATE_BUCKETS = (60, 300, 3600)
+
+
+@query(
+    "q_late_data_audit",
+    oracle=f"""
+    WITH arr AS (
+      SELECT event_type,
+             CAST(epoch(ts) AS BIGINT) AS es,
+             max(CAST(epoch(ts) AS BIGINT))
+               OVER (PARTITION BY event_type ORDER BY event_id
+                     ROWS UNBOUNDED PRECEDING) AS hwm
+      FROM events
+    ), lat AS (
+      SELECT event_type, hwm - es AS late_s FROM arr
+    )
+    SELECT event_type,
+           CASE WHEN late_s <= 0 THEN 'on_time'
+                WHEN late_s <= {_LATE_BUCKETS[0]} THEN 'le_1m'
+                WHEN late_s <= {_LATE_BUCKETS[1]} THEN 'le_5m'
+                WHEN late_s <= {_LATE_BUCKETS[2]} THEN 'le_1h'
+                ELSE 'gt_1h' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(max(late_s) AS BIGINT) AS max_late_s
+    FROM lat GROUP BY 1, 2
+    """,
+    doc=(
+        "Event-time lateness audit per stream key: how far behind the "
+        "key's running event-time high-water mark (arrival order = "
+        "event_id, the ingest sequence) each event arrived, bucketed "
+        "into the histogram that DIRECTLY answers 'what would a "
+        "watermark of 1m/5m/1h drop?' — the tuning table for every "
+        "withWatermark in the streaming layer (streaming/job.py), "
+        "computed from the batch log instead of guessed. Exact integer "
+        "seconds throughout. Shape: one window pass and the aggregate "
+        "share a single event_type exchange; output is |keys| x 5 "
+        "buckets regardless of corpus size. At 100 TB the arrival "
+        "order is whatever ingest sequence column exists per partition "
+        "— the audit never needs a global sort, only per-key order."
+    ),
+)
+def q_late_data_audit(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    late = e.select(
+        "event_type",
+        (F.max(ts_seconds("ts")).over(w) - ts_seconds("ts")).alias("late_s"),
+    )
+    bucket = (
+        F.when(F.col("late_s") <= 0, F.lit("on_time"))
+        .when(F.col("late_s") <= _LATE_BUCKETS[0], F.lit("le_1m"))
+        .when(F.col("late_s") <= _LATE_BUCKETS[1], F.lit("le_5m"))
+        .when(F.col("late_s") <= _LATE_BUCKETS[2], F.lit("le_1h"))
+        .otherwise(F.lit("gt_1h"))
+    )
+    return late.groupBy("event_type", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("late_s").cast("bigint").alias("max_late_s"),
+    )

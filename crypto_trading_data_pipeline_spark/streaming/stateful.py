@@ -732,3 +732,132 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HOLT_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("day", StringType()),
+        StructField("n_bars", LongType()),
+        StructField("level_c", LongType()),
+        StructField("trend_c", LongType()),
+        StructField("forecast1_c", LongType()),
+    ]
+)
+
+#: (bar count, last folded bar's epoch-us, packed level*2^22 + trend+2^21) —
+#: the IDENTICAL packed int64 the batch twin (queries/finance.q_holt_forecast)
+#: folds, so streaming == batch is bit-exact, not approximately equal.
+_HOLT_STATE = StructType(
+    [
+        StructField("n", LongType()),
+        StructField("last_us", LongType()),
+        StructField("acc", LongType()),
+    ]
+)
+
+# Duplicated from queries/finance.py on purpose: importing the queries
+# package here would drag the full registry (and its evidence-file window
+# computation) into every streaming import. tests/test_streaming.py asserts
+# the two modules' constants are equal.
+HOLT_SHIFT_L = 4194304  # 2^22
+HOLT_B_OFF = 2097152    # 2^21
+HOLT_B_CLAMP = HOLT_B_OFF - 1
+
+
+def _tdiv(n: int, d: int) -> int:
+    """Truncate-toward-zero integer division — Spark `div` / DuckDB `//`
+    semantics on signed operands (Python's // floors, which differs on
+    negative numerators)."""
+    q = abs(n) // d
+    return q if n >= 0 else -q
+
+
+def holt_step(acc: int, x: int) -> int:
+    """One integer-quantized Holt step on the packed accumulator — the
+    exact recursion of the batch fold (alpha=1/4, beta=1/8, trend clamped
+    to +-(2^21-1)); acc < 0 is the uninitialized sentinel (l1=x, b1=0)."""
+    if acc < 0:
+        return (x << 22) + HOLT_B_OFF
+    l_prev = acc >> 22
+    b_prev = (acc & (HOLT_SHIFT_L - 1)) - HOLT_B_OFF
+    l_new = max(0, x + 3 * (l_prev + b_prev)) >> 2
+    b_new = _tdiv(l_new - l_prev + 7 * b_prev, 8)
+    b_new = max(-HOLT_B_CLAMP, min(HOLT_B_CLAMP, b_new))
+    return (l_new << 22) + b_new + HOLT_B_OFF
+
+
+def _holt_update(key, pdfs, state: GroupState):
+    """Fold this batch's minute bars (event-time order) into the packed
+    Holt state. Same chunking discipline as the EMA fold: concatenate and
+    sort the WHOLE batch once (chunks carry no cross-chunk order), then
+    skip bars at-or-before the last folded bar — the recursion is
+    order-sensitive, so a late bar is dropped (watermark-drop semantics)
+    and an at-least-once redelivery of the same bar is a no-op."""
+    n, last_us, acc = state.get if state.exists else (0, -(1 << 62), -1)
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values("ts")
+        us = batch["ts"].astype("int64") // 1_000
+        for u, c in zip(us.tolist(), batch["c"].tolist()):
+            if u <= last_us:
+                continue
+            acc = holt_step(acc, int(c))
+            last_us = u
+            n += 1
+    state.update((n, last_us, acc))
+    lvl = acc >> 22
+    trd = (acc & (HOLT_SHIFT_L - 1)) - HOLT_B_OFF
+    yield pd.DataFrame(
+        {
+            "symbol": [key[0]],
+            "day": [key[1]],
+            "n_bars": [n],
+            "level_c": [lvl],
+            "trend_c": [trd],
+            "forecast1_c": [lvl + trd],
+        }
+    )
+
+
+def streaming_holt(
+    bars: DataFrame,
+    *,
+    key_col: str = "symbol",
+    ts_col: str = "minute",
+    close_col: str = "close",
+) -> DataFrame:
+    """Streaming twin of q_holt_forecast: per-(symbol, UTC day) Holt
+    level+trend, maintained incrementally over a stream of minute bars
+    (e.g. the OHLCV aggregation's closes).
+
+    The state is the batch fold's OWN packed int64 accumulator, stepped by
+    the identical integer recursion — under in-order per-key bar arrival
+    (the keyed-partition contract; the EMA twin's caveat) streaming and
+    batch agree BIT-FOR-BIT, asserted in tests/test_streaming.py. O(1)
+    state per (symbol, day) vs the batch fold's full-day re-scan; at 100 TB
+    the leaderboard of live day-forecasts is maintained at O(batch) cost.
+    Timezone contract mirrors streaming_decay_scores: LTZ input is rebuilt
+    as its UTC wall clock in NTZ via epoch arithmetic BEFORE keying, so
+    bars near midnight UTC land on the UTC day under any session zone."""
+    from pyspark.sql.types import TimestampType
+
+    from ..io import utc_wall_ntz
+
+    ts_expr = F.col(ts_col)
+    if isinstance(bars.schema[ts_col].dataType, TimestampType):
+        ts_expr = utc_wall_ntz(ts_expr)
+    projected = bars.select(
+        F.col(key_col).cast("string").alias("symbol"),
+        ts_expr.alias("ts"),
+        F.floor(F.col(close_col).cast("double") * 100.0 + 0.5)
+        .cast("long")
+        .alias("c"),
+    ).withColumn("day", F.date_format(F.col("ts"), "yyyy-MM-dd"))
+    return projected.groupBy("symbol", "day").applyInPandasWithState(
+        _holt_update,
+        outputStructType=HOLT_SCHEMA,
+        stateStructType=_HOLT_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

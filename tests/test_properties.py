@@ -3000,3 +3000,129 @@ def test_forecast_eval_matches_python_replica(spark, minute_prices):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),      # symbol index
+            st.integers(0, 7200),   # event-time offset seconds
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+def test_late_data_audit_matches_python_replica(spark, arrivals):
+    """q_late_data_audit vs a Python fold of the per-key high-water mark
+    in arrival (event_id) order — same bucket edges, same exact integer
+    lateness. Catches off-by-one bucket boundaries and any confusion of
+    arrival order with event-time order (the two orders differ in almost
+    every generated example)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.relational import (
+        _LATE_BUCKETS,
+    )
+
+    d = tempfile.mkdtemp(prefix="late_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(seconds=sec), 1, f"s{sym}", 1.0)
+            for i, (sym, sec) in enumerate(arrivals)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.event_type, r.bucket): (r.n_events, r.max_late_s)
+            for r in REGISTRY["q_late_data_audit"].fn(spark, d).collect()
+        }
+
+        def bucket(late):
+            if late <= 0:
+                return "on_time"
+            if late <= _LATE_BUCKETS[0]:
+                return "le_1m"
+            if late <= _LATE_BUCKETS[1]:
+                return "le_5m"
+            if late <= _LATE_BUCKETS[2]:
+                return "le_1h"
+            return "gt_1h"
+
+        hwm, want = {}, {}
+        for sym, sec in arrivals:  # list order IS event_id order
+            k = f"s{sym}"
+            hwm[k] = max(hwm.get(k, sec), sec)
+            late = hwm[k] - sec
+            b = bucket(late)
+            n, mx = want.get((k, b), (0, None))
+            want[(k, b)] = (n + 1, late if mx is None else max(mx, late))
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=500.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=30,
+        max_size=80,
+    )
+)
+def test_rolling_median_matches_python_replica(spark, prices):
+    """q_rolling_median vs Python sorted() order statistics over the same
+    sliding 30-bar frames — same cent quantization, same LOWER-median
+    index for frame and MAD, same 5*MAD outlier rule. Catches a
+    frame-boundary off-by-one or an upper/interpolated-median convention
+    drift that the two-sided oracle can't (both engines sort the same
+    list)."""
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _RM_K,
+        _RM_MID,
+        _RM_N,
+    )
+
+    d = tempfile.mkdtemp(prefix="rmed_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(minutes=i), 1, "s0", p)
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.minute: (r.close_c, r.med_c, r.mad_c, r.outlier)
+            for r in REGISTRY["q_rolling_median"].fn(spark, d).collect()
+        }
+
+        cs = [math.floor(p * 100.0 + 0.5) for p in prices]
+        want = {}
+        for i in range(_RM_N - 1, len(cs)):
+            frame = cs[i - _RM_N + 1: i + 1]
+            med = sorted(frame)[_RM_MID - 1]
+            mad = sorted(abs(x - med) for x in frame)[_RM_MID - 1]
+            want[base + timedelta(minutes=i)] = (
+                cs[i], med, mad, abs(cs[i] - med) > _RM_K * mad
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

@@ -1259,3 +1259,93 @@ def test_streaming_heavy_hitters_superset_and_bounds(spark, tmp_path):
             assert n_seen == n
             assert lb <= ctr[t], f"{s}/{t}: lb {lb} > true {ctr[t]}"
             assert ctr[t] - lb <= n // (m + 1) + 1, f"{s}/{t}: bound violated"
+
+
+def test_streaming_holt_matches_batch_fold(spark, tmp_path):
+    """The streaming Holt state is the batch fold's OWN packed int64
+    accumulator, so after draining the same minute bars across two
+    micro-batches (split mid-day, plus a redelivered bar that must be a
+    no-op) the per-(symbol, day) level/trend/forecast must equal
+    q_holt_forecast run on an events fixture with one tick per bar —
+    BIT-FOR-BIT, not approximately."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries import finance as fin
+    from crypto_trading_data_pipeline_spark.streaming import stateful as stf
+
+    # The streaming module duplicates the recursion constants to avoid
+    # importing the full query registry; they must never drift.
+    assert (stf.HOLT_SHIFT_L, stf.HOLT_B_OFF, stf.HOLT_B_CLAMP) == (
+        fin._HOLT_SHIFT_L, fin._HOLT_B_OFF, fin._HOLT_B_CLAMP
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(s, pd.Timestamp(ts).to_pydatetime(), float(c)) for s, ts, c in rows],
+            "symbol string, minute timestamp, close double",
+        )
+
+    b1 = [
+        ("BTC", "2024-03-01 00:00:00", 100.00),
+        ("BTC", "2024-03-01 00:01:00", 101.50),
+        ("ETH", "2024-03-01 00:00:00", 20.25),
+    ]
+    b2 = [
+        ("BTC", "2024-03-01 00:01:00", 101.50),  # redelivery -> no-op
+        ("BTC", "2024-03-01 00:02:00", 99.75),
+        ("BTC", "2024-03-02 00:00:00", 98.00),   # next UTC day, fresh state
+        ("ETH", "2024-03-01 00:05:00", 21.00),
+    ]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema(
+        "symbol string, minute timestamp, close double"
+    ).parquet(str(indir / "*.parquet"))
+    latest = {}
+    q = (
+        stf.streaming_holt(stream)
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, eid: latest.update(
+                {(r.symbol, r.day): r for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    # Batch twin on an events fixture with one tick per bar (the tick IS
+    # the minute close).
+    seen = set()
+    events = []
+    for i, (s, ts, c) in enumerate(b1 + b2):
+        if (s, ts) in seen:
+            continue
+        seen.add((s, ts))
+        events.append((i, pd.Timestamp(ts).to_pydatetime(), 1, s, float(c)))
+    spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    ).write.parquet(str(tmp_path / "fix" / "events.parquet"))
+    want = {
+        (r.symbol, str(r.day)): r
+        for r in REGISTRY["q_holt_forecast"].fn(spark, str(tmp_path / "fix")).collect()
+    }
+
+    assert set(latest) == set(want)
+    for k in want:
+        assert latest[k].n_bars == want[k].n_bars, k
+        assert latest[k].level_c == want[k].level_c, k
+        assert latest[k].trend_c == want[k].trend_c, k
+        assert latest[k].forecast1_c == want[k].forecast1_c, k
