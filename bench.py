@@ -186,6 +186,8 @@ HEADLINE = [
     "q_forecast_eval",
     "q_late_data_audit",
     "q_rolling_median",
+    "q_decision_stump",
+    "q_bootstrap_ci",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2236,3 +2236,140 @@ def q_rolling_median(spark: SparkSession, sf_dir: str):
         mad.alias("mad_c"),
         (F.abs(F.col("c") - F.col("med_c")) > _RM_K * mad).alias("outlier"),
     )
+
+
+_BOOT_B = 32      # bootstrap resamples; CI = order stats 2 and 31 (~93.8%)
+_BOOT_LO = 2
+_BOOT_HI = 31
+
+
+def _boot_sql() -> str:
+    """Generated oracle for q_bootstrap_ci: 2x32 exact-integer partial sums
+    (weight, weight*cents) per symbol, then list order statistics over the
+    32 resample means."""
+    from ..operators.dedup_hash import sql_token_hash
+
+    sums = []
+    for b in range(_BOOT_B):
+        h = sql_token_hash(
+            f"(symbol || ':' || CAST(CAST(epoch(minute) AS BIGINT) AS VARCHAR)"
+            f" || ':' || '{b}')"
+        )
+        w = " + ".join(
+            f"(CASE WHEN (({h}) // {4 ** j}) % 4 = 0 THEN 1 ELSE 0 END)"
+            for j in range(4)
+        )
+        sums.append(f"CAST(sum(({w})) AS BIGINT) AS sw{b}")
+        sums.append(f"CAST(sum(({w}) * c) AS BIGINT) AS swv{b}")
+    # An empty resample (all multiplicities 0 — only reachable for tiny
+    # groups) contributes the full-sample mean: keeps every list exactly B
+    # long with no NULLs, whose sort placement is engine-specific.
+    means = ", ".join(
+        f"CASE WHEN sw{b} > 0 THEN CAST(swv{b} AS DOUBLE) / sw{b} "
+        f"ELSE CAST(sc AS DOUBLE) / n_minutes END"
+        for b in range(_BOOT_B)
+    )
+    return f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), partials AS (
+      SELECT symbol,
+             CAST(count(*) AS BIGINT) AS n_minutes,
+             CAST(sum(c) AS BIGINT) AS sc,
+             {', '.join(sums)}
+      FROM cents GROUP BY symbol
+    ), sorted AS (
+      SELECT symbol, n_minutes, sc,
+             list_sort([{means}]) AS ms
+      FROM partials
+    )
+    SELECT symbol, n_minutes,
+           CAST(sc AS DOUBLE) / n_minutes AS mean_c,
+           ms[{_BOOT_LO}] AS ci_lo_c,
+           ms[{_BOOT_HI}] AS ci_hi_c
+    FROM sorted
+    """
+
+
+@query(
+    "q_bootstrap_ci",
+    oracle=_boot_sql(),
+    doc=(
+        "Deterministic Poisson-style bootstrap confidence interval for the "
+        "per-symbol mean close (cents): 32 resamples where each row's "
+        "multiplicity in resample b is Binomial(4, 1/4) (mean 1 — the "
+        "Poisson-bootstrap approximation) derived from the PORTABLE "
+        "id-hash (operators/dedup_hash.token_hash of symbol:minute:b), "
+        "NOT an RNG — so the resampling is reproducible across runs, "
+        "engines, partitionings, and appends, the q_sample_hash "
+        "discipline applied to uncertainty quantification. The "
+        "single-pass trick (Chamandy et al., 'Estimating uncertainty for "
+        "massive data streams', Google 2012): per (symbol, resample) "
+        "weighted sums accumulate as 64 exact-int64 partial aggregates "
+        "in ONE partial+final aggregate over the close table — no "
+        "B-fold data blow-up, no reshuffling per resample; the CI is "
+        "order statistics 2/31 of the 32 resample means, computed "
+        "row-locally on the one-row-per-symbol result. The only FP is "
+        "the final mean divisions on exact integers — bit-identical in "
+        "both engines. State per group is 2B+2 longs regardless of "
+        "corpus size, so the same plan prices identically at 100 TB."
+    ),
+)
+def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
+    from ..io import ts_seconds
+    from ..operators.dedup_hash import token_hash
+
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+
+    def w(b: int):
+        h = token_hash(
+            F.concat_ws(
+                ":",
+                F.col("symbol"),
+                ts_seconds("minute").cast("string"),
+                F.lit(str(b)),
+            )
+        )
+        parts = None
+        for j in range(4):
+            bit = F.when(
+                F.shiftright(h, 2 * j).bitwiseAND(F.lit(3)) == 0, 1
+            ).otherwise(0)
+            parts = bit if parts is None else parts + bit
+        return parts
+
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+        F.sum("c").cast("bigint").alias("sc"),
+    ]
+    for b in range(_BOOT_B):
+        wb = w(b)
+        aggs.append(F.sum(wb).cast("bigint").alias(f"sw{b}"))
+        aggs.append(F.sum(wb * F.col("c")).cast("bigint").alias(f"swv{b}"))
+    partials = cents.groupBy("symbol").agg(*aggs)
+
+    full_mean = F.col("sc").cast("double") / F.col("n_minutes")
+    means = F.array_sort(
+        F.array(
+            *[
+                F.when(
+                    F.col(f"sw{b}") > 0,
+                    F.col(f"swv{b}").cast("double") / F.col(f"sw{b}"),
+                ).otherwise(full_mean)
+                for b in range(_BOOT_B)
+            ]
+        )
+    )
+    return partials.select(
+        "symbol",
+        "n_minutes",
+        (F.col("sc").cast("double") / F.col("n_minutes")).alias("mean_c"),
+        F.element_at(means, _BOOT_LO).alias("ci_lo_c"),
+        F.element_at(means, _BOOT_HI).alias("ci_hi_c"),
+    )

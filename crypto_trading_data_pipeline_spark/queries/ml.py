@@ -547,3 +547,141 @@ def dsir_weights(flagged):
             F.sum("lr").cast("bigint").alias("logw_micro"),
         )
     )
+
+
+@query(
+    "q_decision_stump",
+    oracle="""
+    WITH pairs AS (
+      SELECT CAST(l_quantity AS BIGINT) AS q,
+             CAST(floor(l_discount * 100.0 + 0.5) AS BIGINT) AS d,
+             sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS pos,
+             sum(CASE WHEN l_returnflag = 'R' THEN 0 ELSE 1 END) AS neg
+      FROM lineitem GROUP BY 1, 2
+    ), melted AS (
+      SELECT 'quantity' AS feature, q AS v,
+             CAST(sum(pos) AS BIGINT) AS p, CAST(sum(neg) AS BIGINT) AS ng
+      FROM pairs GROUP BY 2
+      UNION ALL
+      SELECT 'discount_c', d,
+             CAST(sum(pos) AS BIGINT), CAST(sum(neg) AS BIGINT)
+      FROM pairs GROUP BY 2
+    ), pref AS (
+      SELECT feature, v,
+             sum(p)  OVER (PARTITION BY feature ORDER BY v) AS pl,
+             sum(ng) OVER (PARTITION BY feature ORDER BY v) AS nl,
+             sum(p)  OVER (PARTITION BY feature) AS pt,
+             sum(ng) OVER (PARTITION BY feature) AS nt
+      FROM melted
+    ), err AS (
+      SELECT feature, v, pt, nt,
+             least(pl, nl) + least(pt - pl, nt - nl) AS errors
+      FROM pref
+    ), best AS (
+      SELECT feature, v, errors, pt, nt,
+             row_number() OVER (PARTITION BY feature ORDER BY errors, v) AS rk
+      FROM err
+    )
+    SELECT feature,
+           CAST(pt + nt AS BIGINT)        AS n,
+           CAST(least(pt, nt) AS BIGINT)  AS base_errors,
+           CAST(v AS BIGINT)              AS best_threshold,
+           CAST(errors AS BIGINT)         AS best_errors,
+           CAST(least(pt, nt) - errors AS BIGINT) AS gain
+    FROM best WHERE rk = 1
+    """,
+    doc=(
+        "Exact distributed decision-stump training (1R, Holte 1993): for "
+        "each candidate feature, find the threshold t minimizing "
+        "MISCLASSIFIED COUNT when 'x <= t' and 'x > t' each predict "
+        "their majority label (label: l_returnflag = 'R') — the "
+        "tree-family trainer beside the gradient (q_logreg_train) and "
+        "Bayesian (q_naive_bayes) ones, and the split criterion is "
+        "pure-integer error counts, so there is NO impurity-ratio FP "
+        "anywhere: the whole model selection hash-matches exactly. "
+        "Shape: ONE partial+final aggregate reduces the fact table to "
+        "the joint (quantity x discount-cent) value grid (<= 550 rows "
+        "at any SF); both features' marginals melt from that grid, and "
+        "the threshold scan is prefix sums + one top-1 window on the "
+        "bounded table, partitioned by feature — errors(t) = "
+        "min(PL,NL) + min(P-PL, N-NL) from left-prefix class counts. "
+        "Generalizes to any categorical/bucketed feature set: the cost "
+        "is one scan plus O(|value grid|) post-work, which is how "
+        "GBDT-on-Spark histogram builders (LightGBM's feature "
+        "histograms) price a split pass too."
+    ),
+)
+def q_decision_stump(spark: SparkSession, sf_dir: str):
+    from pyspark.sql import Window
+
+    li = read_table(spark, sf_dir, "lineitem")
+    pairs = li.groupBy(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.floor(F.col("l_discount") * 100.0 + 0.5).cast("bigint").alias("d"),
+    ).agg(
+        F.sum(F.when(F.col("l_returnflag") == "R", 1).otherwise(0))
+        .cast("bigint")
+        .alias("pos"),
+        F.sum(F.when(F.col("l_returnflag") == "R", 0).otherwise(1))
+        .cast("bigint")
+        .alias("neg"),
+    )
+    melted = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.lit("quantity").alias("feature"),
+                        F.col("q").alias("v"),
+                        F.col("pos"),
+                        F.col("neg"),
+                    ),
+                    F.struct(
+                        F.lit("discount_c").alias("feature"),
+                        F.col("d").alias("v"),
+                        F.col("pos"),
+                        F.col("neg"),
+                    ),
+                )
+            ).alias("m")
+        )
+        .select("m.*")
+        .groupBy("feature", "v")
+        .agg(F.sum("pos").alias("p"), F.sum("neg").alias("ng"))
+    )
+    wpre = (
+        Window.partitionBy("feature")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("feature")
+    pref = melted.select(
+        "feature",
+        "v",
+        F.sum("p").over(wpre).alias("pl"),
+        F.sum("ng").over(wpre).alias("nl"),
+        F.sum("p").over(wall).alias("pt"),
+        F.sum("ng").over(wall).alias("nt"),
+    )
+    err = pref.select(
+        "feature",
+        "v",
+        "pt",
+        "nt",
+        (
+            F.least("pl", "nl")
+            + F.least(F.col("pt") - F.col("pl"), F.col("nt") - F.col("nl"))
+        ).alias("errors"),
+    )
+    best = err.withColumn(
+        "rk",
+        F.row_number().over(Window.partitionBy("feature").orderBy("errors", "v")),
+    ).filter(F.col("rk") == 1)
+    return best.select(
+        "feature",
+        (F.col("pt") + F.col("nt")).alias("n"),
+        F.least("pt", "nt").alias("base_errors"),
+        F.col("v").alias("best_threshold"),
+        F.col("errors").alias("best_errors"),
+        (F.least("pt", "nt") - F.col("errors")).alias("gain"),
+    )

@@ -3126,3 +3126,147 @@ def test_rolling_median_matches_python_replica(spark, prices):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(1, 6),    # quantity
+            st.integers(0, 3),    # discount cents
+            st.booleans(),        # label: returnflag == 'R'
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_decision_stump_matches_bruteforce(spark, rows):
+    """q_decision_stump vs brute force over every (feature, threshold):
+    same misclassification criterion min(PL,NL)+min(P-PL,N-NL), same
+    (errors, v) tie-break. Catches an off-by-one in the prefix split
+    (x <= t left) and any majority-vote sign error the two-sided oracle
+    can't see."""
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="stump_prop_")
+    try:
+        spark.createDataFrame(
+            [
+                (float(q), dc / 100.0, "R" if lab else "N")
+                for q, dc, lab in rows
+            ],
+            "l_quantity double, l_discount double, l_returnflag string",
+        ).write.parquet(f"{d}/lineitem.parquet")
+        got = {
+            r.feature: (r.n, r.base_errors, r.best_threshold, r.best_errors, r.gain)
+            for r in REGISTRY["q_decision_stump"].fn(spark, d).collect()
+        }
+
+        feats = {
+            "quantity": [(q, lab) for q, dc, lab in rows],
+            "discount_c": [(dc, lab) for q, dc, lab in rows],
+        }
+        want = {}
+        for name, pts in feats.items():
+            n = len(pts)
+            p_tot = sum(1 for _, lab in pts if lab)
+            n_tot = n - p_tot
+            best = None
+            for t in sorted({v for v, _ in pts}):
+                pl = sum(1 for v, lab in pts if v <= t and lab)
+                nl = sum(1 for v, lab in pts if v <= t and not lab)
+                e = min(pl, nl) + min(p_tot - pl, n_tot - nl)
+                if best is None or (e, t) < best:
+                    best = (e, t)
+            want[name] = (
+                n, min(p_tot, n_tot), best[1], best[0],
+                min(p_tot, n_tot) - best[0],
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 40),   # minute
+            st.floats(min_value=0.01, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_bootstrap_ci_matches_python_replica(spark, ticks):
+    """q_bootstrap_ci vs an independent Python replica of the portable
+    hash -> Binomial(4, 1/4) weights -> exact integer partial sums ->
+    sorted resample means. Catches bit-field extraction bugs and any
+    drift between the Spark and hashlib md5-prefix conventions."""
+    import hashlib
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta, timezone
+
+    from crypto_trading_data_pipeline_spark.operators.dedup_hash import MINHASH_P
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _BOOT_B,
+        _BOOT_HI,
+        _BOOT_LO,
+    )
+
+    d = tempfile.mkdtemp(prefix="boot_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(minutes=m, microseconds=i), 1, "s0", p)
+            for i, (m, p) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.symbol: (r.n_minutes, r.mean_c, r.ci_lo_c, r.ci_hi_c)
+            for r in REGISTRY["q_bootstrap_ci"].fn(spark, d).collect()
+        }
+
+        def token_hash(s: str) -> int:
+            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
+
+        # close per minute = last tick (max event_id) in that minute
+        closes = {}
+        for i, (m, p) in enumerate(ticks):
+            if m not in closes or i > closes[m][0]:
+                closes[m] = (i, p)
+        cs = {}
+        for m, (_, p) in closes.items():
+            es = int(
+                (base + timedelta(minutes=m)).replace(tzinfo=timezone.utc).timestamp()
+            )
+            cs[es] = math.floor(p * 100.0 + 0.5)
+        n = len(cs)
+        means = []
+        for b in range(_BOOT_B):
+            sw = swv = 0
+            for es, c in cs.items():
+                h = token_hash(f"s0:{es}:{b}")
+                wgt = sum(1 for j in range(4) if (h >> (2 * j)) & 3 == 0)
+                sw += wgt
+                swv += wgt * c
+            full_mean = sum(cs.values()) / n
+            means.append(swv / sw if sw > 0 else full_mean)
+        ms = sorted(means)
+        want = {
+            "s0": (n, sum(cs.values()) / n, ms[_BOOT_LO - 1], ms[_BOOT_HI - 1])
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
