@@ -188,6 +188,7 @@ HEADLINE = [
     "q_rolling_median",
     "q_decision_stump",
     "q_bootstrap_ci",
+    "q_seasonal_decompose",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2373,3 +2373,86 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
         F.element_at(means, _BOOT_LO).alias("ci_lo_c"),
         F.element_at(means, _BOOT_HI).alias("ci_hi_c"),
     )
+
+
+_SD_HALF = 30  # centered trend half-window: 61-bar moving average
+
+
+@query(
+    "q_seasonal_decompose",
+    oracle=f"""
+    WITH cents AS (
+      SELECT symbol, minute,
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+      FROM ({_SQL_CLOSES})
+    ), framed AS (
+      SELECT symbol, minute, c,
+             sum(c) OVER (PARTITION BY symbol ORDER BY minute
+                          ROWS BETWEEN {_SD_HALF} PRECEDING
+                          AND {_SD_HALF} FOLLOWING) AS s61,
+             count(*) OVER (PARTITION BY symbol ORDER BY minute
+                            ROWS BETWEEN {_SD_HALF} PRECEDING
+                            AND {_SD_HALF} FOLLOWING) AS nf
+      FROM cents
+    ), dev AS (
+      SELECT symbol, CAST(date_part('minute', minute) AS BIGINT) AS moh,
+             {2 * _SD_HALF + 1} * c - s61 AS dev61
+      FROM framed WHERE nf = {2 * _SD_HALF + 1}
+    )
+    SELECT symbol, moh,
+           CAST(count(*) AS BIGINT) AS n_obs,
+           CAST(sum(dev61) AS BIGINT) AS sum_dev61,
+           CAST(sum(dev61) AS DOUBLE) / ({2 * _SD_HALF + 1}.0 * count(*))
+             AS seasonal_c
+    FROM dev GROUP BY 1, 2
+    """,
+    doc=(
+        "Classical additive seasonal decomposition of the close series: "
+        "detrend with a CENTERED 61-bar moving average, then estimate the "
+        "minute-of-hour seasonal index as the mean detrended deviation "
+        "per (symbol, minute-of-hour) — the decomposition q_seasonality's "
+        "raw hour-of-day activity profile doesn't give (it counts events; "
+        "this isolates the PRICE cycle after removing trend). The exact "
+        "trick: the deviation c - s61/61 is rational, so it is scaled to "
+        "the EXACT INTEGER dev61 = 61*c - sum61 and summed in int64; the "
+        "only FP is one final division by 61*n per output row, making the "
+        "whole decomposition hash-exact (the q_market_beta moment "
+        "discipline applied to detrending). Partial trend frames are "
+        "excluded — a centered MA at the series edge is not the trend. "
+        "Shape: trend frame, full-frame guard, and the final aggregate "
+        "all ride ONE symbol exchange; output is |symbols| x 60 rows at "
+        "any corpus size."
+    ),
+)
+def q_seasonal_decompose(spark: SparkSession, sf_dir: str):
+    cents = _closes(spark, sf_dir).select(
+        "symbol",
+        "minute",
+        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = (
+        Window.partitionBy("symbol")
+        .orderBy("minute")
+        .rowsBetween(-_SD_HALF, _SD_HALF)
+    )
+    n_full = 2 * _SD_HALF + 1
+    framed = cents.select(
+        "symbol",
+        "minute",
+        "c",
+        F.sum("c").over(w).alias("s61"),
+        F.count(F.lit(1)).over(w).alias("nf"),
+    ).filter(F.col("nf") == n_full)
+    dev = framed.select(
+        "symbol",
+        F.minute("minute").cast("bigint").alias("moh"),
+        (F.lit(n_full) * F.col("c") - F.col("s61")).alias("dev61"),
+    )
+    return dev.groupBy("symbol", "moh").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_obs"),
+        F.sum("dev61").cast("bigint").alias("sum_dev61"),
+        (
+            F.sum("dev61").cast("double")
+            / (F.lit(float(n_full)) * F.count(F.lit(1)))
+        ).alias("seasonal_c"),
+    )

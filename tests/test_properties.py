@@ -3270,3 +3270,59 @@ def test_bootstrap_ci_matches_python_replica(spark, ticks):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.floats(min_value=0.01, max_value=500.0,
+                  allow_nan=False, allow_infinity=False),
+        min_size=61,
+        max_size=130,
+    )
+)
+def test_seasonal_decompose_matches_python_replica(spark, prices):
+    """q_seasonal_decompose vs a Python replica of the centered-61-bar
+    detrend and the exact dev61 = 61*c - sum61 integer scaling. Catches
+    centered-frame off-by-ones (PRECEDING/FOLLOWING swap), partial-edge
+    leakage, and minute-of-hour keying errors."""
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import _SD_HALF
+
+    d = tempfile.mkdtemp(prefix="sdec_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(minutes=i), 1, "s0", p)
+            for i, p in enumerate(prices)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.symbol, r.moh): (r.n_obs, r.sum_dev61, r.seasonal_c)
+            for r in REGISTRY["q_seasonal_decompose"].fn(spark, d).collect()
+        }
+
+        cs = [math.floor(p * 100.0 + 0.5) for p in prices]
+        n_full = 2 * _SD_HALF + 1
+        acc = {}
+        for i in range(_SD_HALF, len(cs) - _SD_HALF):
+            s61 = sum(cs[i - _SD_HALF: i + _SD_HALF + 1])
+            moh = (base + timedelta(minutes=i)).minute
+            n, s = acc.get(moh, (0, 0))
+            acc[moh] = (n + 1, s + n_full * cs[i] - s61)
+        want = {
+            ("s0", moh): (n, s, s / (float(n_full) * n))
+            for moh, (n, s) in acc.items()
+        }
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
