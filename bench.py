@@ -189,6 +189,9 @@ HEADLINE = [
     "q_decision_stump",
     "q_bootstrap_ci",
     "q_seasonal_decompose",
+    "q_kanonymity",
+    "q_order_flow",
+    "q_silhouette",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

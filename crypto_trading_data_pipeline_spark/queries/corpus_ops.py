@@ -2130,3 +2130,67 @@ def q_heavy_hitters(spark: SparkSession, sf_dir: str):
             F.expr("CAST(cnt * 1000000 div n AS BIGINT)").alias("share_ppm"),
         )
     )
+
+
+_KANON_K = 5         # k-anonymity threshold
+_KANON_BUCKET = 100  # n_chars quasi-identifier bucket width
+
+
+@query(
+    "q_kanonymity",
+    oracle=f"""
+    WITH qid AS (
+      SELECT lang, source, n_chars // {_KANON_BUCKET} AS len_b
+      FROM documents
+    ), grp AS (
+      SELECT lang, source, len_b, CAST(count(*) AS BIGINT) AS n
+      FROM qid GROUP BY 1, 2, 3
+    )
+    SELECT lang,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(count(*) AS BIGINT) AS n_groups,
+           CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_singletons,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             AS rows_at_risk,
+           CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)
+             * 1000000 // CAST(sum(n) AS BIGINT) AS risk_ppm
+    FROM grp GROUP BY lang
+    """,
+    doc=(
+        "k-anonymity audit of the corpus under the quasi-identifier "
+        "(lang, source, length-bucket): how many documents sit in an "
+        "equivalence class smaller than k=5 — the re-identification "
+        "exposure screen that belongs beside q_pii_redact in any "
+        "training-data release gate (PII redaction removes direct "
+        "identifiers; this measures whether METADATA combinations "
+        "still single documents out). Exact integers throughout "
+        "(risk in ppm via integer division). Shape: two stacked "
+        "partial+final aggregates — fact table -> QID classes -> "
+        "per-lang report; the class table is bounded by the QID "
+        "domain, not the corpus, so the audit prices the same at "
+        "100 TB."
+    ),
+)
+def q_kanonymity(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    grp = docs.groupBy(
+        "lang",
+        "source",
+        F.expr(f"n_chars div {_KANON_BUCKET}").alias("len_b"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    risk = F.sum(F.when(F.col("n") < _KANON_K, F.col("n")).otherwise(0)).cast(
+        "bigint"
+    )
+    return grp.groupBy("lang").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+        F.sum(F.when(F.col("n") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_singletons"),
+        risk.alias("rows_at_risk"),
+        F.expr(
+            f"CAST(sum(CASE WHEN n < {_KANON_K} THEN n ELSE 0 END) AS BIGINT)"
+            f" * 1000000 div CAST(sum(n) AS BIGINT)"
+        ).alias("risk_ppm"),
+    )

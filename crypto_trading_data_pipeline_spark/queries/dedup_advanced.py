@@ -2395,3 +2395,120 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
             F.coalesce(F.col("n_docs"), F.lit(0)).cast("bigint").alias("n_docs"),
         )
     )
+
+
+@query(
+    "q_silhouette",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), cent AS (
+      SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
+    ), scored AS (
+      SELECT e.vec_id, cent.cent_id,
+             round(list_dot_product(e.v, e.v)
+                   - 2 * list_dot_product(e.v, cent.cv)
+                   + list_dot_product(cent.cv, cent.cv), 6) AS d2
+      FROM e CROSS JOIN cent
+    ), ranked AS (
+      SELECT vec_id, cent_id, d2,
+             row_number() OVER (PARTITION BY vec_id
+                                ORDER BY d2 ASC, cent_id ASC) AS rc
+      FROM scored
+    ), pair AS (
+      SELECT o.vec_id, o.cent_id AS cluster,
+             sqrt(o.d2) AS a, sqrt(s.d2) AS b
+      FROM ranked o JOIN ranked s
+        ON o.vec_id = s.vec_id AND o.rc = 1 AND s.rc = 2
+    ), sil AS (
+      SELECT cluster,
+             CAST(floor((CASE WHEN greatest(a, b) > 0
+                               THEN (b - a) / greatest(a, b)
+                               ELSE 0.0 END) * 1000000.0 + 0.5) AS BIGINT)
+               AS sq
+      FROM pair
+    )
+    SELECT cluster,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(sum(sq) AS BIGINT)  AS sum_s_micro,
+           CAST(sum(sq) AS DOUBLE) / (1000000.0 * count(*)) AS avg_silhouette,
+           CAST(sum(CASE WHEN sq < 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_negative
+    FROM sil GROUP BY cluster
+    """,
+    doc=(
+        "Simplified silhouette score per cluster (Hruschka et al.'s "
+        "centroid-based variant): a = distance to the OWN centroid, b = "
+        "distance to the nearest OTHER centroid, s = (b-a)/max(a,b) — the "
+        "cluster-quality metric that closes the loop the trainer family "
+        "opened (q_kmeans_assign fits, q_kmeans_ivf iterates, THIS "
+        "evaluates; s < 0 marks points closer to a foreign centroid, "
+        "i.e. candidate misassignments). The full-silhouette all-pairs "
+        "matrix is O(n^2) and dead at scale; the centroid variant is "
+        "row-local given the broadcast k x dim matrix — the SAME inlined "
+        "argmin array as q_kmeans_assign, with own/second-best read from "
+        "one array_sort of the k-struct scores (tie-break (d2, cent_id) "
+        "textually identical to the oracle's rank). Per-row s is "
+        "floor-quantized to int64 MICRO-UNITS before the cluster sum "
+        "(the micro-nat discipline), so aggregation is exact integer "
+        "addition at any parallelism; only the final mean divides. "
+        "Shape: narrow scan -> one k-row aggregate."
+    ),
+)
+def q_silhouette(spark: SparkSession, sf_dir: str):
+    raw = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    emb = fan_out(raw)
+    cents = (
+        raw.filter(F.col("vec_id") < 8)
+        .orderBy("vec_id")
+        .select("vec_id", "v")
+        .collect()
+    )
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(int(r.vec_id)).alias("cent_id"),
+                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
+            )
+            for r in cents
+        ]
+    )
+    scored = F.transform(
+        cent_arr,
+        lambda c: F.struct(
+            F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                ),
+                6,
+            ).alias("d2"),
+            c["cent_id"].alias("cent_id"),
+        ),
+    )
+    ranked = F.array_sort(scored)  # struct order = (d2, cent_id), oracle's rank
+    own = F.element_at(ranked, 1)
+    nxt = F.element_at(ranked, 2)
+    a = F.sqrt(own["d2"])
+    b = F.sqrt(nxt["d2"])
+    s = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    sil = emb.select(
+        own["cent_id"].cast("long").alias("cluster"),
+        F.floor(s * 1000000.0 + 0.5).cast("bigint").alias("sq"),
+    )
+    return sil.groupBy("cluster").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+        F.sum("sq").cast("bigint").alias("sum_s_micro"),
+        (F.sum("sq").cast("double") / (F.lit(1000000.0) * F.count(F.lit(1))))
+        .alias("avg_silhouette"),
+        F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_negative"),
+    )

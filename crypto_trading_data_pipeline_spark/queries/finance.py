@@ -2456,3 +2456,100 @@ def q_seasonal_decompose(spark: SparkSession, sf_dir: str):
             / (F.lit(float(n_full)) * F.count(F.lit(1)))
         ).alias("seasonal_c"),
     )
+
+
+@query(
+    "q_order_flow",
+    oracle="""
+    WITH ticks AS (
+      SELECT event_type AS symbol, ts, event_id, value AS v
+      FROM events WHERE value > 0.0
+    ), signed AS (
+      SELECT symbol, ts, event_id,
+             CASE WHEN v > lag(v) OVER w THEN 1
+                  WHEN v < lag(v) OVER w THEN -1 END AS sgn
+      FROM ticks
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+    ), carried AS (
+      SELECT symbol, CAST(date_trunc('day', ts) AS DATE) AS day,
+             last_value(sgn IGNORE NULLS)
+               OVER (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS side
+      FROM signed
+    )
+    SELECT symbol, day,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(CASE WHEN side = 1  THEN 1 ELSE 0 END) AS BIGINT) AS n_buy,
+           CAST(sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sell,
+           CAST(sum(CASE WHEN side IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_unclassified,
+           CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+              - sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS imbalance,
+           CASE WHEN sum(CASE WHEN side IS NOT NULL THEN 1 ELSE 0 END) > 0
+                THEN CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)
+                        - sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT)
+                     * 1000000
+                     // CAST(sum(CASE WHEN side IS NOT NULL THEN 1 ELSE 0 END)
+                             AS BIGINT)
+           END AS imbalance_ppm
+    FROM carried GROUP BY 1, 2
+    """,
+    doc=(
+        "Tick-rule trade classification and daily order-flow imbalance "
+        "(the tick-test half of Lee-Ready, the standard when quote data "
+        "is absent): each tick is a BUY if it printed above the previous "
+        "tick's price, SELL below, and on an equal print CARRIES the "
+        "last classified side forward (zero-tick rule) — per (symbol, "
+        "day): buy/sell counts, net imbalance, imbalance in exact ppm of "
+        "classified ticks. The carry-forward is last(sgn, ignorenulls) "
+        "over the ASCENDING RUNNING frame — incremental O(n) per "
+        "partition (the q_interp_linear lesson: never an UNBOUNDED "
+        "FOLLOWING aggregate frame). Ticks are totally ordered by (ts, "
+        "event_id) so the classification is deterministic under any "
+        "partitioning. Shape: both windows and the day aggregate ride "
+        "ONE symbol exchange; leading unclassified ticks are counted, "
+        "not guessed."
+    ),
+)
+def q_order_flow(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    ticks = e.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id",
+        F.col("value").alias("v"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    prev = F.lag("v").over(w)
+    sgn = F.when(F.col("v") > prev, 1).when(F.col("v") < prev, -1)
+    signed = ticks.withColumn("sgn", sgn)
+    side = F.last("sgn", ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = signed.select(
+        "symbol",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        side.alias("side"),
+    )
+    n_buy = F.sum(F.when(F.col("side") == 1, 1).otherwise(0)).cast("bigint")
+    n_sell = F.sum(F.when(F.col("side") == -1, 1).otherwise(0)).cast("bigint")
+    n_cls = F.sum(F.when(F.col("side").isNotNull(), 1).otherwise(0)).cast(
+        "bigint"
+    )
+    return carried.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        n_buy.alias("n_buy"),
+        n_sell.alias("n_sell"),
+        F.sum(F.when(F.col("side").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_unclassified"),
+        (n_buy - n_sell).alias("imbalance"),
+        F.when(
+            n_cls > 0, F.expr(
+                "CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END)"
+                " - sum(CASE WHEN side = -1 THEN 1 ELSE 0 END) AS BIGINT)"
+                " * 1000000"
+                " div CAST(sum(CASE WHEN side IS NOT NULL THEN 1 ELSE 0 END)"
+                " AS BIGINT)"
+            )
+        ).alias("imbalance_ppm"),
+    )

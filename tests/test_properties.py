@@ -3326,3 +3326,204 @@ def test_seasonal_decompose_matches_python_replica(spark, prices):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),                  # symbol
+            st.integers(0, 2),                  # day
+            st.sampled_from([10.0, 10.5, 11.0]),  # price (few levels => many
+        ),                                        # equal prints => carry rule)
+        min_size=2,
+        max_size=50,
+    )
+)
+def test_order_flow_matches_python_replica(spark, ticks):
+    """q_order_flow vs a Python fold of the tick rule: up-tick buy,
+    down-tick sell, equal print CARRIES the last side, leading
+    unclassified ticks counted. The price levels are few on purpose so
+    most examples exercise the zero-tick carry; catches a
+    carry-across-day bug or an ignorenulls frame error."""
+    import shutil
+    import tempfile
+    from datetime import date, datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="oflow_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(days=day, seconds=i), 1, f"s{sym}", p)
+            for i, (sym, day, p) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.symbol, r.day): (
+                r.n_ticks, r.n_buy, r.n_sell, r.n_unclassified,
+                r.imbalance, r.imbalance_ppm,
+            )
+            for r in REGISTRY["q_order_flow"].fn(spark, d).collect()
+        }
+
+        per_sym = {}
+        for i, (sym, day, p) in enumerate(ticks):
+            per_sym.setdefault(f"s{sym}", []).append((i, day, p))
+        want = {}
+        for sym, rs in per_sym.items():
+            rs.sort()  # event_id order == (ts, event_id) order here
+            side, prev = None, None
+            agg = {}
+            for _, day, p in rs:
+                if prev is not None and p > prev:
+                    side = 1
+                elif prev is not None and p < prev:
+                    side = -1
+                # equal or first: carry current side (possibly None)
+                prev = p
+                k = (sym, date(2024, 3, 1) + timedelta(days=day))
+                n, nb, ns, nu = agg.get(k, (0, 0, 0, 0))
+                agg[k] = (
+                    n + 1,
+                    nb + (side == 1),
+                    ns + (side == -1),
+                    nu + (side is None),
+                )
+            for k, (n, nb, ns, nu) in agg.items():
+                ncls = nb + ns
+                imb = nb - ns
+                if ncls > 0:
+                    q = abs(imb) * 1000000 // ncls
+                    ppm = q if imb >= 0 else -q
+                else:
+                    ppm = None
+                want[k] = (n, nb, ns, nu, imb, ppm)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.sampled_from(["en", "de"]),
+            st.sampled_from(["web", "book"]),
+            st.integers(0, 350),   # n_chars
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_kanonymity_matches_python_replica(spark, docs):
+    """q_kanonymity vs a Python count of QID equivalence classes — same
+    bucket boundary (n_chars div 100), same k=5 risk rule, same integer
+    ppm."""
+    import shutil
+    import tempfile
+    from collections import Counter
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import (
+        _KANON_BUCKET,
+        _KANON_K,
+    )
+
+    d = tempfile.mkdtemp(prefix="kanon_prop_")
+    try:
+        spark.createDataFrame(
+            [
+                (i, "x", lang, src, n)
+                for i, (lang, src, n) in enumerate(docs)
+            ],
+            "doc_id bigint, text string, lang string, source string,"
+            " n_chars bigint",
+        ).write.parquet(f"{d}/documents.parquet")
+        got = {
+            r.lang: (r.n_rows, r.n_groups, r.n_singletons, r.rows_at_risk,
+                     r.risk_ppm)
+            for r in REGISTRY["q_kanonymity"].fn(spark, d).collect()
+        }
+
+        classes = Counter(
+            (lang, src, n // _KANON_BUCKET) for lang, src, n in docs
+        )
+        want = {}
+        langs = {lang for lang, _, _ in docs}
+        for lg in langs:
+            cl = {k: v for k, v in classes.items() if k[0] == lg}
+            n_rows = sum(cl.values())
+            risk = sum(v for v in cl.values() if v < _KANON_K)
+            want[lg] = (
+                n_rows,
+                len(cl),
+                sum(1 for v in cl.values() if v == 1),
+                risk,
+                risk * 1000000 // n_rows,
+            )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.floats(min_value=-4.0, max_value=4.0,
+                      allow_nan=False, allow_infinity=False),
+            min_size=4,
+            max_size=4,
+        ),
+        min_size=9,
+        max_size=30,
+    )
+)
+def test_silhouette_matches_python_replica(spark, vecs):
+    """q_silhouette vs an independent Python replica of the simplified
+    (centroid-based) silhouette — same rounded-d2 tie-break as
+    q_kmeans_assign, same sqrt/divide IEEE order, same micro-unit
+    quantization. Catches a sign flip or an own/next swap that a
+    two-sided oracle sharing the formula cannot."""
+    import math
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+    d = tempfile.mkdtemp(prefix="sil_prop_")
+    try:
+        spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(vecs)],
+            "vec_id bigint, embedding array<double>",
+        ).write.parquet(f"{d}/embeddings.parquet")
+        got = {
+            r.cluster: (r.n_vectors, r.sum_s_micro, r.n_negative)
+            for r in REGISTRY["q_silhouette"].fn(spark, d).collect()
+        }
+
+        cents = [(i, vecs[i]) for i in range(8)]
+        acc = {}
+        for v in vecs:
+            scored = sorted(
+                (
+                    round(sum((a - b) * (a - b) for a, b in zip(v, cv)), 6),
+                    cid,
+                )
+                for cid, cv in cents
+            )
+            (d2o, own), (d2n, _) = scored[0], scored[1]
+            a, b = math.sqrt(d2o), math.sqrt(d2n)
+            s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
+            sq = math.floor(s * 1000000.0 + 0.5)
+            n, ssum, neg = acc.get(own, (0, 0, 0))
+            acc[own] = (n + 1, ssum + sq, neg + (sq < 0))
+        assert got == acc, (got, acc)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
