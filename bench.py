@@ -192,6 +192,7 @@ HEADLINE = [
     "q_kanonymity",
     "q_order_flow",
     "q_silhouette",
+    "q_cross_corr",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

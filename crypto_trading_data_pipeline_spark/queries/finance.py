@@ -2553,3 +2553,137 @@ def q_order_flow(spark: SparkSession, sf_dir: str):
             )
         ).alias("imbalance_ppm"),
     )
+
+
+_XC_LAGS = (-3, -2, -1, 0, 1, 2, 3)
+
+
+@query(
+    "q_cross_corr",
+    oracle=f"""
+    WITH rets AS (
+      {_SQL_RET_BP}
+    ), aligned AS (
+      SELECT a.minute, CAST(date_trunc('day', a.minute) AS DATE) AS day,
+             a.rq AS ra, b.rq AS rb
+      FROM (SELECT minute, rq FROM rets WHERE symbol = '{_PAIR_A}') a
+      JOIN (SELECT minute, rq FROM rets WHERE symbol = '{_PAIR_B}') b
+        USING (minute)
+    ), lagged AS (
+      SELECT day, ra AS y,
+             lag(rb, 3)  OVER w AS xm3, lag(rb, 2)  OVER w AS xm2,
+             lag(rb, 1)  OVER w AS xm1, rb          AS x0,
+             lead(rb, 1) OVER w AS xp1, lead(rb, 2) OVER w AS xp2,
+             lead(rb, 3) OVER w AS xp3
+      FROM aligned
+      WINDOW w AS (PARTITION BY day ORDER BY minute)
+    ), pairs AS (
+      SELECT 3 AS lag, xm3 AS x, y FROM lagged WHERE xm3 IS NOT NULL
+      UNION ALL SELECT 2, xm2, y FROM lagged WHERE xm2 IS NOT NULL
+      UNION ALL SELECT 1, xm1, y FROM lagged WHERE xm1 IS NOT NULL
+      UNION ALL SELECT 0, x0, y FROM lagged WHERE x0 IS NOT NULL
+      UNION ALL SELECT -1, xp1, y FROM lagged WHERE xp1 IS NOT NULL
+      UNION ALL SELECT -2, xp2, y FROM lagged WHERE xp2 IS NOT NULL
+      UNION ALL SELECT -3, xp3, y FROM lagged WHERE xp3 IS NOT NULL
+    ), agg AS (
+      SELECT lag,
+             CAST(count(*) AS BIGINT)   AS n,
+             CAST(sum(x) AS BIGINT)     AS sx,
+             CAST(sum(y) AS BIGINT)     AS sy,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             CAST(sum(y * y) AS BIGINT) AS syy,
+             CAST(sum(x * y) AS BIGINT) AS sxy
+      FROM pairs GROUP BY 1
+    )
+    SELECT CAST(lag AS INTEGER) AS lag, n AS n_pairs,
+           CASE WHEN n * sxx - sx * sx = 0 OR n * syy - sy * sy = 0 THEN NULL
+                ELSE floor(1.0 * (n * sxy - sx * sy)
+                           / (sqrt(1.0 * (n * sxx - sx * sx))
+                              * sqrt(1.0 * (n * syy - sy * sy)))
+                           * 1000000.0 + 0.5) / 1000000.0 END AS xcorr
+    FROM agg
+    """,
+    doc=(
+        "Lead-lag CROSS-correlation between the benchmark pair's minute "
+        "basis-point returns: corr(ra_t, rb_(t-l)) for l in -3..3 — the "
+        "price-discovery diagnostic (a peak at l>0 says B leads A by l "
+        "minutes; q_return_corr and q_pairs_spread only see the "
+        "contemporaneous l=0 cell). The q_autocorr machinery applied "
+        "across series: exact int64 basis-point returns (integer "
+        "division, clamped), minute-aligned inner join, all seven lag "
+        "columns from ONE per-(day) window pass (lags stay inside the "
+        "day, losing at most 3 boundary pairs), moments as exact int64 "
+        "sums grouped by lag ACROSS days — no global sort, no "
+        "single-partition window, output exactly 7 rows. FP only in the "
+        "final sqrt/divide/floor-scale written identically on both "
+        "engines."
+    ),
+)
+def q_cross_corr(spark: SparkSession, sf_dir: str):
+    rets = _ret_bp(spark, sf_dir)
+    a = rets.filter(F.col("symbol") == _PAIR_A).select(
+        "minute", F.col("rq").alias("ra")
+    )
+    b = rets.filter(F.col("symbol") == _PAIR_B).select(
+        "minute", F.col("rq").alias("rb")
+    )
+    aligned = a.join(b, "minute").select(
+        "minute",
+        F.date_trunc("day", "minute").cast("date").alias("day"),
+        "ra",
+        "rb",
+    )
+    w = Window.partitionBy("day").orderBy("minute")
+
+    def shifted(l: int):
+        if l > 0:
+            return F.lag("rb", l).over(w)
+        if l < 0:
+            return F.lead("rb", -l).over(w)
+        return F.col("rb")
+
+    lagged = aligned.select(
+        F.col("ra").alias("y"),
+        *[shifted(l).alias(f"x_{l}") for l in _XC_LAGS],
+    )
+    pairs = (
+        lagged.select(
+            "y",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(l).alias("lag"), F.col(f"x_{l}").alias("x")
+                        )
+                        for l in _XC_LAGS
+                    ]
+                )
+            ).alias("p"),
+        )
+        .filter(F.col("p.x").isNotNull())
+        .select(F.col("p.lag").alias("lag"), F.col("p.x").alias("x"), "y")
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    dx = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    dy = F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return agg.select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_pairs"),
+        F.when(
+            (dx != 0) & (dy != 0),
+            F.floor(
+                num / (F.sqrt(dx.cast("double")) * F.sqrt(dy.cast("double")))
+                * 1000000.0
+                + 0.5
+            )
+            / 1000000.0,
+        ).alias("xcorr"),
+    )

@@ -3527,3 +3527,108 @@ def test_silhouette_matches_python_replica(spark, vecs):
         assert got == acc, (got, acc)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),    # day
+            st.integers(0, 25),   # minute of day
+            st.floats(min_value=1.0, max_value=200.0,
+                      allow_nan=False, allow_infinity=False),
+            st.floats(min_value=1.0, max_value=200.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=4,
+        max_size=50,
+    )
+)
+def test_cross_corr_matches_python_replica(spark, bars):
+    """q_cross_corr vs an independent Python replica — same bp-return
+    quantization, same minute alignment, same within-day lead/lag
+    pairing and exact integer moments. Catches a lead/lag sign
+    confusion (which side leads) that the two-sided oracle can't."""
+    import math
+    import shutil
+    import tempfile
+    from collections import defaultdict
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import (
+        _PAIR_A,
+        _PAIR_B,
+        _RET_CLAMP_BP,
+        _XC_LAGS,
+    )
+
+    d = tempfile.mkdtemp(prefix="xcorr_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = []
+        i = 0
+        for day, minute, pa, pb in bars:
+            for sym, p in ((_PAIR_A, pa), (_PAIR_B, pb)):
+                rows.append(
+                    (i, base + timedelta(days=day, minutes=minute,
+                                         microseconds=i), 1, sym, p)
+                )
+                i += 1
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.lag: (r.n_pairs, r.xcorr)
+            for r in REGISTRY["q_cross_corr"].fn(spark, d).collect()
+        }
+
+        # replicate: per-symbol minute closes (last tick), bp returns over
+        # the WHOLE per-symbol series, then align and pair within day.
+        closes = {}
+        for day, minute, pa, pb in bars:
+            closes[(day, minute)] = (pa, pb)  # last tuple wins = last tick
+        series = sorted(closes.items())
+        rets = {}  # (day, minute) -> (ra, rb)
+        prev = None
+        for (day, minute), (pa, pb) in series:
+            ca, cb = (math.floor(pa * 100.0 + 0.5), math.floor(pb * 100.0 + 0.5))
+            if prev is not None:
+                pca, pcb = prev
+                ra = max(-_RET_CLAMP_BP, min(_RET_CLAMP_BP, (ca * 10000) // pca - 10000))
+                rb = max(-_RET_CLAMP_BP, min(_RET_CLAMP_BP, (cb * 10000) // pcb - 10000))
+                rets[(day, minute)] = (ra, rb)
+            prev = (ca, cb)
+        per_day = defaultdict(list)
+        for (day, minute), (ra, rb) in sorted(rets.items()):
+            per_day[day].append((ra, rb))
+        want = {}
+        for lag in _XC_LAGS:
+            xs, ys = [], []
+            for day, seq in per_day.items():
+                for t in range(len(seq)):
+                    s = t - lag
+                    if 0 <= s < len(seq):
+                        ys.append(seq[t][0])
+                        xs.append(seq[s][1])
+            n = len(xs)
+            if n == 0:
+                continue
+            sx, sy = sum(xs), sum(ys)
+            sxx = sum(x * x for x in xs)
+            syy = sum(y * y for y in ys)
+            sxy = sum(x * y for x, y in zip(xs, ys))
+            dx, dy = n * sxx - sx * sx, n * syy - sy * sy
+            if dx == 0 or dy == 0:
+                xc = None
+            else:
+                xc = math.floor(
+                    (n * sxy - sx * sy)
+                    / (math.sqrt(dx) * math.sqrt(dy)) * 1000000.0 + 0.5
+                ) / 1000000.0
+            want[lag] = (n, xc)
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
