@@ -861,3 +861,138 @@ def streaming_holt(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OFLOW_SCHEMA = StructType(
+    [
+        StructField("symbol", StringType()),
+        StructField("day", StringType()),
+        StructField("n_ticks", LongType()),
+        StructField("n_buy", LongType()),
+        StructField("n_sell", LongType()),
+        StructField("n_unclassified", LongType()),
+        StructField("imbalance", LongType()),
+    ]
+)
+
+#: (last tick's (epoch-us, event_id) total key, last price, carried side
+#: 0/1/-1, live day string, live-day counts) — O(1) per SYMBOL however long
+#: the stream: the carry state (price, side) crosses days exactly like the
+#: batch twin's symbol-partitioned lag window.
+_OFLOW_STATE = StructType(
+    [
+        StructField("last_us", LongType()),
+        StructField("last_id", LongType()),
+        StructField("prev_v", DoubleType()),
+        StructField("side", LongType()),
+        StructField("day", StringType()),
+        StructField("n", LongType()),
+        StructField("nb", LongType()),
+        StructField("ns", LongType()),
+        StructField("nu", LongType()),
+    ]
+)
+
+
+def _oflow_update(key, pdfs, state: GroupState):
+    """Fold this batch's ticks (total (ts, event_id) order) into the tick
+    rule: up-tick buy, down-tick sell, equal print carries the last side.
+    Day rollover EMITS the closed day's final row and resets the counts —
+    under per-symbol in-order arrival a closed day never reopens, so the
+    upsert sink converges to exactly the batch query's table. A tick
+    at-or-before the last folded key is a redelivery and is skipped."""
+    if state.exists:
+        last_us, last_id, prev_v, side, day, n, nb, ns, nu = state.get
+    else:
+        last_us, last_id, prev_v, side, day, n, nb, ns, nu = (
+            -(1 << 62), -(1 << 62), None, 0, None, 0, 0, 0, 0,
+        )
+    out = []
+    chunks = [pdf for pdf in pdfs if not pdf.empty]
+    if chunks:
+        batch = pd.concat(chunks, ignore_index=True).sort_values(
+            ["ts", "event_id"]
+        )
+        us = batch["ts"].astype("int64") // 1_000
+        days = batch["ts"].dt.strftime("%Y-%m-%d")
+        for u, eid, dstr, v in zip(
+            us.tolist(),
+            batch["event_id"].tolist(),
+            days.tolist(),
+            batch["v"].astype("float64").tolist(),
+        ):
+            if (u, eid) <= (last_us, last_id):
+                continue  # at-least-once redelivery
+            if day is not None and dstr != day:
+                out.append((day, n, nb, ns, nu))  # close the day
+                n = nb = ns = nu = 0
+            day = dstr
+            if prev_v is not None and v > prev_v:
+                side = 1
+            elif prev_v is not None and v < prev_v:
+                side = -1
+            # equal print or first tick: side carries (possibly still 0)
+            prev_v = v
+            n += 1
+            if side == 1:
+                nb += 1
+            elif side == -1:
+                ns += 1
+            else:
+                nu += 1
+            last_us, last_id = u, eid
+    state.update((last_us, last_id, prev_v, side, day, n, nb, ns, nu))
+    if day is not None:
+        out.append((day, n, nb, ns, nu))  # live day snapshot
+    yield pd.DataFrame(
+        {
+            "symbol": [key[0]] * len(out),
+            "day": [o[0] for o in out],
+            "n_ticks": [o[1] for o in out],
+            "n_buy": [o[2] for o in out],
+            "n_sell": [o[3] for o in out],
+            "n_unclassified": [o[4] for o in out],
+            "imbalance": [o[2] - o[3] for o in out],
+        }
+    )
+
+
+def streaming_order_flow(
+    ticks: DataFrame,
+    *,
+    key_col: str = "symbol",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+    price_col: str = "value",
+) -> DataFrame:
+    """Streaming twin of q_order_flow: per-(symbol, day) tick-rule order
+    flow, maintained with O(1) state per symbol (last key, last price,
+    carried side, live-day counts).
+
+    Under per-symbol in-order arrival (the Kafka keyed-partition
+    contract, same caveat as the EMA/SCD2 twins) the upsert table equals
+    the batch query exactly: day rollovers emit the closed day's final
+    counts once, the live day re-emits per batch, and redelivered ticks
+    (total (ts, event_id) key at-or-before the folded frontier) are
+    no-ops. Timezone contract mirrors streaming_decay_scores: LTZ input
+    rebuilt as UTC wall clock in NTZ before keying."""
+    from pyspark.sql.types import TimestampType
+
+    from ..io import utc_wall_ntz
+
+    ts_expr = F.col(ts_col)
+    if isinstance(ticks.schema[ts_col].dataType, TimestampType):
+        ts_expr = utc_wall_ntz(ts_expr)
+    projected = ticks.filter(F.col(price_col) > 0.0).select(
+        F.col(key_col).cast("string").alias("symbol"),
+        ts_expr.alias("ts"),
+        F.col(id_col).cast("long").alias("event_id"),
+        F.col(price_col).cast("double").alias("v"),
+    )
+    return projected.groupBy("symbol").applyInPandasWithState(
+        _oflow_update,
+        outputStructType=OFLOW_SCHEMA,
+        stateStructType=_OFLOW_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

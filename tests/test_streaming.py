@@ -1349,3 +1349,99 @@ def test_streaming_holt_matches_batch_fold(spark, tmp_path):
         assert latest[k].level_c == want[k].level_c, k
         assert latest[k].trend_c == want[k].trend_c, k
         assert latest[k].forecast1_c == want[k].forecast1_c, k
+
+
+def test_streaming_order_flow_matches_batch(spark, tmp_path):
+    """The O(1)-state streaming tick rule must equal q_order_flow on the
+    drained log: two micro-batches with a mid-day split, a redelivered
+    tick (no-op), a day rollover inside batch 2 (closed day emits final
+    counts once), and equal prints exercising the carry."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_order_flow,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (int(i), pd.Timestamp(ts).to_pydatetime(), 1, s, float(v))
+                for i, ts, s, v in rows
+            ],
+            "event_id bigint, ts timestamp, user_id bigint,"
+            " event_type string, value double",
+        )
+
+    b1 = [
+        (1, "2024-03-01 09:00:00", "BTC", 100.0),   # first: unclassified
+        (2, "2024-03-01 09:00:05", "BTC", 101.0),   # up -> buy
+        (3, "2024-03-01 09:00:10", "BTC", 101.0),   # equal -> carry buy
+        (4, "2024-03-01 09:01:00", "ETH", 20.0),    # first: unclassified
+    ]
+    b2 = [
+        (3, "2024-03-01 09:00:10", "BTC", 101.0),   # redelivery -> no-op
+        (5, "2024-03-01 09:02:00", "BTC", 100.5),   # down -> sell
+        (6, "2024-03-02 01:00:00", "BTC", 100.5),   # next day, equal ->
+                                                    # carries SELL across days
+        (7, "2024-03-01 09:03:00", "ETH", 19.0),    # down -> sell
+    ]
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    mk(b1).write.parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema(
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double"
+    ).parquet(str(indir / "*.parquet"))
+    latest = {}
+    q = (
+        streaming_order_flow(
+            stream, key_col="event_type", ts_col="ts",
+            id_col="event_id", price_col="value",
+        )
+        .writeStream.outputMode("update")
+        .foreachBatch(
+            lambda df, eid: latest.update(
+                {(r.symbol, r.day): r for r in df.collect()}
+            )
+        )
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        mk(b2).write.parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    seen = set()
+    events = []
+    for i, ts, s, v in b1 + b2:
+        if i in seen:
+            continue
+        seen.add(i)
+        events.append((i, pd.Timestamp(ts).to_pydatetime(), 1, s, float(v)))
+    spark.createDataFrame(
+        events,
+        "event_id bigint, ts timestamp, user_id bigint,"
+        " event_type string, value double",
+    ).write.parquet(str(tmp_path / "fix" / "events.parquet"))
+    want = {
+        (r.symbol, str(r.day)): r
+        for r in REGISTRY["q_order_flow"].fn(spark, str(tmp_path / "fix")).collect()
+    }
+
+    assert set(latest) == set(want)
+    for k in want:
+        got, exp = latest[k], want[k]
+        assert (got.n_ticks, got.n_buy, got.n_sell, got.n_unclassified,
+                got.imbalance) == (
+            exp.n_ticks, exp.n_buy, exp.n_sell, exp.n_unclassified,
+            exp.imbalance,
+        ), k
+    # The cross-day carry is the interesting bit: 2024-03-02's single
+    # equal print must classify as SELL (carried), not unclassified.
+    assert latest[("BTC", "2024-03-02")].n_sell == 1
