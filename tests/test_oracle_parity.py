@@ -1,16 +1,18 @@
 """Every registered query with an oracle must match DuckDB exactly —
 the local twin of the driver's t2 correctness gate.
 
-Default runs check the AT-RISK set in full — every query in the computed
-driver window (= never-driver-checked + stalest-checked, exactly what the
-driver will hash this round) — plus a deterministic eighth of the stable
-tail (a third -> sixth -> eighth across r7 as the registry grew: the
-at-risk set — every never-checked or oracle-upgraded query — is run in
-full regardless), holding the suite near the 6-minute budget (VERDICT
-r5 #7) with no coverage loss where it matters. The tail sample is keyed
-on the query name, so membership is stable within a round but rotates as
-the window rotates. Set SPARK_GRAFT_PARITY_FULL=1 for the exhaustive
-sweep (the /verify driver-contract script always runs the full set
+Default runs check the AT-RISK set in full — every query whose oracle has
+NEVER been driver-hash-checked (computed from CORRECTNESS_r*.json exactly
+like the window rotation, so it INCLUDES never-checked queries that
+overflow the 50-slot driver window — a gap the window-only definition had
+once the backlog exceeded 50) plus the computed driver window — padded
+with a deterministic sixteenth of the stable tail (third -> sixth ->
+eighth -> sixteenth as the registry grew; the stable tail is re-proven in
+full by the /verify driver-contract sweep each session, so the sample
+here is a canary, not the coverage). The tail sample is keyed on the
+query name, so membership is stable within a round but rotates as the
+window rotates. Set SPARK_GRAFT_PARITY_FULL=1 for the exhaustive sweep
+(the /verify driver-contract script always runs the full set
 regardless)."""
 
 from __future__ import annotations
@@ -20,7 +22,11 @@ import zlib
 
 import pytest
 
-from crypto_trading_data_pipeline_spark.queries import _DRIVER_WINDOW, REGISTRY
+from crypto_trading_data_pipeline_spark.queries import (
+    _DRIVER_WINDOW,
+    _driver_check_rounds,
+    REGISTRY,
+)
 
 from .oracle_util import compare_query
 
@@ -29,9 +35,12 @@ if os.environ.get("SPARK_GRAFT_PARITY_FULL"):
     ORACLE_QUERIES = _ALL_ORACLE
 else:
     _window = set(_DRIVER_WINDOW)
+    _, _hash_checked = _driver_check_rounds()
     ORACLE_QUERIES = [
         n for n in _ALL_ORACLE
-        if n in _window or zlib.crc32(n.encode()) % 8 == 0
+        if n in _window
+        or n not in _hash_checked
+        or zlib.crc32(n.encode()) % 16 == 0
     ]
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)
 

@@ -3377,7 +3377,11 @@ def test_order_flow_matches_python_replica(spark, ticks):
             per_sym.setdefault(f"s{sym}", []).append((i, day, p))
         want = {}
         for sym, rs in per_sym.items():
-            rs.sort()  # event_id order == (ts, event_id) order here
+            # (ts, event_id) order: ts = base + day days + i seconds, so a
+            # LATER event_id on an earlier day sorts first — sorting by
+            # bare event_id mis-ordered cross-day examples (caught by
+            # hypothesis: a later tick landing on an earlier day).
+            rs.sort(key=lambda r: (r[1], r[0]))
             side, prev = None, None
             agg = {}
             for _, day, p in rs:
