@@ -193,6 +193,7 @@ HEADLINE = [
     "q_order_flow",
     "q_silhouette",
     "q_cross_corr",
+    "q_tick_bars",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2687,3 +2687,72 @@ def q_cross_corr(spark: SparkSession, sf_dir: str):
             / 1000000.0,
         ).alias("xcorr"),
     )
+
+
+_TB_N = 100  # ticks per bar
+
+
+@query(
+    "q_tick_bars",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT event_type AS symbol, ts, event_id, value AS v
+      FROM events WHERE value > 0.0
+    ), rn AS (
+      SELECT symbol, ts, event_id, v,
+             (row_number() OVER (PARTITION BY symbol
+                                 ORDER BY ts, event_id) - 1) // {_TB_N} AS bar
+      FROM ticks
+    ), numbered AS (
+      SELECT symbol, ts, v, bar,
+             row_number() OVER (PARTITION BY symbol, bar
+                                ORDER BY ts, event_id) AS rk_in_bar
+      FROM rn
+    )
+    SELECT symbol, CAST(bar AS BIGINT) AS bar,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           arg_min(v, rk_in_bar)  AS open,
+           max(v)                 AS high,
+           min(v)                 AS low,
+           arg_max(v, rk_in_bar)  AS close,
+           min(ts)                AS ts_start,
+           max(ts)                AS ts_end
+    FROM numbered GROUP BY 1, 2
+    """,
+    doc=(
+        "Tick-bar construction: OHLC bars of exactly 100 TICKS each "
+        "(the last partial bar included) instead of fixed wall-clock "
+        "minutes — the event-driven bar family (tick/volume/dollar "
+        "bars): activity-proportional sampling gives bars with far more "
+        "homogeneous information content than time bars, which "
+        "oversample quiet periods and undersample bursts. Ticks get a "
+        "total (ts, event_id) order, the bar id is an integer division "
+        "of the per-symbol row number, and open/close are arg_min/"
+        "arg_max by the rank WITHIN the bar — deterministic under any "
+        "partitioning with no first/last order sensitivity. Shape: both "
+        "row-number passes and the bar aggregate ride ONE symbol "
+        "exchange; bar count scales with ticks/100, never materializing "
+        "anything beyond the tick table's own cardinality."
+    ),
+)
+def q_tick_bars(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    ticks = e.select(
+        F.col("event_type").alias("symbol"), "ts", "event_id",
+        F.col("value").alias("v"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    numbered = ticks.withColumn(
+        "bar", F.expr(f"(row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) - 1) div {_TB_N}")
+    )
+    wb = Window.partitionBy("symbol", "bar").orderBy("ts", "event_id")
+    numbered = numbered.withColumn("rk_in_bar", F.row_number().over(wb))
+    return numbered.groupBy("symbol", F.col("bar").cast("bigint").alias("bar")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.min_by("v", "rk_in_bar").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", "rk_in_bar").alias("close"),
+        F.min("ts").alias("ts_start"),
+        F.max("ts").alias("ts_end"),
+    )

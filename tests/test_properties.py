@@ -3636,3 +3636,69 @@ def test_cross_corr_matches_python_replica(spark, bars):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 1),   # symbol
+            st.integers(0, 5),   # second offset (collisions exercise the
+                                 # event_id tie-break)
+            st.floats(min_value=0.01, max_value=500.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_tick_bars_matches_python_replica(spark, ticks):
+    """q_tick_bars vs a Python fold over (ts, event_id)-sorted ticks:
+    same bar assignment, same open/close-by-rank, duplicate timestamps
+    resolved by event_id. Examples here stay under one bar (the partial-
+    bar edge); the multi-bar split at exactly 100 ticks is exercised by
+    the sf0.01/sf0.1 oracle parity (103/1003 bars)."""
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import _TB_N
+
+    d = tempfile.mkdtemp(prefix="tbar_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(seconds=sec), 1, f"s{sym}", p)
+            for i, (sym, sec, p) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            (r.symbol, r.bar): (
+                r.n_ticks, r.open, r.high, r.low, r.close,
+                r.ts_start, r.ts_end,
+            )
+            for r in REGISTRY["q_tick_bars"].fn(spark, d).collect()
+        }
+
+        per_sym = {}
+        for i, (sym, sec, p) in enumerate(ticks):
+            per_sym.setdefault(f"s{sym}", []).append((sec, i, p))
+        want = {}
+        for sym, rs in per_sym.items():
+            rs.sort()  # (ts, event_id)
+            for start in range(0, len(rs), _TB_N):
+                chunk = rs[start: start + _TB_N]
+                ps = [p for _, _, p in chunk]
+                tss = [base + timedelta(seconds=sec) for sec, _, _ in chunk]
+                want[(sym, start // _TB_N)] = (
+                    len(chunk), ps[0], max(ps), min(ps), ps[-1],
+                    min(tss), max(tss),
+                )
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
