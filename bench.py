@@ -194,6 +194,7 @@ HEADLINE = [
     "q_silhouette",
     "q_cross_corr",
     "q_tick_bars",
+    "q_ndcg",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2867,3 +2867,147 @@ def q_video_frames(spark: SparkSession, sf_dir: str):
             yield out
 
     return docs.mapInPandas(synth_and_decode, schema=out_schema)
+
+
+_NDCG_K = 10
+
+
+@query(
+    "q_ndcg",
+    oracle=f"""{_SQL_BM25_SCORED}
+    , ranked AS (
+      SELECT doc_id, row_number() OVER (ORDER BY score_micro DESC, doc_id)
+               AS rnk
+      FROM bm25
+    ), grades AS (
+      SELECT doc_id,
+             CAST(list_contains(string_split(text, ' '), '{_BM25_TERMS[0]}') AS BIGINT)
+           + CAST(list_contains(string_split(text, ' '), '{_BM25_TERMS[1]}') AS BIGINT)
+           + CAST(list_contains(string_split(text, ' '), '{_BM25_TERMS[2]}') AS BIGINT)
+               AS g
+      FROM documents
+    ), dcg AS (
+      SELECT CAST(sum(CAST(floor(
+               (CASE g WHEN 3 THEN 7 WHEN 2 THEN 3 WHEN 1 THEN 1 ELSE 0 END)
+               / (ln(CAST(rnk + 1 AS DOUBLE)) / ln(2.0))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS dcg_micro
+      FROM ranked JOIN grades USING (doc_id)
+      WHERE rnk <= {_NDCG_K}
+    ), gcount AS (
+      SELECT CAST(sum(CASE WHEN g = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+             CAST(sum(CASE WHEN g = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+             CAST(sum(CASE WHEN g = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1
+      FROM grades
+    ), ideal AS (
+      SELECT CAST(sum(CAST(floor(
+               (CASE WHEN i <= n3 THEN 7
+                     WHEN i <= n3 + n2 THEN 3
+                     WHEN i <= n3 + n2 + n1 THEN 1
+                     ELSE 0 END)
+               / (ln(CAST(i + 1 AS DOUBLE)) / ln(2.0))
+               * 1000000.0 + 0.5) AS BIGINT)) AS BIGINT) AS idcg_micro
+      FROM gcount, range(1, {_NDCG_K} + 1) AS r(i)
+    )
+    SELECT dcg_micro, idcg_micro,
+           CASE WHEN idcg_micro > 0
+                THEN CAST(dcg_micro AS DOUBLE) / idcg_micro END AS ndcg,
+           n3 AS n_rel3, n2 AS n_rel2, n1 AS n_rel1
+    FROM dcg, ideal, gcount
+    """,
+    doc=(
+        "nDCG@10 of the BM25 ranking against GRADED relevance (grade = "
+        "how many distinct probe terms the document contains, 0-3) — the "
+        "position-discounted retrieval-quality metric that completes the "
+        "eval family: q_ann_recall_eval checks set overlap, "
+        "q_precision_recall checks thresholded decisions, THIS checks "
+        "whether the most relevant documents surface FIRST (gain 2^g-1, "
+        "discount log2(rank+1), normalized by the ideal ordering "
+        "computed from the global grade histogram — never a global sort "
+        "of the corpus, just three counts + a 10-position generated "
+        "table). Per-position contributions floor-quantize to int64 "
+        "micro-units before summation (the q_bm25 discipline), so "
+        "DCG/IDCG are exact integers and the final ratio is the only "
+        "FP. Shape: reuses the shared _bm25_scored chain (ONE textual "
+        "source of truth with q_bm25/q_rrf_fusion); grades are "
+        "row-local; everything after the grade histogram is bounded at "
+        "10 rows."
+    ),
+)
+def q_ndcg(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    g = sum(
+        F.array_contains(toks, t).cast("bigint") for t in _BM25_TERMS
+    ).alias("g")
+    grades = docs.select("doc_id", g)
+
+    ranked = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_NDCG_K)
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.orderBy(F.col("score_micro").desc(), "doc_id")
+            ),
+        )
+    )
+    gain = (
+        F.when(F.col("g") == 3, 7.0)
+        .when(F.col("g") == 2, 3.0)
+        .when(F.col("g") == 1, 1.0)
+        .otherwise(0.0)
+    )
+    dcg = (
+        ranked.join(grades, "doc_id")
+        .select(
+            F.floor(
+                gain
+                / (F.log(F.col("rnk").cast("double") + 1.0) / F.log(F.lit(2.0)))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("c")
+        )
+        .agg(F.sum("c").cast("bigint").alias("dcg_micro"))
+    )
+    gcount = grades.agg(
+        F.sum(F.when(F.col("g") == 3, 1).otherwise(0)).cast("bigint").alias("n3"),
+        F.sum(F.when(F.col("g") == 2, 1).otherwise(0)).cast("bigint").alias("n2"),
+        F.sum(F.when(F.col("g") == 1, 1).otherwise(0)).cast("bigint").alias("n1"),
+    )
+    pos = gcount.select(
+        "n3", "n2", "n1", F.explode(F.sequence(F.lit(1), F.lit(_NDCG_K))).alias("i")
+    )
+    igain = (
+        F.when(F.col("i") <= F.col("n3"), 7.0)
+        .when(F.col("i") <= F.col("n3") + F.col("n2"), 3.0)
+        .when(F.col("i") <= F.col("n3") + F.col("n2") + F.col("n1"), 1.0)
+        .otherwise(0.0)
+    )
+    ideal = pos.select(
+        F.floor(
+            igain
+            / (F.log(F.col("i").cast("double") + 1.0) / F.log(F.lit(2.0)))
+            * 1000000.0
+            + 0.5
+        )
+        .cast("bigint")
+        .alias("c")
+    ).agg(F.sum("c").cast("bigint").alias("idcg_micro"))
+    return (
+        dcg.join(ideal)
+        .join(gcount)
+        .select(
+            "dcg_micro",
+            "idcg_micro",
+            F.when(
+                F.col("idcg_micro") > 0,
+                F.col("dcg_micro").cast("double") / F.col("idcg_micro"),
+            ).alias("ndcg"),
+            F.col("n3").alias("n_rel3"),
+            F.col("n2").alias("n_rel2"),
+            F.col("n1").alias("n_rel1"),
+        )
+    )

@@ -296,6 +296,9 @@ _SINGLE_PARTITION_OK = {
     "q_kaplan_meier",      # windows over the |distinct durations| table,
                            # bounded by the observation span in days
     "q_ab_test",           # 4-count experiment rollup into the 1-row report
+    "q_ndcg",              # inherits q_bm25's one-row (n, avgdl) scalar;
+                           # grade histogram is a one-row global count and
+                           # DCG/IDCG finalize over <=10-row tables
 }
 
 

@@ -3702,3 +3702,75 @@ def test_tick_bars_matches_python_replica(spark, ticks):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=2, deadline=None)
+@given(st.lists(_r7_doc, min_size=2, max_size=20))
+def test_ndcg_matches_python_replica(spark, texts):
+    """q_ndcg vs an independent Python replica: the test_bm25 replica's
+    ranking, grade = distinct probe terms present, per-position
+    micro-quantized DCG and the histogram-derived ideal DCG. Catches a
+    discount off-by-one (log2(rank) vs log2(rank+1)) or a gain-table
+    error the two-sided oracle can't."""
+    import math
+    import shutil
+    import tempfile
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+        _NDCG_K,
+    )
+
+    d = tempfile.mkdtemp(prefix="ndcg_prop_")
+    try:
+        _write_docs(spark, texts, d)
+        got = [
+            (r.dcg_micro, r.idcg_micro, r.n_rel3, r.n_rel2, r.n_rel1)
+            for r in REGISTRY["q_ndcg"].fn(spark, d).collect()
+        ]
+
+        docs = {i: t.split(" ") for i, t in enumerate(texts)}
+        n = len(docs)
+        avgdl = sum(len(t) for t in docs.values()) / n
+        dfc = {q: sum(1 for t in docs.values() if q in t) for q in _BM25_TERMS}
+        bm25 = {}
+        for i, toks in docs.items():
+            s = 0
+            for q in _BM25_TERMS:
+                tf = toks.count(q)
+                if tf == 0:
+                    continue
+                idf = math.log((n - dfc[q] + 0.5) / (dfc[q] + 0.5) + 1.0)
+                s += math.floor(
+                    idf * (tf * (_BM25_K1 + 1.0))
+                    / (tf + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * len(toks) / avgdl))
+                    * 1000000.0 + 0.5
+                )
+            if any(q in toks for q in _BM25_TERMS):
+                bm25[i] = s
+        ranked = sorted(bm25.items(), key=lambda kv: (-kv[1], kv[0]))[:_NDCG_K]
+        grade = {i: sum(q in toks for q in _BM25_TERMS) for i, toks in docs.items()}
+        gains = {3: 7.0, 2: 3.0, 1: 1.0, 0: 0.0}
+        dcg = sum(
+            math.floor(
+                gains[grade[i]] / (math.log(r + 2) / math.log(2.0))
+                * 1000000.0 + 0.5
+            )
+            for r, (i, _) in enumerate(ranked)
+        )
+        n3 = sum(1 for g in grade.values() if g == 3)
+        n2 = sum(1 for g in grade.values() if g == 2)
+        n1 = sum(1 for g in grade.values() if g == 1)
+        idcg = 0
+        for i in range(1, _NDCG_K + 1):
+            g = 3 if i <= n3 else 2 if i <= n3 + n2 else 1 if i <= n3 + n2 + n1 else 0
+            idcg += math.floor(
+                gains[g] / (math.log(i + 1) / math.log(2.0)) * 1000000.0 + 0.5
+            )
+        want = [(dcg, idcg, n3, n2, n1)]
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
