@@ -2246,17 +2246,20 @@ _BOOT_HI = 31
 def _boot_sql() -> str:
     """Generated oracle for q_bootstrap_ci: 2x32 exact-integer partial sums
     (weight, weight*cents) per symbol, then list order statistics over the
-    32 resample means."""
-    from ..operators.dedup_hash import sql_token_hash
-
+    32 resample means. All 32 weights derive from TWO md5 digests per row
+    (256 bits = 32 weights x 8 bits): resample b's weight is the popcount
+    of zero 2-bit fields in hex byte b of the concatenated digests —
+    Binomial(4, 1/4) per weight, and a 32x md5 cost cut vs hashing per
+    resample (the per-resample form cost 5.8 s at sf0.1; the fixture's
+    post-aggregate table is AQE-coalesced to one partition, so per-row
+    expression cost is wall time there)."""
+    key = "symbol || ':' || CAST(CAST(epoch(minute) AS BIGINT) AS VARCHAR)"
+    hh = f"md5({key} || ':0') || md5({key} || ':1')"
     sums = []
     for b in range(_BOOT_B):
-        h = sql_token_hash(
-            f"(symbol || ':' || CAST(CAST(epoch(minute) AS BIGINT) AS VARCHAR)"
-            f" || ':' || '{b}')"
-        )
+        byte = f"CAST('0x' || substr(hh, {2 * b + 1}, 2) AS BIGINT)"
         w = " + ".join(
-            f"(CASE WHEN (({h}) // {4 ** j}) % 4 = 0 THEN 1 ELSE 0 END)"
+            f"(CASE WHEN (({byte}) // {4 ** j}) % 4 = 0 THEN 1 ELSE 0 END)"
             for j in range(4)
         )
         sums.append(f"CAST(sum(({w})) AS BIGINT) AS sw{b}")
@@ -2272,7 +2275,8 @@ def _boot_sql() -> str:
     return f"""
     WITH cents AS (
       SELECT symbol, minute,
-             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c
+             CAST(floor(close * 100.0 + 0.5) AS BIGINT) AS c,
+             {hh} AS hh
       FROM ({_SQL_CLOSES})
     ), partials AS (
       SELECT symbol,
@@ -2300,9 +2304,10 @@ def _boot_sql() -> str:
         "Deterministic Poisson-style bootstrap confidence interval for the "
         "per-symbol mean close (cents): 32 resamples where each row's "
         "multiplicity in resample b is Binomial(4, 1/4) (mean 1 — the "
-        "Poisson-bootstrap approximation) derived from the PORTABLE "
-        "id-hash (operators/dedup_hash.token_hash of symbol:minute:b), "
-        "NOT an RNG — so the resampling is reproducible across runs, "
+        "Poisson-bootstrap approximation) read from hex byte b of TWO "
+        "md5 digests of the stable row id (256 bits = 32 resamples x 4 "
+        "two-bit draws), NOT an RNG — so the resampling is reproducible "
+        "across runs, "
         "engines, partitionings, and appends, the q_sample_hash "
         "discipline applied to uncertainty quantification. The "
         "single-pass trick (Chamandy et al., 'Estimating uncertainty for "
@@ -2319,40 +2324,68 @@ def _boot_sql() -> str:
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
     from ..io import ts_seconds
-    from ..operators.dedup_hash import token_hash
 
-    cents = _closes(spark, sf_dir).select(
+    key = F.concat_ws(
+        ":", F.col("symbol"), ts_seconds("minute").cast("string")
+    )
+    # TWO md5 digests per row carry all 32 weights (256 bits = 32 x 8):
+    # hex byte b of the concatenation is resample b's 4 x 2-bit draw. The
+    # per-resample-hash form cost 5.8 s at sf0.1 — 64 md5 trees per row,
+    # evaluated on the post-aggregate table AQE coalesces to ONE partition
+    # at fixture size, so per-row expression cost was wall time.
+    hh = F.concat(
+        F.md5(F.concat(key, F.lit(":0")).cast("binary")),
+        F.md5(F.concat(key, F.lit(":1")).cast("binary")),
+    )
+    # Spread the close table BEFORE the digest/weight projection: the
+    # upstream aggregate's exchange AQE-coalesces to one partition at
+    # fixture size, serializing all per-row hash work onto one core. A
+    # repartition on (symbol, minute) is REMOVED by the optimizer (same
+    # partitioning as that exchange), so this must be a ROUND-ROBIN
+    # repartition with an explicit count — user-specified numPartitions
+    # survives AQE. The exchanged table is bounded by minutes x symbols,
+    # orders below tick count at any SF, so the extra exchange stays
+    # negligible at 100 TB while the weight computation scales with cores.
+    spread = _closes(spark, sf_dir).repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    cents = spread.select(
         "symbol",
         "minute",
         F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
+        hh.alias("hh"),
     )
 
     def w(b: int):
-        h = token_hash(
-            F.concat_ws(
-                ":",
-                F.col("symbol"),
-                ts_seconds("minute").cast("string"),
-                F.lit(str(b)),
-            )
+        byte = F.conv(F.substring(F.col("hh"), 2 * b + 1, 2), 16, 10).cast(
+            "long"
         )
         parts = None
         for j in range(4):
             bit = F.when(
-                F.shiftright(h, 2 * j).bitwiseAND(F.lit(3)) == 0, 1
+                F.shiftright(byte, 2 * j).bitwiseAND(F.lit(3)) == 0, 1
             ).otherwise(0)
             parts = bit if parts is None else parts + bit
         return parts
 
+    # Weights as a narrow projection feeding a 66-buffer partial+final
+    # aggregate. The buffer width is fine once the work is SPREAD (see the
+    # round-robin note above): a long-form posexplode variant measured
+    # 2x slower (explode duplicates the array expr per the q_contamination
+    # trap even as OUTER, plus a second pass for the per-symbol stats).
+    weighted = cents.select(
+        "symbol", "c", *[w(b).alias(f"w{b}") for b in range(_BOOT_B)]
+    )
     aggs = [
         F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
         F.sum("c").cast("bigint").alias("sc"),
     ]
     for b in range(_BOOT_B):
-        wb = w(b)
-        aggs.append(F.sum(wb).cast("bigint").alias(f"sw{b}"))
-        aggs.append(F.sum(wb * F.col("c")).cast("bigint").alias(f"swv{b}"))
-    partials = cents.groupBy("symbol").agg(*aggs)
+        aggs.append(F.sum(F.col(f"w{b}")).cast("bigint").alias(f"sw{b}"))
+        aggs.append(
+            F.sum(F.col(f"w{b}") * F.col("c")).cast("bigint").alias(f"swv{b}")
+        )
+    partials = weighted.groupBy("symbol").agg(*aggs)
 
     full_mean = F.col("sc").cast("double") / F.col("n_minutes")
     means = F.array_sort(

@@ -3213,7 +3213,6 @@ def test_bootstrap_ci_matches_python_replica(spark, ticks):
     import tempfile
     from datetime import datetime, timedelta, timezone
 
-    from crypto_trading_data_pipeline_spark.operators.dedup_hash import MINHASH_P
     from crypto_trading_data_pipeline_spark.queries import REGISTRY
     from crypto_trading_data_pipeline_spark.queries.finance import (
         _BOOT_B,
@@ -3238,8 +3237,6 @@ def test_bootstrap_ci_matches_python_replica(spark, ticks):
             for r in REGISTRY["q_bootstrap_ci"].fn(spark, d).collect()
         }
 
-        def token_hash(s: str) -> int:
-            return int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % MINHASH_P
 
         # close per minute = last tick (max event_id) in that minute
         closes = {}
@@ -3257,8 +3254,12 @@ def test_bootstrap_ci_matches_python_replica(spark, ticks):
         for b in range(_BOOT_B):
             sw = swv = 0
             for es, c in cs.items():
-                h = token_hash(f"s0:{es}:{b}")
-                wgt = sum(1 for j in range(4) if (h >> (2 * j)) & 3 == 0)
+                hh = (
+                    hashlib.md5(f"s0:{es}:0".encode()).hexdigest()
+                    + hashlib.md5(f"s0:{es}:1".encode()).hexdigest()
+                )
+                byte = int(hh[2 * b: 2 * b + 2], 16)
+                wgt = sum(1 for j in range(4) if (byte >> (2 * j)) & 3 == 0)
                 sw += wgt
                 swv += wgt * c
             full_mean = sum(cs.values()) / n
