@@ -195,6 +195,7 @@ HEADLINE = [
     "q_cross_corr",
     "q_tick_bars",
     "q_ndcg",
+    "q_dollar_bars",
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -2789,3 +2789,86 @@ def q_tick_bars(spark: SparkSession, sf_dir: str):
         F.min("ts").alias("ts_start"),
         F.max("ts").alias("ts_end"),
     )
+
+
+_DB_THRESH = 1_000_000  # dollar-bar size: $10,000 of traded value in cents
+
+
+@query(
+    "q_dollar_bars",
+    oracle=f"""
+    WITH ticks AS (
+      SELECT event_type AS symbol, ts, event_id, value AS v,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0.0
+    ), running AS (
+      SELECT symbol, ts, event_id, v, c,
+             (sum(c) OVER (PARTITION BY symbol ORDER BY ts, event_id
+                           ROWS UNBOUNDED PRECEDING) - c) // {_DB_THRESH}
+               AS bar
+      FROM ticks
+    ), numbered AS (
+      SELECT symbol, ts, v, c, bar,
+             row_number() OVER (PARTITION BY symbol, bar
+                                ORDER BY ts, event_id) AS rk_in_bar
+      FROM running
+    )
+    SELECT symbol, CAST(bar AS BIGINT) AS bar,
+           CAST(count(*) AS BIGINT) AS n_ticks,
+           CAST(sum(c) AS BIGINT)   AS value_c,
+           arg_min(v, rk_in_bar)    AS open,
+           max(v)                   AS high,
+           min(v)                   AS low,
+           arg_max(v, rk_in_bar)    AS close,
+           min(ts)                  AS ts_start,
+           max(ts)                  AS ts_end
+    FROM numbered GROUP BY 1, 2
+    """,
+    doc=(
+        "Dollar-bar construction: OHLC bars that each close after ~$10k "
+        "of TRADED VALUE, completing the event-driven bar trio beside "
+        "q_tick_bars (fixed tick count) and the wall-clock q_ohlcv_1min — "
+        "dollar bars are the variant with the most stable statistical "
+        "properties because they normalize for both activity AND price "
+        "level (a price doubling halves tick counts per bar but not "
+        "value). Mechanically distinct from tick bars: the boundary is a "
+        "RUNNING-SUM threshold, not a row count — each tick's bar id is "
+        "the integer division of the exact cent value accumulated BEFORE "
+        "it, so bars are deterministic under any partitioning and a "
+        "single oversized tick simply owns its own bar. Both the prefix "
+        "sum and the within-bar rank ride ONE symbol exchange; all "
+        "arithmetic exact int64 cents."
+    ),
+)
+def q_dollar_bars(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    ticks = e.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        F.col("value").alias("v"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    running = ticks.withColumn(
+        "bar",
+        F.expr(
+            f"(sum(c) OVER (PARTITION BY symbol ORDER BY ts, event_id"
+            f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)"
+            f" div {_DB_THRESH}"
+        ),
+    )
+    wb = Window.partitionBy("symbol", "bar").orderBy("ts", "event_id")
+    numbered = running.withColumn("rk_in_bar", F.row_number().over(wb))
+    return numbered.groupBy(
+        "symbol", F.col("bar").cast("bigint").alias("bar")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ticks"),
+        F.sum("c").cast("bigint").alias("value_c"),
+        F.min_by("v", "rk_in_bar").alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", "rk_in_bar").alias("close"),
+        F.min("ts").alias("ts_start"),
+        F.max("ts").alias("ts_end"),
+    )

@@ -3775,3 +3775,73 @@ def test_ndcg_matches_python_replica(spark, texts):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+@settings(max_examples=3, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.integers(0, 5),   # second offset (collisions -> id tiebreak)
+            st.floats(min_value=1000.0, max_value=9000.0,
+                      allow_nan=False, allow_infinity=False),
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_dollar_bars_matches_python_replica(spark, ticks):
+    """q_dollar_bars vs a Python prefix-sum fold: the bar id is the
+    integer division of the exact cent value accumulated BEFORE each
+    tick. Prices 1000-9000 make most examples cross several $10k
+    boundaries, exercising mid-stream bar cuts and the oversized-tick
+    case; duplicate timestamps exercise the event_id tie-break."""
+    import math
+    import shutil
+    import tempfile
+    from datetime import datetime, timedelta
+
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.finance import _DB_THRESH
+
+    d = tempfile.mkdtemp(prefix="dbar_prop_")
+    base = datetime(2024, 3, 1)
+    try:
+        rows = [
+            (i, base + timedelta(seconds=sec), 1, "s0", p)
+            for i, (sec, p) in enumerate(ticks)
+        ]
+        spark.createDataFrame(
+            rows,
+            "event_id BIGINT, ts TIMESTAMP, user_id BIGINT,"
+            " event_type STRING, value DOUBLE",
+        ).write.parquet(f"{d}/events.parquet")
+        got = {
+            r.bar: (r.n_ticks, r.value_c, r.open, r.high, r.low, r.close,
+                    r.ts_start, r.ts_end)
+            for r in REGISTRY["q_dollar_bars"].fn(spark, d).collect()
+        }
+
+        seq = sorted(
+            (sec, i, p) for i, (sec, p) in enumerate(ticks)
+        )  # (ts, event_id) order
+        acc = 0
+        bars = {}
+        for sec, _, p in seq:
+            c = math.floor(p * 100.0 + 0.5)
+            bar = acc // _DB_THRESH
+            acc += c
+            ts = base + timedelta(seconds=sec)
+            if bar not in bars:
+                bars[bar] = [0, 0, p, p, p, p, ts, ts]
+            b = bars[bar]
+            b[0] += 1
+            b[1] += c
+            b[3] = max(b[3], p)
+            b[4] = min(b[4], p)
+            b[5] = p            # close: last in fold order
+            b[6] = min(b[6], ts)
+            b[7] = max(b[7], ts)
+        want = {bar: tuple(b) for bar, b in bars.items()}
+        assert got == want, (got, want)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
