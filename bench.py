@@ -481,6 +481,30 @@ def main() -> None:
         .format("noop")
         .save()
     )
+    # The identity warmer moves longs; the media queries move BINARY
+    # columns through Arrow both directions (encode -> decode features),
+    # which initializes a different serialization path. An 8-row fake
+    # decode warms it for cents (r7: q_media_roundtrip all-runs spread
+    # 4.28x was dominated by run-1 Arrow/binary first-touch).
+    try:
+        from pyspark.sql import functions as F
+
+        from crypto_trading_data_pipeline_spark.operators.multimodal import (
+            attach_media,
+            extract_image_features,
+        )
+
+        tiny = spark.range(8).select(
+            F.col("id"), F.encode(F.col("id").cast("string"), "utf-8").alias("b")
+        )
+        media = attach_media(
+            tiny, id_col="id", bytes_col="b", kind="image", mime="image/fake"
+        )
+        extract_image_features(media, parallelism=8).write.mode(
+            "overwrite"
+        ).format("noop").save()
+    except Exception:  # noqa: BLE001 — warm-up must never kill the bench
+        pass
     if names:
         try:
             REGISTRY[names[0]].fn(spark, sf_dir).write.mode("overwrite").format(

@@ -550,9 +550,25 @@ def q_embed_neardup(spark: SparkSession, sf_dir: str):
     )
 
 
+#: Deterministic centroid rule shared by every IVF-family query and its
+#: oracle: every 50th vec_id, CAPPED at vec_id < 3200 so the centroid
+#: count is pinned at k <= 64 NO MATTER how large the corpus grows. The
+#: cap is the scale contract: without it k = N/50 and assignment work is
+#: O(N^2/50) — measured 52x wall at 30x data before the cap
+#: (SCALE_PROBE30.json, r7). With it, assignment is O(64 * N): a true
+#: broadcast of a fixed-size table, exactly how a production IVF index
+#: pins k at train time regardless of corpus growth. Fixtures are
+#: unchanged below 3200 vectors (sf0.01 has 500, sf0.1 has 2000), so the
+#: oracle hashes are identical; only the synthetic scale probes see the
+#: cap bite.
+_IVF_CENT_MOD = 50
+_IVF_CENT_MAX_ID = 3200
+
+
 def _ivf_assign(n, keep_top: int = 1):
     """Nearest-centroid assignment over a normalized (vec_id, v, nrm) frame:
-    deterministic centroid subset (vec_id % 50 == 0) broadcast against the
+    deterministic PINNED-k centroid subset (vec_id % 50 == 0 AND
+    vec_id < 3200, k <= 64 — see _IVF_CENT_MAX_ID) broadcast against the
     corpus, clusters ranked by (rounded cosine desc, cent_id) — shared by
     q_ann_ivf and q_semdedup, and the oracle SQL mirrors it verbatim.
 
@@ -561,7 +577,10 @@ def _ivf_assign(n, keep_top: int = 1):
     expansion — the nearest ``keep_top`` clusters per vector with their
     rank ``rc``, used to probe multiple inverted lists."""
     cent = F.broadcast(
-        n.filter(F.col("vec_id") % 50 == 0).select(
+        n.filter(
+            (F.col("vec_id") % _IVF_CENT_MOD == 0)
+            & (F.col("vec_id") < _IVF_CENT_MAX_ID)
+        ).select(
             F.col("vec_id").alias("cent_id"),
             F.col("v").alias("cv"),
             F.col("nrm").alias("cnrm"),
@@ -588,7 +607,8 @@ def _ivf_assign(n, keep_top: int = 1):
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), assign AS (
       SELECT vec_id, v, nrm, cent_id FROM (
         SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
@@ -953,7 +973,8 @@ def q_ann_rerank(spark: SparkSession, sf_dir: str):
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), assign AS (
       SELECT vec_id, cent_id FROM (
         SELECT n.vec_id, cent.cent_id,
@@ -1024,7 +1045,8 @@ def q_ann_ivfpq(spark: SparkSession, sf_dir: str):
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), ranked AS (
       SELECT n.vec_id, cent.cent_id,
              row_number() OVER (
@@ -1149,7 +1171,8 @@ _SEMDEDUP_TAU = 0.30
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
     ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), assign AS (
       SELECT vec_id, v, nrm, cent_id FROM (
         SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
@@ -2158,7 +2181,8 @@ def q_lang_confusion(spark: SparkSession, sf_dir: str):
         WHERE q.vec_id < 5
       ) WHERE rn <= 3
     ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n WHERE vec_id % 50 = 0
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), assign AS (
       SELECT vec_id, v, nrm, cent_id FROM (
         SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
@@ -2406,9 +2430,10 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
       SELECT vec_id AS cent_id, v AS cv FROM e WHERE vec_id < 8
     ), scored AS (
       SELECT e.vec_id, cent.cent_id,
-             round(list_dot_product(e.v, e.v)
-                   - 2 * list_dot_product(e.v, cent.cv)
-                   + list_dot_product(cent.cv, cent.cv), 6) AS d2
+             CAST(floor((list_dot_product(e.v, e.v)
+                         - 2 * list_dot_product(e.v, cent.cv)
+                         + list_dot_product(cent.cv, cent.cv))
+                        * 1000000.0 + 0.5) AS BIGINT) AS d2
       FROM e CROSS JOIN cent
     ), ranked AS (
       SELECT vec_id, cent_id, d2,
@@ -2417,7 +2442,7 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
       FROM scored
     ), pair AS (
       SELECT o.vec_id, o.cent_id AS cluster,
-             sqrt(o.d2) AS a, sqrt(s.d2) AS b
+             sqrt(o.d2 / 1000000.0) AS a, sqrt(s.d2 / 1000000.0) AS b
       FROM ranked o JOIN ranked s
         ON o.vec_id = s.vec_id AND o.rc = 1 AND s.rc = 2
     ), sil AS (
@@ -2448,11 +2473,16 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
         "row-local given the broadcast k x dim matrix — the SAME inlined "
         "argmin array as q_kmeans_assign, with own/second-best read from "
         "one array_sort of the k-struct scores (tie-break (d2, cent_id) "
-        "textually identical to the oracle's rank). Per-row s is "
-        "floor-quantized to int64 MICRO-UNITS before the cluster sum "
-        "(the micro-nat discipline), so aggregation is exact integer "
-        "addition at any parallelism; only the final mean divides. "
-        "Shape: narrow scan -> one k-row aggregate."
+        "textually identical to the oracle's rank). d2 uses the SAME "
+        "dot-product expansion (v.v - 2 v.c + c.c) on both engines and is "
+        "floor-quantized to int64 micro-units BEFORE ranking, so the "
+        "(d2, cent_id) order can never flip on a rounding tie; per-row s "
+        "is floor-quantized the same way before the cluster sum, so "
+        "aggregation is exact integer addition at any parallelism; only "
+        "the final mean divides. Degenerate corpora with fewer than two "
+        "centroids yield the empty frame (matching the oracle's rc=2 "
+        "join, which drops every vector). Shape: narrow scan -> one "
+        "k-row aggregate."
     ),
 )
 def q_silhouette(spark: SparkSession, sf_dir: str):
@@ -2475,31 +2505,38 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
             for r in cents
         ]
     )
+    # Same dot-product expansion as the oracle (v.v - 2 v.c + c.c), with
+    # c.c evaluated by the SAME Spark fold over the literal centroid array
+    # (constant-folded once per plan), then floor-quantized to int64
+    # micro-units BEFORE ranking — identical pre-quantization FP text on
+    # both engines, so a value near a rounding boundary can never rank
+    # differently across them.
+    vv = dot(F.col("v"), F.col("v"))
     scored = F.transform(
         cent_arr,
         lambda c: F.struct(
-            F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.col("v"), c["cv"], lambda a, b: (a - b) * (a - b)
-                    ),
-                    F.lit(0.0),
-                    lambda acc, x: acc + x,
-                ),
-                6,
-            ).alias("d2"),
+            F.floor(
+                (vv - 2.0 * dot(F.col("v"), c["cv"]) + dot(c["cv"], c["cv"]))
+                * 1000000.0
+                + 0.5
+            )
+            .cast("bigint")
+            .alias("d2"),
             c["cent_id"].alias("cent_id"),
         ),
     )
     ranked = F.array_sort(scored)  # struct order = (d2, cent_id), oracle's rank
     own = F.element_at(ranked, 1)
     nxt = F.element_at(ranked, 2)
-    a = F.sqrt(own["d2"])
-    b = F.sqrt(nxt["d2"])
+    a = F.sqrt(own["d2"] / F.lit(1000000.0))
+    b = F.sqrt(nxt["d2"] / F.lit(1000000.0))
     s = F.when(
         F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
     ).otherwise(F.lit(0.0))
-    sil = emb.select(
+    # <2 centroids: the oracle's rc=2 self-join drops every vector; the
+    # plan-time literal filter reproduces that as the empty frame instead
+    # of emitting rows with a NULL second-best.
+    sil = emb.filter(F.lit(len(cents) >= 2)).select(
         own["cent_id"].cast("long").alias("cluster"),
         F.floor(s * 1000000.0 + 0.5).cast("bigint").alias("sq"),
     )

@@ -2343,12 +2343,17 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
     # repartition on (symbol, minute) is REMOVED by the optimizer (same
     # partitioning as that exchange), so this must be a ROUND-ROBIN
     # repartition with an explicit count — user-specified numPartitions
-    # survives AQE. The exchanged table is bounded by minutes x symbols,
-    # orders below tick count at any SF, so the extra exchange stays
-    # negligible at 100 TB while the weight computation scales with cores.
-    spread = _closes(spark, sf_dir).repartition(
-        spark.sparkContext.defaultParallelism
-    )
+    # survives AQE. The count comes from spark.sql.shuffle.partitions
+    # (the CONFIGURED cluster width) rather than defaultParallelism: the
+    # latter is the executor count alive at plan-build time, which
+    # under-counts on a dynamic-allocation cluster that scales up after
+    # submission. A floor keeps the spread meaningful when the config is
+    # set low for tiny fixtures. The exchanged table is bounded by
+    # minutes x symbols, orders below tick count at any SF, so the extra
+    # exchange stays negligible at 100 TB while the weight computation
+    # scales with cores.
+    n_spread = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
+    spread = _closes(spark, sf_dir).repartition(n_spread)
     cents = spread.select(
         "symbol",
         "minute",
@@ -2774,7 +2779,6 @@ def q_tick_bars(spark: SparkSession, sf_dir: str):
         F.col("event_type").alias("symbol"), "ts", "event_id",
         F.col("value").alias("v"),
     )
-    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
     numbered = ticks.withColumn(
         "bar", F.expr(f"(row_number() OVER (PARTITION BY symbol ORDER BY ts, event_id) - 1) div {_TB_N}")
     )
@@ -2849,7 +2853,6 @@ def q_dollar_bars(spark: SparkSession, sf_dir: str):
         F.col("value").alias("v"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
     )
-    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
     running = ticks.withColumn(
         "bar",
         F.expr(

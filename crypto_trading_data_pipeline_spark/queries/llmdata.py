@@ -184,12 +184,38 @@ def q_cosine_topk(spark: SparkSession, sf_dir: str):
 
 @query(
     "q_multimodal_features",
-    oracle=None,  # binary payloads + Pandas-UDF decode: rows-only check
+    # The deterministic stub decoder is pure byte arithmetic (length,
+    # first byte, last byte of the payload), so the WHOLE pipeline —
+    # encode to binary, Arrow batch transfer, mapInPandas decode — is
+    # hash-checkable against a SQL oracle that predicts the same features
+    # from the utf-8 bytes (the q_media_roundtrip move). DuckDB has no
+    # blob indexing; bytes come out via hex() + substring.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             octet_length(encode(text)) AS n,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE CAST(('0x' || substring(hex(encode(text)), 1, 2)) AS BIGINT)
+             END AS firstb,
+             CASE WHEN octet_length(encode(text)) = 0 THEN 0
+                  ELSE CAST(('0x' || substring(hex(encode(text)),
+                                               length(hex(encode(text))) - 1, 2)) AS BIGINT)
+             END AS lastb
+      FROM documents
+    )
+    SELECT doc_id AS media_id,
+           CAST(16 + (n % 1024) AS INTEGER)                AS width,
+           CAST(16 + ((n * 7 + firstb) % 1024) AS INTEGER) AS height,
+           CAST((firstb + lastb) % 256 AS INTEGER)         AS mean_luma
+    FROM b
+    """,
     doc=(
         "Multimodal plumbing (north-star X): wrap bytes as canonical media "
         "records, extract features via Arrow-batched mapInPandas. The decoder "
-        "is a deterministic stub (no image libs in container); schemas, batch "
-        "shapes and partitioning are the real scale-path plumbing."
+        "is a deterministic stub (no image libs in container) whose features "
+        "are pure byte arithmetic, so the full binary->Arrow->mapInPandas "
+        "path carries a hash-match oracle; schemas, batch shapes and "
+        "partitioning are the real scale-path plumbing."
     ),
 )
 def q_multimodal_features(spark: SparkSession, sf_dir: str):

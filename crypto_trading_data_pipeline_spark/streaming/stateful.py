@@ -544,9 +544,17 @@ def streaming_attribution(
     )
 
 
+#: valid_from/valid_to are TIMESTAMP_NTZ, not TIMESTAMP: the operator's
+#: pandas fold works in UTC wall clock (the utc_wall_ntz input contract),
+#: and an LTZ output column would make Arrow re-interpret those naive
+#: wall times as SESSION-zone wall on the way back out — shifting every
+#: interval bound by the session offset under a non-UTC
+#: spark.sql.session.timeZone (caught by the tz sweep in
+#: tests/test_streaming_tz_sweep.py). NTZ crosses Arrow untouched in both
+#: directions and matches the batch q_scd2's NTZ interval bounds.
 SCD2_SCHEMA = (
-    "user_id long, version int, event_type string, valid_from timestamp, "
-    "valid_to timestamp, n_events long, is_current boolean"
+    "user_id long, version int, event_type string, valid_from timestamp_ntz, "
+    "valid_to timestamp_ntz, n_events long, is_current boolean"
 )
 #: The OPEN run only — closed versions are emitted once and never revisited,
 #: so state is O(1) per user however long the history grows: (island number,
