@@ -599,6 +599,75 @@ def _ivf_assign(n, keep_top: int = 1):
     return ranked.select("vec_id", "cent_id", "rc")
 
 
+def _ivf_assign_hier(n):
+    """TWO-LEVEL IVF quantizer (IMI / hierarchical-IVF shape) for
+    SemDeDup: coarse centroids are the PINNED-k subset (vec_id % 50 == 0
+    AND vec_id < 3200, k1 <= 64), fine centroids the CONSTANT-SPACING
+    subset (every 50th vec_id, k2 ~ N/50). Vectors route nearest-coarse
+    first (broadcast of a fixed-size table, O(N * 64)), then rank only
+    the fine centroids living in their coarse cell (shuffle on co_id,
+    O(N * k2/k1) with balanced cells).
+
+    Why a second level exists at all: SemDeDup's pairwise stage costs
+    sum(|cluster|^2), so the CLUSTER SIZE must stay constant as the
+    corpus grows (the paper pins ~size, not count — 50k clusters for
+    LAION). Constant size means k2 grows with N, and a single-level
+    nearest-of-k2 assignment is O(N * k2) = O(N^2/50) — the r7 scale
+    artifact. The hierarchy keeps BOTH stages linear: fixed-k coarse
+    routing plus a per-cell fine rank over ~k2/k1 candidates. Fine
+    clusters average ~50 vectors at any N, so pairwise is O(50 * N).
+
+    Determinism: every rank is (rounded-6dp cosine DESC, centroid id) —
+    the oracle SQL mirrors all three ranks verbatim. A fine centroid is
+    its own nearest coarse candidate at cosine exactly 1.0 (self-pairing
+    below), so no coarse cell referenced by a vector is ever empty on
+    real-valued fixtures; a pathological rounded-1.0 tie would drop the
+    cell's vectors IDENTICALLY in both engines (same inner join, same
+    tie-break), so hash parity is preserved even then."""
+    coarse = F.broadcast(
+        n.filter(
+            (F.col("vec_id") % _IVF_CENT_MOD == 0)
+            & (F.col("vec_id") < _IVF_CENT_MAX_ID)
+        ).select(
+            F.col("vec_id").alias("co_id"),
+            F.col("v").alias("cov"),
+            F.col("nrm").alias("conrm"),
+        )
+    )
+    fine = n.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("v").alias("cv"),
+        F.col("nrm").alias("cnrm"),
+    )
+
+    def nearest_coarse(df, vcol, ncol, idcol):
+        csim = F.round(
+            dot(F.col(vcol), F.col("cov")) / (F.col(ncol) * F.col("conrm")), 6
+        )
+        w = Window.partitionBy(idcol).orderBy(F.col("csim").desc(), F.col("co_id"))
+        return (
+            df.crossJoin(coarse)
+            .withColumn("csim", csim)
+            .withColumn("rc", F.row_number().over(w))
+            .filter(F.col("rc") == 1)
+            .drop("csim", "rc", "cov", "conrm")
+        )
+
+    fine_cell = nearest_coarse(fine, "cv", "cnrm", "cent_id")
+    vec_cell = nearest_coarse(n, "v", "nrm", "vec_id")
+    fsim = F.round(
+        dot(F.col("v"), F.col("cv")) / (F.col("nrm") * F.col("cnrm")), 6
+    )
+    wf = Window.partitionBy("vec_id").orderBy(F.col("fsim").desc(), F.col("cent_id"))
+    return (
+        vec_cell.join(fine_cell, "co_id")
+        .withColumn("fsim", fsim)
+        .withColumn("rf", F.row_number().over(wf))
+        .filter(F.col("rf") == 1)
+        .select("vec_id", "v", "nrm", "cent_id")
+    )
+
+
 @query(
     "q_ann_ivf",
     oracle="""
@@ -1170,19 +1239,42 @@ _SEMDEDUP_TAU = 0.30
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-    ), cent AS (
-      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+    ), coarse AS (
+      SELECT vec_id AS co_id, v AS cov, nrm AS conrm FROM n
       WHERE vec_id % 50 = 0 AND vec_id < 3200
-    ), assign AS (
-      SELECT vec_id, v, nrm, cent_id FROM (
-        SELECT n.vec_id, n.v, n.nrm, cent.cent_id,
+    ), fine AS (
+      SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
+      WHERE vec_id % 50 = 0
+    ), fine_cell AS (
+      SELECT cent_id, cv, cnrm, co_id FROM (
+        SELECT f.cent_id, f.cv, f.cnrm, coarse.co_id,
+               row_number() OVER (
+                 PARTITION BY f.cent_id
+                 ORDER BY round(list_dot_product(f.cv, coarse.cov) / (f.cnrm * coarse.conrm), 6) DESC,
+                          coarse.co_id
+               ) AS rc
+        FROM fine f CROSS JOIN coarse
+      ) WHERE rc = 1
+    ), vec_cell AS (
+      SELECT vec_id, v, nrm, co_id FROM (
+        SELECT n.vec_id, n.v, n.nrm, coarse.co_id,
                row_number() OVER (
                  PARTITION BY n.vec_id
-                 ORDER BY round(list_dot_product(n.v, cent.cv) / (n.nrm * cent.cnrm), 6) DESC,
-                          cent.cent_id
+                 ORDER BY round(list_dot_product(n.v, coarse.cov) / (n.nrm * coarse.conrm), 6) DESC,
+                          coarse.co_id
                ) AS rc
-        FROM n CROSS JOIN cent
+        FROM n CROSS JOIN coarse
       ) WHERE rc = 1
+    ), assign AS (
+      SELECT vec_id, v, nrm, cent_id FROM (
+        SELECT vc.vec_id, vc.v, vc.nrm, fc.cent_id,
+               row_number() OVER (
+                 PARTITION BY vc.vec_id
+                 ORDER BY round(list_dot_product(vc.v, fc.cv) / (vc.nrm * fc.cnrm), 6) DESC,
+                          fc.cent_id
+               ) AS rf
+        FROM vec_cell vc JOIN fine_cell fc USING (co_id)
+      ) WHERE rf = 1
     )
     SELECT a.vec_id, a.cent_id AS cluster,
            CAST(NOT EXISTS (
@@ -1194,17 +1286,20 @@ _SEMDEDUP_TAU = 0.30
     """,
     doc=(
         "SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in "
-        "embedding space, CLUSTER-BLOCKED — assign every vector to its "
-        "nearest centroid (the q_ann_ivf assignment, shared code), then "
-        "drop any vector whose cosine to a LOWER-id vector in the SAME "
-        "cluster reaches the threshold (dominance-by-lower-id: unlike the "
+        "embedding space, CLUSTER-BLOCKED — assign every vector to a fine "
+        "cluster via the TWO-LEVEL quantizer (_ivf_assign_hier: pinned-64 "
+        "coarse routing, then constant-~50-size fine clusters), then drop "
+        "any vector whose cosine to a LOWER-id vector in the SAME cluster "
+        "reaches the threshold (dominance-by-lower-id: unlike the "
         "sequential greedy scan, a vector already marked dropped can still "
         "dominate later ones — a deterministic, fully-parallel variant "
         "that keeps at most as many vectors as greedy). Pairwise cost is "
-        "sum of squared CLUSTER sizes, not corpus², and the cluster count "
-        "is the knob that bounds it — the exact reason SemDeDup clusters "
-        "first at web scale. Emits every vector with its cluster and keep "
-        "flag so the drop rate per cluster is auditable."
+        "sum of squared CLUSTER sizes, so cluster SIZE must stay constant "
+        "as the corpus grows (the paper pins ~size: 50k clusters for "
+        "LAION) — the hierarchy keeps assignment linear too, where a flat "
+        "nearest-of-N/50 rank was the r7 O(N^2/50) scale artifact. Emits "
+        "every vector with its cluster and keep flag so the drop rate per "
+        "cluster is auditable."
     ),
 )
 def q_semdedup(spark: SparkSession, sf_dir: str):
@@ -1242,7 +1337,7 @@ def semdedup_flags(emb, observation=None):
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
-    assign = _ivf_assign(n)
+    assign = _ivf_assign_hier(n)
     a = assign.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
