@@ -196,6 +196,20 @@ HEADLINE = [
     "q_tick_bars",
     "q_ndcg",
     "q_dollar_bars",
+    # r8 additions: scale-ops audit, feature screening, retrieval infra,
+    # microstructure, blocked record linkage, trained-index ANN.
+    "q_skew_audit",
+    "q_woe_iv",
+    "q_entity_match",
+    "q_kyle_lambda",
+    "q_amihud",
+    "q_lift_gain",
+    "q_inverted_index",
+    # q_ann_ivf_trained is correctness-gated but NOT benched: like
+    # q_kmeans_ivf (also excluded), ~10 s of its wall is the trainer's
+    # driver-coordinated rounds (fresh centroid literals -> fresh codegen
+    # per round) — a fixed cost independent of data size (probe ratio
+    # 0.84 at 10x) that would only add noise-free constant seconds here.
 ]
 # Guard against double-timing: a name listed twice (it has happened) would
 # run twice and silently collapse in the output dict.

@@ -1898,22 +1898,13 @@ _KMEANS_IVF_ITERS = 3
 _KMEANS_IVF_SCALE = 1_000_000
 
 
-def _kmeans_ivf_sql(k: int, iters: int, scale: int) -> str:
-    """Unrolled Lloyd's k-means as a single DuckDB statement.
-
-    Mirrors operators/cluster.kmeans_train in quantize mode CTE-for-step:
-    seeds = k smallest (md5-hash, id); each iteration one argmin
-    assignment (integer squared distance, ties toward the lower cluster
-    index) + one half-up-rounded integer mean update (empty clusters keep
-    their previous centroid via the LEFT JOIN COALESCE); final assignment
-    feeds the per-cluster counts. Exact integer arithmetic end-to-end is
-    what makes the iterative loop hash-matchable at all — float means
-    would drift between engines by summation order."""
+def _kmeans_cte_chain(k: int, iters: int, scale: int) -> tuple[str, str]:
+    """Shared unrolled-Lloyd's CTE prefix for the trained-centroid oracles
+    (q_kmeans_ivf counts, q_ann_ivf_trained search): quantize -> hash
+    seeds -> iters x (argmin assignment + integer mean update). Returns
+    (prefix_sql, final_centroid_cte_name)."""
     h = dh.sql_token_hash("CAST(vec_id AS VARCHAR)")
-    dist = (
-        "list_sum(list_transform(range(1, len(e.v) + 1), "
-        "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
-    )
+    dist = _KMEANS_DIST
     parts = [
         f"""
     WITH e AS (
@@ -1950,19 +1941,77 @@ def _kmeans_ivf_sql(k: int, iters: int, scale: int) -> str:
     )"""
         )
         prev = f"c{it}"
-    parts.append(
-        f""", af AS (
+    return "".join(parts), prev
+
+
+_KMEANS_DIST = (
+    "list_sum(list_transform(range(1, len(e.v) + 1), "
+    "i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i])))"
+)
+
+
+def _kmeans_ivf_sql(k: int, iters: int, scale: int) -> str:
+    """Unrolled Lloyd's k-means as a single DuckDB statement.
+
+    Mirrors operators/cluster.kmeans_train in quantize mode CTE-for-step:
+    seeds = k smallest (md5-hash, id); each iteration one argmin
+    assignment (integer squared distance, ties toward the lower cluster
+    index) + one half-up-rounded integer mean update (empty clusters keep
+    their previous centroid via the LEFT JOIN COALESCE); final assignment
+    feeds the per-cluster counts. Exact integer arithmetic end-to-end is
+    what makes the iterative loop hash-matchable at all — float means
+    would drift between engines by summation order."""
+    prefix, prev = _kmeans_cte_chain(k, iters, scale)
+    return (
+        prefix
+        + f""", af AS (
       SELECT cluster FROM (
         SELECT e.vec_id, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {dist} ASC, c.cluster ASC) AS rc
+                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
         FROM e CROSS JOIN {prev} c
       ) WHERE rc = 1
     )
     SELECT CAST(cluster AS INTEGER) AS cluster, count(*) AS n_vectors
     FROM af GROUP BY 1"""
     )
-    return "".join(parts)
+
+
+def _ann_ivf_trained_sql(k: int, iters: int, scale: int) -> str:
+    """The q_kmeans_ivf refinement chain, finished as an ANN SEARCH: final
+    assignment keeps (vec_id, v, cluster), probe queries (vec_id < 5) scan
+    only their own trained cluster, rank by EXACT integer squared distance
+    with vec_id tie-break — no rounding anywhere, so the top-k cut cannot
+    disagree between engines."""
+    prefix, prev = _kmeans_cte_chain(k, iters, scale)
+    pair_d2 = (
+        "list_sum(list_transform(range(1, len(q.v) + 1), "
+        "i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])))"
+    )
+    return (
+        prefix
+        + f""", af AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rc = 1
+    )
+    SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
+           CAST(rn AS INTEGER) AS rnk
+    FROM (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             {pair_d2} AS d2,
+             row_number() OVER (
+               PARTITION BY q.vec_id
+               ORDER BY {pair_d2} ASC, x.vec_id
+             ) AS rn
+      FROM af q JOIN af x
+        ON q.cluster = x.cluster AND x.vec_id <> q.vec_id
+      WHERE q.vec_id < 5
+    ) WHERE rn <= 3"""
+    )
 
 
 @query(
@@ -2643,4 +2692,73 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
         F.sum(F.when(F.col("sq") < 0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_negative"),
+    )
+
+
+@query(
+    "q_ann_ivf_trained",
+    oracle=_ann_ivf_trained_sql(_KMEANS_IVF_K, _KMEANS_IVF_ITERS, _KMEANS_IVF_SCALE),
+    doc=(
+        "ANN search over the TRAINED IVF index — the production "
+        "composition the verdict's X3 story builds to: q_kmeans_ivf's "
+        "deterministic Lloyd's trainer (k pinned at train time, "
+        "hash-seeded, exact integer microunit arithmetic) produces the "
+        "coarse quantizer, every vector lands in its trained cluster, "
+        "and the probe queries (vec_id < 5) scan ONLY their own "
+        "inverted list, ranked by EXACT integer squared L2 with vec_id "
+        "tie-break — zero FP anywhere after the upfront quantization, "
+        "so the oracle (the same unrolled refinement CTEs, finished as "
+        "a search instead of counts) matches bit-for-bit by "
+        "construction. Scale shape: training cost is iters x (narrow "
+        "argmin vs k broadcast centroids + one k x dim mean), search "
+        "is |corpus|/k of the corpus per query; k is FIXED at train "
+        "time, so unlike the retired vec_id%50 fixture rule nothing "
+        "here grows with N except linearly."
+    ),
+)
+def q_ann_ivf_trained(spark: SparkSession, sf_dir: str):
+    from ..operators.cluster import kmeans_train
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    assigned, _cents, _sse = kmeans_train(
+        emb, k=_KMEANS_IVF_K, max_iter=_KMEANS_IVF_ITERS, quantize=_KMEANS_IVF_SCALE
+    )
+    # cluster is argmin over a non-empty literal centroid array — never
+    # NULL — but the equi-join below would still infer IsNotNull(cluster)
+    # and push the ENTIRE inlined k x dim distance expression into the
+    # parquet scan as a DataFilter, re-evaluating it per row inside the
+    # scan task (the explode-pushdown class; gated registry-wide). The
+    # coalesce is a no-op on values whose IsNotNull constant-folds to
+    # true, so nothing is pushed and the distance evaluates once.
+    assigned = assigned.withColumn(
+        "cluster", F.coalesce(F.col("cluster"), F.lit(-1))
+    )
+    q = assigned.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("cluster").alias("qc"),
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
+    return (
+        assigned.join(
+            F.broadcast(q),
+            (F.col("cluster") == F.col("qc"))
+            & (F.col("vec_id") != F.col("query_id")),
+        )
+        .withColumn("d2", d2)
+        .withColumn("rnk", F.row_number().over(wr))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("d2").cast("bigint").alias("d2"),
+            F.col("rnk").cast("int").alias("rnk"),
+        )
     )

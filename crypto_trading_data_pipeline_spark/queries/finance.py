@@ -2875,3 +2875,192 @@ def q_dollar_bars(spark: SparkSession, sf_dir: str):
         F.min("ts").alias("ts_start"),
         F.max("ts").alias("ts_end"),
     )
+
+
+@query(
+    "q_kyle_lambda",
+    oracle="""
+    WITH ticks AS (
+      SELECT event_type AS symbol, ts, event_id, value AS v,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0.0
+    ), signed AS (
+      SELECT symbol, ts, event_id, c,
+             CASE WHEN v > lag(v) OVER w THEN 1
+                  WHEN v < lag(v) OVER w THEN -1 END AS sgn
+      FROM ticks
+      WINDOW w AS (PARTITION BY symbol ORDER BY ts, event_id)
+    ), carried AS (
+      SELECT symbol, ts, event_id, c, date_trunc('minute', ts) AS minute,
+             last_value(sgn IGNORE NULLS)
+               OVER (PARTITION BY symbol ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS side
+      FROM signed
+    ), ranked AS (
+      SELECT symbol, minute, c, side,
+             row_number() OVER (PARTITION BY symbol, minute
+                                ORDER BY ts, event_id) AS rk
+      FROM carried
+    ), minutes AS (
+      SELECT symbol, minute,
+             sum(coalesce(side, 0)) AS x,
+             arg_max(c, rk) - arg_min(c, rk) AS y
+      FROM ranked GROUP BY 1, 2
+    ), sums AS (
+      SELECT symbol,
+             count(*)   AS n,
+             sum(x)     AS sx,
+             sum(y)     AS sy,
+             sum(x * y) AS sxy,
+             sum(x * x) AS sxx
+      FROM minutes GROUP BY symbol
+    )
+    SELECT symbol, CAST(n AS BIGINT) AS n_minutes,
+           CAST(n * sxx - sx * sx AS BIGINT) AS den,
+           CAST((n * sxy - sx * sy) * 1000000 // (n * sxx - sx * sx)
+                AS BIGINT) AS lambda_micro
+    FROM sums WHERE n * sxx - sx * sx > 0
+    """,
+    doc=(
+        "Kyle's lambda (price-impact coefficient), tick-count variant: "
+        "per symbol, regress the within-minute price move (close - open, "
+        "exact cents) on the minute's NET tick-rule order flow "
+        "(n_buy - n_sell, the q_order_flow classification) — the OLS "
+        "slope is the cents a unit of net order flow moves the price, "
+        "THE microstructure liquidity measure (Kyle 1985; the "
+        "tick-imbalance regressor is the standard proxy when size data "
+        "is absent). Everything before the final division is exact "
+        "int64: x is a signed tick count, y exact cents, and the slope "
+        "numerator/denominator (n*Sxy - Sx*Sy, n*Sxx - Sx^2) are BIGINT "
+        "products of per-symbol sums (headroom: |x| <= ticks/minute, "
+        "|y| <= max price in cents — n*Sxy stays under 2^63 while "
+        "minutes x tpm x price_c x tpm < 9.2e18, i.e. to ~1e5 ticks/"
+        "minute at TPC-H-ish price levels; beyond that, scale x to "
+        "per-minute kilo-ticks first). One truncating integer division "
+        "at the end (both engines truncate toward zero). Shape: tick "
+        "rule + minute rank share ONE symbol exchange; the regression "
+        "is a |symbols|-row aggregate. Degenerate symbols (constant "
+        "flow, den = 0) are excluded rather than emitted as NULL."
+    ),
+)
+def q_kyle_lambda(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    ticks = e.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        "event_id",
+        F.col("value").alias("v"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    w = Window.partitionBy("symbol").orderBy("ts", "event_id")
+    prev = F.lag("v").over(w)
+    sgn = F.when(F.col("v") > prev, 1).when(F.col("v") < prev, -1)
+    side = F.last(sgn, ignorenulls=True).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = ticks.select(
+        "symbol",
+        "ts",
+        "event_id",
+        "c",
+        F.date_trunc("minute", "ts").alias("minute"),
+        side.alias("side"),
+    )
+    wb = Window.partitionBy("symbol", "minute").orderBy("ts", "event_id")
+    ranked = carried.withColumn("rk", F.row_number().over(wb))
+    minutes = ranked.groupBy("symbol", "minute").agg(
+        F.sum(F.coalesce(F.col("side"), F.lit(0))).alias("x"),
+        (F.max_by("c", "rk") - F.min_by("c", "rk")).alias("y"),
+    )
+    sums = minutes.groupBy("symbol").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    return (
+        sums.filter(den > 0)
+        .select(
+            "symbol",
+            F.col("n").cast("bigint").alias("n_minutes"),
+            den.cast("bigint").alias("den"),
+            F.expr(
+                "CAST((n * sxy - sx * sy) * 1000000 div (n * sxx - sx * sx)"
+                " AS BIGINT)"
+            ).alias("lambda_micro"),
+        )
+    )
+
+
+@query(
+    "q_amihud",
+    oracle="""
+    WITH ticks AS (
+      SELECT event_type AS symbol, ts,
+             CAST(date_trunc('day', ts) AS DATE) AS day,
+             date_trunc('minute', ts) AS minute,
+             CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
+      FROM events WHERE value > 0.0
+    ), closes AS (
+      SELECT symbol, day, minute, arg_max(c, ts) AS close_c,
+             sum(c) AS vol_c
+      FROM ticks GROUP BY 1, 2, 3
+    ), moves AS (
+      SELECT symbol, day, vol_c,
+             abs(close_c - lag(close_c)
+                   OVER (PARTITION BY symbol, day ORDER BY minute)) AS mv
+      FROM closes
+    )
+    SELECT symbol, day,
+           CAST(count(*) AS BIGINT)            AS n_minutes,
+           CAST(sum(coalesce(mv, 0)) AS BIGINT) AS move_c,
+           CAST(sum(vol_c) AS BIGINT)           AS vol_c,
+           CAST(sum(coalesce(mv, 0)) * 1000000000 // sum(vol_c) AS BIGINT)
+             AS illiq_ppb
+    FROM moves GROUP BY 1, 2
+    """,
+    doc=(
+        "Amihud illiquidity (2002), intraday form: per (symbol, day), "
+        "absolute minute-to-minute price movement per unit of traded "
+        "value — the standard coarse liquidity proxy when the book is "
+        "not observable (large = the price moves a lot per dollar, i.e. "
+        "illiquid). Traded value per minute reuses the q_dollar_bars "
+        "convention (sum of tick cents); moves are exact |close_c - "
+        "prev_close_c| within the day (the day's first minute "
+        "contributes volume but no move, like the canonical estimator's "
+        "first return). All sums exact int64 cents; the ratio is ONE "
+        "parts-per-billion integer division. Shape: minute aggregate + "
+        "lag window + day aggregate ride one symbol exchange; output is "
+        "|symbols| x |days| regardless of tick count."
+    ),
+)
+def q_amihud(spark: SparkSession, sf_dir: str):
+    e = read_table(spark, sf_dir, "events").filter(F.col("value") > 0.0)
+    ticks = e.select(
+        F.col("event_type").alias("symbol"),
+        "ts",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.date_trunc("minute", "ts").alias("minute"),
+        F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
+    )
+    closes = ticks.groupBy("symbol", "day", "minute").agg(
+        F.max_by("c", "ts").alias("close_c"), F.sum("c").alias("vol_c")
+    )
+    wd = Window.partitionBy("symbol", "day").orderBy("minute")
+    moves = closes.select(
+        "symbol",
+        "day",
+        "vol_c",
+        F.abs(F.col("close_c") - F.lag("close_c").over(wd)).alias("mv"),
+    )
+    return moves.groupBy("symbol", "day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+        F.sum(F.coalesce(F.col("mv"), F.lit(0))).cast("bigint").alias("move_c"),
+        F.sum("vol_c").cast("bigint").alias("vol_c"),
+        F.expr(
+            "CAST(sum(coalesce(mv, 0)) * 1000000000 div sum(vol_c) AS BIGINT)"
+        ).alias("illiq_ppb"),
+    )

@@ -3037,3 +3037,179 @@ def q_ndcg(spark: SparkSession, sf_dir: str):
             F.col("n1").alias("n_rel1"),
         )
     )
+
+
+@query(
+    "q_lift_gain",
+    oracle=f"""
+    WITH {_QC_LABELED_CTE}, per_score AS (
+      SELECT m_micro AS s, count(*) AS n, sum(pos) AS p
+      FROM labeled GROUP BY m_micro
+    ), tot AS (
+      SELECT sum(n) AS n_tot, sum(p) AS p_tot FROM per_score
+    ), buck AS (
+      SELECT s, n, p, CAST(floor(s / {_AUC_BUCKET_W}) AS BIGINT) AS b
+      FROM per_score
+    ), boffs AS (
+      SELECT b, coalesce(sum(bn) OVER (ORDER BY b DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off_n
+      FROM (SELECT b, sum(n) AS bn FROM buck GROUP BY b)
+    ), cum AS (
+      SELECT s, n, p,
+             off_n + coalesce(sum(n) OVER (PARTITION BY buck.b ORDER BY s DESC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS above
+      FROM buck JOIN boffs ON buck.b = boffs.b
+    ), dec AS (
+      SELECT least(CAST(above * 10 // n_tot AS BIGINT), 9) AS decile,
+             n, p, n_tot, p_tot
+      FROM cum CROSS JOIN tot
+    )
+    SELECT decile,
+           CAST(sum(n) AS BIGINT) AS n_rows,
+           CAST(sum(p) AS BIGINT) AS n_pos,
+           CAST(sum(p) * 1000000 // sum(n) AS BIGINT) AS pos_rate_ppm,
+           CAST(sum(p) * n_tot * 1000 // (sum(n) * p_tot) AS BIGINT)
+             AS lift_milli
+    FROM dec GROUP BY decile, n_tot, p_tot
+    """,
+    doc=(
+        "Lift table by score decile for the quality-classifier margin "
+        "against the lang='en' label — the marketing/risk-team view of "
+        "the same model q_auc_roc and q_calibration_bins audit (lift@d = "
+        "how much richer decile d is in positives than random; decile 0 "
+        "= top scores). Deciles come from EXACT global ranks with NO "
+        "global sort: the q_auc_roc / q_ks_test two-phase construction "
+        "(per-bucket DESC cumsums in parallel + a broadcast bounded "
+        "bucket-offset table) yields each tie-group's exact "
+        "count-strictly-above, and decile = above*10 div n_total, so "
+        "tied scores always share a decile and both engines bucket "
+        "identically. All counts and ratios exact BIGINT (lift in "
+        "milli-x via integer division; headroom n_pos * n_tot * 1000 < "
+        "2^63 to ~3e7-doc corpora per the q_target_encoding convention "
+        "— promote to DOUBLE beyond). Output: <= 10 rows."
+    ),
+)
+def q_lift_gain(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = _qc_margins(docs, with_label=True)
+    per_score = labeled.groupBy(F.col("m_micro").alias("s")).agg(
+        F.count(F.lit(1)).alias("n"), F.sum("pos").alias("p")
+    )
+    tot = per_score.agg(F.sum("n").alias("n_tot"), F.sum("p").alias("p_tot"))
+    buck = per_score.withColumn(
+        "b", F.floor(F.col("s") / float(_AUC_BUCKET_W)).cast("long")
+    )
+    boffs = (
+        buck.groupBy("b")
+        .agg(F.sum("n").alias("bn"))
+        .select(
+            "b",
+            F.coalesce(
+                F.sum("bn").over(
+                    Window.orderBy(F.col("b").desc()).rowsBetween(
+                        Window.unboundedPreceding, -1
+                    )
+                ),
+                F.lit(0),
+            ).alias("off_n"),
+        )
+    )
+    wloc = Window.partitionBy("b").orderBy(F.col("s").desc())
+    cum = buck.join(F.broadcast(boffs), "b").select(
+        "n",
+        "p",
+        (
+            F.col("off_n")
+            + F.coalesce(
+                F.sum("n").over(
+                    wloc.rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            )
+        ).alias("above"),
+    )
+    dec = cum.join(F.broadcast(tot)).select(
+        F.least(
+            F.expr("CAST(above * 10 div n_tot AS BIGINT)"), F.lit(9)
+        ).alias("decile"),
+        "n",
+        "p",
+        "n_tot",
+        "p_tot",
+    )
+    return dec.groupBy("decile", "n_tot", "p_tot").agg(
+        F.sum("n").cast("bigint").alias("n_rows"),
+        F.sum("p").cast("bigint").alias("n_pos"),
+        F.expr("CAST(sum(p) * 1000000 div sum(n) AS BIGINT)").alias(
+            "pos_rate_ppm"
+        ),
+        F.expr(
+            "CAST(sum(p) * first(n_tot) * 1000"
+            " div (sum(n) * first(p_tot)) AS BIGINT)"
+        ).alias("lift_milli"),
+    ).drop("n_tot", "p_tot")
+
+
+@query(
+    "q_inverted_index",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents
+    ), posting AS (
+      SELECT term, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+    ), stats AS (
+      SELECT term, count(*) AS df, sum(tf) AS total_tf
+      FROM posting GROUP BY term
+    ), top AS (
+      SELECT term, doc_id AS top_doc_id, tf AS top_tf FROM (
+        SELECT term, doc_id, tf,
+               row_number() OVER (PARTITION BY term
+                                  ORDER BY tf DESC, doc_id) AS rk
+        FROM posting
+      ) WHERE rk = 1
+    )
+    SELECT s.term, CAST(s.df AS BIGINT) AS df,
+           CAST(s.total_tf AS BIGINT) AS total_tf,
+           t.top_doc_id, CAST(t.top_tf AS BIGINT) AS top_tf
+    FROM stats s JOIN top t ON s.term = t.term
+    """,
+    doc=(
+        "Inverted-index build: the full posting-list statistics table "
+        "(per term: document frequency, total term frequency, and the "
+        "heaviest posting with deterministic (tf DESC, doc_id) "
+        "tie-break) — the structure a BM25/retrieval serving layer "
+        "(q_bm25, q_rrf_fusion) is actually SERVED from; building it IS "
+        "the retrieval-side output of a training-data pipeline. Shape: "
+        "explode is narrow; the (term, doc) aggregate partial-combines "
+        "before its shuffle so shuffle volume is |postings|, not "
+        "|tokens|; the per-term stats and the top-posting window then "
+        "ride the SAME term partitioning (one more exchange on term, "
+        "AQE-coalesced). Skewed terms (stopwords) are bounded by "
+        "per-doc tf, and the hottest terms are exactly what "
+        "q_skew_audit-style review reads off this table's df column."
+    ),
+)
+def q_inverted_index(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(F.split("text", " ")).alias("term"))
+    posting = toks.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    stats = posting.groupBy("term").agg(
+        F.count(F.lit(1)).alias("df"), F.sum("tf").alias("total_tf")
+    )
+    wt = Window.partitionBy("term").orderBy(F.col("tf").desc(), "doc_id")
+    top = (
+        posting.withColumn("rk", F.row_number().over(wt))
+        .filter(F.col("rk") == 1)
+        .select(
+            "term",
+            F.col("doc_id").alias("top_doc_id"),
+            F.col("tf").alias("top_tf"),
+        )
+    )
+    return stats.join(top, "term").select(
+        "term",
+        F.col("df").cast("bigint").alias("df"),
+        F.col("total_tf").cast("bigint").alias("total_tf"),
+        "top_doc_id",
+        F.col("top_tf").cast("bigint").alias("top_tf"),
+    )

@@ -299,6 +299,13 @@ _SINGLE_PARTITION_OK = {
     "q_ndcg",              # inherits q_bm25's one-row (n, avgdl) scalar;
                            # grade histogram is a one-row global count and
                            # DCG/IDCG finalize over <=10-row tables
+    "q_skew_audit",        # 1-row (n_rows, n_keys) totals + the global
+                           # top-10 limit finalize (both bounded)
+    "q_woe_iv",            # 1-row (g_tot, b_tot) smoothing totals over
+                           # the <=10-bin cell table
+    "q_lift_gain",         # one-row (n_tot, p_tot) totals + ~1e3-row
+                           # score-bucket-offset cumsum (the q_auc_roc
+                           # construction)
 }
 
 
