@@ -350,6 +350,27 @@ def test_tfidf_vocab_join_not_hint_broadcast(spark):
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
 
 
+def test_triangle_degree_tables_not_hint_broadcast(spark):
+    """q_triangle_count's degree tables are |V|-sized — a broadcast HINT on
+    them OOMs the driver at power-law-graph vertex cardinalities (VERDICT
+    r7 #3; the hints were removed, this pins the removal). Same probe as
+    the tfidf vocab test: with auto-broadcast off, a hint would still
+    force BroadcastHashJoin; hint-free, every |V|- or |E|-scaling join
+    must revert to a shuffle join. The 1-row scalar-count finalizers may
+    keep their BroadcastNestedLoopJoin."""
+    df = REGISTRY["q_triangle_count"].fn(spark, SF)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+    assert "BroadcastHashJoin" not in plan, (
+        "a |V|-scaling table is hint-broadcast — driver OOM at graph scale:\n"
+        + plan
+    )
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+
+
 def test_no_expensive_expressions_in_scan_filters(all_plans):
     """InferFiltersFromGenerate can push a size(<expensive expr>) > 0
     predicate from an explode() all the way into the parquet scan filter,
