@@ -123,6 +123,33 @@ def _driver_check_rounds() -> tuple[dict[str, int], set[str]]:
     return latest, hash_checked
 
 
+def _changed_oracles() -> set[str]:
+    """Queries whose ORACLE TEXT differs from the fingerprint recorded at
+    the last driver check (ORACLE_FPS.json, refreshed at session start
+    after the driver's round-end run). A green driver row proven against
+    an OLD oracle says nothing about the rewritten one — the r8 case:
+    q_silhouette's d2 quantization and q_semdedup's two-level quantizer
+    changed both engines' outputs after their r7 rows landed. Absent or
+    unreadable file => empty set (the signal is additive, never load-
+    bearing)."""
+    import hashlib
+    import json
+    from pathlib import Path
+
+    f = Path(__file__).resolve().parents[2] / "ORACLE_FPS.json"
+    try:
+        fps = json.loads(f.read_text())
+    except (OSError, json.JSONDecodeError):
+        return set()
+    return {
+        n
+        for n, s in REGISTRY.items()
+        if s.oracle is not None
+        and n in fps
+        and hashlib.md5(s.oracle.encode()).hexdigest() != fps[n]
+    }
+
+
 def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
     latest, hash_checked = _driver_check_rounds()
     order = {n: i for i, n in enumerate(REGISTRY)}
@@ -134,11 +161,20 @@ def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
         for n in REGISTRY
         if n in latest and n not in hash_checked and REGISTRY[n].oracle is not None
     ]
+    # Oracle text rewritten since its last driver check: as unproven as
+    # an upgrade, for the same reason.
+    changed = [
+        n
+        for n in _changed_oracles()
+        if n in latest and n not in upgraded
+    ]
+    changed.sort(key=lambda n: order[n])
+    head = upgraded + changed
     rest = sorted(
-        (n for n in REGISTRY if n in latest and n not in upgraded),
+        (n for n in REGISTRY if n in latest and n not in head),
         key=lambda n: (latest[n], order[n]),
     )
-    return (upgraded + never + rest)[:size]
+    return (head + never + rest)[:size]
 
 
 def _rotate_window(priority: list[str]) -> None:
