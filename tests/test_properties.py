@@ -192,6 +192,7 @@ def test_driver_window_holds_rotated_queries():
     from crypto_trading_data_pipeline_spark.queries import (
         _DRIVER_WINDOW,
         _WINDOW_SIZE,
+        _changed_oracles,
         _driver_check_rounds,
         REGISTRY,
     )
@@ -208,10 +209,14 @@ def test_driver_window_holds_rotated_queries():
         for n in REGISTRY
         if n in latest and n not in hash_checked and REGISTRY[n].oracle is not None
     ]
-    priority = set(never) | set(upgraded)
+    # Oracle text rewritten since its last driver check (ORACLE_FPS.json
+    # fingerprint mismatch): the old green row proves nothing about the
+    # new text, so these rank right after upgrades.
+    changed = [n for n in _changed_oracles() if n in latest and n not in upgraded]
+    priority = set(never) | set(upgraded) | set(changed)
     # Upgraded oracles outrank never-checked: they registered in an earlier
     # round and have already waited >= 1 full round for their hash row.
-    priority_list = upgraded + never  # registry order within each tier
+    priority_list = upgraded + changed + never  # registry order per tier
     if len(priority_list) >= _WINDOW_SIZE:
         # More unproven queries than slots: the window is exactly the first
         # WINDOW_SIZE priority entries; the overflow is never silently
