@@ -47,6 +47,22 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
+def configured_shuffle_partitions(spark, *, floor: int = 16) -> int:
+    """The CONFIGURED cluster width for explicit-count repartitions that
+    must survive AQE coalescing (q_bootstrap_ci / q_entity_match): reads
+    spark.sql.shuffle.partitions rather than plan-time defaultParallelism
+    (which under-counts on a dynamic-allocation cluster that scales up
+    after submission), falls back to defaultParallelism where the config
+    is non-numeric (Databricks sets it to 'auto' under auto-optimized
+    shuffle), and floors so the spread stays meaningful when the config
+    is set low for tiny fixtures."""
+    try:
+        n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    except (ValueError, TypeError):
+        n = int(spark.sparkContext.defaultParallelism)
+    return max(n, floor)
+
+
 def with_salt(df: DataFrame, *, buckets: int, col_name: str = "__salt") -> DataFrame:
     """Add a deterministic-per-row salt column in [0, buckets).
 

@@ -2352,8 +2352,11 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
     # minutes x symbols, orders below tick count at any SF, so the extra
     # exchange stays negligible at 100 TB while the weight computation
     # scales with cores.
-    n_spread = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
-    spread = _closes(spark, sf_dir).repartition(n_spread)
+    from ..operators.scale import configured_shuffle_partitions
+
+    spread = _closes(spark, sf_dir).repartition(
+        configured_shuffle_partitions(spark)
+    )
     cents = spread.select(
         "symbol",
         "minute",
@@ -2999,15 +3002,20 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str):
     "q_amihud",
     oracle="""
     WITH ticks AS (
-      SELECT event_type AS symbol, ts,
+      SELECT event_type AS symbol, ts, event_id,
              CAST(date_trunc('day', ts) AS DATE) AS day,
              date_trunc('minute', ts) AS minute,
              CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS c
       FROM events WHERE value > 0.0
+    ), ranked AS (
+      SELECT symbol, day, minute, c,
+             row_number() OVER (PARTITION BY symbol, day, minute
+                                ORDER BY ts, event_id) AS rk
+      FROM ticks
     ), closes AS (
-      SELECT symbol, day, minute, arg_max(c, ts) AS close_c,
+      SELECT symbol, day, minute, arg_max(c, rk) AS close_c,
              sum(c) AS vol_c
-      FROM ticks GROUP BY 1, 2, 3
+      FROM ranked GROUP BY 1, 2, 3
     ), moves AS (
       SELECT symbol, day, vol_c,
              abs(close_c - lag(close_c)
@@ -3042,12 +3050,20 @@ def q_amihud(spark: SparkSession, sf_dir: str):
     ticks = e.select(
         F.col("event_type").alias("symbol"),
         "ts",
+        "event_id",
         F.date_trunc("day", "ts").cast("date").alias("day"),
         F.date_trunc("minute", "ts").alias("minute"),
         F.floor(F.col("value") * 100.0 + 0.5).cast("bigint").alias("c"),
     )
-    closes = ticks.groupBy("symbol", "day", "minute").agg(
-        F.max_by("c", "ts").alias("close_c"), F.sum("c").alias("vol_c")
+    # Minute close by the TOTAL (ts, event_id) order, not bare ts: two
+    # ticks sharing a timestamp would make max_by(c, ts) partition-order
+    # nondeterministic (the q_tick_bars/q_kyle_lambda rk discipline).
+    wr = Window.partitionBy("symbol", "day", "minute").orderBy(
+        "ts", "event_id"
+    )
+    ranked = ticks.withColumn("rk", F.row_number().over(wr))
+    closes = ranked.groupBy("symbol", "day", "minute").agg(
+        F.max_by("c", "rk").alias("close_c"), F.sum("c").alias("vol_c")
     )
     wd = Window.partitionBy("symbol", "day").orderBy("minute")
     moves = closes.select(

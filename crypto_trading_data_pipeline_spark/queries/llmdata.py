@@ -3063,6 +3063,7 @@ def q_ndcg(spark: SparkSession, sf_dir: str):
       SELECT least(CAST(above * 10 // n_tot AS BIGINT), 9) AS decile,
              n, p, n_tot, p_tot
       FROM cum CROSS JOIN tot
+      WHERE p_tot > 0
     )
     SELECT decile,
            CAST(sum(n) AS BIGINT) AS n_rows,
@@ -3128,14 +3129,21 @@ def q_lift_gain(spark: SparkSession, sf_dir: str):
             )
         ).alias("above"),
     )
-    dec = cum.join(F.broadcast(tot)).select(
-        F.least(
-            F.expr("CAST(above * 10 div n_tot AS BIGINT)"), F.lit(9)
-        ).alias("decile"),
-        "n",
-        "p",
-        "n_tot",
-        "p_tot",
+    # Lift is undefined with zero positives (the milli-x division would be
+    # by zero): emit ZERO rows, matching the oracle's WHERE (the q_auc_roc
+    # single-class convention).
+    dec = (
+        cum.join(F.broadcast(tot))
+        .filter(F.col("p_tot") > 0)
+        .select(
+            F.least(
+                F.expr("CAST(above * 10 div n_tot AS BIGINT)"), F.lit(9)
+            ).alias("decile"),
+            "n",
+            "p",
+            "n_tot",
+            "p_tot",
+        )
     )
     return dec.groupBy("decile", "n_tot", "p_tot").agg(
         F.sum("n").cast("bigint").alias("n_rows"),

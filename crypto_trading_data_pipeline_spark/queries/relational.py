@@ -5300,11 +5300,15 @@ _ER_WINDOW = 8
 def q_entity_match(spark: SparkSession, sf_dir: str):
     part = read_table(spark, sf_dir, "part")
     words = F.split(F.col("p_name"), " ")
+    # F.get (0-based) returns NULL past the end instead of ANSI-throwing
+    # like element_at, and the coalesce-to-'' makes a single-word name
+    # block as "word " — exactly DuckDB's split_part || ' ' || '' (the
+    # TPC-H fixture always has 5-word names; this is corpus-robustness).
     p = part.select(
         "p_partkey",
         "p_name",
-        F.concat_ws(
-            " ", F.element_at(words, 1), F.element_at(words, 2)
+        F.concat(
+            F.get(words, 0), F.lit(" "), F.coalesce(F.get(words, 1), F.lit(""))
         ).alias("blk"),
     )
     # EXPLICIT-count hash repartition on the block key: the name table is
@@ -5315,8 +5319,9 @@ def q_entity_match(spark: SparkSession, sf_dir: str):
     # exact partitioning, so no further exchange is planned and the
     # CPU-bound pair work spreads across the configured cluster width
     # (the q_bootstrap_ci lesson, join-input edition).
-    n_spread = max(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)
-    p = p.repartition(n_spread, "blk")
+    from ..operators.scale import configured_shuffle_partitions
+
+    p = p.repartition(configured_shuffle_partitions(spark), "blk")
     wb = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
     ranked = p.withColumn("rn", F.row_number().over(wb))
     a = ranked.select(

@@ -112,14 +112,25 @@ def test_batch_roundtrip_parses_byte_for_byte(spark, produced):
     # trade_value = price * quantity: exact precision depends on
     # spark.sql.decimalOperations.allowPrecisionLoss; decimal either way.
     assert fields[6].startswith("trade_value:decimal(38,")
-    rows = {r.trade_id: r for r in parsed.collect()}
+    # Epoch compare via unix_millis in-query: collect() renders LTZ as a
+    # naive datetime in the SESSION tz, and datetime.timestamp() would
+    # re-interpret it in the HOST OS tz — skewing every epoch when the
+    # two differ. unix_millis reads the instant directly.
+    from pyspark.sql import functions as F
+
+    rows = {
+        r.trade_id: r
+        for r in parsed.withColumn(
+            "tt_ms", F.expr("unix_millis(trade_time)")
+        ).collect()
+    }
     assert len(rows) == len(_TRADES)
     for t in _TRADES:
         r = rows[t["trade_id"]]
         assert r.symbol == t["symbol"]
         assert float(r.price) == pytest.approx(float(t["price"]))
         assert float(r.quantity) == pytest.approx(float(t["quantity"]))
-        assert int(r.trade_time.timestamp() * 1000) == t["trade_time"]
+        assert r.tt_ms == t["trade_time"]
         assert float(r.trade_value) == pytest.approx(
             float(t["price"]) * float(t["quantity"])
         )

@@ -212,7 +212,11 @@ def test_driver_window_holds_rotated_queries():
     # Oracle text rewritten since its last driver check (ORACLE_FPS.json
     # fingerprint mismatch): the old green row proves nothing about the
     # new text, so these rank right after upgrades.
-    changed = [n for n in _changed_oracles() if n in latest and n not in upgraded]
+    reg_order = {n: i for i, n in enumerate(REGISTRY)}
+    changed = sorted(
+        (n for n in _changed_oracles() if n in latest and n not in upgraded),
+        key=lambda n: reg_order[n],
+    )
     priority = set(never) | set(upgraded) | set(changed)
     # Upgraded oracles outrank never-checked: they registered in an earlier
     # round and have already waited >= 1 full round for their hash row.
@@ -3497,8 +3501,9 @@ def test_kanonymity_matches_python_replica(spark, docs):
 )
 def test_silhouette_matches_python_replica(spark, vecs):
     """q_silhouette vs an independent Python replica of the simplified
-    (centroid-based) silhouette — same rounded-d2 tie-break as
-    q_kmeans_assign, same sqrt/divide IEEE order, same micro-unit
+    (centroid-based) silhouette — same dot-product expansion and
+    micro-unit floor quantization of d2 BEFORE the (d2, cent_id) rank
+    (the r8 semantics), same sqrt/divide IEEE order, same per-row s
     quantization. Catches a sign flip or an own/next swap that a
     two-sided oracle sharing the formula cannot."""
     import math
@@ -3519,17 +3524,33 @@ def test_silhouette_matches_python_replica(spark, vecs):
         }
 
         cents = [(i, vecs[i]) for i in range(8)]
+
+        def fold_dot(x, y):
+            # Sequential left fold — the engines' dot-product order.
+            acc_ = 0.0
+            for xi, yi in zip(x, y):
+                acc_ = acc_ + xi * yi
+            return acc_
+
         acc = {}
         for v in vecs:
+            vv = fold_dot(v, v)
+            # r8 semantics: SAME expansion (v.v - 2 v.c + c.c) as both
+            # engines, floor-quantized to int64 micro-units BEFORE the
+            # (d2, cent_id) rank — not the retired round(d2, 6).
             scored = sorted(
                 (
-                    round(sum((a - b) * (a - b) for a, b in zip(v, cv)), 6),
+                    math.floor(
+                        (vv - 2.0 * fold_dot(v, cv) + fold_dot(cv, cv))
+                        * 1000000.0
+                        + 0.5
+                    ),
                     cid,
                 )
                 for cid, cv in cents
             )
             (d2o, own), (d2n, _) = scored[0], scored[1]
-            a, b = math.sqrt(d2o), math.sqrt(d2n)
+            a, b = math.sqrt(d2o / 1000000.0), math.sqrt(d2n / 1000000.0)
             s = (b - a) / max(a, b) if max(a, b) > 0 else 0.0
             sq = math.floor(s * 1000000.0 + 0.5)
             n, ssum, neg = acc.get(own, (0, 0, 0))

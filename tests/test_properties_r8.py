@@ -107,10 +107,13 @@ def test_kyle_lambda_matches_python_replica(spark, ticks):
 @settings(max_examples=3, deadline=None)
 @given(ticks_strategy)
 def test_amihud_matches_python_replica(spark, ticks):
-    """q_amihud vs an independent fold: minute closes (last tick by ts,
-    tie by nothing — generator keeps (minute, second) unique per symbol
-    via the event_id tie in ts ordering), within-day |close - prev_close|
-    sum over minute boundaries, exact ppb division."""
+    """q_amihud vs an independent fold: minute closes by the TOTAL
+    (ts, event_id) order — the generator deliberately ALLOWS duplicate
+    (minute, second) slots per symbol, so examples with tied timestamps
+    exercise the event_id tie-break (the replica's in-arrival-order last
+    write matches it because event_id is the enumeration index) — then
+    within-day |close - prev_close| sums over minute boundaries and one
+    exact ppb division."""
     base = datetime(2024, 3, 1)
     d = tempfile.mkdtemp(prefix="amihud_prop_")
     try:
@@ -406,8 +409,10 @@ def test_lift_gain_matches_python_replica(spark, docs):
             scored.append((m + _QC_BIAS * len(toks), 1 if lang == "en" else 0))
         n_tot, p_tot = len(scored), sum(p for _, p in scored)
         if p_tot == 0:
-            # lift is undefined with no positives: the integer division
-            # by p_tot would fail identically in both engines; skip.
+            # Lift is undefined with no positives: BOTH engines emit the
+            # empty frame (hypothesis found the unguarded version threw
+            # ArithmeticException on an all-negative corpus).
+            assert got == {}, got
             return
         per_score: dict[int, list[int]] = {}
         for s, p in scored:
