@@ -2717,6 +2717,15 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_ann_ivf_trained(spark: SparkSession, sf_dir: str):
+    _assigned, topk = _trained_search(spark, sf_dir)
+    return topk
+
+
+def _trained_search(spark: SparkSession, sf_dir: str):
+    """Shared trained-index machinery for q_ann_ivf_trained and its recall
+    audit: returns (assigned, topk) — the per-vector trained-cluster
+    assignment (quantized microunit vectors riding along) and the probe
+    queries' in-cluster integer-L2 top-3."""
     from ..operators.cluster import kmeans_train
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
@@ -2746,7 +2755,7 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str):
         lambda acc, x: acc + x,
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
-    return (
+    topk = (
         assigned.join(
             F.broadcast(q),
             (F.col("cluster") == F.col("qc"))
@@ -2760,5 +2769,113 @@ def q_ann_ivf_trained(spark: SparkSession, sf_dir: str):
             F.col("vec_id").alias("neighbor_id"),
             F.col("d2").cast("bigint").alias("d2"),
             F.col("rnk").cast("int").alias("rnk"),
+        )
+    )
+    return assigned, topk
+
+
+def _ann_recall_trained_sql(k: int, iters: int, scale: int) -> str:
+    """Recall@3 of the TRAINED index vs the exact integer-L2 top-3 — the
+    q_ann_recall_eval audit re-aimed at the kmeans-trained quantizer."""
+    prefix, prev = _kmeans_cte_chain(k, iters, scale)
+    pair_d2 = (
+        "list_sum(list_transform(range(1, len(q.v) + 1), "
+        "i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])))"
+    )
+    return (
+        prefix
+        + f""", af AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rc = 1
+    ), exact AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {pair_d2} ASC, x.vec_id
+               ) AS rn
+        FROM e q JOIN e x ON x.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 3
+    ), ivf AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+               row_number() OVER (
+                 PARTITION BY q.vec_id
+                 ORDER BY {pair_d2} ASC, x.vec_id
+               ) AS rn
+        FROM af q JOIN af x
+          ON q.cluster = x.cluster AND x.vec_id <> q.vec_id
+        WHERE q.vec_id < 5
+      ) WHERE rn <= 3
+    )
+    SELECT e.query_id,
+           CAST(count(*) AS BIGINT) AS n_exact,
+           CAST(count(i.neighbor_id) AS BIGINT) AS n_hit,
+           CAST(count(i.neighbor_id) * 1000000 // count(*) AS BIGINT)
+             AS recall_ppm
+    FROM exact e LEFT JOIN ivf i
+      ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+    GROUP BY e.query_id"""
+    )
+
+
+@query(
+    "q_ann_recall_trained",
+    oracle=_ann_recall_trained_sql(
+        _KMEANS_IVF_K, _KMEANS_IVF_ITERS, _KMEANS_IVF_SCALE
+    ),
+    doc=(
+        "Recall@3 audit of the TRAINED IVF index (q_ann_ivf_trained) "
+        "against the exact integer-L2 top-3 — completing the production "
+        "story: q_kmeans_ivf trains, q_ann_ivf_trained serves, THIS "
+        "monitors the quality the index actually delivers as the corpus "
+        "drifts from the trained centroids. Same shape as "
+        "q_ann_recall_eval: exact side is probes-broadcast-vs-corpus "
+        "(|queries| x N, never N^2), index side shares _trained_search's "
+        "assignment verbatim, every ranking is EXACT integer squared L2 "
+        "with vec_id tie-break (zero FP after quantization — the hash "
+        "oracle is exact by construction), recall an integer-ppm "
+        "division with missing neighbors counted against it via the "
+        "LEFT join."
+    ),
+)
+def q_ann_recall_trained(spark: SparkSession, sf_dir: str):
+    assigned, topk = _trained_search(spark, sf_dir)
+    probes = F.broadcast(
+        assigned.filter(F.col("vec_id") < 5).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("v").alias("qv"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(F.col("qv"), F.col("v"), lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("d2").asc(), "vec_id")
+    exact = (
+        assigned.join(probes, F.col("vec_id") != F.col("query_id"))
+        .withColumn("d2", d2)
+        .withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 3)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"))
+    )
+    ivf = topk.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    return (
+        exact.join(ivf, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_exact"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_hit"),
+            F.expr(
+                "CAST(sum(coalesce(hit, 0)) * 1000000 div count(1) AS BIGINT)"
+            ).alias("recall_ppm"),
         )
     )
