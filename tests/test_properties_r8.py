@@ -489,3 +489,18 @@ def test_ann_ivf_trained_search_invariants(spark):
         assert ranks == list(range(1, len(ranks) + 1))
         seq = [out[(qid, r)] for r in ranks]
         assert seq == sorted(seq, key=lambda nd: (nd[1], nd[0]))
+
+
+def test_ann_recall_trained_invariants(spark):
+    """q_ann_recall_trained on the sf0.001 fixture: one row per probe
+    query, n_exact == 3 (corpus far exceeds k+1), 0 <= n_hit <= n_exact,
+    and recall_ppm is exactly the integer-ppm division of the two — the
+    audit maths, independent of what the trained index actually recalls
+    (that value is data; the oracle hash pins it)."""
+    sf_dir = "/root/testdata/sf0.001"
+    rows = REGISTRY["q_ann_recall_trained"].fn(spark, sf_dir).collect()
+    assert {r.query_id for r in rows} == {0, 1, 2, 3, 4}
+    for r in rows:
+        assert r.n_exact == 3
+        assert 0 <= r.n_hit <= r.n_exact
+        assert r.recall_ppm == r.n_hit * 1000000 // r.n_exact
