@@ -5324,25 +5324,32 @@ def q_entity_match(spark: SparkSession, sf_dir: str):
     p = p.repartition(configured_shuffle_partitions(spark), "blk")
     wb = Window.partitionBy("blk").orderBy("p_name", "p_partkey")
     ranked = p.withColumn("rn", F.row_number().over(wb))
+    # EQUI-join on (blk, exact neighbor rank), not a blk join with a rank
+    # BETWEEN filter: the latter still ENUMERATES all block^2 pairs and
+    # only then filters (the 30x probe measured 70x wall — pair count
+    # grows with block^2 even though survivors are linear). Exploding
+    # each record to its next w rank slots makes generation EXACTLY
+    # w x N: each exploded row meets at most one partner. Row_numbers
+    # are dense per block, so (blk, rn_a + j) == (blk, rn_b) reproduces
+    # b.rn - a.rn BETWEEN 1 AND w verbatim — the oracle keeps the
+    # BETWEEN form (DuckDB's cost at oracle scale is irrelevant).
     a = ranked.select(
         F.col("p_partkey").alias("key_a"),
         F.col("p_name").alias("name_a"),
         "blk",
-        F.col("rn").alias("rn_a"),
+        F.explode(
+            F.array(*[F.col("rn") + F.lit(j) for j in range(1, _ER_WINDOW + 1)])
+        ).alias("rn"),
     )
     b = ranked.select(
         F.col("p_partkey").alias("key_b"),
         F.col("p_name").alias("name_b"),
         "blk",
-        F.col("rn").alias("rn_b"),
+        "rn",
     )
     dist = F.levenshtein(F.col("name_a"), F.col("name_b"), _ER_MAX_DIST)
     return (
-        a.join(b, "blk")
-        .filter(
-            (F.col("rn_b") - F.col("rn_a") >= 1)
-            & (F.col("rn_b") - F.col("rn_a") <= _ER_WINDOW)
-        )
+        a.join(b, ["blk", "rn"])
         .withColumn("dist", dist.cast("bigint"))
         .filter((F.col("dist") >= 0) & (F.col("dist") <= _ER_MAX_DIST))
         .select("key_a", "key_b", "dist")

@@ -142,6 +142,16 @@ QUERIES = [
     "q_kaplan_meier",
     "q_ab_test",
     "q_video_frames",
+    # r8 additions: skew audit, feature screening, ER, microstructure,
+    # retrieval infra, trained-index ANN.
+    "q_skew_audit",
+    "q_woe_iv",
+    "q_entity_match",
+    "q_kyle_lambda",
+    "q_amihud",
+    "q_lift_gain",
+    "q_inverted_index",
+    "q_ann_ivf_trained",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
