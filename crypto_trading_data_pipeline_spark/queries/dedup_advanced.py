@@ -1977,6 +1977,30 @@ def _kmeans_ivf_sql(k: int, iters: int, scale: int) -> str:
     )
 
 
+#: Exact integer squared L2 between a probe row q and a candidate row x —
+#: shared by BOTH trained-index oracles so the serving query and its
+#: recall audit can never rank by different distances.
+_PAIR_D2 = (
+    "list_sum(list_transform(range(1, len(q.v) + 1), "
+    "i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])))"
+)
+
+
+def _trained_af_cte(prev: str) -> str:
+    """The trained final-assignment CTE (vec_id, v, cluster) — ONE text
+    shared by _ann_ivf_trained_sql and _ann_recall_trained_sql: the recall
+    audit is only meaningful if it audits the exact index the serving
+    query builds, so the CTE must be literally the same string."""
+    return f""", af AS (
+      SELECT vec_id, v, cluster FROM (
+        SELECT e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
+        FROM e CROSS JOIN {prev} c
+      ) WHERE rc = 1
+    )"""
+
+
 def _ann_ivf_trained_sql(k: int, iters: int, scale: int) -> str:
     """The q_kmeans_ivf refinement chain, finished as an ANN SEARCH: final
     assignment keeps (vec_id, v, cluster), probe queries (vec_id < 5) scan
@@ -1984,28 +2008,18 @@ def _ann_ivf_trained_sql(k: int, iters: int, scale: int) -> str:
     with vec_id tie-break — no rounding anywhere, so the top-k cut cannot
     disagree between engines."""
     prefix, prev = _kmeans_cte_chain(k, iters, scale)
-    pair_d2 = (
-        "list_sum(list_transform(range(1, len(q.v) + 1), "
-        "i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])))"
-    )
     return (
         prefix
-        + f""", af AS (
-      SELECT vec_id, v, cluster FROM (
-        SELECT e.vec_id, e.v, c.cluster,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
-        FROM e CROSS JOIN {prev} c
-      ) WHERE rc = 1
-    )
+        + _trained_af_cte(prev)
+        + f"""
     SELECT query_id, neighbor_id, CAST(d2 AS BIGINT) AS d2,
            CAST(rn AS INTEGER) AS rnk
     FROM (
       SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
-             {pair_d2} AS d2,
+             {_PAIR_D2} AS d2,
              row_number() OVER (
                PARTITION BY q.vec_id
-               ORDER BY {pair_d2} ASC, x.vec_id
+               ORDER BY {_PAIR_D2} ASC, x.vec_id
              ) AS rn
       FROM af q JOIN af x
         ON q.cluster = x.cluster AND x.vec_id <> q.vec_id
@@ -2776,22 +2790,15 @@ def _trained_search(spark: SparkSession, sf_dir: str):
 
 def _ann_recall_trained_sql(k: int, iters: int, scale: int) -> str:
     """Recall@3 of the TRAINED index vs the exact integer-L2 top-3 — the
-    q_ann_recall_eval audit re-aimed at the kmeans-trained quantizer."""
+    q_ann_recall_eval audit re-aimed at the kmeans-trained quantizer.
+    Assignment CTE and distance text shared verbatim with
+    _ann_ivf_trained_sql (_trained_af_cte / _PAIR_D2)."""
     prefix, prev = _kmeans_cte_chain(k, iters, scale)
-    pair_d2 = (
-        "list_sum(list_transform(range(1, len(q.v) + 1), "
-        "i -> (q.v[i] - x.v[i]) * (q.v[i] - x.v[i])))"
-    )
+    pair_d2 = _PAIR_D2
     return (
         prefix
-        + f""", af AS (
-      SELECT vec_id, v, cluster FROM (
-        SELECT e.vec_id, e.v, c.cluster,
-               row_number() OVER (PARTITION BY e.vec_id
-                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
-        FROM e CROSS JOIN {prev} c
-      ) WHERE rc = 1
-    ), exact AS (
+        + _trained_af_cte(prev)
+        + f""", exact AS (
       SELECT query_id, neighbor_id FROM (
         SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
                row_number() OVER (
@@ -2866,16 +2873,22 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str):
         .select("query_id", F.col("vec_id").alias("neighbor_id"))
     )
     ivf = topk.select("query_id", "neighbor_id", F.lit(1).alias("hit"))
+    # One aggregation of each quantity, ppm DERIVED from the aliases (the
+    # q_ann_recall_eval pattern): a future edit to the hit predicate can
+    # never make n_hit and recall_ppm silently disagree.
     return (
         exact.join(ivf, ["query_id", "neighbor_id"], "left")
         .groupBy("query_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_exact"),
-            F.sum(F.coalesce(F.col("hit"), F.lit(0)))
-            .cast("bigint")
-            .alias("n_hit"),
-            F.expr(
-                "CAST(sum(coalesce(hit, 0)) * 1000000 div count(1) AS BIGINT)"
-            ).alias("recall_ppm"),
+            F.count("hit").cast("bigint").alias("n_hit"),
+        )
+        .select(
+            "query_id",
+            "n_exact",
+            "n_hit",
+            F.expr("CAST(n_hit * 1000000 div n_exact AS BIGINT)").alias(
+                "recall_ppm"
+            ),
         )
     )

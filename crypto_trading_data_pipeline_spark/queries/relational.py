@@ -5313,11 +5313,13 @@ def q_entity_match(spark: SparkSession, sf_dir: str):
     )
     # EXPLICIT-count hash repartition on the block key: the name table is
     # small in BYTES, so AQE coalesces its shuffle to ONE partition and
-    # the join stage — where every levenshtein evaluates — ran serially
-    # (probe: 33 s in a single task). A user-specified numPartitions
-    # survives AQE, and both the rank window and the self-join reuse this
-    # exact partitioning, so no further exchange is planned and the
-    # CPU-bound pair work spreads across the configured cluster width
+    # the CPU-bound stages downstream ran serially (probe: 33 s in a
+    # single task). A user-specified numPartitions survives AQE and the
+    # rank WINDOW reuses this partitioning directly. The (blk, rn)
+    # equi-join below plans its own exchange on the composite key;
+    # measured at the 10x/30x probes it stays spread (max task 1.25 s of
+    # 2.19 s wall at 30x) — if a future Spark version re-serializes it,
+    # the fix is the same explicit-count move on (blk, rn)
     # (the q_bootstrap_ci lesson, join-input edition).
     from ..operators.scale import configured_shuffle_partitions
 

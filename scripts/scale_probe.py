@@ -152,6 +152,7 @@ QUERIES = [
     "q_lift_gain",
     "q_inverted_index",
     "q_ann_ivf_trained",
+    "q_ann_recall_trained",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
