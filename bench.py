@@ -205,7 +205,8 @@ HEADLINE = [
     "q_amihud",
     "q_lift_gain",
     "q_inverted_index",
-    # q_ann_ivf_trained is correctness-gated but NOT benched: like
+    # q_ann_ivf_trained / q_ann_recall_trained are correctness-gated but
+    # NOT benched: like
     # q_kmeans_ivf (also excluded), ~10 s of its wall is the trainer's
     # driver-coordinated rounds (fresh centroid literals -> fresh codegen
     # per round) — a fixed cost independent of data size (probe ratio
