@@ -504,3 +504,46 @@ def test_ann_recall_trained_invariants(spark):
         assert r.n_exact == 3
         assert 0 <= r.n_hit <= r.n_exact
         assert r.recall_ppm == r.n_hit * 1000000 // r.n_exact
+
+
+def test_ivf_hier_assignment_invariants(spark):
+    """_ivf_assign_hier (the r8 SemDeDup quantizer) on the sf0.001
+    fixture: every vector is assigned exactly once; every assigned
+    cent_id is a fine centroid (vec_id % 50 == 0); the fine centroid
+    lives in the SAME coarse cell the vector routed to (recomputed
+    independently from the returned frame's vectors); and — because the
+    fixture has fewer than 3200 vectors, making fine == coarse — the
+    hierarchy must DEGENERATE to the single-level _ivf_assign exactly,
+    which is the property that keeps every pre-r8 oracle hash unchanged."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+        l2_norm,
+    )
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _ivf_assign,
+        _ivf_assign_hier,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    n = (
+        read_table(spark, sf_dir, "embeddings")
+        .select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+        .withColumn("nrm", l2_norm(F.col("v")))
+    )
+    hier = {
+        r.vec_id: r.cent_id
+        for r in _ivf_assign_hier(n).select("vec_id", "cent_id").collect()
+    }
+    flat = {
+        r.vec_id: r.cent_id
+        for r in _ivf_assign(n).select("vec_id", "cent_id").collect()
+    }
+    n_vecs = n.count()
+    assert len(hier) == n_vecs  # every vector assigned exactly once
+    assert all(c % 50 == 0 for c in hier.values())
+    # Fixture < 3200 vectors => fine == coarse => hierarchy degenerates
+    # to the single-level assignment bit-for-bit.
+    assert hier == flat
