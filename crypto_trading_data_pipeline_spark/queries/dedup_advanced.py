@@ -1902,12 +1902,17 @@ def _kmeans_cte_chain(k: int, iters: int, scale: int) -> tuple[str, str]:
     """Shared unrolled-Lloyd's CTE prefix for the trained-centroid oracles
     (q_kmeans_ivf counts, q_ann_ivf_trained search): quantize -> hash
     seeds -> iters x (argmin assignment + integer mean update). Returns
-    (prefix_sql, final_centroid_cte_name)."""
+    (prefix_sql, final_centroid_cte_name).
+
+    ``e`` is AS MATERIALIZED: it is referenced by every unrolled
+    iteration plus the final assignment, and DuckDB re-inlines plain
+    CTEs per reference (the repo's verified DuckDB-1.x rule for
+    generated iterative oracles), re-casting the corpus each time."""
     h = dh.sql_token_hash("CAST(vec_id AS VARCHAR)")
     dist = _KMEANS_DIST
     parts = [
         f"""
-    WITH e AS (
+    WITH e AS MATERIALIZED (
       SELECT vec_id,
              list_transform(CAST(embedding AS DOUBLE[]),
                             x -> CAST(round(x * {scale}.0, 0) AS BIGINT)) AS v
@@ -1990,8 +1995,13 @@ def _trained_af_cte(prev: str) -> str:
     """The trained final-assignment CTE (vec_id, v, cluster) — ONE text
     shared by _ann_ivf_trained_sql and _ann_recall_trained_sql: the recall
     audit is only meaningful if it audits the exact index the serving
-    query builds, so the CTE must be literally the same string."""
-    return f""", af AS (
+    query builds, so the CTE must be literally the same string.
+
+    AS MATERIALIZED because both consumers self-join ``af`` (probe side
+    x candidate side) and the recall oracle references it twice more —
+    a plain CTE would re-run the whole unrolled Lloyd chain per
+    reference."""
+    return f""", af AS MATERIALIZED (
       SELECT vec_id, v, cluster FROM (
         SELECT e.vec_id, e.v, c.cluster,
                row_number() OVER (PARTITION BY e.vec_id

@@ -3029,6 +3029,7 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str):
            CAST(sum(coalesce(mv, 0)) * 1000000000 // sum(vol_c) AS BIGINT)
              AS illiq_ppb
     FROM moves GROUP BY 1, 2
+    HAVING sum(vol_c) > 0
     """,
     doc=(
         "Amihud illiquidity (2002), intraday form: per (symbol, day), "
@@ -3040,7 +3041,12 @@ def q_kyle_lambda(spark: SparkSession, sf_dir: str):
         "prev_close_c| within the day (the day's first minute "
         "contributes volume but no move, like the canonical estimator's "
         "first return). All sums exact int64 cents; the ratio is ONE "
-        "parts-per-billion integer division. Shape: minute aggregate + "
+        "parts-per-billion integer division, guarded on BOTH engines by "
+        "sum(vol_c) > 0 — the value > 0.0 tick filter still admits "
+        "sub-half-cent prices that quantize to c = 0, and an all-zero "
+        "(symbol, day) would error DuckDB's // while Spark's div returns "
+        "NULL (the q_kyle_lambda den > 0 discipline). Shape: minute "
+        "aggregate + "
         "lag window + day aggregate ride one symbol exchange; output is "
         "|symbols| x |days| regardless of tick count."
     ),
@@ -3072,11 +3078,17 @@ def q_amihud(spark: SparkSession, sf_dir: str):
         "vol_c",
         F.abs(F.col("close_c") - F.lag("close_c").over(wd)).alias("mv"),
     )
-    return moves.groupBy("symbol", "day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
-        F.sum(F.coalesce(F.col("mv"), F.lit(0))).cast("bigint").alias("move_c"),
-        F.sum("vol_c").cast("bigint").alias("vol_c"),
-        F.expr(
-            "CAST(sum(coalesce(mv, 0)) * 1000000000 div sum(vol_c) AS BIGINT)"
-        ).alias("illiq_ppb"),
+    return (
+        moves.groupBy("symbol", "day")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
+            F.sum(F.coalesce(F.col("mv"), F.lit(0)))
+            .cast("bigint")
+            .alias("move_c"),
+            F.sum("vol_c").cast("bigint").alias("vol_c"),
+            F.expr(
+                "CAST(sum(coalesce(mv, 0)) * 1000000000 div sum(vol_c) AS BIGINT)"
+            ).alias("illiq_ppb"),
+        )
+        .filter(F.col("vol_c") > 0)
     )
