@@ -9,6 +9,7 @@ from the same constants as the Spark code, so the two sides cannot drift.
 
 from __future__ import annotations
 
+import math
 from itertools import count
 
 from pyspark.sql import SparkSession, Window
@@ -600,44 +601,66 @@ def _ivf_assign(n, keep_top: int = 1):
 
 
 def _ivf_assign_hier(n):
-    """TWO-LEVEL IVF quantizer (IMI / hierarchical-IVF shape) for
-    SemDeDup: coarse centroids are the PINNED-k subset (vec_id % 50 == 0
-    AND vec_id < 3200, k1 <= 64), fine centroids the CONSTANT-SPACING
-    subset (every 50th vec_id, k2 ~ N/50). Vectors route nearest-coarse
-    first (broadcast of a fixed-size table, O(N * 64)), then rank only
-    the fine centroids living in their coarse cell (shuffle on co_id,
-    O(N * k2/k1) with balanced cells).
+    """TWO-LEVEL IVF quantizer (hierarchical-IVF shape) for SemDeDup:
+    fine centroids are the CONSTANT-SPACING subset (every 50th vec_id,
+    k2 ~ N/50 — cluster SIZE pinned at ~50), coarse centroids the
+    BALANCED sqrt sub-subset: every ``stride``-th fine centroid with
+    stride = max(1, floor(sqrt(k2))), i.e. k1 ~ sqrt(k2). Vectors route
+    nearest-coarse first (broadcast — k1 is only ~14k rows even at
+    N = 1e10), then rank only the fine centroids living in their coarse
+    cell (shuffle on co_id, ~sqrt(k2) candidates per cell).
 
     Why a second level exists at all: SemDeDup's pairwise stage costs
     sum(|cluster|^2), so the CLUSTER SIZE must stay constant as the
     corpus grows (the paper pins ~size, not count — 50k clusters for
     LAION). Constant size means k2 grows with N, and a single-level
     nearest-of-k2 assignment is O(N * k2) = O(N^2/50) — the r7 scale
-    artifact. The hierarchy keeps BOTH stages linear: fixed-k coarse
-    routing plus a per-cell fine rank over ~k2/k1 candidates. Fine
-    clusters average ~50 vectors at any N, so pairwise is O(50 * N).
+    artifact.
 
-    Determinism: every rank is (rounded-6dp cosine DESC, centroid id) —
-    the oracle SQL mirrors all three ranks verbatim. A fine centroid is
-    its own nearest coarse candidate at cosine exactly 1.0 (self-pairing
-    below), so no coarse cell referenced by a vector is ever empty on
-    real-valued fixtures; a pathological rounded-1.0 tie would drop the
-    cell's vectors IDENTICALLY in both engines (same inner join, same
-    tie-break), so hash parity is preserved even then."""
-    coarse = F.broadcast(
-        n.filter(
-            (F.col("vec_id") % _IVF_CENT_MOD == 0)
-            & (F.col("vec_id") < _IVF_CENT_MAX_ID)
-        ).select(
-            F.col("vec_id").alias("co_id"),
-            F.col("v").alias("cov"),
-            F.col("nrm").alias("conrm"),
-        )
-    )
+    HONEST ASYMPTOTICS (r9, fixing the r8 docstring which claimed "both
+    stages linear"): with the r8 PINNED-64 coarse level the fine rank
+    was O(N * k2/64) = O(N^2/3200) — the quadratic deferred by a 64x
+    constant, re-emerging past ~200k vectors. k1 = sqrt(k2) is the
+    balanced two-level optimum (minimizes k1 + k2/k1): both stages are
+    O(N * sqrt(k2)) = O(N^1.5 / sqrt(50)) — SUBQUADRATIC, not linear,
+    and strictly less per-vector work than the pinned scheme at every
+    k2 > 64 (2*sqrt(k2) vs 64 + k2/64; at N = 1e8 / k2 = 2e6 that is
+    ~2.8k dot products per vector vs 2e6 flat and ~31k pinned, the gap
+    widening as sqrt(N)). Truly near-linear (O(N log N)) needs a
+    log-depth tree or a trained fixed-k quantizer per level (production
+    IMI); at the corpus sizes this engine targets the N^1.5/sqrt(50)
+    curve stays shuffle-bound, not compute-bound. The pairwise stage is
+    untouched: fine clusters stay ~50 vectors, O(50 * N).
+
+    Determinism: stride is an integer both engines derive identically
+    (floor(sqrt(k2)) in IEEE doubles; the oracle computes it from a
+    count(*) CTE, this side from one pruned-scan count() action), and
+    every rank is (rounded-6dp cosine DESC, centroid id) — the oracle
+    SQL mirrors all three ranks verbatim. Every coarse centroid is a
+    fine centroid and is its own nearest coarse candidate at cosine
+    exactly 1.0, so no coarse cell a vector can route to is ever empty
+    on real-valued fixtures; a pathological rounded-1.0 tie would drop
+    the cell's vectors IDENTICALLY in both engines (same inner join,
+    same tie-break), so hash parity is preserved even then."""
     fine = n.filter(F.col("vec_id") % _IVF_CENT_MOD == 0).select(
         F.col("vec_id").alias("cent_id"),
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
+    )
+    # One tiny action: count() on a vec_id-pruned scan of the fine
+    # subset. The stride must be a plan literal (the coarse filter
+    # pushes to the scan and the table broadcasts) and the oracle's
+    # strd CTE computes the identical integer.
+    k2 = fine.count()
+    stride = max(1, int(math.floor(math.sqrt(k2))))
+    coarse = F.broadcast(
+        fine.filter(
+            F.col("cent_id") % (_IVF_CENT_MOD * stride) == 0
+        ).select(
+            F.col("cent_id").alias("co_id"),
+            F.col("cv").alias("cov"),
+            F.col("cnrm").alias("conrm"),
+        )
     )
 
     def nearest_coarse(df, vcol, ncol, idcol):
@@ -1239,12 +1262,15 @@ _SEMDEDUP_TAU = 0.30
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
       SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e
-    ), coarse AS (
-      SELECT vec_id AS co_id, v AS cov, nrm AS conrm FROM n
-      WHERE vec_id % 50 = 0 AND vec_id < 3200
     ), fine AS (
       SELECT vec_id AS cent_id, v AS cv, nrm AS cnrm FROM n
       WHERE vec_id % 50 = 0
+    ), strd AS (
+      SELECT GREATEST(1, CAST(floor(sqrt(count(*))) AS BIGINT)) AS s
+      FROM fine
+    ), coarse AS (
+      SELECT cent_id AS co_id, cv AS cov, cnrm AS conrm
+      FROM fine, strd WHERE cent_id % (50 * s) = 0
     ), fine_cell AS (
       SELECT cent_id, cv, cnrm, co_id FROM (
         SELECT f.cent_id, f.cv, f.cnrm, coarse.co_id,
@@ -1287,8 +1313,9 @@ _SEMDEDUP_TAU = 0.30
     doc=(
         "SemDeDup (Abbas et al. 2023): semantic near-duplicate removal in "
         "embedding space, CLUSTER-BLOCKED — assign every vector to a fine "
-        "cluster via the TWO-LEVEL quantizer (_ivf_assign_hier: pinned-64 "
-        "coarse routing, then constant-~50-size fine clusters), then drop "
+        "cluster via the TWO-LEVEL quantizer (_ivf_assign_hier: "
+        "sqrt-growing coarse routing, then constant-~50-size fine "
+        "clusters), then drop "
         "any vector whose cosine to a LOWER-id vector in the SAME cluster "
         "reaches the threshold (dominance-by-lower-id: unlike the "
         "sequential greedy scan, a vector already marked dropped can still "
@@ -1296,8 +1323,10 @@ _SEMDEDUP_TAU = 0.30
         "that keeps at most as many vectors as greedy). Pairwise cost is "
         "sum of squared CLUSTER sizes, so cluster SIZE must stay constant "
         "as the corpus grows (the paper pins ~size: 50k clusters for "
-        "LAION) — the hierarchy keeps assignment linear too, where a flat "
-        "nearest-of-N/50 rank was the r7 O(N^2/50) scale artifact. Emits "
+        "LAION) — the hierarchy holds assignment to O(N * sqrt(k2)), "
+        "subquadratic, where a flat nearest-of-N/50 rank was the r7 "
+        "O(N^2/50) scale artifact (see _ivf_assign_hier for the honest "
+        "asymptotics). Emits "
         "every vector with its cluster and keep flag so the drop rate per "
         "cluster is auditable."
     ),
