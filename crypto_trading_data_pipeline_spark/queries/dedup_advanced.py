@@ -2693,6 +2693,20 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
         .select("vec_id", "v")
         .collect()
     )
+    # <2 centroids: the oracle's rc=2 self-join drops every vector, so
+    # both engines must yield the EMPTY frame. This cannot be a filter
+    # bolted onto the normal plan — with ZERO centroids F.array() types
+    # as array<void> and the transform's c["cv"] fails at ANALYSIS (the
+    # r8 guard crashed there; caught by
+    # test_properties_r9.test_silhouette_degenerate) — so degenerate
+    # corpora return the typed empty frame before any centroid
+    # expression is built.
+    if len(cents) < 2:
+        return spark.createDataFrame(
+            [],
+            "cluster bigint, n_vectors bigint, sum_s_micro bigint, "
+            "avg_silhouette double, n_negative bigint",
+        )
     cent_arr = F.array(
         *[
             F.struct(
@@ -2730,10 +2744,7 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
     s = F.when(
         F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
     ).otherwise(F.lit(0.0))
-    # <2 centroids: the oracle's rc=2 self-join drops every vector; the
-    # plan-time literal filter reproduces that as the empty frame instead
-    # of emitting rows with a NULL second-best.
-    sil = emb.filter(F.lit(len(cents) >= 2)).select(
+    sil = emb.select(
         own["cent_id"].cast("long").alias("cluster"),
         F.floor(s * 1000000.0 + 0.5).cast("bigint").alias("sq"),
     )

@@ -139,3 +139,73 @@ def test_ivf_hier_stride_engages(spark):
     assert stride == 16 and n_coarse == 17
     assert len(got) == 13000
     assert got == expected
+
+
+import pytest
+
+
+@pytest.mark.parametrize("n_centroids", [0, 1])
+def test_silhouette_degenerate(spark, tmp_path, n_centroids):
+    """q_silhouette on corpora whose centroid predicate (vec_id < 8)
+    matches fewer than two vectors: the oracle's rc = 2 self-join drops
+    every row, and the Spark side must reproduce the EMPTY frame (same
+    columns, zero rows). The r8 guard (a plan-time filter) was never
+    exercised and actually CRASHED on the zero-centroid corpus —
+    F.array() of no structs types as array<void>, failing analysis
+    inside the transform — which this test caught; the fix returns the
+    typed empty frame before any centroid expression is built. Both
+    engines run on the same synthetic parquet via the standard compare,
+    so the assertion is the full driver-shaped equivalence."""
+    import os
+
+    import duckdb
+
+    from crypto_trading_data_pipeline_spark.io import TABLES
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from .oracle_util import compare_query
+
+    deg = tmp_path / "degenerate_sf"
+    deg.mkdir()
+    low_rows = (
+        ""
+        if n_centroids == 0
+        else f"""
+          UNION ALL
+          SELECT 3 AS vec_id, embedding, label FROM (
+            SELECT embedding, label
+            FROM read_parquet('{SF_001}/embeddings.parquet') LIMIT 1
+          )"""
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT vec_id + 100 AS vec_id, embedding, label
+          FROM read_parquet('{SF_001}/embeddings.parquet')
+          {low_rows}
+        ) TO '{deg}/embeddings.parquet' (FORMAT PARQUET)
+        """
+    )
+    assert (
+        con.execute(
+            f"SELECT count(*) FROM read_parquet('{deg}/embeddings.parquet')"
+            " WHERE vec_id < 8"
+        ).fetchone()[0]
+        == n_centroids
+    )
+    con.close()
+    for t in TABLES:
+        if t != "embeddings":
+            os.symlink(f"{SF_001}/{t}.parquet", deg / f"{t}.parquet")
+
+    spec = REGISTRY["q_silhouette"]
+    df = spec.fn(spark, str(deg))
+    assert df.count() == 0
+    assert [f.name for f in df.schema.fields] == [
+        "cluster",
+        "n_vectors",
+        "sum_s_micro",
+        "avg_silhouette",
+        "n_negative",
+    ]
+    compare_query(spark, str(deg), "q_silhouette", spec.fn, spec.oracle)
