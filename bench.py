@@ -205,9 +205,9 @@ HEADLINE = [
     "q_amihud",
     "q_lift_gain",
     "q_inverted_index",
-    # q_ann_ivf_trained / q_ann_recall_trained are correctness-gated but
-    # NOT benched: like
-    # q_kmeans_ivf (also excluded), ~10 s of its wall is the trainer's
+    # q_ann_ivf_trained / q_ann_recall_trained / q_ann_incremental are
+    # correctness-gated but NOT benched: like
+    # q_kmeans_ivf (also excluded), ~10 s of their wall is the trainer's
     # driver-coordinated rounds (fresh centroid literals -> fresh codegen
     # per round) — a fixed cost independent of data size (probe ratio
     # 0.84 at 10x) that would only add noise-free constant seconds here.

@@ -153,6 +153,10 @@ QUERIES = [
     "q_inverted_index",
     "q_ann_ivf_trained",
     "q_ann_recall_trained",
+    # r9: append-batch index maintenance — the claim under test is
+    # O(batch) with a corpus-independent trainer (fixed-size training
+    # prefix), so the wall should track the batch row count only.
+    "q_ann_incremental",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
