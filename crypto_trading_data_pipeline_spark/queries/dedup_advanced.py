@@ -3042,9 +3042,15 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str):
             ),
         ),
     )
+    # The delta equi-join below would infer IsNotNull(cluster) and push
+    # the ENTIRE inlined k x dim argmin expression into the parquet scan
+    # as a DataFilter, re-evaluating it per row inside the scan task (the
+    # explode-pushdown class; gated registry-wide). cluster is argmin
+    # over a non-empty literal array — never NULL — so the coalesce is a
+    # value no-op that blocks the pushdown (same move as _trained_search).
     assigned = _assign(batch, "v", cents, integer=True).select(
         "vec_id",
-        F.col("cluster").cast("int").alias("cluster"),
+        F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("cluster"),
         F.col("__d").cast("bigint").alias("d2"),
     )
     delta = assigned.groupBy("cluster").agg(
