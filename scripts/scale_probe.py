@@ -334,6 +334,83 @@ def run_one(spark, name: str, sf_dir: str) -> dict:
     return {"wall_sec": round(wall, 3), **_stage_task_stats(spark, new_stages)}
 
 
+def synthesize_keys(spark, src_dir: str, dst_dir: str, kmult: int) -> None:
+    """events with event_type remapped to kmult x more distinct symbols at
+    CONSTANT total row count (symbol~(event_id % kmult)) — the keys axis:
+    the per-symbol ordered-window family's parallelism is key-bounded, so
+    growing keys at fixed rows should let wall FALL (or hold), never
+    rise. Written by DuckDB as ONE parquet file (a Spark write makes a
+    directory the oracle's read_parquet cannot open); every other table
+    symlinks through so the DuckDB oracle can run on the same directory
+    for the parity half of the probe."""
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        f"""
+        COPY (
+          SELECT * REPLACE (
+            event_type || '~' || CAST(event_id % {kmult} AS VARCHAR)
+              AS event_type
+          )
+          FROM read_parquet('{src_dir}/events.parquet')
+        ) TO '{dst_dir}/events.parquet' (FORMAT PARQUET)
+        """
+    )
+    con.close()
+    from crypto_trading_data_pipeline_spark.io import TABLES
+
+    for t in TABLES:
+        if t != "events":
+            os.symlink(
+                os.path.join(src_dir, f"{t}.parquet"),
+                os.path.join(dst_dir, f"{t}.parquet"),
+            )
+
+
+def keys_probe(spark, sf_dir: str, kmult: int, names: list[str], out: str | None) -> None:
+    """Constant-rows / keys x kmult probe with a full Spark-vs-DuckDB
+    parity check on the synthetic corpus (the hashes-stay-green half of
+    the claim)."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from tests.oracle_util import compare_query
+
+    keys_dir = tempfile.mkdtemp(prefix="ctdp_keys_")
+    try:
+        synthesize_keys(spark, sf_dir, keys_dir, kmult)
+        base_keys = read_table(spark, sf_dir, "events").select("event_type").distinct().count()
+        new_keys = read_table(spark, keys_dir, "events").select("event_type").distinct().count()
+        report = {
+            "keys_mult": kmult,
+            "base_keys": base_keys,
+            "scaled_keys": new_keys,
+            "queries": {},
+        }
+        for name in names:
+            spec = REGISTRY[name]
+            one = run_one(spark, name, sf_dir)
+            many = run_one(spark, name, keys_dir)
+            try:
+                compare_query(spark, keys_dir, name, spec.fn, spec.oracle)
+                parity = "match"
+            except AssertionError as exc:
+                parity = f"MISMATCH: {exc}"[:300]
+            ratio = round(many["wall_sec"] / one["wall_sec"], 2) if one["wall_sec"] else None
+            report["queries"][name] = {
+                "k1": one,
+                f"k{kmult}": many,
+                "wall_ratio": ratio,
+                "parity": parity,
+            }
+        line = json.dumps(report)
+        print(line)
+        if out:
+            with open(out, "w") as f:
+                f.write(line + "\n")
+    finally:
+        shutil.rmtree(keys_dir, ignore_errors=True)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--mult", type=int, default=10)
@@ -348,10 +425,32 @@ def main() -> None:
             "their measured point without re-running the whole sweep)."
         ),
     )
+    ap.add_argument(
+        "--keys-mult",
+        type=int,
+        default=None,
+        help=(
+            "Keys-axis mode: remap events.event_type to N x more symbols at "
+            "constant rows, measure wall at k1 vs kN, and parity-check the "
+            "synthetic corpus against the DuckDB oracle. Requires --only."
+        ),
+    )
     args = ap.parse_args()
 
     spark = get_spark(app_name="ctdp-scale-probe")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.keys_mult:
+        if not args.only:
+            raise SystemExit("--keys-mult requires --only <query,...>")
+        knames = [n.strip() for n in args.only.split(",") if n.strip()]
+        from crypto_trading_data_pipeline_spark.queries import REGISTRY
+
+        unknown = [n for n in knames if n not in REGISTRY]
+        if unknown:
+            raise SystemExit(f"--only names not in REGISTRY: {unknown}")
+        keys_probe(spark, args.sf_dir, args.keys_mult, knames, args.out)
+        return
 
     names = QUERIES if not args.only else [n.strip() for n in args.only.split(",") if n.strip()]
     if args.only:
