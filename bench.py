@@ -391,6 +391,14 @@ def _load_previous_round(sf: float, here: str | None = None) -> dict:
             out = {"_round": n, **queries}
             if isinstance(calib, (int, float)) and calib > 0:
                 out["_calib_sec"] = calib
+            # Streaming throughput rides the same record so a real
+            # streaming regression can't hide (r8's -3.2% went unflagged
+            # because nothing compared it round-over-round).
+            srps = (parsed or {}).get(
+                "streaming_rows_per_sec", rec.get("streaming_rows_per_sec")
+            )
+            if isinstance(srps, (int, float)) and srps > 0:
+                out["_streaming_rows_per_sec"] = srps
             return out
     return {}
 
@@ -590,6 +598,26 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001
         stream_stats = {"streaming_err": f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"}
 
+    # Streaming-throughput regression gate (r8 verdict #6): rows/s vs the
+    # previous round with the same machine-speed normalization as the
+    # per-query gate — throughput on a slower box (calib_ratio > 1) is
+    # scaled back UP before the test so environment drift doesn't flag,
+    # while the clamp at 1.0 keeps a faster box from hiding a code drop.
+    stream_prev = prev.get("_streaming_rows_per_sec")
+    cur_rps = stream_stats.get("streaming_rows_per_sec")
+    streaming_delta_pct = None
+    streaming_regression = None
+    if isinstance(stream_prev, (int, float)) and isinstance(cur_rps, (int, float)):
+        streaming_delta_pct = round((cur_rps - stream_prev) / stream_prev * 100, 1)
+        scale = (
+            max(calib_ratio, 1.0)
+            if isinstance(calib_ratio, (int, float))
+            else 1.0
+        )
+        streaming_regression = bool(
+            cur_rps * scale < stream_prev * (1.0 - _REGRESSION_REL)
+        )
+
     record = {
         "metric": "headline_queries_total_wall",
         "value": total,
@@ -630,6 +658,9 @@ def main() -> None:
         "run_spread_steady": spreads_steady,
         "sf": sf,
         **stream_stats,
+        "streaming_prev_rows_per_sec": stream_prev,
+        "streaming_delta_pct": streaming_delta_pct,
+        "streaming_regression": streaming_regression,
     }
     # Compact single line on stdout for the driver FIRST (a sidecar-write
     # failure must never orphan the driver's parsed line): the headline
@@ -658,6 +689,9 @@ def main() -> None:
             "load_avg_after",
             "calib_prev_sec",
             "regressions_machine_normalized",
+            # delta_pct + regression flag stay in the line; the prev
+            # value itself is sidecar-only (byte budget).
+            "streaming_prev_rows_per_sec",
         )
     }
     compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
