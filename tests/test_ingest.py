@@ -199,3 +199,25 @@ def test_register_views_sql_surface(spark, sf_dir):
         """
     ).collect()
     assert sum(r.n for r in got) == 25
+
+
+def test_wire_schema_matches_reference_field_for_field():
+    """TRADE_SCHEMA — the from_json wire schema every Kafka path parses
+    with — must equal reference spark_processor/processor.py:43-52
+    field-for-field (name, type, order): decimals ride as STRINGS on the
+    wire, trade_time is epoch-millis LONG; the typed casts happen after
+    parse (parse_trades). Unconditional twin of the assert inside the
+    broker-gated test_kafka_integration so the contract is enforced on
+    every suite run, not only where a broker exists."""
+    from crypto_trading_data_pipeline_spark.schemas import TRADE_SCHEMA
+
+    assert [
+        (f.name, f.dataType.simpleString()) for f in TRADE_SCHEMA.fields
+    ] == [
+        ("trade_id", "bigint"),
+        ("symbol", "string"),
+        ("price", "string"),
+        ("quantity", "string"),
+        ("trade_time", "bigint"),
+        ("is_buyer_maker", "boolean"),
+    ]

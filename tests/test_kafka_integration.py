@@ -2,12 +2,20 @@
 reference's runtime (docker-compose.yml:81 runs a real broker; this
 container does not, so the module SKIPS unless pointed at one).
 
-To run it for real:
+To run it for real, anywhere Docker exists (one command per step):
 
-    # 1. a broker, e.g.:  docker run -p 9092:9092 redpanda ...
-    # 2. the connector JARs on the session classpath, e.g.:
-    #    PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell"
-    # 3. SPARK_GRAFT_KAFKA_BROKERS=localhost:9092 python -m pytest tests/test_kafka_integration.py
+    # 1. a single-node broker on localhost:9092 (redpanda needs no
+    #    zookeeper and is kafka-API-compatible):
+    docker run -d --name=redpanda -p 9092:9092 \
+        docker.redpanda.com/redpandadata/redpanda:latest \
+        redpanda start --overprovisioned --smp 1 --memory 1G \
+        --kafka-addr PLAINTEXT://0.0.0.0:9092 \
+        --advertise-kafka-addr PLAINTEXT://localhost:9092
+    # 2. the connector JARs on the session classpath + the broker env:
+    PYSPARK_SUBMIT_ARGS="--packages org.apache.spark:spark-sql-kafka-0-10_2.13:4.1.2 pyspark-shell" \
+    SPARK_GRAFT_KAFKA_BROKERS=localhost:9092 \
+        python -m pytest tests/test_kafka_integration.py
+    # 3. teardown:  docker rm -f redpanda
 
 Everything the test drives is the exact production wiring — sources.py
 kafka_sink/kafka_batch/kafka_stream are thin option-builders over Spark's
@@ -96,7 +104,22 @@ def test_batch_roundtrip_parses_byte_for_byte(spark, produced):
     """kafka_batch -> parse_trades must reproduce the reference processor's
     parsed schema and values exactly (processor.py:54-75): typed columns,
     MONEY decimals, millis -> timestamp, derived trade_value."""
+    from crypto_trading_data_pipeline_spark.schemas import TRADE_SCHEMA
     from crypto_trading_data_pipeline_spark.sources import kafka_batch, parse_trades
+
+    # The WIRE schema the bytes are parsed with must equal reference
+    # processor.py:43-52 field-for-field (name, type, order): trade_id
+    # long, symbol string, price string, quantity string (decimals ride
+    # as STRINGS on the wire), trade_time epoch-millis long,
+    # is_buyer_maker boolean.
+    assert [(f.name, f.dataType.simpleString()) for f in TRADE_SCHEMA.fields] == [
+        ("trade_id", "bigint"),
+        ("symbol", "string"),
+        ("price", "string"),
+        ("quantity", "string"),
+        ("trade_time", "bigint"),
+        ("is_buyer_maker", "boolean"),
+    ]
 
     raw = kafka_batch(spark, topic=produced, brokers=BROKERS)
     parsed = parse_trades(raw)
