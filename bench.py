@@ -205,6 +205,8 @@ HEADLINE = [
     "q_amihud",
     "q_lift_gain",
     "q_inverted_index",
+    # r9 addition: reciprocal-rank retrieval eval on the shared BM25 chain.
+    "q_mrr",
     # q_ann_ivf_trained / q_ann_recall_trained / q_ann_incremental are
     # correctness-gated but NOT benched: like
     # q_kmeans_ivf (also excluded), ~10 s of their wall is the trainer's

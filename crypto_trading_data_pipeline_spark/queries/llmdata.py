@@ -3040,6 +3040,119 @@ def q_ndcg(spark: SparkSession, sf_dir: str):
 
 
 @query(
+    "q_mrr",
+    oracle=f"""{_SQL_BM25_SCORED}
+    , terms AS (
+      SELECT unnest({list(_BM25_TERMS)!r}) AS term
+    ), rel AS (
+      SELECT t.term, b.doc_id, b.score_micro
+      FROM terms t
+      JOIN documents d ON list_contains(string_split(d.text, ' '), t.term)
+      JOIN bm25 b ON b.doc_id = d.doc_id
+    ), winners AS (
+      SELECT term, doc_id AS w_doc, score_micro AS w_score FROM (
+        SELECT term, doc_id, score_micro,
+               row_number() OVER (PARTITION BY term
+                 ORDER BY score_micro DESC, doc_id) AS rn
+        FROM rel
+      ) WHERE rn = 1
+    ), ranks AS (
+      SELECT w.term,
+             CAST(1 + sum(CASE WHEN b.score_micro > w.w_score
+                               OR (b.score_micro = w.w_score
+                                   AND b.doc_id < w.w_doc)
+                          THEN 1 ELSE 0 END) AS BIGINT) AS first_rank
+      FROM winners w CROSS JOIN bm25 b
+      GROUP BY w.term
+    ), agg AS (
+      SELECT CAST(sum(1000000 // first_rank) // count(*) AS BIGINT)
+               AS mrr_ppm
+      FROM ranks
+    )
+    SELECT r.term, r.first_rank,
+           CAST(1000000 // r.first_rank AS BIGINT) AS rr_ppm, a.mrr_ppm
+    FROM ranks r CROSS JOIN agg a
+    """,
+    doc=(
+        "Per-query MRR of the BM25 ranking — the reciprocal-rank eval "
+        "beside q_ndcg's position-discounted one (r8 verdict #8): each "
+        "probe term is a query, its relevant set is the documents "
+        "containing it (row-local contains, independent of the scoring "
+        "feature), and RR = 1/rank of the FIRST relevant document in "
+        "the shared 3-term BM25 ranking — 'how quickly is each aspect "
+        "of the query first covered'. Plan shape avoids both global "
+        "sorts and |terms|-key windows over the corpus: the first "
+        "relevant doc per term is a max_by((doc, score), (score, "
+        "-doc)) aggregate (map-side partial, mirrors the oracle's "
+        "(score DESC, doc_id) rank), and its rank is 1 + count of "
+        "scored docs strictly ahead under the SAME exact-integer "
+        "ordering, via one conditional aggregate against the 3-row "
+        "broadcast winner table — a zero-ahead winner keeps its group "
+        "because the count rides a when() inside the aggregate, not a "
+        "filter. Scores are the shared _bm25_scored exact micro-integer "
+        "chain (one textual source of truth with q_bm25 / q_rrf_fusion "
+        "/ q_ndcg), so every comparison is integer math and the ranks "
+        "are hash-stable; rr/mrr are integer-ppm divisions."
+    ),
+)
+def q_mrr(spark: SparkSession, sf_dir: str):
+    scored = _bm25_scored(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    terms = spark.createDataFrame(
+        [(t,) for t in _BM25_TERMS], "term string"
+    )
+    rel = (
+        docs.select("doc_id", F.split("text", " ").alias("toks"))
+        .crossJoin(F.broadcast(terms))
+        .filter(F.expr("array_contains(toks, term)"))
+        .select("doc_id", "term")
+        .join(scored, "doc_id")
+    )
+    winners = (
+        rel.groupBy("term")
+        .agg(
+            F.expr(
+                "max_by(struct(doc_id AS d, score_micro AS s), "
+                "struct(score_micro, -doc_id))"
+            ).alias("w")
+        )
+        .select(
+            "term",
+            F.col("w.d").alias("w_doc"),
+            F.col("w.s").alias("w_score"),
+        )
+    )
+    ahead = (
+        F.col("score_micro") > F.col("w_score")
+    ) | (
+        (F.col("score_micro") == F.col("w_score"))
+        & (F.col("doc_id") < F.col("w_doc"))
+    )
+    ranks = (
+        scored.crossJoin(F.broadcast(winners))
+        .groupBy("term")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(F.when(ahead, 1).otherwise(0))
+            )
+            .cast("bigint")
+            .alias("first_rank")
+        )
+    )
+    agg = ranks.agg(
+        F.expr(
+            "CAST(sum(1000000 div first_rank) div count(*) AS BIGINT)"
+        ).alias("mrr_ppm")
+    )
+    return ranks.select(
+        "term",
+        "first_rank",
+        F.expr("CAST(1000000 div first_rank AS BIGINT)").alias("rr_ppm"),
+    ).crossJoin(F.broadcast(agg))
+
+
+@query(
     "q_lift_gain",
     oracle=f"""
     WITH {_QC_LABELED_CTE}, per_score AS (

@@ -306,6 +306,9 @@ _SINGLE_PARTITION_OK = {
     "q_lift_gain",         # one-row (n_tot, p_tot) totals + ~1e3-row
                            # score-bucket-offset cumsum (the q_auc_roc
                            # construction)
+    "q_mrr",               # inherits q_bm25's one-row (n, avgdl) scalar;
+                           # the mrr finalize aggregates the |terms|-row
+                           # (=3) rank table into the 1-row mean
 }
 
 
