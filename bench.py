@@ -227,6 +227,13 @@ def bench_streaming(spark, sf_dir: str) -> dict:
     with an availableNow trigger, and reports rows/s. The reference's
     operational posture is one symbol at 60 s micro-batches on 1 core
     (BASELINE.md); this measures the same job shape at full throttle.
+
+    BEST-OF-3 drains (fresh checkpoint each), mirroring the per-query
+    best-of-3: a single drain measured 18.6k-27.7k rows/s across three
+    runs of IDENTICAL code (r9 triage) — checkpoint/sink first-touch and
+    end-of-bench GC pressure dominate one-shot numbers, and the r9
+    streaming regression gate would fire on that noise. Run 1 additionally
+    absorbs the streaming-machinery warm-up the batch warmers don't reach.
     """
     import shutil
     import tempfile
@@ -257,22 +264,32 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         raw.coalesce(8).write.mode("overwrite").text(indir)
 
-        counts = {"rows": 0}
+        best_wall, candles_emitted = None, 0
+        for i in range(3):
+            counts = {"rows": 0}
 
-        def sink(df, epoch_id):
-            counts["rows"] += df.count()
+            def sink(df, epoch_id):
+                counts["rows"] += df.count()
 
-        t0 = time.perf_counter()
-        trades = parse_trades(file_json_stream(spark, indir))
-        candles = candle_stream(trades, watermark="2 minutes", window_duration="1 minute")
-        q = start_candle_query(candles, sink=sink, checkpoint_dir=ckpt, available_now=True)
-        q.awaitTermination()
-        wall = time.perf_counter() - t0
+            run_ckpt = f"{ckpt}_{i}"
+            t0 = time.perf_counter()
+            trades = parse_trades(file_json_stream(spark, indir))
+            candles = candle_stream(
+                trades, watermark="2 minutes", window_duration="1 minute"
+            )
+            q = start_candle_query(
+                candles, sink=sink, checkpoint_dir=run_ckpt, available_now=True
+            )
+            q.awaitTermination()
+            wall = time.perf_counter() - t0
+            if best_wall is None or wall < best_wall:
+                best_wall = wall
+            candles_emitted = counts["rows"]
         return {
             "streaming_input_rows": n_rows,
-            "streaming_wall_sec": round(wall, 3),
-            "streaming_rows_per_sec": round(n_rows / wall, 1),
-            "streaming_candles_emitted": counts["rows"],
+            "streaming_wall_sec": round(best_wall, 3),
+            "streaming_rows_per_sec": round(n_rows / best_wall, 1),
+            "streaming_candles_emitted": candles_emitted,
         }
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
