@@ -157,6 +157,9 @@ QUERIES = [
     # O(batch) with a corpus-independent trainer (fixed-size training
     # prefix), so the wall should track the batch row count only.
     "q_ann_incremental",
+    # r9: reciprocal-rank retrieval eval — rides the q_bm25 chain plus a
+    # 3-row broadcast count-ahead pass; should track q_bm25's ratio.
+    "q_mrr",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
