@@ -209,3 +209,142 @@ def test_silhouette_degenerate(spark, tmp_path, n_centroids):
         "n_negative",
     ]
     compare_query(spark, str(deg), "q_silhouette", spec.fn, spec.oracle)
+
+
+def test_mrr_python_replica(spark):
+    """q_mrr against a pure-Python replica computed from the raw
+    documents: BM25 per-term contributions floored to micro-ints exactly
+    as both engines do, ranking by (score DESC, doc_id), RR = 1/rank of
+    the first doc containing each probe term, MRR the integer-ppm mean.
+    Pins the max_by winner selection and the count-ahead rank against an
+    independent implementation (two-sided oracles can agree on a shared
+    misreading; a replica can't)."""
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _BM25_B,
+        _BM25_K1,
+        _BM25_TERMS,
+    )
+
+    sf_dir = SF_001
+    rows = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .collect()
+    )
+    toks = {r.doc_id: r.text.split(" ") for r in rows}
+    dl = {d: len(t) for d, t in toks.items()}
+    n = len(dl)
+    avgdl = sum(dl.values()) / n
+    tf = {
+        (d, term): sum(1 for w in t if w == term)
+        for d, t in toks.items()
+        for term in _BM25_TERMS
+        if term in t
+    }
+    df = {
+        term: sum(1 for (d, x) in tf if x == term) for term in _BM25_TERMS
+    }
+    score = {}
+    for (d, term), f in tf.items():
+        idf = math.log((n - df[term] + 0.5) / (df[term] + 0.5) + 1.0)
+        c = math.floor(
+            idf
+            * (f * (_BM25_K1 + 1.0))
+            / (f + _BM25_K1 * (1.0 - _BM25_B + _BM25_B * dl[d] / avgdl))
+            * 1000000.0
+            + 0.5
+        )
+        score[d] = score.get(d, 0) + c
+
+    expected = {}
+    for term in _BM25_TERMS:
+        rel = [d for d in score if term in toks[d]]
+        if not rel:
+            continue
+        win = min(rel, key=lambda d: (-score[d], d))
+        rank = 1 + sum(
+            1
+            for d in score
+            if score[d] > score[win] or (score[d] == score[win] and d < win)
+        )
+        expected[term] = rank
+    mrr = sum(1000000 // r for r in expected.values()) // len(expected)
+
+    got = {
+        r.term: r for r in REGISTRY["q_mrr"].fn(spark, sf_dir).collect()
+    }
+    assert {t: r.first_rank for t, r in got.items()} == expected
+    for t, r in got.items():
+        assert r.rr_ppm == 1000000 // expected[t]
+        assert r.mrr_ppm == mrr
+
+
+def test_ann_incremental_replica(spark):
+    """q_ann_incremental's batch path against a numpy replica: centroids
+    come from the (separately oracle-proven) trainer on the fixed-size
+    prefix; the replica re-quantizes the batch, assigns by exact integer
+    squared L2 with lowest-cluster tie-break, and recomputes the
+    per-cluster delta counts. Pins the batch predicate, the microunit
+    quantization, the frozen-centroid argmin, and the broadcast-join
+    delta wiring."""
+    from crypto_trading_data_pipeline_spark.operators.cluster import (
+        kmeans_train,
+    )
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _ANN_INC_BATCH_MOD,
+        _ANN_INC_BATCH_RES,
+        _ANN_INC_TRAIN_MAX,
+        _KMEANS_IVF_ITERS,
+        _KMEANS_IVF_K,
+        _KMEANS_IVF_SCALE,
+    )
+
+    sf_dir = SF_001
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    _a, cents, _s = kmeans_train(
+        emb.filter(F.col("vec_id") < _ANN_INC_TRAIN_MAX),
+        k=_KMEANS_IVF_K,
+        max_iter=_KMEANS_IVF_ITERS,
+        quantize=_KMEANS_IVF_SCALE,
+    )
+    cents = np.array(cents, dtype=np.int64)
+
+    rows = emb.filter(
+        F.col("vec_id") % _ANN_INC_BATCH_MOD == _ANN_INC_BATCH_RES
+    ).collect()
+    ids = np.array([r.vec_id for r in rows])
+    # round-half-up on negatives: Spark F.round is HALF_UP (away from 0)
+    qr = np.array(
+        [
+            [
+                int(
+                    math.copysign(
+                        math.floor(abs(x) * _KMEANS_IVF_SCALE + 0.5), x
+                    )
+                )
+                for x in r.v
+            ]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    d2 = ((qr[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    cluster = d2.argmin(axis=1)  # argmin ties -> lowest index, like _assign
+    best = d2[np.arange(len(ids)), cluster]
+    from collections import Counter
+
+    delta = Counter(cluster.tolist())
+
+    got = {
+        r.vec_id: r
+        for r in REGISTRY["q_ann_incremental"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == set(ids.tolist())
+    for i, vid in enumerate(ids.tolist()):
+        assert got[vid].cluster == cluster[i], vid
+        assert got[vid].d2 == best[i], vid
+        assert got[vid].n_new == delta[cluster[i]], vid
