@@ -1004,3 +1004,78 @@ def streaming_order_flow(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+INDEX_APPEND_SCHEMA = StructType(
+    [
+        StructField("cluster", LongType()),
+        StructField("n_new", LongType()),
+        StructField("n_total", LongType()),
+    ]
+)
+
+_INDEX_APPEND_STATE = StructType([StructField("n", LongType())])
+
+
+def _index_append_update(key, pdfs, state: GroupState):
+    """Fold this micro-batch's arrivals into the cluster's running total.
+    State is ONE int64 per cluster key — bounded at k forever."""
+    n = state.get[0] if state.exists else 0
+    batch = 0
+    for pdf in pdfs:
+        batch += len(pdf)
+    n += batch
+    state.update((int(n),))
+    yield pd.DataFrame(
+        {
+            "cluster": pd.Series([key[0]], dtype="int64"),
+            "n_new": pd.Series([batch], dtype="int64"),
+            "n_total": pd.Series([n], dtype="int64"),
+        }
+    )
+
+
+def streaming_index_append(
+    vectors: DataFrame,
+    *,
+    centroids: list[list[int]],
+    scale: int = 1_000_000,
+    vec_col: str = "v",
+) -> DataFrame:
+    """Streaming append to a TRAINED vector index — the streaming twin of
+    queries/dedup_advanced.q_ann_incremental (FAISS add_with_ids as a
+    continuous job): arriving vectors are assigned to the FROZEN trained
+    centroids by a ROW-LOCAL inlined-argmin projection (exact integer
+    microunit distances, lowest-cluster tie-break — operators/cluster.
+    _assign, the very pass the trainer itself uses), then one
+    applyInPandasWithState counter per cluster maintains the inverted
+    list's population across micro-batches, emitting (cluster, n_new,
+    n_total) updates.
+
+    Scale posture: the assignment never shuffles (k x dim centroid
+    literal, O(batch x k) inside codegen); the only exchange is the
+    per-cluster key shuffle, k keys with ONE int64 of state each —
+    bounded regardless of stream length. Counts are additive, so
+    delivery semantics are whatever the source gives foreachBatch; the
+    checkpointed file/Kafka sources replay exactly-once and the test
+    pins totals across a batch boundary. ``centroids`` is the trainer's
+    quantize-mode output (integer microunits at the same ``scale``)."""
+    from ..operators.cluster import _assign
+
+    q = vectors.withColumn(
+        vec_col,
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.round(x * F.lit(float(scale)), 0).cast("long"),
+        ),
+    )
+    assigned = _assign(q, vec_col, centroids, integer=True).select(
+        F.coalesce(F.col("cluster"), F.lit(-1)).cast("long").alias("cluster")
+    )
+    return assigned.groupBy("cluster").applyInPandasWithState(
+        _index_append_update,
+        outputStructType=INDEX_APPEND_SCHEMA,
+        stateStructType=_INDEX_APPEND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -1445,3 +1445,88 @@ def test_streaming_order_flow_matches_batch(spark, tmp_path):
     # The cross-day carry is the interesting bit: 2024-03-02's single
     # equal print must classify as SELL (carried), not unclassified.
     assert latest[("BTC", "2024-03-02")].n_sell == 1
+
+
+def test_streaming_index_append_matches_batch_assignment(spark, tmp_path):
+    """The streaming index-append twin of q_ann_incremental: train once
+    on the fixed-size prefix (frozen centroids), stream the arrival
+    batch as TWO micro-batches, and the per-cluster totals must equal
+    the numpy frozen-centroid argmin replica computed over the full
+    arrival set — across the batch boundary, with the split chosen so
+    several clusters receive vectors in both batches (the additive
+    state, not a single batch, produces the total)."""
+    import math
+
+    from collections import Counter
+
+    import numpy as np
+    from pyspark.sql import functions as SF
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.operators.cluster import kmeans_train
+    from crypto_trading_data_pipeline_spark.operators.similarity import as_double_vec
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_index_append,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(SF.col("embedding")).alias("v")
+    )
+    _a, cents, _s = kmeans_train(
+        emb.filter(SF.col("vec_id") < 500), k=16, max_iter=3, quantize=1_000_000
+    )
+
+    arrivals = emb.filter(SF.col("vec_id") % 10 == 7)
+    rows = arrivals.collect()
+    # Expected totals: HALF_UP microunit quantization + frozen argmin.
+    cent_arr = np.array(cents, dtype=np.int64)
+    qv = np.array(
+        [
+            [int(math.copysign(math.floor(abs(x) * 1e6 + 0.5), x)) for x in r.v]
+            for r in rows
+        ],
+        dtype=np.int64,
+    )
+    d2 = ((qv[:, None, :] - cent_arr[None, :, :]) ** 2).sum(axis=2)
+    expected = Counter(d2.argmin(axis=1).tolist())
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    half = len(rows) // 2
+    mk = lambda rs: spark.createDataFrame(
+        [(r.vec_id, r.v) for r in rs], "vec_id long, v array<double>"
+    )
+    mk(rows[:half]).write.mode("overwrite").parquet(str(indir / "b1.parquet"))
+
+    stream = spark.readStream.schema("vec_id long, v array<double>").parquet(
+        str(indir / "*.parquet")
+    )
+    latest: dict[int, tuple[int, int]] = {}
+
+    def sink(df, eid):
+        for r in df.collect():
+            latest[int(r.cluster)] = (int(r.n_new), int(r.n_total))
+
+    q = (
+        streaming_index_append(stream, centroids=cents)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        totals_b1 = {c: t for c, (_nw, t) in latest.items()}
+        mk(rows[half:]).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got_totals = {c: t for c, (_nw, t) in latest.items()}
+    assert got_totals == dict(expected)
+    # The boundary did real work: at least one cluster's total grew
+    # across it (state carried), and batch-1 totals were a strict prefix.
+    grew = [c for c, t in got_totals.items() if 0 < totals_b1.get(c, 0) < t]
+    assert grew, "split produced no cluster fed by both batches"
+    assert all(totals_b1[c] <= got_totals[c] for c in totals_b1)
