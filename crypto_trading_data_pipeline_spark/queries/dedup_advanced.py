@@ -9,7 +9,6 @@ from the same constants as the Spark code, so the two sides cannot drift.
 
 from __future__ import annotations
 
-import math
 from itertools import count
 
 from pyspark.sql import SparkSession, Window
@@ -634,9 +633,12 @@ def _ivf_assign_hier(n):
 
     Determinism: stride is an integer both engines derive identically
     (floor(sqrt(k2)) in IEEE doubles; the oracle computes it from a
-    count(*) CTE, this side from one pruned-scan count() action), and
-    every rank is (rounded-6dp cosine DESC, centroid id) — the oracle
-    SQL mirrors all three ranks verbatim. Every coarse centroid is a
+    count(*) CTE, this side from a 1-row scalar aggregate riding the
+    SAME plan — no eager driver action, so constructing the DataFrame
+    never launches a job and the coarse-selection scalar costs one
+    bounded BroadcastNestedLoopJoin), and every rank is (rounded-6dp
+    cosine DESC, centroid id) — the oracle SQL mirrors all three ranks
+    verbatim. Every coarse centroid is a
     fine centroid and is its own nearest coarse candidate at cosine
     exactly 1.0, so no coarse cell a vector can route to is ever empty
     on real-valued fixtures; a pathological rounded-1.0 tie would drop
@@ -647,16 +649,17 @@ def _ivf_assign_hier(n):
         F.col("v").alias("cv"),
         F.col("nrm").alias("cnrm"),
     )
-    # One tiny action: count() on a vec_id-pruned scan of the fine
-    # subset. The stride must be a plan literal (the coarse filter
-    # pushes to the scan and the table broadcasts) and the oracle's
-    # strd CTE computes the identical integer.
-    k2 = fine.count()
-    stride = max(1, int(math.floor(math.sqrt(k2))))
+    # The stride rides the plan as a 1-row scalar (GREATEST/FLOOR/SQRT
+    # on the fine count — textually the oracle's strd CTE), crossJoined
+    # onto the k2-row fine table as a broadcast nested-loop: no eager
+    # count() action at construction time, one bounded exchange.
+    strd = fine.agg(
+        F.greatest(F.lit(1).cast("long"), F.floor(F.sqrt(F.count(F.lit(1)))).cast("long")).alias("s")
+    )
     coarse = F.broadcast(
-        fine.filter(
-            F.col("cent_id") % (_IVF_CENT_MOD * stride) == 0
-        ).select(
+        fine.crossJoin(F.broadcast(strd))
+        .filter(F.col("cent_id") % (F.lit(_IVF_CENT_MOD) * F.col("s")) == 0)
+        .select(
             F.col("cent_id").alias("co_id"),
             F.col("cv").alias("cov"),
             F.col("cnrm").alias("conrm"),

@@ -309,6 +309,9 @@ _SINGLE_PARTITION_OK = {
     "q_mrr",               # inherits q_bm25's one-row (n, avgdl) scalar;
                            # the mrr finalize aggregates the |terms|-row
                            # (=3) rank table into the 1-row mean
+    "q_semdedup",          # 1-row coarse-stride scalar (floor(sqrt(k2)))
+                           # riding the plan instead of a driver count()
+                           # action — BNLJ onto the k2-row fine table
 }
 
 
