@@ -768,6 +768,8 @@ def main() -> None:
             "noisiest_steady",
             "sf",
             "streaming_rows_per_sec",
+            "streaming_delta_pct",
+            "streaming_regression",
         )
         if k in compact
     }
