@@ -348,3 +348,37 @@ def test_ann_incremental_replica(spark):
         assert got[vid].cluster == cluster[i], vid
         assert got[vid].d2 == best[i], vid
         assert got[vid].n_new == delta[cluster[i]], vid
+
+
+def test_oracle_fps_reproducible_from_git():
+    """The committed ORACLE_FPS.json must be reproducible from git
+    history — the run-order-independence contract of the r9 refresh
+    script. Sampled, not exhaustive (a full rebuild imports the
+    registry at six historical commits, ~40 s): rebuild the NEWEST
+    round's fingerprint dump in one throwaway worktree and assert every
+    query whose latest driver row is that round matches the committed
+    file byte-for-byte. Any drift means someone hand-edited the file or
+    the script's commit resolution broke."""
+    import json
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    import importlib
+
+    mod = importlib.import_module("scripts.refresh_oracle_fps")
+
+    latest = mod._latest_round_per_query()
+    newest = max(latest.values())
+    sha = mod._driver_commit(newest)
+    assert sha, f"no driver commit found for round {newest}"
+    dump = mod._fps_at_commit(sha)
+    assert dump, f"registry import failed at {sha[:9]}"
+
+    committed = json.load(open(os.path.join(mod.REPO, "ORACLE_FPS.json")))
+    checked = [q for q, r in latest.items() if r == newest and q in dump]
+    assert len(checked) >= 25  # the driver window holds 50; most have oracles
+    mismatched = [
+        q for q in checked if committed.get(q) != dump[q]
+    ]
+    assert not mismatched, f"ORACLE_FPS drift vs git for: {mismatched[:5]}"
