@@ -369,9 +369,17 @@ def test_oracle_fps_reproducible_from_git():
     mod = importlib.import_module("scripts.refresh_oracle_fps")
 
     latest = mod._latest_round_per_query()
-    newest = max(latest.values())
-    sha = mod._driver_commit(newest)
-    assert sha, f"no driver commit found for round {newest}"
+    # Newest round WITH a driver commit: a brand-new CORRECTNESS file
+    # the driver has written but not yet committed (the window between
+    # its check run and its round-end commit) has no history to rebuild
+    # from and must not fail this test.
+    newest = sha = None
+    for cand in sorted(set(latest.values()), reverse=True):
+        sha = mod._driver_commit(cand)
+        if sha:
+            newest = cand
+            break
+    assert newest is not None, "no committed CORRECTNESS round found"
     dump = mod._fps_at_commit(sha)
     assert dump, f"registry import failed at {sha[:9]}"
 
