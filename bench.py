@@ -264,6 +264,9 @@ def bench_streaming(spark, sf_dir: str) -> dict:
         )
         raw.coalesce(8).write.mode("overwrite").text(indir)
 
+        # candles_emitted is taken from the SAME drain as best_wall (r9
+        # ADVICE: mixing the best-wall timing with the last drain's count
+        # would silently splice runs if a drain ever partially fails).
         best_wall, candles_emitted = None, 0
         for i in range(3):
             counts = {"rows": 0}
@@ -284,7 +287,7 @@ def bench_streaming(spark, sf_dir: str) -> dict:
             wall = time.perf_counter() - t0
             if best_wall is None or wall < best_wall:
                 best_wall = wall
-            candles_emitted = counts["rows"]
+                candles_emitted = counts["rows"]
         return {
             "streaming_input_rows": n_rows,
             "streaming_wall_sec": round(best_wall, 3),
@@ -618,20 +621,22 @@ def main() -> None:
         stream_stats = {"streaming_err": f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"}
 
     # Streaming-throughput regression gate (r8 verdict #6): rows/s vs the
-    # previous round with the same machine-speed normalization as the
-    # per-query gate — throughput on a slower box (calib_ratio > 1) is
-    # scaled back UP before the test so environment drift doesn't flag,
-    # while the clamp at 1.0 keeps a faster box from hiding a code drop.
+    # previous round. Two verdicts, mirroring the per-query gate (r9
+    # ADVICE — the old max(ratio, 1) clamp let a FASTER box mask a real
+    # code drop): `streaming_regression_raw` compares raw rows/s, and
+    # `streaming_regression` machine-normalizes in BOTH directions
+    # (cur_rps * calib_ratio, unclamped — on a slower box ratio > 1 scales
+    # throughput back up; on a faster box ratio < 1 scales it back down).
     stream_prev = prev.get("_streaming_rows_per_sec")
     cur_rps = stream_stats.get("streaming_rows_per_sec")
     streaming_delta_pct = None
     streaming_regression = None
+    streaming_regression_raw = None
     if isinstance(stream_prev, (int, float)) and isinstance(cur_rps, (int, float)):
         streaming_delta_pct = round((cur_rps - stream_prev) / stream_prev * 100, 1)
-        scale = (
-            max(calib_ratio, 1.0)
-            if isinstance(calib_ratio, (int, float))
-            else 1.0
+        scale = calib_ratio if isinstance(calib_ratio, (int, float)) else 1.0
+        streaming_regression_raw = bool(
+            cur_rps < stream_prev * (1.0 - _REGRESSION_REL)
         )
         streaming_regression = bool(
             cur_rps * scale < stream_prev * (1.0 - _REGRESSION_REL)
@@ -680,6 +685,7 @@ def main() -> None:
         "streaming_prev_rows_per_sec": stream_prev,
         "streaming_delta_pct": streaming_delta_pct,
         "streaming_regression": streaming_regression,
+        "streaming_regression_raw": streaming_regression_raw,
     }
     # Compact single line on stdout for the driver FIRST (a sidecar-write
     # failure must never orphan the driver's parsed line): the headline

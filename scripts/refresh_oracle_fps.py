@@ -17,8 +17,9 @@ Mechanics: for every round r with a CORRECTNESS_r{r}.json, find the
 commit that last touched that file, materialize it in a throwaway git
 worktree, import the registry there in a subprocess, and dump
 {name: md5(oracle)}. Then fps[q] = dump[latest_round[q]][q]. Queries
-whose old-commit import fails fall back to the next-newer dumpable
-round (best effort, warned); queries with no driver row are omitted
+whose exact-round dump is unavailable are OMITTED (never-fingerprinted
+=> they re-enter the driver window; falling back to a newer round could
+mask an unverified oracle edit); queries with no driver row are omitted
 (they are never-checked and windowed regardless).
 
 Usage: python scripts/refresh_oracle_fps.py   (any time; idempotent)
@@ -116,18 +117,21 @@ if __name__ == "__main__":
             dumps[r] = fps
 
     fps_out: dict[str, str] = {}
-    fallbacks = 0
+    omitted = 0
     for q, r in sorted(latest.items()):
-        # exact round first, then the next-newer dumpable round (best effort)
-        for cand in [r] + [x for x in sorted(dumps) if x > r]:
-            if cand in dumps and q in dumps[cand]:
-                if cand != r:
-                    fallbacks += 1
-                fps_out[q] = dumps[cand][q]
-                break
+        # EXACT round only. Falling back to a newer round's tree is unsound:
+        # if the oracle was edited after its last driver check, the newer
+        # tree's text matches the working tree and the fingerprint would
+        # silently erase the needs-recheck marker (r9 ADVICE). An omitted
+        # query is treated as never-fingerprinted, so it re-enters the
+        # driver window — the safe direction.
+        if r in dumps and q in dumps[r]:
+            fps_out[q] = dumps[r][q]
+        else:
+            omitted += 1
 
     out = os.path.join(REPO, "ORACLE_FPS.json")
     with open(out, "w") as f:
         json.dump(fps_out, f, indent=0, sort_keys=True)
-    note = f" ({fallbacks} fallback rounds)" if fallbacks else ""
+    note = f" ({omitted} omitted: exact-round dump unavailable)" if omitted else ""
     print(f"wrote {out}: {len(fps_out)} fingerprints from git history{note}")
