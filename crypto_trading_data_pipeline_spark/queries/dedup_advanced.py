@@ -3051,14 +3051,319 @@ def q_ann_incremental(spark: SparkSession, sf_dir: str):
     # explode-pushdown class; gated registry-wide). cluster is argmin
     # over a non-empty literal array — never NULL — so the coalesce is a
     # value no-op that blocks the pushdown (same move as _trained_search).
-    assigned = _assign(batch, "v", cents, integer=True).select(
-        "vec_id",
-        F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("cluster"),
-        F.col("__d").cast("bigint").alias("d2"),
+    # localCheckpoint: both the delta aggregate and the serving join
+    # consume `assigned`; without materialization the O(batch x k)
+    # inlined-argmin projection plans (and runs) TWICE — once under the
+    # aggregate, once under the join's probe side (r9 verdict #5; the
+    # q_token_budget_mix precedent). The batch is a bounded slice
+    # (vec_id % mod == res), so the checkpoint is small by construction.
+    assigned = (
+        _assign(batch, "v", cents, integer=True)
+        .select(
+            "vec_id",
+            F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("cluster"),
+            F.col("__d").cast("bigint").alias("d2"),
+        )
+        .localCheckpoint(eager=True)
     )
     delta = assigned.groupBy("cluster").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_new")
     )
     return assigned.join(F.broadcast(delta), "cluster").select(
         "vec_id", "cluster", "d2", "n_new"
+    )
+
+
+#: q_pq_train: per-subspace trainer iterations. Two Lloyd rounds per
+#: subspace — the PQ codebook refinement plateaus fast at k=8/dsub=16,
+#: and every extra round quadruples the oracle's unrolled-CTE cost
+#: (4 subspaces x rounds).
+_PQ_TRAIN_ITERS = 2
+#: Fixed-size training prefix — the same bounded-sample contract as
+#: q_ann_incremental's coarse quantizer (FAISS ProductQuantizer.train
+#: runs on a sample, never the corpus), so trainer cost is
+#: corpus-independent.
+_PQ_TRAIN_MAX = 500
+
+
+def _pq_train_sql(
+    m: int, dsub: int, k: int, iters: int, scale: int, train_max: int
+) -> str:
+    """Per-subspace unrolled Lloyd's — the q_kmeans_ivf chain generalized
+    with a subspace dimension j: one materialized sliced/quantized corpus
+    CTE, seeds per j are the SAME k smallest (hash, vec_id) rows (the
+    id-hash doesn't depend on j, mirroring the Spark loop that calls
+    kmeans_train per slice), each round an argmin assignment partitioned
+    by (j, vec_id) + an integer mean update grouped by (j, cluster).
+    Final SSE per subspace is the exact-integer sum of assigned squared
+    distances — no float division anywhere, so the full training run
+    hash-matches."""
+    h = dh.sql_token_hash("CAST(vec_id AS VARCHAR)")
+    dist = _KMEANS_DIST
+    parts = [
+        f"""
+    WITH e0 AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS fv
+      FROM embeddings WHERE vec_id < {train_max}
+    ), e AS MATERIALIZED (
+      SELECT vec_id, j,
+             list_transform(fv[1 + {dsub}*j : {dsub}*(j+1)],
+                            x -> CAST(round(x * {scale}.0, 0) AS BIGINT)) AS v
+      FROM e0 CROSS JOIN (SELECT unnest(range({m})) AS j)
+    ), c0 AS (
+      SELECT j, rn - 1 AS cluster, v AS cv FROM (
+        SELECT j, v, row_number() OVER (
+                 PARTITION BY j ORDER BY {h}, vec_id) AS rn FROM e
+      ) WHERE rn <= {k}
+    )"""
+    ]
+    prev = "c0"
+    for it in range(1, iters + 1):
+        parts.append(
+            f""", a{it} AS (
+      SELECT j, vec_id, v, cluster FROM (
+        SELECT e.j, e.vec_id, e.v, c.cluster,
+               row_number() OVER (PARTITION BY e.j, e.vec_id
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rc
+        FROM e JOIN {prev} c ON c.j = e.j
+      ) WHERE rc = 1
+    ), m{it} AS (
+      SELECT j, cluster, list(mm ORDER BY pos) AS mv FROM (
+        SELECT j, cluster, pos, CAST(round(avg(x), 0) AS BIGINT) AS mm
+        FROM (SELECT j, cluster, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS pos FROM a{it})
+        GROUP BY j, cluster, pos
+      ) GROUP BY j, cluster
+    ), c{it} AS (
+      SELECT c.j, c.cluster, COALESCE(m.mv, c.cv) AS cv
+      FROM {prev} c LEFT JOIN m{it} m
+        ON m.j = c.j AND m.cluster = c.cluster
+    )"""
+        )
+        prev = f"c{it}"
+    parts.append(
+        f""", af AS (
+      SELECT j, vec_id, d2 FROM (
+        SELECT e.j, e.vec_id, {dist} AS d2,
+               row_number() OVER (PARTITION BY e.j, e.vec_id
+                 ORDER BY {dist} ASC, c.cluster ASC) AS rc
+        FROM e JOIN {prev} c ON c.j = e.j
+      ) WHERE rc = 1
+    ), sse AS (
+      SELECT j, CAST(SUM(d2) AS BIGINT) AS sse_j FROM af GROUP BY j
+    )
+    SELECT CAST(c.j AS INTEGER) AS j, CAST(c.cluster AS INTEGER) AS code,
+           CAST(p.pos AS INTEGER) AS pos,
+           CAST(c.cv[p.pos + 1] AS BIGINT) AS cw,
+           s.sse_j
+    FROM {prev} c
+    CROSS JOIN (SELECT unnest(range({dsub})) AS pos) p
+    JOIN sse s ON s.j = c.j"""
+    )
+    return "".join(parts)
+
+
+@query(
+    "q_pq_train",
+    oracle=_pq_train_sql(
+        _PQ_M, _PQ_DSUB, _PQ_K, _PQ_TRAIN_ITERS, _KMEANS_IVF_SCALE, _PQ_TRAIN_MAX
+    ),
+    doc=(
+        "PQ codebook TRAINING — the faiss.ProductQuantizer.train step, "
+        "closing the one index-lifecycle gap left after IVF got "
+        "train->serve->audit->maintain (r9 verdict #2): q_ann_pq / "
+        "q_ann_ivfpq serve from literal codebooks (a frozen checkpoint); "
+        "THIS trains them in-engine. Per subspace j (m=4 slices of 16 "
+        "dims), deterministic integer-quantized Lloyd's reusing "
+        "operators/cluster.kmeans_train (hash-seeded init — the seed ids "
+        "are j-independent, so all subspaces train on the same sample "
+        "rows; argmin ties toward the lower code; half-up integer means), "
+        "on a FIXED 500-vector prefix so trainer cost is "
+        "corpus-independent (the q_ann_incremental bounded-sample "
+        "contract). Emits the trained codebook exploded to (j, code, "
+        "pos, cw) microunit rows plus each subspace's exact-integer "
+        "final SSE — every value bit-identical to the unrolled-CTE "
+        "DuckDB twin. The driver holds only m x k x dsub = 512 "
+        "codebook ints; assignments stay distributed. tests/test_ml.py "
+        "proves the trained codebook reconstructs the corpus with lower "
+        "SSE than the literal vec_id<8 codebook q_ann_pq serves from."
+    ),
+)
+def q_pq_train(spark: SparkSession, sf_dir: str):
+    from ..operators.cluster import _assign, kmeans_train
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    train = emb.filter(F.col("vec_id") < _PQ_TRAIN_MAX)
+    scale = float(_KMEANS_IVF_SCALE)
+    cb_rows: list[tuple[int, int, int, int]] = []
+    sse = None
+    for j in range(_PQ_M):
+        sub = train.select(
+            "vec_id", F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
+        )
+        _a, cents, _hist = kmeans_train(
+            sub, k=_PQ_K, max_iter=_PQ_TRAIN_ITERS, quantize=_KMEANS_IVF_SCALE
+        )
+        cb_rows += [
+            (j, code, pos, int(cents[code][pos]))
+            for code in range(_PQ_K)
+            for pos in range(_PQ_DSUB)
+        ]
+        # Final training SSE per subspace: assign the quantized sample to
+        # the trained codewords once more and sum the exact-integer d2
+        # (kmeans_train's sse_history is a float driver-side diagnostic;
+        # this integer aggregate is what the oracle can reproduce).
+        quant = sub.withColumn(
+            "v",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * F.lit(scale), 0).cast("long")
+            ),
+        )
+        part = (
+            _assign(quant, "v", cents, integer=True)
+            .agg(F.sum("__d").cast("bigint").alias("sse_j"))
+            .select(F.lit(j).cast("int").alias("j"), "sse_j")
+        )
+        sse = part if sse is None else sse.unionByName(part)
+    cb = spark.createDataFrame(cb_rows, schema="j int, code int, pos int, cw long")
+    return cb.join(F.broadcast(sse), "j").select("j", "code", "pos", "cw", "sse_j")
+
+
+#: q_index_rebalance: retrain when the fullest IVF list exceeds this
+#: multiple of the mean list size (ppm) — the FAISS imbalance_factor
+#: "when to retrain" heuristic, 2x mean.
+_REBALANCE_THRESHOLD_PPM = 2_000_000
+
+
+@query(
+    "q_index_rebalance",
+    oracle=(
+        lambda: (
+            _kmeans_cte_chain(
+                _KMEANS_IVF_K,
+                _KMEANS_IVF_ITERS,
+                _KMEANS_IVF_SCALE,
+                where=f"WHERE vec_id < {_ANN_INC_TRAIN_MAX}",
+            )[0]
+            + f""", ec AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> CAST(round(x * {_KMEANS_IVF_SCALE}.0, 0) AS BIGINT)) AS v
+      FROM embeddings
+    ), asg AS (
+      SELECT vec_id, cluster FROM (
+        SELECT e.vec_id, c.cluster,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_KMEANS_DIST} ASC, c.cluster ASC) AS rc
+        FROM ec e CROSS JOIN c{_KMEANS_IVF_ITERS} c
+      ) WHERE rc = 1
+    ), counts AS (
+      SELECT c.cluster,
+             SUM(CASE WHEN a.vec_id IS NOT NULL
+                       AND a.vec_id % {_ANN_INC_BATCH_MOD} <> {_ANN_INC_BATCH_RES}
+                      THEN 1 ELSE 0 END) AS n_indexed,
+             SUM(CASE WHEN a.vec_id % {_ANN_INC_BATCH_MOD} = {_ANN_INC_BATCH_RES}
+                      THEN 1 ELSE 0 END) AS n_new
+      FROM c{_KMEANS_IVF_ITERS} c LEFT JOIN asg a ON a.cluster = c.cluster
+      GROUP BY c.cluster
+    ), tot AS (
+      SELECT max(n_indexed + n_new) AS max_total,
+             sum(n_indexed + n_new) AS sum_total
+      FROM counts
+    )
+    SELECT CAST(c.cluster AS INTEGER) AS cluster,
+           CAST(c.n_indexed AS BIGINT) AS n_indexed,
+           CAST(c.n_new AS BIGINT) AS n_new,
+           CAST(c.n_indexed + c.n_new AS BIGINT) AS n_total,
+           CAST(t.max_total * {_KMEANS_IVF_K} * 1000000 // t.sum_total
+                AS BIGINT) AS imbalance_ppm,
+           CAST((t.max_total * {_KMEANS_IVF_K} * 1000000 // t.sum_total)
+                > {_REBALANCE_THRESHOLD_PPM} AS INTEGER) AS rebalance
+    FROM counts c CROSS JOIN tot t"""
+        )
+    )(),
+    doc=(
+        "Retrain-trigger maintenance decision for the incrementally "
+        "maintained IVF index (r9 verdict #7) — the last operational "
+        "piece of the lifecycle: train (q_kmeans_ivf) -> serve "
+        "(q_ann_ivf_trained) -> audit (q_ann_recall_trained) -> maintain "
+        "(q_ann_incremental) -> DECIDE WHEN TO RETRAIN (this). Assigns "
+        "the whole corpus to the same frozen prefix-trained coarse "
+        "quantizer q_ann_incremental appends against (one narrow "
+        "O(N x k) argmin pass — no shuffle until the k-row count "
+        "aggregate), splits each list's population into indexed vs "
+        "newly-appended rows (the id-residue batch), and emits the "
+        "FAISS imbalance heuristic: imbalance_ppm = max list x k x 1e6 "
+        "/ total (integer division, exact — fits BIGINT through ~5.7e11 "
+        "vectors, beyond 100 TB of 64-dim embeddings), with rebalance=1 "
+        "when the fullest list exceeds 2x the mean. Empty lists count "
+        "toward the mean via the centroid-table left join. All-integer "
+        "output, trivially hash-matched."
+    ),
+)
+def q_index_rebalance(spark: SparkSession, sf_dir: str):
+    from ..operators.cluster import _assign, kmeans_train
+
+    emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    train = emb.filter(F.col("vec_id") < _ANN_INC_TRAIN_MAX)
+    _a, cents, _sse = kmeans_train(
+        train,
+        k=_KMEANS_IVF_K,
+        max_iter=_KMEANS_IVF_ITERS,
+        quantize=_KMEANS_IVF_SCALE,
+    )
+    quant = emb.withColumn(
+        "v",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * F.lit(float(_KMEANS_IVF_SCALE)), 0).cast("long"),
+        ),
+    )
+    is_new = F.col("vec_id") % _ANN_INC_BATCH_MOD == _ANN_INC_BATCH_RES
+    counts = (
+        _assign(quant, "v", cents, integer=True)
+        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .agg(
+            F.sum(F.when(is_new, 0).otherwise(1)).cast("bigint").alias("n_indexed"),
+            F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new"),
+        )
+    )
+    # Every trained list participates in the mean, including empty ones —
+    # k bounded rows, broadcast side of the left join.
+    clusters = spark.range(_KMEANS_IVF_K).select(
+        F.col("id").cast("int").alias("cluster")
+    )
+    full = (
+        F.broadcast(clusters)
+        .join(counts, "cluster", "left")
+        .na.fill(0, ["n_indexed", "n_new"])
+        .withColumn("n_total", (F.col("n_indexed") + F.col("n_new")).cast("bigint"))
+    )
+    stats = full.agg(
+        F.max("n_total").alias("max_total"), F.sum("n_total").alias("sum_total")
+    )
+    # imbalance derived once, verdict DERIVED from the alias (the
+    # q_ann_recall_trained pattern — they can never disagree).
+    return (
+        full.crossJoin(F.broadcast(stats))
+        .withColumn(
+            "imbalance_ppm",
+            F.expr(
+                f"CAST(max_total * {_KMEANS_IVF_K} * 1000000 div sum_total AS BIGINT)"
+            ),
+        )
+        .select(
+            "cluster",
+            "n_indexed",
+            "n_new",
+            "n_total",
+            "imbalance_ppm",
+            F.expr(
+                f"CAST(imbalance_ppm > {_REBALANCE_THRESHOLD_PPM} AS INTEGER)"
+            ).alias("rebalance"),
+        )
     )

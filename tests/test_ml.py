@@ -115,3 +115,76 @@ def test_floor_division_identity_matches_duckdb(n):
         ).fetchone()[0]
         assert py == duck == math.floor(a / n)
     con.close()
+
+
+def test_pq_trained_codebook_beats_literal(spark, sf_dir):
+    """q_pq_train's Lloyd-refined codebooks must reconstruct the corpus
+    with LOWER total quantization SSE than the literal vec_id<k codebook
+    q_ann_pq serves from — the oracle proves the arithmetic matches
+    DuckDB, this proves the training actually improves the index
+    (r9 verdict #2's 'done' condition)."""
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.operators.cluster import _assign
+    from crypto_trading_data_pipeline_spark.operators.similarity import (
+        as_double_vec,
+    )
+    from crypto_trading_data_pipeline_spark.queries import REGISTRY
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _KMEANS_IVF_SCALE,
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_M,
+        _PQ_TRAIN_MAX,
+    )
+
+    rows = REGISTRY["q_pq_train"].fn(spark, sf_dir).collect()
+    assert len(rows) == _PQ_M * _PQ_K * _PQ_DSUB
+    trained = {}
+    trained_sse = {}
+    for r in rows:
+        trained.setdefault(r.j, {}).setdefault(r.code, {})[r.pos] = r.cw
+        trained_sse[r.j] = r.sse_j
+    # Non-degenerate: at least one codeword must differ from its seed
+    # (otherwise the "training" was an identity pass).
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    sample = emb.filter(F.col("vec_id") < _PQ_TRAIN_MAX).withColumn(
+        "v",
+        F.transform(
+            F.col("v"),
+            lambda x: F.round(x * F.lit(float(_KMEANS_IVF_SCALE)), 0).cast("long"),
+        ),
+    )
+    literal_rows = {
+        r.vec_id: list(r.v) for r in sample.filter(F.col("vec_id") < _PQ_K).collect()
+    }
+    total_trained, total_literal = 0, 0
+    for j in range(_PQ_M):
+        sub = sample.select(
+            "vec_id", F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
+        )
+        lit_cb = [
+            literal_rows[code][j * _PQ_DSUB : (j + 1) * _PQ_DSUB]
+            for code in range(_PQ_K)
+        ]
+        tr_cb = [
+            [trained[j][code][pos] for pos in range(_PQ_DSUB)]
+            for code in range(_PQ_K)
+        ]
+        lit_sse = (
+            _assign(sub, "v", lit_cb, integer=True).agg(F.sum("__d")).collect()[0][0]
+        )
+        tr_sse = (
+            _assign(sub, "v", tr_cb, integer=True).agg(F.sum("__d")).collect()[0][0]
+        )
+        # The query's reported per-subspace SSE is exactly the trained
+        # assignment SSE (same integer arithmetic).
+        assert tr_sse == trained_sse[j]
+        total_trained += tr_sse
+        total_literal += lit_sse
+    assert total_trained < total_literal, (
+        f"trained codebook SSE {total_trained} not below literal {total_literal}"
+    )
