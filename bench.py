@@ -421,6 +421,12 @@ def _load_previous_round(sf: float, here: str | None = None) -> dict:
             )
             if isinstance(srps, (int, float)) and srps > 0:
                 out["_streaming_rows_per_sec"] = srps
+            # Same for the full-registry sweep wall (r9 verdict #6).
+            frw = (parsed or {}).get(
+                "full_registry_wall_sec", rec.get("full_registry_wall_sec")
+            )
+            if isinstance(frw, (int, float)) and frw > 0:
+                out["_full_registry_wall_sec"] = frw
             return out
     return {}
 
@@ -600,6 +606,28 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
     load_after = _loadavg()
 
+    # Full-registry blind-spot sweep (r9 verdict #6): every registered
+    # query NOT in HEADLINE runs ONCE, and only the TOTAL wall is graded
+    # round-over-round — 99+ queries are cheap by construction and
+    # correctness-gated, but nothing else would catch one of them going
+    # pathological (e.g. an optimizer regression after a Spark upgrade).
+    # Per-query single-run walls land in the sidecar for diagnosis only;
+    # they are too noisy to gate individually.
+    sweep_names = [n for n in REGISTRY if n not in set(names)]
+    sweep_queries: dict[str, float] = {}
+    sweep_errors: dict[str, str] = {}
+    t_sweep = time.perf_counter()
+    for name in sweep_names:
+        t0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sweep_queries[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep sweeping
+            sweep_errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+    full_registry_wall = round(time.perf_counter() - t_sweep, 3)
+
     total = round(sum(timings.values()), 3)
     try:
         calib_sec = _calibration_sec(spark)
@@ -686,6 +714,24 @@ def main() -> None:
         "streaming_delta_pct": streaming_delta_pct,
         "streaming_regression": streaming_regression,
         "streaming_regression_raw": streaming_regression_raw,
+        # Full-registry sweep (one run per non-HEADLINE query; total-wall
+        # gated, per-query walls in the sidecar only).
+        "full_registry_wall_sec": full_registry_wall,
+        "full_registry_n_ok": len(sweep_queries),
+        "full_registry_n_err": len(sweep_errors),
+        "full_registry_prev_wall_sec": prev.get("_full_registry_wall_sec"),
+        "full_registry_delta_pct": (
+            round(
+                (full_registry_wall - prev["_full_registry_wall_sec"])
+                / prev["_full_registry_wall_sec"]
+                * 100,
+                1,
+            )
+            if isinstance(prev.get("_full_registry_wall_sec"), (int, float))
+            else None
+        ),
+        "registry_sweep_queries": sweep_queries,
+        "registry_sweep_errors": sweep_errors,
     }
     # Compact single line on stdout for the driver FIRST (a sidecar-write
     # failure must never orphan the driver's parsed line): the headline
@@ -717,6 +763,11 @@ def main() -> None:
             # delta_pct + regression flag stay in the line; the prev
             # value itself is sidecar-only (byte budget).
             "streaming_prev_rows_per_sec",
+            # Sweep per-query walls/errors are sidecar-only; the line
+            # carries only the total + delta (byte budget).
+            "registry_sweep_queries",
+            "registry_sweep_errors",
+            "full_registry_prev_wall_sec",
         )
     }
     compact["queries"] = {n: round(t, 2) for n, t in timings.items()}
@@ -776,6 +827,9 @@ def main() -> None:
             "streaming_rows_per_sec",
             "streaming_delta_pct",
             "streaming_regression",
+            "full_registry_wall_sec",
+            "full_registry_delta_pct",
+            "full_registry_n_err",
         )
         if k in compact
     }

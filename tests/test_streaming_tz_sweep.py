@@ -153,10 +153,41 @@ def _run_twin(spark, tmpdir, twin: str):
             spark, tmpdir, batches, schema,
             stf.streaming_attribution, lambda r: r.user_id,
         )
+    if twin == "heavy_hitters":
+        # No time column at all — the sweep proves the full drain path
+        # (Arrow round-trip of the MG summary state) is tz-invariant, the
+        # property the 4 time-keyed twins defend explicitly (r9 verdict
+        # #8: every pandas-state twin rides the sweep, not just the
+        # time-keyed ones).
+        schema = "source string, tok string"
+        batches = [
+            [("web", "a"), ("web", "a"), ("web", "b"), ("api", "x")],
+            [("web", "a"), ("api", "x"), ("api", "y")],
+        ]
+        return _drain(
+            spark, tmpdir, batches, schema,
+            lambda s: stf.streaming_heavy_hitters(s, m=2),
+            lambda r: (r.source, r.tok),
+        )
+    if twin == "index_append":
+        schema = "vec_id long, v array<double>"
+        cents = [[1_000_000, 0, 0, 0], [0, 1_000_000, 0, 0]]
+        batches = [
+            [(1, [0.9, 0.1, 0.0, 0.0]), (2, [0.1, 1.1, 0.0, 0.0])],
+            [(3, [1.1, 0.0, 0.1, 0.0]), (4, [0.95, 0.0, 0.0, 0.1])],
+        ]
+        return _drain(
+            spark, tmpdir, batches, schema,
+            lambda s: stf.streaming_index_append(s, centroids=cents),
+            lambda r: r.cluster,
+        )
     raise AssertionError(f"unknown twin {twin}")
 
 
-@pytest.mark.parametrize("twin", ["holt", "order_flow", "scd2", "attribution"])
+@pytest.mark.parametrize(
+    "twin",
+    ["holt", "order_flow", "scd2", "attribution", "heavy_hitters", "index_append"],
+)
 def test_stateful_twin_output_is_session_tz_invariant(spark, tmp_path, twin):
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
     results = {}
@@ -179,3 +210,11 @@ def test_stateful_twin_output_is_session_tz_invariant(spark, tmp_path, twin):
         # the view run opened at 23:00Z Jan 1 and closed at 02:00Z Jan 2.
         assert results["UTC"][(1, 1)][3] == "2024-01-01 23:00:00"
         assert results["UTC"][(1, 1)][4] == "2024-01-02 02:00:00"
+    if twin == "heavy_hitters":
+        # web saw a x3 of 4 items; the MG(2) lower bound must carry it.
+        assert results["UTC"][("web", "a")] == ("web", "a", 3, 4)
+    if twin == "index_append":
+        # cluster 0: vec 1 in batch 0, vecs 3+4 in batch 1 -> (n_new=2,
+        # n_total=3); cluster 1 last updated in batch 0 with vec 2.
+        assert results["UTC"][0] == (0, 2, 3)
+        assert results["UTC"][1] == (1, 1, 1)
