@@ -3086,18 +3086,18 @@ _PQ_TRAIN_ITERS = 2
 _PQ_TRAIN_MAX = 500
 
 
-def _pq_train_sql(
+def _pq_train_cte_chain(
     m: int, dsub: int, k: int, iters: int, scale: int, train_max: int
-) -> str:
+) -> tuple[str, str]:
     """Per-subspace unrolled Lloyd's — the q_kmeans_ivf chain generalized
     with a subspace dimension j: one materialized sliced/quantized corpus
     CTE, seeds per j are the SAME k smallest (hash, vec_id) rows (the
     id-hash doesn't depend on j, mirroring the Spark loop that calls
     kmeans_train per slice), each round an argmin assignment partitioned
     by (j, vec_id) + an integer mean update grouped by (j, cluster).
-    Final SSE per subspace is the exact-integer sum of assigned squared
-    distances — no float division anywhere, so the full training run
-    hash-matches."""
+    Returns (prefix_sql, final_codebook_cte) — shared by the trainer
+    oracle (q_pq_train) and the trained-serving oracle
+    (q_ann_pq_trained), so they can never train different codebooks."""
     h = dh.sql_token_hash("CAST(vec_id AS VARCHAR)")
     dist = _KMEANS_DIST
     parts = [
@@ -3141,8 +3141,21 @@ def _pq_train_sql(
     )"""
         )
         prev = f"c{it}"
-    parts.append(
-        f""", af AS (
+    return "".join(parts), prev
+
+
+def _pq_train_sql(
+    m: int, dsub: int, k: int, iters: int, scale: int, train_max: int
+) -> str:
+    """Codebook-training oracle: the shared chain's final codebook,
+    exploded to (j, code, pos, cw) rows, plus each subspace's
+    exact-integer final assignment SSE — no float division anywhere, so
+    the full training run hash-matches."""
+    prefix, prev = _pq_train_cte_chain(m, dsub, k, iters, scale, train_max)
+    dist = _KMEANS_DIST
+    return (
+        prefix
+        + f""", af AS (
       SELECT j, vec_id, d2 FROM (
         SELECT e.j, e.vec_id, {dist} AS d2,
                row_number() OVER (PARTITION BY e.j, e.vec_id
@@ -3160,7 +3173,6 @@ def _pq_train_sql(
     CROSS JOIN (SELECT unnest(range({dsub})) AS pos) p
     JOIN sse s ON s.j = c.j"""
     )
-    return "".join(parts)
 
 
 @query(
@@ -3367,3 +3379,109 @@ def q_index_rebalance(spark: SparkSession, sf_dir: str):
             ).alias("rebalance"),
         )
     )
+
+
+def _ann_pq_trained_sql(
+    m: int, dsub: int, k: int, iters: int, scale: int, train_max: int, nq: int
+) -> str:
+    """Serving oracle for the TRAINED PQ index: the shared training chain
+    produces the codebook in integer microunits; dividing by the scale
+    (exact binary64 both engines) yields the double codewords, and the
+    encode/ADC arithmetic is textually the same as _pq_oracle_core's —
+    only the codebook source differs (trained CTE vs the vec_id<k
+    literal)."""
+    prefix, prev = _pq_train_cte_chain(m, dsub, k, iters, scale, train_max)
+    return (
+        prefix
+        + f""", ef AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ), subf AS (
+      SELECT vec_id, j, v[1+{dsub}*j : {dsub}*(j+1)] AS sv
+      FROM ef, (SELECT unnest(range({m})) AS j)
+    ), cbt AS (
+      SELECT j, cluster AS code,
+             list_transform(cv, c -> c / {scale}.0) AS cw
+      FROM {prev}
+    ), enc AS (
+      SELECT vec_id, j, code FROM (
+        SELECT s.vec_id, s.j, cbt.code,
+               row_number() OVER (
+                 PARTITION BY s.vec_id, s.j
+                 ORDER BY round(list_aggregate(list_transform(range(1,{dsub + 1}),
+                           i -> (s.sv[i]-cbt.cw[i])*(s.sv[i]-cbt.cw[i])), 'sum'), 6),
+                          cbt.code
+               ) AS rc
+        FROM subf s JOIN cbt ON s.j = cbt.j
+      ) WHERE rc = 1
+    ), adc AS (
+      SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+             round(sum(round(list_aggregate(list_transform(range(1,{dsub + 1}),
+                   i -> (q.sv[i]-cbt.cw[i])*(q.sv[i]-cbt.cw[i])), 'sum'), 6)), 6) AS adist
+      FROM subf q
+      JOIN enc x ON q.j = x.j AND x.vec_id <> q.vec_id
+      JOIN cbt ON cbt.j = x.j AND cbt.code = x.code
+      WHERE q.vec_id < {nq}
+      GROUP BY q.vec_id, x.vec_id
+    )
+    SELECT query_id, neighbor_id, adist, CAST(rn AS INTEGER) AS rnk FROM (
+      SELECT *, row_number() OVER (
+        PARTITION BY query_id ORDER BY adist, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 3"""
+    )
+
+
+@query(
+    "q_ann_pq_trained",
+    oracle=_ann_pq_trained_sql(
+        _PQ_M,
+        _PQ_DSUB,
+        _PQ_K,
+        _PQ_TRAIN_ITERS,
+        _KMEANS_IVF_SCALE,
+        _PQ_TRAIN_MAX,
+        _PQ_N_QUERIES,
+    ),
+    doc=(
+        "ADC search served FROM the q_pq_train codebooks — the PQ family's "
+        "train->serve composition, mirroring what q_ann_ivf_trained did "
+        "for IVF (r10; q_ann_pq serves from the literal vec_id<k frozen "
+        "checkpoint). The per-subspace trainers run on the fixed "
+        "500-vector prefix (corpus-independent cost), the integer "
+        "microunit codewords are rescaled to doubles (exact binary64 "
+        "division on both engines), and from there the machinery is "
+        "q_ann_pq's verbatim: narrow literal-codebook encode (argmin of "
+        "rounded fold distances, lowest-code ties), driver-side HALF_UP "
+        "query LUTs, row-local ADC scoring, and the final top-3 rank "
+        "window as the path's only shuffle. The DuckDB twin rides the "
+        "SAME training CTE chain as q_pq_train's oracle, so the served "
+        "index and the trained codebook can never diverge."
+    ),
+)
+def q_ann_pq_trained(spark: SparkSession, sf_dir: str):
+    from ..operators.cluster import kmeans_train
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    embv = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    train = embv.filter(F.col("vec_id") < _PQ_TRAIN_MAX)
+    cb = []
+    for j in range(_PQ_M):
+        sub = train.select(
+            "vec_id", F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
+        )
+        _a, cents, _h = kmeans_train(
+            sub, k=_PQ_K, max_iter=_PQ_TRAIN_ITERS, quantize=_KMEANS_IVF_SCALE
+        )
+        cb.append(
+            [[c / _KMEANS_IVF_SCALE for c in cents[code]] for code in range(_PQ_K)]
+        )
+    q_rows = {
+        int(r.vec_id): [float(x) for x in r.v]
+        for r in embv.filter(F.col("vec_id") < _PQ_N_QUERIES).collect()
+    }
+    n = fan_out(emb).select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
+    enc = _pq_encode(n, cb)
+    probed = enc.withColumn("q", F.explode(_pq_query_structs(q_rows, cb))).filter(
+        F.col("vec_id") != F.col("q.query_id")
+    )
+    return _pq_adc_topk(probed)

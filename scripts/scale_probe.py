@@ -166,6 +166,9 @@ QUERIES = [
     # should track N once the trainer's fixed cost is amortized).
     "q_pq_train",
     "q_index_rebalance",
+    # r10: trained-codebook ADC serving — fixed trainer + the same
+    # narrow encode/ADC scan as q_ann_pq; should track q_ann_pq's ratio.
+    "q_ann_pq_trained",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
@@ -270,26 +273,42 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
     estride = (emb.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
     ecopies = [emb]
     for i in range(1, mult):
-        # Per-(vec_id, copy, component) pseudo-random noise, NOT a uniform
-        # shift (r9 verdict "what's wrong" #1): `x + i*1e-3` moved every
-        # copy along the all-ones diagonal, so 6dp-rounded cosines TIED
-        # across different originals' copies and SemDeDup's
+        # Copy generation i = CYCLIC COMPONENT SHIFT by i positions plus
+        # per-(vec_id, copy, component) hash-seeded +-2e-3 noise — NOT a
+        # uniform offset (r9 verdict "what's wrong" #1: `x + i*1e-3`
+        # moved every copy along the all-ones diagonal, 6dp-rounded
+        # cosines TIED across different originals' copies, and SemDeDup's
         # tie-broken centroid assignment collapsed thousands of vectors
-        # onto one cluster (max 2673 vs the designed ~50), inflating the
-        # 30x wall with the probe's own pathology. Hash-seeded +-2e-3
-        # noise keeps every copy a genuine near-duplicate of its original
-        # (cosine ~ 1 - 4e-5) while breaking the rounded-cosine ties, so
-        # cluster structure matches the design: ~50-member clusters
-        # around each fine centroid, max O(design), and the measured
-        # wall reflects the operator's intended regime.
+        # onto one cluster — max 2673 vs the designed ~50 — so the 30x
+        # wall measured the probe's own pathology). The shift is an
+        # orthogonal transform: every within-generation inner product is
+        # preserved EXACTLY, so each generation replicates the base
+        # corpus's cluster geometry (its every-50th-id centroids shift
+        # with it), while cross-generation similarities decorrelate to
+        # lag-i autocorrelations of random vectors — near zero — so no
+        # generation's vectors herd onto another generation's centroids.
+        # The scaled corpus is therefore mult independent copies of the
+        # x1 structure: mean cluster size stays ~50 and max stays at the
+        # base corpus's own skew. The noise term breaks any residual
+        # exact rounded-cosine tie. (A plain noise-only copy kept max at
+        # ~7x the base skew: copies of a centroid stay near-identical
+        # across generations and each vector picks whichever copy's
+        # noise best aligns with it — measured max 1428 at 30x.)
+        src = F.col("embedding")
+        shifted = F.transform(
+            src,
+            lambda _x, pos: F.element_at(
+                src, (F.pmod(pos + F.lit(i), F.size(src)) + 1).cast("int")
+            ),
+        )
         ecopies.append(
             emb.withColumn("vec_id", F.col("vec_id") + F.lit(i * estride))
             .withColumn(
                 "embedding",
                 F.transform(
-                    F.col("embedding"),
+                    shifted,
                     lambda x, pos: (
-                        x
+                        x.cast("double")
                         + (
                             (
                                 F.pmod(
