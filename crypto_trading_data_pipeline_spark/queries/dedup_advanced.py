@@ -3336,13 +3336,24 @@ def q_index_rebalance(spark: SparkSession, sf_dir: str):
         ),
     )
     is_new = F.col("vec_id") % _ANN_INC_BATCH_MOD == _ANN_INC_BATCH_RES
+    # coalesce: cluster is argmin over a non-empty literal array — never
+    # NULL — but without the guard the left join below infers
+    # IsNotNull(cluster) on its right side and pushes the ENTIRE k x dim
+    # argmin expression into the parquet scan as a DataFilter (the
+    # q_ann_incremental pushdown class, gated registry-wide).
+    # localCheckpoint: the k-row population table feeds BOTH the stats
+    # scalar and the final report — materializing it runs the O(N x k)
+    # corpus assignment once and keeps the downstream plan bounded.
     counts = (
         _assign(quant, "v", cents, integer=True)
-        .groupBy(F.col("cluster").cast("int").alias("cluster"))
+        .groupBy(
+            F.coalesce(F.col("cluster"), F.lit(-1)).cast("int").alias("cluster")
+        )
         .agg(
             F.sum(F.when(is_new, 0).otherwise(1)).cast("bigint").alias("n_indexed"),
             F.sum(F.when(is_new, 1).otherwise(0)).cast("bigint").alias("n_new"),
         )
+        .localCheckpoint(eager=True)
     )
     # Every trained list participates in the mean, including empty ones —
     # k bounded rows, broadcast side of the left join.

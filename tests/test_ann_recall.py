@@ -161,3 +161,35 @@ def test_rerank_dominates_raw_adc(spark, exact_top3):
     raw, rr = cos_recall("q_ann_pq"), cos_recall("q_ann_rerank", max_rank=K)
     assert rr > raw, (raw, rr)
     assert rr >= 0.60, rr
+
+
+def test_index_rebalance_partitions_corpus(spark):
+    """q_index_rebalance's report must cover EVERY trained list (empty
+    ones count toward the mean — the left-join contract), its populations
+    must exactly partition the corpus into indexed vs appended rows, and
+    the imbalance verdict must be derived from those same populations."""
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _ANN_INC_BATCH_MOD,
+        _ANN_INC_BATCH_RES,
+        _KMEANS_IVF_K,
+        _REBALANCE_THRESHOLD_PPM,
+    )
+
+    rows = REGISTRY["q_index_rebalance"].fn(spark, SF).collect()
+    assert {r.cluster for r in rows} == set(range(_KMEANS_IVF_K))
+    n = pq.read_table(f"{SF}/embeddings.parquet").num_rows
+    assert sum(r.n_total for r in rows) == n
+    assert all(r.n_total == r.n_indexed + r.n_new for r in rows)
+    n_new_expect = sum(
+        1 for i in range(n) if i % _ANN_INC_BATCH_MOD == _ANN_INC_BATCH_RES
+    )
+    assert sum(r.n_new for r in rows) == n_new_expect
+    imb = {r.imbalance_ppm for r in rows}
+    assert len(imb) == 1, "imbalance is a single global scalar"
+    max_total = max(r.n_total for r in rows)
+    assert imb.pop() == max_total * _KMEANS_IVF_K * 1_000_000 // n
+    verdicts = {r.rebalance for r in rows}
+    assert len(verdicts) == 1
+    assert verdicts.pop() == int(
+        max_total * _KMEANS_IVF_K * 1_000_000 // n > _REBALANCE_THRESHOLD_PPM
+    )

@@ -312,6 +312,11 @@ _SINGLE_PARTITION_OK = {
     "q_semdedup",          # 1-row coarse-stride scalar (floor(sqrt(k2)))
                            # riding the plan instead of a driver count()
                            # action — BNLJ onto the k2-row fine table
+    "q_pq_train",          # 4 one-row per-subspace SSE scalars over the
+                           # FIXED 500-row training sample, broadcast-
+                           # joined onto the 512-row codebook table
+    "q_index_rebalance",   # 1-row max/sum imbalance scalar over the
+                           # localCheckpointed k-row population table
 }
 
 
