@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     DoubleType,
     LongType,
     StringType,
@@ -1076,6 +1077,108 @@ def streaming_index_append(
         _index_append_update,
         outputStructType=INDEX_APPEND_SCHEMA,
         stateStructType=_INDEX_APPEND_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+INDEX_REBALANCE_SCHEMA = StructType(
+    [
+        StructField("k_lists", LongType()),
+        StructField("n_total", LongType()),
+        StructField("max_list", LongType()),
+        StructField("imbalance_ppm", LongType()),
+        StructField("rebalance", LongType()),
+    ]
+)
+
+#: Latest running total per touched cluster, as parallel arrays — at most
+#: k entries forever (clusters are a fixed trained set).
+_INDEX_REBALANCE_STATE = StructType(
+    [
+        StructField("clusters", ArrayType(LongType())),
+        StructField("totals", ArrayType(LongType())),
+    ]
+)
+
+#: Same retrain heuristic as queries/dedup_advanced.q_index_rebalance
+#: (_REBALANCE_THRESHOLD_PPM there): fullest list > 2x the mean. Kept as
+#: a literal here to avoid a streaming -> queries import; equality is
+#: asserted in tests/test_streaming.py.
+INDEX_REBALANCE_THRESHOLD_PPM = 2_000_000
+
+
+def _index_rebalance_factory(k: int, threshold_ppm: int):
+    def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        """Fold this batch's (cluster, n_total) updates into the monitor's
+        per-cluster latest-total map (n_total is a RUNNING total from the
+        append counter, so last-write-wins per cluster) and emit the
+        imbalance verdict over the full k-list design — untouched lists
+        count as empty toward the mean, the q_index_rebalance contract."""
+        if state.exists:
+            m = dict(zip(state.get[0], state.get[1]))
+        else:
+            m: dict[int, int] = {}
+        for pdf in pdfs:
+            for c, n in zip(pdf["cluster"], pdf["n_total"]):
+                m[int(c)] = int(n)
+        items = sorted(m.items())
+        state.update(
+            ([c for c, _ in items], [n for _, n in items])
+        )
+        total = sum(n for _, n in items)
+        mx = max((n for _, n in items), default=0)
+        imb = (mx * k * 1_000_000) // total if total else 0
+        yield pd.DataFrame(
+            {
+                "k_lists": pd.Series([k], dtype="int64"),
+                "n_total": pd.Series([total], dtype="int64"),
+                "max_list": pd.Series([mx], dtype="int64"),
+                "imbalance_ppm": pd.Series([imb], dtype="int64"),
+                "rebalance": pd.Series(
+                    [int(imb > threshold_ppm)], dtype="int64"
+                ),
+            }
+        )
+
+    return update
+
+
+def streaming_index_rebalance(
+    counts: DataFrame,
+    *,
+    k: int,
+    threshold_ppm: int = INDEX_REBALANCE_THRESHOLD_PPM,
+    cluster_col: str = "cluster",
+    total_col: str = "n_total",
+) -> DataFrame:
+    """Continuous retrain-trigger monitor for the maintained IVF index —
+    the streaming twin of queries/dedup_advanced.q_index_rebalance,
+    completing the streaming lifecycle the same way r9's
+    streaming_index_append completed append: train (q_kmeans_ivf /
+    q_pq_train) -> serve -> audit -> append (streaming_index_append) ->
+    DECIDE WHEN TO RETRAIN, continuously.
+
+    ``counts`` is the (cluster, n_total) UPDATE STREAM the append counter
+    emits (in production: replayed from its sink/Kafka topic — the
+    standard monitor composition, since Spark cannot chain two stateful
+    operators in one query). Each micro-batch therefore carries AT MOST k
+    rows — one per touched cluster — so keying the whole stream to a
+    single monitor group shuffles k bounded rows per batch regardless of
+    stream rate or corpus size, and the monitor's state is two <=k-entry
+    arrays forever. Emits one verdict row per micro-batch: total indexed
+    rows, fullest list, FAISS imbalance_factor as integer ppm against the
+    full k-list design (untouched lists count as empty toward the mean),
+    and rebalance=1 once the fullest list exceeds threshold_ppm x mean."""
+    projected = counts.select(
+        F.lit(0).alias("idx"),
+        F.col(cluster_col).cast("long").alias("cluster"),
+        F.col(total_col).cast("long").alias("n_total"),
+    )
+    return projected.groupBy("idx").applyInPandasWithState(
+        _index_rebalance_factory(k, threshold_ppm),
+        outputStructType=INDEX_REBALANCE_SCHEMA,
+        stateStructType=_INDEX_REBALANCE_STATE,
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )

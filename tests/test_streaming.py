@@ -1530,3 +1530,61 @@ def test_streaming_index_append_matches_batch_assignment(spark, tmp_path):
     grew = [c for c, t in got_totals.items() if 0 < totals_b1.get(c, 0) < t]
     assert grew, "split produced no cluster fed by both batches"
     assert all(totals_b1[c] <= got_totals[c] for c in totals_b1)
+
+
+def test_streaming_index_rebalance_monitor(spark, tmp_path):
+    """The continuous retrain-trigger monitor (streaming twin of
+    q_index_rebalance): feed the (cluster, n_total) update stream the
+    append counter emits as TWO micro-batches. The verdict must be
+    recomputed per batch from the LATEST running total of every cluster
+    seen so far — batch 2 updates ONE cluster and the monitor must still
+    know the other three from carried state — flipping rebalance 0 -> 1
+    exactly when one list crosses the 2x-mean threshold. The streaming
+    threshold literal must equal the batch query's (kept separate to
+    avoid a streaming -> queries import)."""
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _REBALANCE_THRESHOLD_PPM,
+    )
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        INDEX_REBALANCE_THRESHOLD_PPM,
+        streaming_index_rebalance,
+    )
+
+    assert INDEX_REBALANCE_THRESHOLD_PPM == _REBALANCE_THRESHOLD_PPM
+
+    indir = tmp_path / "in"
+    indir.mkdir()
+    schema = "cluster long, n_total long"
+    mk = lambda rs: spark.createDataFrame(rs, schema)
+    # batch 1: four balanced lists -> imbalance exactly 1e6 ppm, verdict 0.
+    mk([(0, 10), (1, 10), (2, 10), (3, 10)]).write.mode("overwrite").parquet(
+        str(indir / "b1.parquet")
+    )
+
+    stream = spark.readStream.schema(schema).parquet(str(indir / "*.parquet"))
+    emitted: list[tuple] = []
+
+    def sink(df, eid):
+        rows = df.collect()
+        if rows:
+            emitted.append(tuple(rows[0]))
+
+    q = (
+        streaming_index_rebalance(stream, k=4)
+        .writeStream.outputMode("update")
+        .foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        assert emitted[-1] == (4, 40, 10, 1_000_000, 0)
+        # batch 2: only cluster 2's counter reports (running total 100).
+        # totals become {10, 10, 100, 10}: imbalance = 100*4e6 // 130 =
+        # 3,076,923 ppm > 2e6 -> rebalance fires. Clusters 0/1/3 are known
+        # ONLY from carried state.
+        mk([(2, 100)]).write.mode("overwrite").parquet(str(indir / "b2.parquet"))
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert emitted[-1] == (4, 130, 100, 3_076_923, 1)

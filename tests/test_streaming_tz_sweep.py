@@ -181,12 +181,31 @@ def _run_twin(spark, tmpdir, twin: str):
             lambda s: stf.streaming_index_append(s, centroids=cents),
             lambda r: r.cluster,
         )
+    if twin == "index_rebalance":
+        schema = "cluster long, n_total long"
+        batches = [
+            [(0, 10), (1, 10), (2, 10), (3, 10)],
+            [(2, 100)],
+        ]
+        return _drain(
+            spark, tmpdir, batches, schema,
+            lambda s: stf.streaming_index_rebalance(s, k=4),
+            lambda r: r.k_lists,
+        )
     raise AssertionError(f"unknown twin {twin}")
 
 
 @pytest.mark.parametrize(
     "twin",
-    ["holt", "order_flow", "scd2", "attribution", "heavy_hitters", "index_append"],
+    [
+        "holt",
+        "order_flow",
+        "scd2",
+        "attribution",
+        "heavy_hitters",
+        "index_append",
+        "index_rebalance",
+    ],
 )
 def test_stateful_twin_output_is_session_tz_invariant(spark, tmp_path, twin):
     prev_tz = spark.conf.get("spark.sql.session.timeZone")
