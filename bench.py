@@ -606,28 +606,6 @@ def main() -> None:
             errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
     load_after = _loadavg()
 
-    # Full-registry blind-spot sweep (r9 verdict #6): every registered
-    # query NOT in HEADLINE runs ONCE, and only the TOTAL wall is graded
-    # round-over-round — 99+ queries are cheap by construction and
-    # correctness-gated, but nothing else would catch one of them going
-    # pathological (e.g. an optimizer regression after a Spark upgrade).
-    # Per-query single-run walls land in the sidecar for diagnosis only;
-    # they are too noisy to gate individually.
-    sweep_names = [n for n in REGISTRY if n not in set(names)]
-    sweep_queries: dict[str, float] = {}
-    sweep_errors: dict[str, str] = {}
-    t_sweep = time.perf_counter()
-    for name in sweep_names:
-        t0 = time.perf_counter()
-        try:
-            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
-                "noop"
-            ).save()
-            sweep_queries[name] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # noqa: BLE001 — record and keep sweeping
-            sweep_errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
-    full_registry_wall = round(time.perf_counter() - t_sweep, 3)
-
     total = round(sum(timings.values()), 3)
     try:
         calib_sec = _calibration_sec(spark)
@@ -714,24 +692,6 @@ def main() -> None:
         "streaming_delta_pct": streaming_delta_pct,
         "streaming_regression": streaming_regression,
         "streaming_regression_raw": streaming_regression_raw,
-        # Full-registry sweep (one run per non-HEADLINE query; total-wall
-        # gated, per-query walls in the sidecar only).
-        "full_registry_wall_sec": full_registry_wall,
-        "full_registry_n_ok": len(sweep_queries),
-        "full_registry_n_err": len(sweep_errors),
-        "full_registry_prev_wall_sec": prev.get("_full_registry_wall_sec"),
-        "full_registry_delta_pct": (
-            round(
-                (full_registry_wall - prev["_full_registry_wall_sec"])
-                / prev["_full_registry_wall_sec"]
-                * 100,
-                1,
-            )
-            if isinstance(prev.get("_full_registry_wall_sec"), (int, float))
-            else None
-        ),
-        "registry_sweep_queries": sweep_queries,
-        "registry_sweep_errors": sweep_errors,
     }
     # Compact single line on stdout for the driver FIRST (a sidecar-write
     # failure must never orphan the driver's parsed line): the headline
@@ -842,6 +802,57 @@ def main() -> None:
     # Full record to a sidecar file (the driver's stdout tail buffer
     # truncated r3's long line into parsed:null).
     here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
+        json.dump(record, f, indent=1)
+
+    # Full-registry blind-spot sweep (r9 verdict #6) — deliberately LAST,
+    # after the headline summary line and sidecar are already out: if a
+    # driver-side bench timeout kills the process mid-sweep, the last
+    # complete stdout line is still the full headline summary, so the
+    # round loses only the sweep number, never the metric (the sweep is
+    # the most expendable ~2 min of the run). Every registered query NOT
+    # in HEADLINE runs ONCE and only the TOTAL wall is graded
+    # round-over-round — the 100+ non-headline queries are cheap by
+    # construction and correctness-gated, but nothing else would catch
+    # one of them going pathological (e.g. an optimizer regression after
+    # a Spark upgrade). Per-query single-run walls land in the sidecar
+    # for diagnosis only; they are too noisy to gate individually.
+    sweep_names = [n for n in REGISTRY if n not in set(names)]
+    sweep_queries: dict[str, float] = {}
+    sweep_errors: dict[str, str] = {}
+    t_sweep = time.perf_counter()
+    for name in sweep_names:
+        t0 = time.perf_counter()
+        try:
+            REGISTRY[name].fn(spark, sf_dir).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            sweep_queries[name] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # noqa: BLE001 — record and keep sweeping
+            sweep_errors[name] = f"{type(exc).__name__}: {(str(exc).splitlines() or [''])[0][:200]}"
+    full_registry_wall = round(time.perf_counter() - t_sweep, 3)
+    frw_prev = prev.get("_full_registry_wall_sec")
+    record.update(
+        {
+            "full_registry_wall_sec": full_registry_wall,
+            "full_registry_n_ok": len(sweep_queries),
+            "full_registry_n_err": len(sweep_errors),
+            "full_registry_prev_wall_sec": frw_prev,
+            "full_registry_delta_pct": (
+                round((full_registry_wall - frw_prev) / frw_prev * 100, 1)
+                if isinstance(frw_prev, (int, float))
+                else None
+            ),
+            "registry_sweep_queries": sweep_queries,
+            "registry_sweep_errors": sweep_errors,
+        }
+    )
+    # Re-emit the summary as the new final line, now carrying the sweep
+    # verdict, and refresh the sidecar with the complete record.
+    summary["full_registry_wall_sec"] = full_registry_wall
+    summary["full_registry_delta_pct"] = record["full_registry_delta_pct"]
+    summary["full_registry_n_err"] = len(sweep_errors)
+    print(json.dumps(summary, separators=(",", ":")), flush=True)
     with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as f:
         json.dump(record, f, indent=1)
 
