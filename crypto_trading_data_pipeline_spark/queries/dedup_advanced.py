@@ -1746,10 +1746,20 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str):
             )
         ).alias("band_id", "band_val"),
     )
+    # ROUND-ROBIN respread of the bucket table before pair expansion: the
+    # bucket aggregate's exchange is tiny in BYTES (<= bands * 2^bits
+    # rows), so AQE coalesces it to ONE partition and the CPU-heavy
+    # |bucket|^2 pair explode below ran in a single task (measured: a
+    # 1-task stage inside the 5.2-6.1 s warm wall at sf0.1; 3.5-4.2 s
+    # spread, the remainder being the md5-per-token scan itself). A
+    # same-key repartition would be optimizer-removed as
+    # redundant with the aggregate's own partitioning (the q_bootstrap_ci
+    # lesson), so round-robin with an explicit count it is.
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ds"))
         .filter(F.size("ds") >= 2)
+        .repartition(32)
     )
     pairs = F.explode(
         F.flatten(
