@@ -900,21 +900,32 @@ _ENTROPY_CHARS = [chr(c) for c in range(ord("a"), ord("z") + 1)] + [" "]
     ),
 )
 def q_char_entropy(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: 27 length(replace()) passes per row dwarf the scan, and the
+    # single-file fixture gives one input split (r10 serialization audit:
+    # a 0.94 s one-task stage).
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     cs = F.array(
         *[
             F.length("text") - F.length(F.replace(F.col("text"), F.lit(c)))
             for c in _ENTROPY_CHARS
         ]
     )
-    d = docs.select("doc_id", cs.alias("cs"))
+    # The total>0 gate is expressed as the equivalent one-regex predicate
+    # (total = count of [a-z ] chars, so total>0 <=> the text contains
+    # one): Catalyst pushes Filters below the fan_out exchange by
+    # SUBSTITUTING the alias, so `total > 0` sank the whole 27-replace
+    # expression into the single-split scan stage and serialized it (r10
+    # serialization audit) — the cheap regex pushes down harmlessly while
+    # the counting Projects stay above the exchange. Same row set, so the
+    # oracle's WHERE total > 0 still matches.
+    d = docs.filter(F.col("text").rlike("[a-z ]")).select("doc_id", cs.alias("cs"))
     d = d.select(
         "doc_id",
         "cs",
         F.aggregate("cs", F.lit(0).cast("bigint"), lambda acc, c: acc + c).alias(
             "total"
         ),
-    ).filter(F.col("total") > 0)
+    )
     p_ln_p = F.transform(
         F.filter("cs", lambda c: c > 0),
         lambda c: (c * 1.0 / F.col("total")) * F.log(c * 1.0 / F.col("total")),

@@ -2210,7 +2210,12 @@ def q_rolling_median(spark: SparkSession, sf_dir: str):
         F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
     )
     w = Window.partitionBy("symbol").orderBy("minute")
-    framed = cents.select(
+    # Explicit-count repartition on the window key: the upstream exchange
+    # is small in BYTES, so AQE coalesced it to one partition and the
+    # O(30 log 30)-per-row order-statistics pass ran in a single task
+    # (r10 serialization audit, 1.65 s). The explicit count pins the
+    # partitioning (exempt from AQE coalescing) and the window reuses it.
+    framed = cents.repartition(32, "symbol").select(
         "symbol",
         "minute",
         "c",

@@ -1249,7 +1249,9 @@ def q_chunk_udtf(spark: SparkSession, sf_dir: str):
     from ..udtfs import register_udtfs
 
     register_udtfs(spark)
-    docs = read_table(spark, sf_dir, "documents")
+    # fan_out: the Python UDTF hop is per-row work far above scan cost,
+    # and one fixture input split serialized it (r10 audit, 0.65 s).
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     docs.createOrReplaceTempView("_udtf_docs")
     return spark.sql(
         f"""

@@ -192,7 +192,13 @@ def logreg_train(labeled, buckets: int, iters: int, lr: int):
     weight trajectory as [(iter, bucket, w_micro)] with bucket -1 = bias —
     33 ints per iteration of driver traffic, everything else distributed.
     """
-    feat = _feat(labeled, buckets).localCheckpoint(eager=True)
+    from ..operators.scale import fan_out
+
+    # fan_out before featurization: the explode + md5 bucketing is the
+    # expensive pass and the single-file fixture scan gives one split, so
+    # the checkpoint materialization ran serialized (r10 audit, 1.1 s) —
+    # and every GD iteration then aggregated over that one partition.
+    feat = _feat(fan_out(labeled), buckets).localCheckpoint(eager=True)
     n_docs = feat.select("doc_id").distinct().count()
 
     def fdiv(a: int, n: int) -> int:
@@ -499,6 +505,11 @@ def dsir_weights(flagged):
     likelihood ratio of the is_target subset vs the whole input. The target
     flag is the caller's choice — the registered query uses lang='en'; the
     sanity test feeds a synthetic skewed target."""
+    from ..operators.scale import fan_out
+
+    # fan_out: per-token md5 bucketing over a one-split fixture scan
+    # serialized both count passes (r10 audit, 2 x 0.43 s stages).
+    flagged = fan_out(flagged)
     toks = flagged.select(
         "doc_id",
         "is_target",

@@ -2237,7 +2237,12 @@ def q_hll_portable(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_map_funcs(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    from ..operators.scale import fan_out
+
+    # fan_out: the O(|tokens|^2) distinct-count transform per row dwarfs
+    # the scan and the single-file fixture gives one input split (r10
+    # serialization audit: a 1.2 s one-task stage).
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
     entries = F.transform(
         F.array_distinct(toks),
@@ -3620,7 +3625,11 @@ def _cms_bucket(tok, i: int):
     ),
 )
 def q_cms_portable(spark: SparkSession, sf_dir: str):
-    docs = read_table(spark, sf_dir, "documents")
+    from ..operators.scale import fan_out
+
+    # fan_out: d=4 md5 digests per token dominate the scan; one input
+    # split on the fixture serialized the hash pass (r10 audit, 0.9 s).
+    docs = fan_out(read_table(spark, sf_dir, "documents"))
     toks = (
         docs.select(F.explode_outer(F.split("text", " ")).alias("tok"))
         .filter(F.col("tok").isNotNull())
@@ -4427,7 +4436,14 @@ def q_label_propagation(spark: SparkSession, sf_dir: str):
     )
     # Same materialize-once rationale as q_pagerank: every iteration
     # re-joins the edge list; localCheckpoint (not persist) so repeat
-    # bench runs each pay their own materialization.
+    # bench runs each pay their own materialization. The r10
+    # serialization audit flagged the distinct finalize + checkpoint
+    # materialization as ~1 s of single-task stages (AQE coalesces the
+    # small-bytes dedup exchange), but an A/B measured the explicit
+    # respread CURE as worse than the disease: repartitioning the edge
+    # list before distinct/checkpoint added two full shuffles and took
+    # the warm sf0.1 best-of-4 from 4.0 s to 6.7 s, so the serialized
+    #-but-cheap stages stay.
     edges = edges.localCheckpoint(eager=True)
     state = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
