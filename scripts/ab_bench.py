@@ -1,0 +1,94 @@
+"""Same-box A/B: the committed r9 tree (f2049f1) vs HEAD (VERDICT r10 #1).
+
+Round 10's headline bench regressed ~10% at matched CPU calibration
+(118.98 s vs r9's 107.96 s) and the triage attributed it to host
+I/O/memory-bandwidth drift — for the second consecutive round. This runs
+the decisive experiment: both trees, same box, same session, interleaved
+B A A B B A so slow environment drift cancels, fresh JVM per run, the
+identical harness (scripts/ab_runner.py) for both. Per-tree result = min
+across its 3 runs per query (bench.py's best-of protocol extended across
+processes).
+
+Verdict rule: if the r9 tree's best total lands within ~3% of HEAD's, the
+round-over-round delta was host, not code; if r9 reproduces its committed
+~108 s while HEAD stays ~119 s, the delta is code and gets bisected.
+
+Writes SCALE_AB.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R9_SHA = "f2049f1"
+WT = os.path.join(REPO, ".worktrees", "r9ab")
+
+
+def ensure_worktree() -> None:
+    if not os.path.isdir(WT):
+        os.makedirs(os.path.dirname(WT), exist_ok=True)
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", WT, R9_SHA], cwd=REPO, check=True
+        )
+
+
+def one_run(tree: str, out: str) -> dict:
+    env = dict(os.environ)
+    # Keep each run's sys.path clean of the other tree.
+    env.pop("PYTHONPATH", None)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ab_runner.py"), tree, out],
+        check=True,
+        env=env,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ensure_worktree()
+    tmp = os.path.join(REPO, ".worktrees", "ab_out")
+    os.makedirs(tmp, exist_ok=True)
+    # Interleaved pattern: whichever direction the box drifts during the
+    # ~30 min experiment, each tree sees both early and late slots.
+    pattern = [("head", REPO), ("r9", WT), ("r9", WT), ("head", REPO), ("head", REPO), ("r9", WT)]
+    runs: dict[str, list[dict]] = {"head": [], "r9": []}
+    for i, (label, tree) in enumerate(pattern):
+        out = os.path.join(tmp, f"run{i}_{label}.json")
+        rec = one_run(tree, out)
+        runs[label].append(rec)
+        print(f"[ab] run {i} {label}: total={rec['total']} calib={rec['calib_sec']}", flush=True)
+
+    result: dict = {"pattern": [p[0] for p in pattern], "r9_sha": R9_SHA}
+    for label in ("head", "r9"):
+        qbest: dict[str, float] = {}
+        for rec in runs[label]:
+            for q, t in rec["queries"].items():
+                qbest[q] = min(qbest.get(q, float("inf")), t)
+        result[label] = {
+            "totals": [r["total"] for r in runs[label]],
+            "calibs": [r["calib_sec"] for r in runs[label]],
+            "best_total": round(sum(qbest.values()), 3),
+            "queries_best": qbest,
+        }
+    h, n = result["head"]["best_total"], result["r9"]["best_total"]
+    result["head_over_r9_pct"] = round((h - n) / n * 100, 2)
+    # Per-query deltas on the shared set, worst first, for bisect targeting.
+    hq, nq = result["head"]["queries_best"], result["r9"]["queries_best"]
+    shared = sorted(set(hq) & set(nq), key=lambda q: -(hq[q] - nq[q]))
+    result["worst_deltas"] = [
+        {"q": q, "head": hq[q], "r9": nq[q], "delta": round(hq[q] - nq[q], 3)}
+        for q in shared[:15]
+    ]
+    with open(os.path.join(REPO, "SCALE_AB.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: result[k] for k in ("head_over_r9_pct",)}, indent=1))
+    print(f"head best_total={h}  r9 best_total={n}")
+
+
+if __name__ == "__main__":
+    main()
