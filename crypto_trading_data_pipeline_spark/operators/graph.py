@@ -47,7 +47,12 @@ def connected_components(
     raises rather than returning partially-propagated labels that callers
     would mistake for exact components; ``strict=False`` returns the
     best-effort labels (every node still maps to SOME member of its
-    component's prefix — useful as a seeding pass)."""
+    component's prefix — useful as a seeding pass).
+
+    NOT a lazy plan constructor: the propagation loop runs Spark jobs
+    (one convergence count per round) at CALL time, and intermediate
+    state is localCheckpointed (executor-resident — an executor loss
+    mid-iteration fails the call rather than silently recomputing)."""
     # Checkpoint the symmetrized edge list ONCE: every propagation round
     # joins against `und`, and without materialization each round (plus
     # its convergence count action) re-executes the caller's whole edge
@@ -56,17 +61,24 @@ def connected_components(
     # (measured 6.5 s warm at sf0.1; 3.7-4.2 s with the checkpoint). The
     # star variant below has always done this; the standard iterative-
     # graph lineage truncation (GraphX checkpoints its edge RDD the
-    # same way).
+    # same way). eager=False: materialization happens on the loop's
+    # first count() action anyway, and a lazy checkpoint keeps merely
+    # CONSTRUCTING these frames job-free (r10 ADVICE — the propagation
+    # loop below still executes at call time; see the docstring).
+    # localCheckpoint trades fault-tolerance for speed: its output lives
+    # on executors only, so an executor loss mid-iteration fails the
+    # job (acceptable — callers rerun; for multi-hour graphs prefer
+    # reliable checkpoint() to a configured checkpoint dir).
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
     )
-    labels = labels.localCheckpoint(eager=True)
+    labels = labels.localCheckpoint(eager=False)
     changed = -1
     for _ in range(max_iter):
         msgs = und.join(labels, und.b == labels.node).select(

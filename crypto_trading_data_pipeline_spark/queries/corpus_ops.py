@@ -1634,6 +1634,32 @@ def q_token_budget_mix(spark: SparkSession, sf_dir: str):
 _SPAN_K = 3  # window width = minimum reportable duplicated span, in tokens
 
 
+def _span_windows(docs):
+    """Positional word-k-gram window stream (doc_id, n_toks, i, g) —
+    q_dup_span_stats' heavy frame, factored so the scale probe measures
+    the gram volume of exactly the frame the query aggregates (r10
+    verdict #5)."""
+    toks = F.split(F.col("text"), " ")
+    k = _SPAN_K
+    wins = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - k + 1),
+        lambda i: F.struct(
+            i.alias("i"),
+            F.concat_ws(
+                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
+            ).alias("g"),
+        ),
+    )
+    # fan_out: the gram-construction explode is the heavy pre-shuffle stage
+    # and must not run at raw-split parallelism on a skinny input file.
+    return (
+        fan_out(docs).select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") >= k)
+        .select("doc_id", F.size("toks").alias("n_toks"), F.explode(wins).alias("win"))
+        .select("doc_id", "n_toks", F.col("win.i").alias("i"), F.col("win.g").alias("g"))
+    )
+
+
 @query(
     "q_dup_span_stats",
     oracle=f"""
@@ -1693,25 +1719,8 @@ _SPAN_K = 3  # window width = minimum reportable duplicated span, in tokens
 )
 def q_dup_span_stats(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
     k = _SPAN_K
-    wins = F.transform(
-        F.sequence(F.lit(1), F.size("toks") - k + 1),
-        lambda i: F.struct(
-            i.alias("i"),
-            F.concat_ws(
-                " ", *[F.element_at(F.col("toks"), i + j) for j in range(k)]
-            ).alias("g"),
-        ),
-    )
-    # fan_out: the gram-construction explode is the heavy pre-shuffle stage
-    # and must not run at raw-split parallelism on a skinny input file.
-    w = (
-        fan_out(docs).select("doc_id", toks.alias("toks"))
-        .filter(F.size("toks") >= k)
-        .select("doc_id", F.size("toks").alias("n_toks"), F.explode(wins).alias("win"))
-        .select("doc_id", "n_toks", F.col("win.i").alias("i"), F.col("win.g").alias("g"))
-    )
+    w = _span_windows(docs)
     dup = w.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
     hits = w.join(dup.select("g"), "g").select("doc_id", "n_toks", "i")
     wdoc = Window.partitionBy("doc_id").orderBy("i")

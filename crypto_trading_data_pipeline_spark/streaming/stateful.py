@@ -1111,17 +1111,23 @@ INDEX_REBALANCE_THRESHOLD_PPM = 2_000_000
 def _index_rebalance_factory(k: int, threshold_ppm: int):
     def update(key, pdfs: Iterable[pd.DataFrame], state: GroupState):
         """Fold this batch's (cluster, n_total) updates into the monitor's
-        per-cluster latest-total map (n_total is a RUNNING total from the
-        append counter, so last-write-wins per cluster) and emit the
-        imbalance verdict over the full k-list design — untouched lists
-        count as empty toward the mean, the q_index_rebalance contract."""
+        per-cluster latest-total map and emit the imbalance verdict over
+        the full k-list design — untouched lists count as empty toward
+        the mean, the q_index_rebalance contract.
+
+        n_total is a RUNNING (monotonic) total from the append counter,
+        so the fold takes the MAX per cluster, not the last row seen:
+        row order within a micro-batch is NOT event order, and a replay
+        source (Kafka catch-up re-delivering several updates for one
+        cluster in one batch) could otherwise overwrite a newer total
+        with a stale one and regress the verdict (r10 ADVICE)."""
         if state.exists:
             m = dict(zip(state.get[0], state.get[1]))
         else:
             m: dict[int, int] = {}
         for pdf in pdfs:
             for c, n in zip(pdf["cluster"], pdf["n_total"]):
-                m[int(c)] = int(n)
+                m[int(c)] = max(m.get(int(c), 0), int(n))
         items = sorted(m.items())
         state.update(
             ([c for c, _ in items], [n for _, n in items])

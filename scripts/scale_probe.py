@@ -271,6 +271,19 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
 
     emb = read_table(spark, src_dir, "embeddings")
     estride = (emb.agg(F.max("vec_id")).collect()[0][0] or 0) + 1
+    # The cyclic component shift below degenerates to the identity when
+    # i is a multiple of the embedding dimension: that generation would
+    # differ from the base corpus by only the ±2e-3 noise, silently
+    # breaking the designed cross-generation decorrelation (r10 ADVICE).
+    # The fixture dim is 64 and probes run ≤30×, so fail loudly rather
+    # than handle a regime nothing exercises.
+    emb_dim = len(emb.select("embedding").first()[0])
+    if mult > emb_dim:
+        raise ValueError(
+            f"synthesize: mult={mult} exceeds embedding dim {emb_dim}; "
+            "shift-by-i degenerates to identity at i=dim — extend the "
+            "scheme (e.g. per-generation sign flip) before probing this far"
+        )
     ecopies = [emb]
     for i in range(1, mult):
         # Copy generation i = CYCLIC COMPONENT SHIFT by i positions plus
@@ -393,6 +406,53 @@ def _all_stage_ids(spark):
             return {s["stageId"] for s in json.load(r)}
     except Exception:
         return set()
+
+
+def _workload_stats(spark, name: str, sf_dir: str) -> dict | None:
+    """TRUE-WORKLOAD metric for the >=10x probe-tail queries (r10 verdict
+    #5): their wall ratios are claimed to track distinct pair/n-gram
+    volume, not rows — this measures that volume from the EXACT factored
+    frames the queries aggregate (llmdata/corpus_ops helpers), so
+    wall_ratio / workload_ratio ≈ 1 rides the probe JSON instead of being
+    argued in SCALE.md. None for queries without a workload instrument."""
+    from crypto_trading_data_pipeline_spark.operators.scale import fan_out
+    from crypto_trading_data_pipeline_spark.queries.corpus_ops import _span_windows
+    from crypto_trading_data_pipeline_spark.queries.llmdata import (
+        _bigram_counts,
+        _novelty_shingles,
+        _ppmi_pair_counts,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    if name == "q_cooccur_ppmi":
+        frame = _ppmi_pair_counts(docs)
+        cnt = "c_ab"
+    elif name in ("q_bigram_lm", "q_kneser_ney"):
+        _big, frame = _bigram_counts(docs)
+        cnt = "cb"
+    elif name == "q_ngram_novelty":
+        frame = (
+            _novelty_shingles(fan_out(docs))
+            .groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        cnt = "c"
+    elif name == "q_dup_span_stats":
+        frame = _span_windows(docs).groupBy("g").agg(F.count(F.lit(1)).alias("c"))
+        row = frame.agg(
+            F.count(F.lit(1)).alias("distinct"),
+            F.sum("c").alias("occurrences"),
+            # Volume of the gram->position join output, the query's other
+            # super-linear driver: positions whose gram is duplicated.
+            F.sum(F.when(F.col("c") >= 2, F.col("c"))).alias("dup_positions"),
+        ).collect()[0]
+        return {k: int(v or 0) for k, v in row.asDict().items()}
+    else:
+        return None
+    row = frame.agg(
+        F.count(F.lit(1)).alias("distinct"), F.sum(cnt).alias("occurrences")
+    ).collect()[0]
+    return {"distinct": int(row["distinct"]), "occurrences": int(row["occurrences"])}
 
 
 def run_one(spark, name: str, sf_dir: str) -> dict:
@@ -588,6 +648,17 @@ def main() -> None:
                     "x1": _semdedup_cluster_stats(spark, args.sf_dir),
                     f"x{args.mult}": _semdedup_cluster_stats(spark, big_dir),
                 }
+            ws1 = _workload_stats(spark, name, args.sf_dir)
+            if ws1 is not None:
+                wsn = _workload_stats(spark, name, big_dir)
+                entry["workload"] = {"x1": ws1, f"x{args.mult}": wsn}
+                if ws1.get("distinct"):
+                    wr = round(wsn["distinct"] / ws1["distinct"], 2)
+                    entry["workload_ratio"] = wr
+                    if ratio is not None and wr:
+                        # ≈1 means the wall grew with the workload, not
+                        # super-linearly in the engine.
+                        entry["wall_over_workload"] = round(ratio / wr, 2)
             report["queries"][name] = entry
         line = json.dumps(report)
         print(line)

@@ -84,6 +84,16 @@ def main() -> None:
 
     spark = get_spark(app_name="ctdp-serialization-audit")
     spark.sparkContext.setLogLevel("ERROR")
+    # The audit times the SECOND (warm) execution of each plan; with
+    # exchange/subquery reuse on, Spark can skip re-executing heavy
+    # shuffle stages in that run, under-reporting genuinely serialized
+    # one-task stages (r10 ADVICE false-negative). Reuse is a per-plan
+    # optimization within one execution, but cached shuffle outputs from
+    # run 1 can also be picked up when the identical exchange replans —
+    # disable both for the audit session so every stage re-executes and
+    # shows up in the stage list with real task timings.
+    spark.conf.set("spark.sql.exchange.reuse", "false")
+    spark.conf.set("spark.sql.execution.reuseSubquery", "false")
     from crypto_trading_data_pipeline_spark.queries import REGISTRY
 
     names = (

@@ -268,6 +268,7 @@ _SINGLE_PARTITION_OK = {
     "q_bm25",              # one-row (n, avgdl) scalar + 10-row rank window
                            # over the already-limited top-k
     "q_cooccur_ppmi",      # one-row t1/tp PPMI normalizer scalars
+    "q_cooccur_ppmi_pruned",  # same one-row t1/tp scalars, pruned world
     "q_ks_test",           # one-row (n_ref, n_cur) totals + <=201-row
                            # bucket-offset cumsum + one-row final D max
     "q_chi_square",        # one-row n / dof scalars + one-row chi2 sum

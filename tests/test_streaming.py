@@ -1588,3 +1588,150 @@ def test_streaming_index_rebalance_monitor(spark, tmp_path):
     finally:
         q.stop()
     assert emitted[-1] == (4, 130, 100, 3_076_923, 1)
+
+
+def test_streaming_index_lifecycle_composition(spark, tmp_path):
+    """END-TO-END lifecycle composition (r10 verdict #4): the append
+    counter drains its (cluster, n_new, n_total) updates into a real
+    sink (a parquet "topic" directory, one file per micro-batch — the
+    foreachBatch pattern a Kafka producer sink would use), and a SECOND
+    streaming job replays that topic file-by-file into the rebalance
+    monitor. Spark cannot chain two stateful operators in one query, so
+    this sink-then-replay relay IS the production composition the
+    stateful.py docstring describes — here both stages actually run.
+
+    Stage 1 streams two vector micro-batches against frozen centroids:
+    batch 1 balanced (10 vectors/cluster), batch 2 floods cluster 2
+    with 90 more. Stage 2 must emit rebalance=0 after replaying batch
+    1's updates and flip to rebalance=1 on batch 2's — with clusters
+    0/1/3 known only from carried monitor state, across a genuine
+    micro-batch boundary in BOTH jobs."""
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        streaming_index_append,
+        streaming_index_rebalance,
+    )
+
+    # Frozen "trained" centroids in integer microunits (unit square corners).
+    cents = [[0, 0], [1_000_000, 0], [0, 1_000_000], [1_000_000, 1_000_000]]
+    corners = [(0.0, 0.0), (1.0, 0.0), (0.0, 1.0), (1.0, 1.0)]
+
+    def vecs(counts, start_id):
+        rows, vid = [], start_id
+        for c, n in counts.items():
+            x, y = corners[c]
+            for _ in range(n):
+                rows.append((vid, [x, y]))
+                vid += 1
+        return rows
+
+    indir = tmp_path / "vectors_in"
+    indir.mkdir()
+    topic = tmp_path / "topic"
+    topic.mkdir()
+    mkv = lambda rs: spark.createDataFrame(rs, "vec_id long, v array<double>")
+    mkv(vecs({0: 10, 1: 10, 2: 10, 3: 10}, 0)).write.mode("overwrite").parquet(
+        str(indir / "b1.parquet")
+    )
+
+    vstream = spark.readStream.schema("vec_id long, v array<double>").parquet(
+        str(indir / "*.parquet")
+    )
+
+    def topic_sink(df, eid):
+        # One file per micro-batch, like a per-batch producer flush; the
+        # replay below consumes the topic file-by-file in commit order.
+        df.coalesce(1).write.mode("overwrite").parquet(
+            str(topic / f"updates_{eid:05d}.parquet")
+        )
+
+    appender = (
+        streaming_index_append(vstream, centroids=cents)
+        .writeStream.outputMode("update")
+        .foreachBatch(topic_sink)
+        .option("checkpointLocation", str(tmp_path / "ck_append"))
+        .start()
+    )
+    try:
+        appender.processAllAvailable()
+        # Stage batch 2 OUTSIDE the watched glob and move it in with one
+        # atomic rename: the default-trigger stream polls continuously,
+        # and a parquet job commit renames part files one at a time, so
+        # writing in place can split the arrival across two listings /
+        # micro-batches (seen as a 3-verdict flake in the suite run).
+        staging = tmp_path / "staging_b2.parquet"
+        mkv(vecs({2: 90}, 40)).write.mode("overwrite").parquet(str(staging))
+        staging.rename(indir / "b2.parquet")
+        appender.processAllAvailable()
+    finally:
+        appender.stop()
+
+    # Stage 2: replay the topic into the monitor, one file per trigger so
+    # the append job's batch boundary is preserved as a monitor boundary.
+    verdicts: list[tuple] = []
+
+    def verdict_sink(df, eid):
+        rows = df.collect()
+        if rows:
+            verdicts.append(tuple(rows[0]))
+
+    cstream = (
+        spark.readStream.schema("cluster long, n_new long, n_total long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(topic / "*.parquet"))
+    )
+    monitor = (
+        streaming_index_rebalance(cstream, k=4)
+        .writeStream.outputMode("update")
+        .foreachBatch(verdict_sink)
+        .option("checkpointLocation", str(tmp_path / "ck_monitor"))
+        .start()
+    )
+    try:
+        monitor.processAllAvailable()
+    finally:
+        monitor.stop()
+
+    # Batch 1 replay: balanced -> imbalance exactly 1e6 ppm, no rebalance.
+    # Final replay: totals {10,10,100,10} -> 100*4e6//130 ppm, fires.
+    # (Normally exactly 2 verdicts; if the appender's poll ever splits an
+    # arrival anyway, the extra intermediate verdicts must still be
+    # monotonic in n_total — the composition's real invariant.)
+    assert verdicts[0] == (4, 40, 10, 1_000_000, 0)
+    assert verdicts[-1] == (4, 130, 100, 3_076_923, 1)
+    assert len(verdicts) >= 2
+    totals = [v[1] for v in verdicts]
+    assert totals == sorted(totals)
+
+
+def test_index_rebalance_fold_is_order_independent():
+    """Replay catch-up can deliver SEVERAL updates for one cluster in one
+    micro-batch, and intra-batch row order is not event order: a stale
+    running total arriving after the newest must not overwrite it (r10
+    ADVICE, the max-fold fix). Drives the update fn directly with the
+    newest-first ordering that last-write-wins would get wrong."""
+    import pandas as pd
+
+    from crypto_trading_data_pipeline_spark.streaming.stateful import (
+        _index_rebalance_factory,
+    )
+
+    class FakeState:
+        exists = False
+
+        def update(self, v):
+            self.exists = True
+            self.get = v
+
+    update = _index_rebalance_factory(k=4, threshold_ppm=2_000_000)
+    state = FakeState()
+    # Catch-up batch: cluster 2's newer total (100) precedes its stale
+    # one (10); clusters 0/1/3 report once.
+    batch = pd.DataFrame(
+        {"cluster": [2, 0, 1, 2, 3], "n_total": [100, 10, 10, 10, 10]}
+    )
+    (out,) = list(update((0,), [batch], state))
+    assert tuple(out.iloc[0]) == (4, 130, 100, 3_076_923, 1)
+    # And a later batch with an older replayed total must not regress the
+    # carried state either.
+    (out2,) = list(update((0,), [pd.DataFrame({"cluster": [2], "n_total": [50]})], state))
+    assert tuple(out2.iloc[0]) == (4, 130, 100, 3_076_923, 1)
