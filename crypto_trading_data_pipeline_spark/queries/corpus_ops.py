@@ -1749,6 +1749,107 @@ def q_dup_span_stats(spark: SparkSession, sf_dir: str):
     ).drop("n_toks")
 
 
+@query(
+    "q_span_dedup_apply",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), w0 AS (
+      SELECT doc_id,
+             list_transform(range(1, len(toks) - {_SPAN_K} + 2),
+               i -> {{'i': i, 'g': concat_ws(' ', toks[i], toks[i+1], toks[i+2])}})
+               AS wins
+      FROM t WHERE len(toks) >= {_SPAN_K}
+    ), w AS (
+      SELECT doc_id, unnest(wins, recursive := true) FROM w0
+    ), dup AS (
+      SELECT g FROM w GROUP BY g HAVING count(*) >= 2
+    ), hits AS (
+      SELECT doc_id, i FROM w JOIN dup USING (g)
+    ), covered AS (
+      SELECT DISTINCT doc_id, i + j AS pos FROM hits, range(0, {_SPAN_K}) r(j)
+    ), toksp AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks) + 1),
+               i -> {{'pos': i, 'tok': toks[i]}}), recursive := true)
+      FROM t
+    ), kept AS (
+      SELECT toksp.* FROM toksp ANTI JOIN covered USING (doc_id, pos)
+    ), clean AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS kept_toks,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_toks,
+           CAST(coalesce(kept_toks, 0) AS BIGINT) AS kept_toks,
+           CAST(len(string_split(d.text, ' ')) - coalesce(kept_toks, 0)
+             AS BIGINT) AS removed_toks,
+           md5(coalesce(clean_text, '')) AS clean_md5
+    FROM documents d LEFT JOIN clean USING (doc_id)
+    """,
+    doc=(
+        "Exact-substring dedup APPLY — the transformation q_dup_span_stats "
+        "only measures: every token position covered by a cross-corpus "
+        f"duplicated word {_SPAN_K}-gram window is EXCISED and the document "
+        "re-emitted from its surviving tokens (kept/removed counts + md5 "
+        "of the cleaned text, so the oracle verifies the full rewritten "
+        "output, not just the counts). This is the Lee et al. 2021 "
+        "deduplicate-training-data step in distributable form: their "
+        "suffix-array dedup is single-node; k-gram anchoring finds every "
+        "duplicated span >= k tokens and the rewrite is a distributed "
+        "anti-join. Plan at 100 TB: gram counts and the gram->position "
+        "semi-join shuffle on the gram key (partial-agg combines the "
+        "heavy head, same as the stats query); covered positions "
+        "dedup on (doc, pos); the rewrite anti-joins the positional "
+        "token stream on (doc, pos) and reassembles per doc with a "
+        "doc-local sort (bounded by document length, never corpus-"
+        "ordered). Docs shorter than k pass through verbatim via the "
+        "left join. md5 is byte-identical across engines; the empty "
+        "document (everything duplicated) hashes '' on both."
+    ),
+)
+def q_span_dedup_apply(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    k = _SPAN_K
+    w = _span_windows(docs)
+    dup = w.groupBy("g").agg(F.count(F.lit(1)).alias("c")).filter(F.col("c") >= 2)
+    hits = w.join(dup.select("g"), "g").select("doc_id", "i")
+    covered = hits.select(
+        "doc_id",
+        F.explode(F.sequence(F.col("i"), F.col("i") + F.lit(k - 1))).alias("pos"),
+    ).distinct()
+    toks = (
+        fan_out(docs)
+        .select("doc_id", F.posexplode_outer(F.split("text", " ")).alias("pos0", "tok"))
+        .filter(F.col("tok").isNotNull())
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    clean = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_toks"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean_text"),
+    )
+    base = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("bigint").alias("n_toks")
+    )
+    return base.join(clean, "doc_id", "left").select(
+        "doc_id",
+        "n_toks",
+        F.coalesce(F.col("kept_toks"), F.lit(0)).cast("bigint").alias("kept_toks"),
+        (F.col("n_toks") - F.coalesce(F.col("kept_toks"), F.lit(0)))
+        .cast("bigint")
+        .alias("removed_toks"),
+        F.md5(F.coalesce(F.col("clean_text"), F.lit(""))).alias("clean_md5"),
+    )
+
+
 #: Vocabulary-coverage report points: fraction of all token occurrences
 #: covered by the top-k most frequent tokens. The k grid is the dataset-card
 #: / tokenizer-sizing sweep shape.

@@ -212,6 +212,79 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str):
     return _lsh_candidate_pairs(read_table(spark, sf_dir, "documents"))
 
 
+@query(
+    "q_lsh_bucket_stats",
+    oracle=f"""
+    WITH sig AS (
+      SELECT doc_id,
+             {_SQL_SIG_SELECT}
+      FROM (
+        SELECT doc_id, {_SQL_SHINGLES} AS sh
+        FROM documents WHERE len(string_split(text, ' ')) >= 3
+      )
+    ), bands AS (
+      {" UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band_hash, {i} AS band_id FROM sig"
+        for i, b in enumerate(_SQL_BANDS)
+      )}
+    ), b AS (
+      SELECT band_id, band_hash, count(*) AS n FROM bands GROUP BY 1, 2
+    )
+    SELECT band_id,
+           CAST(count(*) AS BIGINT) AS n_buckets,
+           CAST(sum(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS colliding_buckets,
+           CAST(max(n) AS BIGINT) AS max_bucket,
+           CAST(sum(n * (n - 1)) // 2 AS BIGINT) AS cand_pairs,
+           CAST(sum(least(n, {_LSH_BUCKET_CAP}) * (least(n, {_LSH_BUCKET_CAP}) - 1))
+                // 2 AS BIGINT) AS capped_pairs,
+           CAST(sum(CASE WHEN n > {_LSH_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS truncated_buckets
+    FROM b GROUP BY band_id
+    """,
+    doc=(
+        "LSH bucket CAPACITY PLANNING — the per-band audit that sizes the "
+        "banded join before it runs at 100 TB: for each of the 4 bands, "
+        "bucket count, colliding buckets (>=2 docs — only these generate "
+        "pairs), the fullest bucket, the UNCAPPED candidate-pair volume "
+        "sum n*(n-1)/2 (what the in-bucket expansion would emit with no "
+        f"cap — the number that explodes on a dirty corpus), the pair "
+        f"volume under the production cap ({_LSH_BUCKET_CAP}), and how "
+        "many buckets the cap would truncate. This turns q_lsh_pairs' "
+        "CollectMetrics overflow counters into a queryable dataset-card "
+        "table: truncated_buckets > 0 means upstream exact dedup is "
+        "being skipped, and cand_pairs vs capped_pairs is the exact "
+        "work bound for the verify stage. Same signature/banding "
+        "construction as q_lsh_pairs (one textual source of truth in "
+        "the oracle, shared dedup_hash helpers in Spark); two stacked "
+        "partial+final aggregates on the band digest then the 4-row "
+        "band key — no pair expansion runs at all, so the audit is "
+        "strictly cheaper than the join it plans. Pair sums stay in "
+        "exact integer arithmetic (n*(n-1) is even; integer-div by 2 "
+        "on both engines)."
+    ),
+)
+def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str):
+    docs = read_table(spark, sf_dir, "documents")
+    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+    bands = sig.select(
+        "doc_id",
+        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+    )
+    b = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("n"))
+    cap = _LSH_BUCKET_CAP
+    return b.groupBy("band_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum((F.col("n") >= 2).cast("long")).cast("bigint").alias("colliding_buckets"),
+        F.max("n").cast("bigint").alias("max_bucket"),
+        F.expr("sum(n * (n - 1)) div 2").cast("bigint").alias("cand_pairs"),
+        F.expr(f"sum(least(n, {cap}) * (least(n, {cap}) - 1)) div 2")
+        .cast("bigint")
+        .alias("capped_pairs"),
+        F.sum((F.col("n") > cap).cast("long")).cast("bigint").alias("truncated_buckets"),
+    )
+
+
 def _length_blocked_join(df, *, payload: dict[str, str], tol: int):
     """Blocked self-join on (lang, length bucket): every same-lang pair with
     |Δn_chars| <= tol meets in EXACTLY one join key.
