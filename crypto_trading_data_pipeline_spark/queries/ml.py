@@ -696,3 +696,139 @@ def q_decision_stump(spark: SparkSession, sf_dir: str):
         F.col("errors").alias("best_errors"),
         (F.least("pt", "nt") - F.col("errors")).alias("gain"),
     )
+
+
+# --- PCA top component via power iteration ----------------------------------
+
+_PCA_ITERS = 3
+_PCA_Q = 1000  # data fixed-point scale (|x| <= 0.58 in the fixture)
+_PCA_V = 10000  # direction scale: L-inf-normalized components in [-1e4, 1e4]
+_PCA_DIM = 64
+
+
+def _pca_oracle() -> str:
+    """3 power-iteration steps as generated MATERIALIZED CTEs (the
+    q_logreg_train / q_pagerank convention). Every value is an int64;
+    the only divisions are truncating integer divisions (DuckDB // and
+    Python's sign-safe tdiv truncate identically toward zero)."""
+    cte = f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id,
+             list_transform(embedding,
+               v -> CAST(floor(CAST(v AS DOUBLE) * {_PCA_Q} + 0.5) AS BIGINT)) AS q
+      FROM embeddings
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, CAST(t.i AS INTEGER) AS i, q[t.i + 1] AS v
+      FROM q, generate_series(0, {_PCA_DIM - 1}) t(i)
+    ), s AS MATERIALIZED (
+      SELECT i, CAST(sum(v) AS BIGINT) AS s FROM ex GROUP BY i
+    ), n AS MATERIALIZED (
+      SELECT CAST(count(*) AS BIGINT) AS n FROM q
+    ), v0 AS MATERIALIZED (
+      SELECT CAST(t.i AS INTEGER) AS i, CAST({_PCA_V} AS BIGINT) AS w
+      FROM generate_series(0, {_PCA_DIM - 1}) t(i)
+    )"""
+    for r in range(1, _PCA_ITERS + 1):
+        cte += f""", dot{r} AS MATERIALIZED (
+      SELECT e.vec_id, CAST(sum(e.v * w.w) AS BIGINT) AS d
+      FROM ex e JOIN v{r - 1} w USING (i) GROUP BY e.vec_id
+    ), av{r} AS MATERIALIZED (
+      SELECT e.i, CAST(sum(e.v * d.d) AS BIGINT) AS av
+      FROM ex e JOIN dot{r} d USING (vec_id) GROUP BY e.i
+    ), sv{r} AS MATERIALIZED (
+      SELECT CAST(sum(s.s * w.w) AS BIGINT) AS sv
+      FROM s JOIN v{r - 1} w USING (i)
+    ), z{r} AS MATERIALIZED (
+      SELECT av.i, CAST(av.av - s.s * (sv.sv // n.n) AS BIGINT) AS z
+      FROM av{r} av JOIN s ON av.i = s.i, sv{r} sv, n
+    ), den{r} AS MATERIALIZED (
+      SELECT CAST(max(abs(z)) // {_PCA_V} + 1 AS BIGINT) AS den FROM z{r}
+    ), v{r} AS MATERIALIZED (
+      SELECT i, CAST(z // den AS BIGINT) AS w FROM z{r}, den{r}
+    )"""
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS iter, i, w AS comp FROM v{r}"
+        for r in range(1, _PCA_ITERS + 1)
+    )
+    return cte + f" SELECT CAST(iter AS INTEGER) AS iter, i, comp FROM ({sel})"
+
+
+@query(
+    "q_pca_power",
+    oracle=_pca_oracle(),
+    doc=(
+        "PCA top principal component by POWER ITERATION over the embedding "
+        "table — the whitening/drift-direction step beside "
+        "q_embed_covariance (which emits the moment matrix; this extracts "
+        "the dominant eigendirection in-engine): 3 unrolled iterations of "
+        "v <- normalize((A - S m^T) v) on the fixed-point-quantized data, "
+        "emitting the direction trajectory (iter, i, comp). Each iteration "
+        "is ONE aggregate pass over the corpus — the per-row dot product "
+        "q.v folds row-locally against the 64-int broadcast direction "
+        "literal and the d matvec sums accumulate as exact int64 partial "
+        "aggregates (never a d x d matrix, never a self-join); the "
+        "per-dimension sums S and count n are computed once (iteration-"
+        "invariant) and centering is applied driver-side via the "
+        "quantized identity z = Av - S * tdiv(S.v, n). Normalization is "
+        "L-infinity with truncating integer division, so the whole "
+        "trajectory is integer-exact on both engines (DuckDB // and the "
+        "sign-safe Python tdiv truncate identically). Driver traffic is "
+        "64 ints per iteration — the q_logreg_train bounded-model "
+        "pattern; at 100 TB the aggregate is the only distributed work. "
+        "int64 headroom documented at the scales in use: |x| <= 0.6, "
+        "Q=1e3, V=1e4 keeps every partial below ~1e15 up to ~1e7 rows; "
+        "larger corpora lower Q or move the matvec sums to decimal(38)."
+    ),
+)
+def q_pca_power(spark: SparkSession, sf_dir: str):
+    from ..operators.scale import fan_out
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = fan_out(emb).select(
+        F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * _PCA_Q + 0.5).cast("long"),
+        ).alias("q")
+    ).localCheckpoint(eager=True)
+
+    def tdiv(a: int, b: int) -> int:
+        # Truncate toward zero — what DuckDB // and Spark div do; Python's
+        # // floors, so negatives go through the sign-safe form.
+        return a // b if a >= 0 else -((-a) // b)
+
+    qcol = F.col("q")
+    base = q.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.sum(F.element_at(qcol, j + 1)).cast("bigint").alias(f"s{j}")
+            for j in range(_PCA_DIM)
+        ],
+    ).collect()[0]
+    n = int(base["n"])
+    S = [int(base[f"s{j}"]) for j in range(_PCA_DIM)]
+
+    w = [_PCA_V] * _PCA_DIM
+    trajectory = []
+    for it in range(1, _PCA_ITERS + 1):
+        vlit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        dot = F.aggregate(
+            F.zip_with(qcol, vlit, lambda a, b: a * b),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        row = q.select(dot.alias("d"), qcol.alias("q")).agg(
+            *[
+                F.sum(F.element_at(F.col("q"), j + 1) * F.col("d"))
+                .cast("bigint")
+                .alias(f"av{j}")
+                for j in range(_PCA_DIM)
+            ]
+        ).collect()[0]
+        av = [int(row[f"av{j}"]) for j in range(_PCA_DIM)]
+        sv = sum(S[j] * w[j] for j in range(_PCA_DIM))
+        mv = tdiv(sv, n)
+        z = [av[j] - S[j] * mv for j in range(_PCA_DIM)]
+        den = tdiv(max(abs(x) for x in z), _PCA_V) + 1
+        w = [tdiv(x, den) for x in z]
+        trajectory.extend((it, j, w[j]) for j in range(_PCA_DIM))
+    return spark.createDataFrame(trajectory, schema="iter int, i int, comp bigint")
