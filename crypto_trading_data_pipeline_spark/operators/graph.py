@@ -69,6 +69,13 @@ def connected_components(
     # on executors only, so an executor loss mid-iteration fails the
     # job (acceptable — callers rerun; for multi-hour graphs prefer
     # reliable checkpoint() to a configured checkpoint dir).
+    # LOAD-BEARING (r11 ADVICE): a lazy localCheckpoint only truncates
+    # lineage for partitions its first action actually computes. The
+    # loop's first round (join + aggregate + convergence count) consumes
+    # EVERY partition of both `und` and `labels`, which is what makes
+    # eager=False safe here — do not insert an early limit()/sample()
+    # action between these checkpoints and the loop, or later rounds can
+    # hit missing-checkpoint-block errors instead of recomputing.
     und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))

@@ -81,9 +81,11 @@ from . import ml  # noqa: E402,F401
 #      row, so they outrank brand-new entries (the r6→r7 q_kmeans_ivf case:
 #      with upgraded ranked after never-checked, any round that registers
 #      ≥50 new queries starves an upgraded oracle forever),
-#   2. queries with no driver row in ANY round (anything newly registered
+#   2. rows-only/twin pairs whose rows-only evidence is >= _ROWS_ONLY_CADENCE
+#      rounds old (the pair re-greens together — see _ROWS_ONLY_TWINS),
+#   3. queries with no driver row in ANY round (anything newly registered
 #      this round),
-#   3. padded to 50 with the stalest-checked queries (ascending last-checked
+#   4. padded to 50 with the stalest-checked queries (ascending last-checked
 #      round, registry order as tiebreak).
 #
 # Queries outside the window retain the identical DuckDB-oracle check in
@@ -92,6 +94,21 @@ from . import ml  # noqa: E402,F401
 # the INVARIANT (never-checked first, then staleness order), not a name list.
 # ---------------------------------------------------------------------------
 _WINDOW_SIZE = 50
+
+# Rows-only queries (oracle=None) carry the weakest driver evidence — no
+# value hash, just a row count — so each one is DECLARED with an
+# oracle-checked twin that proves the same machinery with hash evidence
+# (SURVEY §2 X10). The pair re-enters the window TOGETHER once the
+# rows-only member's evidence is >= _ROWS_ONLY_CADENCE rounds old (r11
+# verdict #8: the twin must ride the same driver window as the rows-only
+# query, not drift rounds apart — q_hll_portable rode with q_hll_union in
+# r11; this makes the q_approx_distinct/q_count_distinct pair, and any
+# future pair, do so by rule rather than by hand).
+_ROWS_ONLY_TWINS = {
+    "q_approx_distinct": "q_count_distinct",  # exact-distinct hash twin
+    "q_hll_union": "q_hll_portable",  # portable integer-HLL hash twin
+}
+_ROWS_ONLY_CADENCE = 3
 
 
 def _driver_check_rounds() -> tuple[dict[str, int], set[str]]:
@@ -169,7 +186,19 @@ def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
         if n in latest and n not in upgraded
     ]
     changed.sort(key=lambda n: order[n])
-    head = upgraded + changed
+    # Aged rows-only pairs: rows-only evidence >= cadence rounds old =>
+    # the pair (rows-only query + its hash twin) re-greens together.
+    max_round = max(latest.values(), default=0)
+    aged_pairs: list[str] = []
+    for ro, twin in _ROWS_ONLY_TWINS.items():
+        if (
+            ro in REGISTRY
+            and twin in REGISTRY
+            and ro in latest
+            and max_round - latest[ro] >= _ROWS_ONLY_CADENCE
+        ):
+            aged_pairs.extend(n for n in (ro, twin) if n not in aged_pairs)
+    head = upgraded + changed + [n for n in aged_pairs if n not in upgraded + changed]
     rest = sorted(
         (n for n in REGISTRY if n in latest and n not in head),
         key=lambda n: (latest[n], order[n]),

@@ -1330,10 +1330,22 @@ def _ann_ivfpq(spark: SparkSession, sf_dir: str, nprobe: int):
 #: corpora use 0.95+). The MACHINERY is what scales, not the constant.
 _SEMDEDUP_TAU = 0.30
 
+#: Dominator cap (r11 verdict #5 — the LSH bucket-cap precedent applied to
+#: SemDeDup's within-cluster pairwise stage): only the first CAP members of
+#: each cluster in greedy order (ascending vec_id — the SAME order the
+#: dominance-by-lower-id rule already uses) act as DOMINATORS. Pair volume
+#: per cluster drops from |c|^2 to |c| * min(|c|, CAP) — linear in cluster
+#: size — and for clusters <= CAP the result is IDENTICAL to the uncapped
+#: semantics (every lower-id member is inside the prefix). The 30x probe
+#: measured max_cluster_size 570 against the quantizer's ~50 design size:
+#: 128 = 2.5x design leaves benign clusters untouched and bounds the
+#: degenerate ones; truncation is observable (metrics + q_semdedup_capacity).
+_SEMDEDUP_DOM_CAP = 128
 
-@query(
-    "q_semdedup",
-    oracle=f"""
+#: One textual source of truth for the two-level-quantizer assignment CTE
+#: chain — q_semdedup's and q_semdedup_capacity's oracles share it verbatim
+#: (the q_lsh_pairs/q_lsh_bucket_stats convention).
+_SEMDEDUP_ASSIGN_SQL = """
     WITH e AS (
       SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ), n AS (
@@ -1377,11 +1389,21 @@ _SEMDEDUP_TAU = 0.30
                ) AS rf
         FROM vec_cell vc JOIN fine_cell fc USING (co_id)
       ) WHERE rf = 1
+    )"""
+
+
+@query(
+    "q_semdedup",
+    oracle=f"""{_SEMDEDUP_ASSIGN_SQL}, ranked AS (
+      SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS dom_rank
+      FROM assign
     )
     SELECT a.vec_id, a.cent_id AS cluster,
            CAST(NOT EXISTS (
-             SELECT 1 FROM assign b
+             SELECT 1 FROM ranked b
              WHERE b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+               AND b.dom_rank <= {_SEMDEDUP_DOM_CAP}
                AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_TAU}
            ) AS INTEGER) AS keep
     FROM assign a
@@ -1402,7 +1424,12 @@ _SEMDEDUP_TAU = 0.30
         "LAION) — the hierarchy holds assignment to O(N * sqrt(k2)), "
         "subquadratic, where a flat nearest-of-N/50 rank was the r7 "
         "O(N^2/50) scale artifact (see _ivf_assign_hier for the honest "
-        "asymptotics). Emits "
+        "asymptotics). Since r12 the DOMINATOR side is capped at the "
+        "first 128 cluster members in greedy order (_SEMDEDUP_DOM_CAP — "
+        "the LSH bucket-cap precedent), bounding per-cluster pairs to "
+        "|c|*min(|c|,128): identical results for clusters <= 128, and a "
+        "degenerate mega-cluster can no longer go quadratic; truncation "
+        "is observable via q_semdedup_capacity. Emits "
         "every vector with its cluster and keep flag so the drop rate per "
         "cluster is auditable."
     ),
@@ -1435,10 +1462,15 @@ def semdedup_flags(emb, observation=None):
     regime. The window+observe therefore ride the LEFT side of the final
     left-outer join: Spark can only build-right a left-outer broadcast
     join, so that side is always streamed and the metrics always fire, at
-    the cost of one narrow (vec_id, cent_id) exchange. A max_cluster_size
-    near the corpus size means the centroid set must be re-drawn or k
-    raised; that is a data decision, so the engine surfaces the number
-    instead of silently capping pairs."""
+    the cost of one narrow (vec_id, cent_id) exchange. Since r12 the pair
+    join is ALSO bounded (dominator prefix cap, _SEMDEDUP_DOM_CAP): a
+    degenerate mega-cluster costs |c| * cap instead of |c|^2, exactly as
+    the LSH bucket cap bounds the banded join. The truncation is never
+    silent — truncated_clusters/capped_pairwise_rows land in this
+    observation and q_semdedup_capacity publishes the full audit table; a
+    max_cluster_size near the corpus size still means the centroid set
+    must be re-drawn or k raised (the cap bounds the COST of that data
+    problem, it does not fix the clustering)."""
     n = emb.select(
         F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
     ).withColumn("nrm", l2_norm(F.col("v")))
@@ -1446,8 +1478,23 @@ def semdedup_flags(emb, observation=None):
     a = assign.select(
         "cent_id", F.col("vec_id").alias("a_id"), F.col("v").alias("av"), F.col("nrm").alias("an")
     )
-    b = assign.select(
-        "cent_id", F.col("vec_id").alias("b_id"), F.col("v").alias("bv"), F.col("nrm").alias("bn")
+    # Dominator cap (r11 verdict #5): only the first _SEMDEDUP_DOM_CAP
+    # members of each cluster in greedy order (ascending vec_id) sit on the
+    # build side of the pair join — per-cluster pair volume is
+    # |c| * min(|c|, cap) instead of |c|^2, and clusters <= cap produce
+    # byte-identical results to the uncapped join (every lower-id member is
+    # inside the prefix). One narrow row_number window on the cent_id
+    # partitioning the join needs anyway.
+    domw = Window.partitionBy("cent_id").orderBy("vec_id")
+    b = (
+        assign.withColumn("dom_rank", F.row_number().over(domw))
+        .filter(F.col("dom_rank") <= _SEMDEDUP_DOM_CAP)
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
     )
     sim = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
     dropped = (
@@ -1464,9 +1511,19 @@ def semdedup_flags(emb, observation=None):
         F.max("csize").alias("max_cluster_size"),
         F.expr("approx_percentile(csize, 0.99)").alias("p99_cluster_size"),
         F.sum("csize").alias("pairwise_rows"),
+        # Join-input volume AFTER the dominator cap: sum over vectors of
+        # min(|cluster|, cap) = sum |c| * min(|c|, cap) — the bound the
+        # cap actually enforces (pairwise_rows is the uncapped |c|^2 sum,
+        # kept so the two are comparable in one observation).
+        F.sum(F.least(F.col("csize"), F.lit(_SEMDEDUP_DOM_CAP))).alias(
+            "capped_pairwise_rows"
+        ),
         # DISTINCT aggregates are rejected inside CollectMetrics; the HLL
         # sketch is exact at any plausible cluster-count cardinality.
         F.approx_count_distinct(F.col("cent_id")).alias("n_clusters"),
+        F.approx_count_distinct(
+            F.when(F.col("csize") > _SEMDEDUP_DOM_CAP, F.col("cent_id"))
+        ).alias("truncated_clusters"),
     ]
     if observation is not None:
         flagged = flagged.observe(observation, *metrics)
@@ -1480,6 +1537,77 @@ def semdedup_flags(emb, observation=None):
         "vec_id",
         F.col("cent_id").alias("cluster"),
         F.when(F.col("dropped").isNull(), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+
+
+#: Exact capped-pair count for a cluster of size n under the dominator
+#: prefix cap: sum over members of min(rank-1, cap)
+#:   = C(min(n, cap+1), 2) + max(0, n-cap-1)*cap.
+#: Pure integer arithmetic — n*(n-1) is even, so integer-div by 2 is exact
+#: on both engines. One textual source feeds Spark (div) and DuckDB (//).
+def _capped_pairs_sql(idiv: str) -> str:
+    cap = _SEMDEDUP_DOM_CAP
+    return (
+        f"CASE WHEN n <= {cap + 1} THEN (n * (n - 1)) {idiv} 2 "
+        f"ELSE {cap * (cap + 1) // 2} + (n - {cap + 1}) * {cap} END"
+    )
+
+
+_SEMDEDUP_SIZE_CLASS_SQL = (
+    "CASE WHEN n = 1 THEN 1 WHEN n <= 4 THEN 4 WHEN n <= 16 THEN 16 "
+    "WHEN n <= 64 THEN 64 WHEN n <= 256 THEN 256 ELSE 1024 END"
+)
+
+
+@query(
+    "q_semdedup_capacity",
+    oracle=f"""{_SEMDEDUP_ASSIGN_SQL}, sizes AS (
+      SELECT cent_id, count(*) AS n FROM assign GROUP BY cent_id
+    )
+    SELECT {_SEMDEDUP_SIZE_CLASS_SQL} AS size_class,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(max(n) AS BIGINT) AS max_cluster,
+           CAST(sum((n * (n - 1)) // 2) AS BIGINT) AS cand_pairs,
+           CAST(sum({_capped_pairs_sql("//")}) AS BIGINT) AS capped_pairs,
+           CAST(sum(CASE WHEN n > {_SEMDEDUP_DOM_CAP} THEN 1 ELSE 0 END) AS BIGINT)
+             AS truncated_clusters
+    FROM sizes GROUP BY 1
+    """,
+    doc=(
+        "SemDeDup cluster CAPACITY PLANNING (r11 verdict #5 — the "
+        "q_lsh_bucket_stats twin for the embedding-space dedup): cluster "
+        "counts/vectors/max size per size class (1, <=4, <=16, <=64, "
+        "<=256, >256), the UNCAPPED within-cluster pair volume sum "
+        "n*(n-1)/2 (the number that went 40x at a 30x input on the r11 "
+        "probe), the pair volume under the production dominator cap "
+        f"({_SEMDEDUP_DOM_CAP}; exact prefix-cap count "
+        "C(min(n,cap+1),2) + max(0,n-cap-1)*cap), and how many clusters "
+        "the cap truncates. truncated_clusters > 0 means the quantizer's "
+        "~50-size design is being violated (re-draw centroids or raise "
+        "k2); cand_pairs vs capped_pairs is the exact work bound of the "
+        "dominance join. Runs ONLY the assignment + a size aggregate — no "
+        "pair expansion — so the audit is strictly cheaper than the join "
+        "it plans. Shares the two-level-quantizer CTE chain with "
+        "q_semdedup's oracle verbatim and _ivf_assign_hier on the Spark "
+        "side (one source of truth per engine)."
+    ),
+)
+def q_semdedup_capacity(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    sizes = _ivf_assign_hier(n).groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    return sizes.groupBy(F.expr(_SEMDEDUP_SIZE_CLASS_SQL).alias("size_class")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.max("n").cast("bigint").alias("max_cluster"),
+        F.expr("sum((n * (n - 1)) div 2)").cast("bigint").alias("cand_pairs"),
+        F.expr(f"sum({_capped_pairs_sql('div')})").cast("bigint").alias("capped_pairs"),
+        F.sum((F.col("n") > _SEMDEDUP_DOM_CAP).cast("long"))
+        .cast("bigint")
+        .alias("truncated_clusters"),
     )
 
 

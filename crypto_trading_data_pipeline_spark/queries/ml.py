@@ -775,9 +775,14 @@ def _pca_oracle() -> str:
         "sign-safe Python tdiv truncate identically). Driver traffic is "
         "64 ints per iteration — the q_logreg_train bounded-model "
         "pattern; at 100 TB the aggregate is the only distributed work. "
-        "int64 headroom documented at the scales in use: |x| <= 0.6, "
-        "Q=1e3, V=1e4 keeps every partial below ~1e15 up to ~1e7 rows; "
-        "larger corpora lower Q or move the matvec sums to decimal(38)."
+        "int64 headroom at the scales in use (r11 ADVICE correction): "
+        "|x| <= 0.6, Q=1e3, V=1e4 puts the per-row matvec term |q_j*d| "
+        "near 2.3e11, so the summed partial reaches ~2.3e18 at 1e7 rows — "
+        "inside int64 but only ~4x from the 9.2e18 cap, and non-ANSI "
+        "Spark long arithmetic would WRAP SILENTLY past ~4e7 rows while "
+        "DuckDB errors, diverging the engines with no failure signal. A "
+        "loud row-count guard rejects corpora past 2e7 rows; larger "
+        "corpora lower Q or move the matvec sums to decimal(38)."
     ),
 )
 def q_pca_power(spark: SparkSession, sf_dir: str):
@@ -805,6 +810,15 @@ def q_pca_power(spark: SparkSession, sf_dir: str):
         ],
     ).collect()[0]
     n = int(base["n"])
+    # int64 wrap guard (r11 ADVICE): the matvec partial sum grows as
+    # n * |q_j * d| ~ n * 2.3e11 — silent non-ANSI long wrap begins near
+    # 4e7 rows. Fail loudly with margin rather than diverge from DuckDB.
+    if n > 20_000_000:
+        raise ValueError(
+            f"q_pca_power: {n} rows exceeds the int64-exact regime "
+            "(~4e7 rows at Q=1e3, V=1e4 wraps the matvec partial); "
+            "lower _PCA_Q or accumulate in decimal(38)."
+        )
     S = [int(base[f"s{j}"]) for j in range(_PCA_DIM)]
 
     w = [_PCA_V] * _PCA_DIM

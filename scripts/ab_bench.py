@@ -64,17 +64,30 @@ def main() -> None:
         print(f"[ab] run {i} {label}: total={rec['total']} calib={rec['calib_sec']}", flush=True)
 
     result: dict = {"pattern": [p[0] for p in pattern], "r9_sha": R9_SHA}
+    allbest: dict[str, dict[str, float]] = {}
     for label in ("head", "r9"):
         qbest: dict[str, float] = {}
         for rec in runs[label]:
             for q, t in rec["queries"].items():
                 qbest[q] = min(qbest.get(q, float("inf")), t)
+        allbest[label] = qbest
         result[label] = {
             "totals": [r["total"] for r in runs[label]],
             "calibs": [r["calib_sec"] for r in runs[label]],
-            "best_total": round(sum(qbest.values()), 3),
             "queries_best": qbest,
         }
+    # best_total over the SHARED query set only (r11 ADVICE): if the two
+    # trees' headline lists ever diverge, summing each tree's own set would
+    # silently skew head_over_r9_pct with workload differences.
+    shared_set = set(allbest["head"]) & set(allbest["r9"])
+    result["shared_n"] = len(shared_set)
+    result["unshared"] = sorted(
+        (set(allbest["head"]) | set(allbest["r9"])) - shared_set
+    )
+    for label in ("head", "r9"):
+        result[label]["best_total"] = round(
+            sum(t for q, t in allbest[label].items() if q in shared_set), 3
+        )
     h, n = result["head"]["best_total"], result["r9"]["best_total"]
     result["head_over_r9_pct"] = round((h - n) / n * 100, 2)
     # Per-query deltas on the shared set, worst first, for bisect targeting.

@@ -26,8 +26,9 @@ def main() -> None:
     from crypto_trading_data_pipeline_spark.queries import REGISTRY
     from crypto_trading_data_pipeline_spark.session import get_spark
 
-    # The tree's own headline list (identical across the two trees under
-    # test — asserted by the parent before launching).
+    # The tree's own headline list. The parent compares best_total over the
+    # SHARED query set only (r11 ADVICE), so a divergence between the two
+    # trees' lists cannot skew head_over_r9_pct.
     import importlib.util
 
     spec = importlib.util.spec_from_file_location("ab_bench_mod", os.path.join(tree, "bench.py"))

@@ -1,0 +1,111 @@
+"""Same-box streaming-throughput A/B: committed r10 tree (96e2d8e) vs HEAD
+(VERDICT r11 #1).
+
+The r11 bench flipped ``streaming_regression: true`` (-5.8% normalized after
+r10's -4.3%; ~-10% cumulative since r9). Static analysis says the entire
+bench_streaming code closure — streaming/job.py, sources.py, schemas.py,
+operators/candles.py, io.py, session.py AND the bench_streaming harness
+itself — is byte-identical between the r10 tree and HEAD (the only
+streaming-adjacent r11 change was streaming/stateful.py's max-fold fix,
+which bench_streaming never imports). This runs the decisive measurement
+anyway: both trees, same box, same session, interleaved
+head/r10/r10/head/head/r10, fresh JVM per run, each run internally
+best-of-3 drains. Identical code measured minutes apart bounds the box's
+own run-to-run noise — the yardstick the -5.8% round-over-round delta must
+clear before it can mean anything.
+
+Before launching, the parent ASSERTS the two trees' bench_streaming ASTs
+are identical (same guarantee ab_bench.py provides by sharing ab_runner).
+
+Writes SCALE_AB_STREAM.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import ast
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+R10_SHA = "96e2d8e"
+WT = os.path.join(REPO, ".worktrees", "r10ab")
+
+
+def ensure_worktree() -> None:
+    if not os.path.isdir(WT):
+        os.makedirs(os.path.dirname(WT), exist_ok=True)
+        subprocess.run(
+            ["git", "worktree", "add", "--detach", WT, R10_SHA], cwd=REPO, check=True
+        )
+
+
+def _fn_ast(path: str, name: str) -> str | None:
+    tree = ast.parse(open(path).read())
+    for node in ast.walk(tree):
+        if isinstance(node, ast.FunctionDef) and node.name == name:
+            return ast.dump(node)
+    return None
+
+
+def one_run(tree: str, out: str) -> dict:
+    env = dict(os.environ)
+    env.pop("PYTHONPATH", None)
+    subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "ab_stream_runner.py"), tree, out],
+        check=True,
+        env=env,
+    )
+    with open(out) as f:
+        return json.load(f)
+
+
+def main() -> None:
+    ensure_worktree()
+    # Harness-identity guarantee: a measurement difference must not be
+    # explainable by harness drift between the trees.
+    a = _fn_ast(os.path.join(REPO, "bench.py"), "bench_streaming")
+    b = _fn_ast(os.path.join(WT, "bench.py"), "bench_streaming")
+    assert a is not None and a == b, "bench_streaming harness differs between trees"
+
+    tmp = os.path.join(REPO, ".worktrees", "ab_stream_out")
+    os.makedirs(tmp, exist_ok=True)
+    pattern = [
+        ("head", REPO),
+        ("r10", WT),
+        ("r10", WT),
+        ("head", REPO),
+        ("head", REPO),
+        ("r10", WT),
+    ]
+    runs: dict[str, list[dict]] = {"head": [], "r10": []}
+    for i, (label, tree) in enumerate(pattern):
+        out = os.path.join(tmp, f"run{i}_{label}.json")
+        rec = one_run(tree, out)
+        runs[label].append(rec)
+        print(
+            f"[ab-stream] run {i} {label}: rows/s={rec['streaming_rows_per_sec']} "
+            f"wall={rec['streaming_wall_sec']} calib={rec['calib_sec']}",
+            flush=True,
+        )
+
+    result: dict = {"pattern": [p[0] for p in pattern], "r10_sha": R10_SHA}
+    for label in ("head", "r10"):
+        rps = [r["streaming_rows_per_sec"] for r in runs[label]]
+        result[label] = {
+            "rows_per_sec": rps,
+            "best_rows_per_sec": max(rps),
+            "walls": [r["streaming_wall_sec"] for r in runs[label]],
+            "calibs": [r["calib_sec"] for r in runs[label]],
+        }
+    h = result["head"]["best_rows_per_sec"]
+    r = result["r10"]["best_rows_per_sec"]
+    result["head_over_r10_pct"] = round((h - r) / r * 100, 2)
+    with open(os.path.join(REPO, "SCALE_AB_STREAM.json"), "w") as f:
+        json.dump(result, f, indent=1)
+    print(f"head best rows/s={h}  r10 best rows/s={r}  delta={result['head_over_r10_pct']}%")
+
+
+if __name__ == "__main__":
+    main()

@@ -116,3 +116,30 @@ def test_prev_round_skips_other_sf_sidecar(tmp_path):
     )
     # Sidecar is another sf: no top-up, coverage too small, round skipped.
     assert bench._load_previous_round(0.1, here=str(tmp_path)) == {}
+
+
+def test_at_risk_since_checked_rule():
+    """Synthetic case for the changed-since-checked parity rule (r11 verdict
+    #4): a file committed AFTER a query's latest driver-check round marks
+    that query at risk; uncommitted edits always do; untouched files never
+    do; queries without a driver row are the never-checked tier's job."""
+    from .oracle_util import at_risk_since_checked
+
+    latest = {"q_a": 6, "q_b": 6, "q_c": 11}
+    files = {"q_a": "/r/mod1.py", "q_b": "/r/mod2.py", "q_c": "/r/mod2.py"}
+    round_ts = {6: 1000.0, 11: 2000.0}
+    # mod1 last committed before r6 evidence landed; mod2 after it (the r11
+    # refactor-over-r6-evidence case) but before r11's evidence.
+    file_ts = {"/r/mod1.py": 900.0, "/r/mod2.py": 1500.0}
+    got = at_risk_since_checked(latest, files, file_ts, round_ts, dirty_files=set())
+    assert got == {"q_b"}  # q_a untouched, q_c's evidence postdates the edit
+
+    # Uncommitted edits trump commit timestamps entirely.
+    got = at_risk_since_checked(
+        latest, files, file_ts, round_ts, dirty_files={"/r/mod1.py"}
+    )
+    assert got == {"q_a", "q_b"}
+
+    # Missing timestamps (shallow clone, unreadable file) fail open: no flag.
+    got = at_risk_since_checked(latest, files, {}, round_ts, dirty_files=set())
+    assert got == set()

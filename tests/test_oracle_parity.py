@@ -28,7 +28,7 @@ from crypto_trading_data_pipeline_spark.queries import (
     REGISTRY,
 )
 
-from .oracle_util import compare_query
+from .oracle_util import compare_query, git_at_risk_queries
 
 _ALL_ORACLE = sorted(n for n, s in REGISTRY.items() if s.oracle is not None)
 if os.environ.get("SPARK_GRAFT_PARITY_FULL"):
@@ -36,10 +36,16 @@ if os.environ.get("SPARK_GRAFT_PARITY_FULL"):
 else:
     _window = set(_DRIVER_WINDOW)
     _, _hash_checked = _driver_check_rounds()
+    # changed-since-checked (r11 verdict #4): a query whose defining source
+    # file has a commit (or uncommitted edit) NEWER than its latest driver
+    # check rides the parity set automatically — driver evidence proves the
+    # code as of the round it ran, not the refactor that landed after it.
+    _stale_evidence = git_at_risk_queries(REGISTRY)
     ORACLE_QUERIES = [
         n for n in _ALL_ORACLE
         if n in _window
         or n not in _hash_checked
+        or n in _stale_evidence
         or zlib.crc32(n.encode()) % 16 == 0
     ]
 ROWS_ONLY_QUERIES = sorted(n for n, s in REGISTRY.items() if s.oracle is None)

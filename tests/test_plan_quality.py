@@ -313,6 +313,10 @@ _SINGLE_PARTITION_OK = {
     "q_semdedup",          # 1-row coarse-stride scalar (floor(sqrt(k2)))
                            # riding the plan instead of a driver count()
                            # action — BNLJ onto the k2-row fine table
+    "q_semdedup_capacity", # inherits q_semdedup's 1-row coarse-stride
+                           # scalar (same _ivf_assign_hier assignment);
+                           # its own finalize groups on the 6-value
+                           # size_class key, bounded by construction
     "q_pq_train",          # 4 one-row per-subspace SSE scalars over the
                            # FIXED 500-row training sample, broadcast-
                            # joined onto the 512-row codebook table

@@ -217,10 +217,29 @@ def test_driver_window_holds_rotated_queries():
         (n for n in _changed_oracles() if n in latest and n not in upgraded),
         key=lambda n: reg_order[n],
     )
-    priority = set(never) | set(upgraded) | set(changed)
+    # Aged rows-only pairs (r11 verdict #8): rows-only evidence >=
+    # cadence rounds old => the rows-only query AND its hash twin re-enter
+    # the window together.
+    from crypto_trading_data_pipeline_spark.queries import (
+        _ROWS_ONLY_CADENCE,
+        _ROWS_ONLY_TWINS,
+    )
+
+    max_round = max(latest.values(), default=0)
+    aged_pairs: list[str] = []
+    for ro, twin in _ROWS_ONLY_TWINS.items():
+        if (
+            ro in REGISTRY
+            and twin in REGISTRY
+            and ro in latest
+            and max_round - latest[ro] >= _ROWS_ONLY_CADENCE
+        ):
+            aged_pairs.extend(n for n in (ro, twin) if n not in aged_pairs)
+    aged_pairs = [n for n in aged_pairs if n not in upgraded + changed]
+    priority = set(never) | set(upgraded) | set(changed) | set(aged_pairs)
     # Upgraded oracles outrank never-checked: they registered in an earlier
     # round and have already waited >= 1 full round for their hash row.
-    priority_list = upgraded + changed + never  # registry order per tier
+    priority_list = upgraded + changed + aged_pairs + never  # registry order per tier
     if len(priority_list) >= _WINDOW_SIZE:
         # More unproven queries than slots: the window is exactly the first
         # WINDOW_SIZE priority entries; the overflow is never silently

@@ -595,3 +595,29 @@ def test_compaction_plan_and_apply(spark, tmp_path):
     assert len(out_files) == len(plan)
     total = spark.read.parquet(*[p for p, _ in out_files]).count()
     assert total == n_rows
+
+
+def test_semdedup_dominator_cap_bounds_pairs(spark):
+    """r11 verdict #5: the dominator prefix cap bounds a mega-cluster's
+    pair volume to |c| * cap (the 30x probe measured pairwise_rows 40x at
+    30x input with no cap), the truncation is observable, and the RESULT
+    is unchanged when the dominating member sits inside the prefix — 150
+    identical vectors collapse to one cluster where vec 0 dominates all."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _SEMDEDUP_DOM_CAP,
+        semdedup_flags,
+    )
+
+    big = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(150)], "vec_id: long, embedding: array<double>"
+    )
+    obs = Observation("semdedup_cap")
+    rows = {r["vec_id"]: r["keep"] for r in semdedup_flags(big, observation=obs).collect()}
+    assert rows[0] == 1 and sum(rows.values()) == 1, "vec 0 must dominate the rest"
+    m = obs.get
+    assert m["max_cluster_size"] == 150, m
+    assert m["pairwise_rows"] == 150 * 150, m
+    assert m["capped_pairwise_rows"] == 150 * _SEMDEDUP_DOM_CAP, m
+    assert m["truncated_clusters"] == 1, m
