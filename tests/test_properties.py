@@ -3890,3 +3890,23 @@ def test_dollar_bars_matches_python_replica(spark, ticks):
         assert got == want, (got, want)
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_rows_only_queries_declare_hash_twins():
+    """Every rows-only query (oracle=None — the weakest driver evidence)
+    must declare an oracle-checked twin in _ROWS_ONLY_TWINS so the pair
+    re-greens together on the cadence rule (r11 verdict #8). A new
+    rows-only registration without a twin fails here, not in a verdict."""
+    from crypto_trading_data_pipeline_spark.queries import (
+        _ROWS_ONLY_TWINS,
+        REGISTRY,
+    )
+
+    rows_only = {n for n, s in REGISTRY.items() if s.oracle is None}
+    assert rows_only == set(_ROWS_ONLY_TWINS), (
+        f"rows-only queries {rows_only - set(_ROWS_ONLY_TWINS)} lack a "
+        "declared hash twin (or a stale twin entry survives)"
+    )
+    for ro, twin in _ROWS_ONLY_TWINS.items():
+        assert REGISTRY[twin].oracle is not None, f"{twin} is not hash-checkable"
+        assert twin != ro
