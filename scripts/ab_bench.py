@@ -24,8 +24,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-R9_SHA = "f2049f1"
-WT = os.path.join(REPO, ".worktrees", "r9ab")
+# Baseline tree to A/B against — override with argv[1] (any committed
+# sha; default is the r9 round-end commit this harness first adjudicated).
+R9_SHA = sys.argv[1] if len(sys.argv) > 1 else "f2049f1"
+WT_NAME = f"ab_{R9_SHA}"
+WT = os.path.join(REPO, ".worktrees", WT_NAME)
 
 
 def ensure_worktree() -> None:

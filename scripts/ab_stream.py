@@ -29,8 +29,11 @@ import subprocess
 import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-R10_SHA = "96e2d8e"
-WT = os.path.join(REPO, ".worktrees", "r10ab")
+# Baseline tree to A/B against — override with argv[1] (any committed
+# sha; default is the r10 round-end commit this harness first adjudicated).
+R10_SHA = sys.argv[1] if len(sys.argv) > 1 else "96e2d8e"
+WT_NAME = f"ab_{R10_SHA}"
+WT = os.path.join(REPO, ".worktrees", WT_NAME)
 
 
 def ensure_worktree() -> None:
