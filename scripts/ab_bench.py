@@ -29,6 +29,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 R9_SHA = sys.argv[1] if len(sys.argv) > 1 else "f2049f1"
 WT_NAME = f"ab_{R9_SHA}"
 WT = os.path.join(REPO, ".worktrees", WT_NAME)
+# argv[2]: record path (default keeps the original file; pass a new name
+# to preserve a prior round's committed adjudication record).
+OUT_JSON = sys.argv[2] if len(sys.argv) > 2 else "SCALE_AB.json"
 
 
 def ensure_worktree() -> None:
@@ -100,7 +103,7 @@ def main() -> None:
         {"q": q, "head": hq[q], "r9": nq[q], "delta": round(hq[q] - nq[q], 3)}
         for q in shared[:15]
     ]
-    with open(os.path.join(REPO, "SCALE_AB.json"), "w") as f:
+    with open(os.path.join(REPO, OUT_JSON), "w") as f:
         json.dump(result, f, indent=1)
     print(json.dumps({k: result[k] for k in ("head_over_r9_pct",)}, indent=1))
     print(f"head best_total={h}  r9 best_total={n}")
