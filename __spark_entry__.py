@@ -34,3 +34,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL twin for each SQL-expressible query."""
     return {name: spec.oracle for name, spec in REGISTRY.items() if spec.oracle is not None}
+
+
+def annotations() -> dict[str, dict]:
+    """Markers for queries whose driver row is rows-only BY DESIGN (no
+    oracle_sql entry): why, and the hash-matched twin that proves the same
+    machinery. Mirrored in the committed CORRECTNESS_ANNOTATIONS.json so
+    the raw ``err: no_oracle`` rows in CORRECTNESS_r*.json stop reading as
+    failures (r12 verdict #6)."""
+    from crypto_trading_data_pipeline_spark.queries import driver_annotations
+
+    return driver_annotations()

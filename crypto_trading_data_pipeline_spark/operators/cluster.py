@@ -38,6 +38,28 @@ def _sq_dist(v, c, *, integer: bool = False):
     )
 
 
+def _cent_literal(centroids: list[list[float]], *, integer: bool) -> "F.Column":
+    """The k×dim centroid matrix as ONE array<array<...>> literal built via
+    a single SQL string (F.expr). The per-element form —
+    F.array(*[F.array(*[F.lit(x) ...]) ...]) — costs k*dim py4j round
+    trips PER CALL (k=16, dim=64 → 1024 driver↔JVM hops, ~1 s), and the
+    trainer loop rebuilds the literal every Lloyd iteration because the
+    centroids changed; the SQL string is one hop and the JVM parser eats
+    a ~20 KB array literal in milliseconds. Values are rendered exactly:
+    integer mode emits BIGINT tokens, float mode repr(float) round-trips
+    binary64 — the resulting Literal is bit-identical to the old tree."""
+    if integer:
+        rows = ",".join(
+            "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
+        )
+    else:
+        rows = ",".join(
+            "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
+            for c in centroids
+        )
+    return F.expr(f"array({rows})")
+
+
 def _assign(
     vecs: DataFrame,
     vec_col: str,
@@ -45,14 +67,7 @@ def _assign(
     *,
     integer: bool = False,
 ) -> DataFrame:
-    if integer:
-        cent_arr = F.array(
-            *[F.array(*[F.lit(int(x)).cast("long") for x in c]) for c in centroids]
-        )
-    else:
-        cent_arr = F.array(
-            *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
-        )
+    cent_arr = _cent_literal(centroids, integer=integer)
     scored = F.transform(
         cent_arr,
         lambda c, i: F.struct(
@@ -93,6 +108,17 @@ def kmeans_train(
             vec_col,
             F.transform(F.col(vec_col), lambda x: F.round(x * q, 0).cast("long")),
         )
+    # Materialize the training input ONCE (r12 verdict #7 — the
+    # q_semdedup localCheckpoint pattern): every Lloyd iteration's
+    # assignment+update job otherwise re-executes the caller's whole
+    # upstream chain — parquet scan, fan_out repartition shuffle, the
+    # double-cast and quantize transforms — per iteration, plus the seed
+    # scan and the final assignment. Production trainers run on a BOUNDED
+    # sample (the _ANN_INC_TRAIN_MAX contract; FAISS trains on a sample),
+    # so the checkpoint is small by construction; the one full-corpus
+    # caller (q_kmeans_ivf, the trainer demo) materializes the corpus it
+    # was going to scan max_iter+2 times anyway.
+    vecs = vecs.localCheckpoint(eager=True)
     h = dedup_hash.token_hash(F.col(id_col).cast("string"))
     seeds = (
         vecs.select(vec_col, h.alias("__h"), F.col(id_col))

@@ -111,6 +111,31 @@ _ROWS_ONLY_TWINS = {
 _ROWS_ONLY_CADENCE = 3
 
 
+def driver_annotations() -> dict[str, dict]:
+    """Machine-readable markers for driver CORRECTNESS rows that would
+    otherwise read as failures (r12 verdict #6): every deliberate
+    rows-only query (oracle=None) is annotated with WHY and with its
+    hash-matched twin. The committed CORRECTNESS_ANNOTATIONS.json mirrors
+    this (tests/test_properties.py keeps the two in sync), so a reader of
+    the raw ``"err": "no_oracle"`` row can join name → marker without
+    source-diving."""
+    out: dict[str, dict] = {}
+    for name, spec in REGISTRY.items():
+        if spec.oracle is None:
+            out[name] = {
+                "rows_only_by_design": True,
+                "hash_matched_twin": _ROWS_ONLY_TWINS.get(name),
+                "why": (
+                    "sketch internals are engine-specific (no portable "
+                    "value-hash); the twin proves the same machinery with "
+                    "hash evidence and re-enters the driver window with "
+                    "this query every "
+                    f"{_ROWS_ONLY_CADENCE} rounds (_ROWS_ONLY_TWINS)"
+                ),
+            }
+    return out
+
+
 def _driver_check_rounds() -> tuple[dict[str, int], set[str]]:
     """(query name → latest round with a driver CORRECTNESS row,
     names whose evidence includes at least one real hash-match row).
@@ -199,6 +224,11 @@ def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
         ):
             aged_pairs.extend(n for n in (ro, twin) if n not in aged_pairs)
     head = upgraded + changed + [n for n in aged_pairs if n not in upgraded + changed]
+    # A never-checked twin of an aged rows-only pair lands in BOTH head
+    # (via aged_pairs) and never; dedupe so the 50-slot window never
+    # carries one name twice (r12 ADVICE — the duplicate would silently
+    # waste a slot after the [:size] truncation).
+    never = [n for n in never if n not in head]
     rest = sorted(
         (n for n in REGISTRY if n in latest and n not in head),
         key=lambda n: (latest[n], order[n]),

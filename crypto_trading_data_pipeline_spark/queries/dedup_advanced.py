@@ -1620,6 +1620,169 @@ def q_semdedup_capacity(spark: SparkSession, sf_dir: str):
     )
 
 
+@query(
+    "q_semdedup_recall",
+    oracle=f"""{_SEMDEDUP_ASSIGN_SQL}, sizes AS (
+      SELECT cent_id, count(*) AS n FROM assign GROUP BY cent_id
+    ), ranked AS (
+      SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS dom_rank
+      FROM assign
+    ), capped_drop AS (
+      SELECT DISTINCT a.vec_id, a.cent_id
+      FROM assign a JOIN ranked b
+        ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+       AND b.dom_rank <= {_SEMDEDUP_DOM_CAP}
+       AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_TAU}
+    ), over_cl AS (
+      SELECT cent_id FROM sizes WHERE n > {_SEMDEDUP_DOM_CAP}
+    ), uncapped_drop_over AS (
+      SELECT DISTINCT a.vec_id, a.cent_id
+      FROM assign a
+      JOIN over_cl o ON o.cent_id = a.cent_id
+      JOIN assign b
+        ON b.cent_id = a.cent_id AND b.vec_id < a.vec_id
+       AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {_SEMDEDUP_TAU}
+    ), cap_cnt AS (
+      SELECT cent_id, count(*) AS capped_dropped FROM capped_drop GROUP BY cent_id
+    ), unc_cnt AS (
+      SELECT cent_id, count(*) AS uncapped_dropped FROM uncapped_drop_over GROUP BY cent_id
+    ), percl AS (
+      SELECT s.cent_id, s.n, s.n > {_SEMDEDUP_DOM_CAP} AS over_cap,
+             COALESCE(c.capped_dropped, 0) AS capped_dropped,
+             CASE WHEN s.n > {_SEMDEDUP_DOM_CAP}
+                  THEN COALESCE(u.uncapped_dropped, 0)
+                  ELSE COALESCE(c.capped_dropped, 0) END AS uncapped_dropped
+      FROM sizes s
+      LEFT JOIN cap_cnt c USING (cent_id)
+      LEFT JOIN unc_cnt u USING (cent_id)
+    )
+    SELECT CASE WHEN over_cap THEN 'over_cap' ELSE 'under_cap' END AS scope,
+           CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(sum(n) AS BIGINT) AS n_vectors,
+           CAST(sum(uncapped_dropped) AS BIGINT) AS uncapped_dropped,
+           CAST(sum(capped_dropped) AS BIGINT) AS capped_dropped,
+           CAST(sum(uncapped_dropped) - sum(capped_dropped) AS BIGINT) AS missed_dropped,
+           CAST(CASE WHEN sum(uncapped_dropped) = 0 THEN 1000000
+                ELSE (1000000 * sum(capped_dropped)) // sum(uncapped_dropped)
+           END AS BIGINT) AS agreement_ppm
+    FROM percl GROUP BY 1
+    """,
+    doc=(
+        "SemDeDup dominator-cap QUALITY audit (r12 verdict #2 — the recall "
+        "twin of q_ann_recall_eval for the cap): q_semdedup_capacity counts "
+        "the pairs the cap skips; this measures what that truncation COSTS "
+        "in missed duplicates. Because the capped dominator set (first "
+        f"{_SEMDEDUP_DOM_CAP} cluster members in greedy order) is a strict "
+        "subset of the uncapped one, capped drops are a subset of uncapped "
+        "drops, so removed-set agreement = capped/uncapped exactly — "
+        "reported as floor-integer ppm (engine-portable, no float division). "
+        "The UNCAPPED |c|^2 join — the very stage the cap exists to bound — "
+        "runs ONLY on over-cap clusters (under-cap clusters are "
+        "byte-identical under both rules by the prefix argument, audited "
+        "for free from the production capped join), so the audit costs "
+        "sum over over-cap clusters of |c|^2, zero when the quantizer's "
+        "size design holds. Output is one row per scope "
+        "('over_cap'/'under_cap') with cluster/vector counts, both drop "
+        "counts, missed_dropped and agreement_ppm; schema is stable at any "
+        "SF (no over-cap clusters => the single under_cap row at "
+        "agreement 1000000). The 30x/100x probe lines record the measured "
+        "recall at scale (SCALE_PROBE30/100.json)."
+    ),
+)
+def q_semdedup_recall(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    # Same materialize-once contract as semdedup_flags: the assignment
+    # feeds four consumers (sizes, probe side, both dominator sides).
+    assign = _ivf_assign_hier(n).localCheckpoint(eager=True)
+    sizes = assign.groupBy("cent_id").agg(F.count(F.lit(1)).alias("n"))
+    a = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("a_id"),
+        F.col("v").alias("av"),
+        F.col("nrm").alias("an"),
+    )
+    sim = F.round(dot(F.col("av"), F.col("bv")) / (F.col("an") * F.col("bn")), 6)
+    domw = Window.partitionBy("cent_id").orderBy("vec_id")
+    b_capped = (
+        assign.withColumn("dom_rank", F.row_number().over(domw))
+        .filter(F.col("dom_rank") <= _SEMDEDUP_DOM_CAP)
+        .select(
+            "cent_id",
+            F.col("vec_id").alias("b_id"),
+            F.col("v").alias("bv"),
+            F.col("nrm").alias("bn"),
+        )
+    )
+    capped_drop = (
+        a.join(b_capped, "cent_id")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select("cent_id", F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    # Uncapped dominators, over-cap clusters ONLY — the cluster-id list is
+    # tiny (over-cap clusters are the design violation) and broadcasts.
+    over_cl = sizes.filter(F.col("n") > _SEMDEDUP_DOM_CAP).select("cent_id")
+    b_all = assign.select(
+        "cent_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    uncapped_drop_over = (
+        a.join(F.broadcast(over_cl), "cent_id")
+        .join(b_all, "cent_id")
+        .filter(F.col("b_id") < F.col("a_id"))
+        .filter(sim >= _SEMDEDUP_TAU)
+        .select("cent_id", F.col("a_id").alias("vec_id"))
+        .distinct()
+    )
+    cap_cnt = capped_drop.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("capped_dropped")
+    )
+    unc_cnt = uncapped_drop_over.groupBy("cent_id").agg(
+        F.count(F.lit(1)).alias("uncapped_dropped")
+    )
+    percl = (
+        sizes.join(cap_cnt, "cent_id", "left")
+        .join(unc_cnt, "cent_id", "left")
+        .select(
+            F.col("n"),
+            (F.col("n") > _SEMDEDUP_DOM_CAP).alias("over_cap"),
+            F.coalesce(F.col("capped_dropped"), F.lit(0)).alias("capped_dropped"),
+            F.when(
+                F.col("n") > _SEMDEDUP_DOM_CAP,
+                F.coalesce(F.col("uncapped_dropped"), F.lit(0)),
+            )
+            .otherwise(F.coalesce(F.col("capped_dropped"), F.lit(0)))
+            .alias("uncapped_dropped"),
+        )
+    )
+    return percl.groupBy(
+        F.when(F.col("over_cap"), F.lit("over_cap"))
+        .otherwise(F.lit("under_cap"))
+        .alias("scope")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n").cast("bigint").alias("n_vectors"),
+        F.sum("uncapped_dropped").cast("bigint").alias("uncapped_dropped"),
+        F.sum("capped_dropped").cast("bigint").alias("capped_dropped"),
+        (F.sum("uncapped_dropped") - F.sum("capped_dropped"))
+        .cast("bigint")
+        .alias("missed_dropped"),
+        F.when(F.sum("uncapped_dropped") == 0, F.lit(1000000))
+        .otherwise(
+            F.expr("(1000000 * sum(capped_dropped)) div sum(uncapped_dropped)")
+        )
+        .cast("bigint")
+        .alias("agreement_ppm"),
+    )
+
+
 _LEXICONS = {
     "en": ["the", "a", "of", "and", "row"],
     "de": ["der", "die", "das", "und", "ein"],

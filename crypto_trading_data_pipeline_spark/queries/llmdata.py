@@ -2069,6 +2069,35 @@ def q_cooccur_ppmi(spark: SparkSession, sf_dir: str):
 _PPMI_VOCAB_MIN = 5
 
 
+def _ppmi_pruned_pair_counts(docs):
+    """(vocab, pruned pair counts) for the min-count-pruned PPMI: the
+    frequent-token vocabulary (tok, c) and the (w1, w2, c_ab) aggregate of
+    in-window pairs whose BOTH tokens survive the prune. Factored out of
+    q_cooccur_ppmi_pruned so the scale probe can measure the distinct
+    pruned-pair volume of EXACTLY the frame the query aggregates (the same
+    contract _ppmi_pair_counts gives the unpruned query)."""
+    toks = F.split(F.col("text"), " ")
+    uc = (
+        fan_out(docs)
+        .select(F.explode_outer(toks).alias("tok"))
+        .filter(F.col("tok").isNotNull())
+        .groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    vocab = uc.filter(F.col("c") >= _PPMI_VOCAB_MIN)
+    sp = F.split(F.col("pair"), " ")
+    pairs = _ppmi_pair_stream(docs).select(
+        F.element_at(sp, 1).alias("w1"), F.element_at(sp, 2).alias("w2")
+    )
+    pruned = (
+        pairs.join(F.broadcast(vocab.select(F.col("tok").alias("w1"))), "w1")
+        .join(F.broadcast(vocab.select(F.col("tok").alias("w2"))), "w2")
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c_ab"))
+    )
+    return vocab, pruned
+
+
 @query(
     "q_cooccur_ppmi_pruned",
     oracle=f"""
@@ -2126,27 +2155,9 @@ _PPMI_VOCAB_MIN = 5
 )
 def q_cooccur_ppmi_pruned(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    toks = F.split(F.col("text"), " ")
-    uc = (
-        fan_out(docs)
-        .select(F.explode_outer(toks).alias("tok"))
-        .filter(F.col("tok").isNotNull())
-        .groupBy("tok")
-        .agg(F.count(F.lit(1)).alias("c"))
-    )
-    vocab = uc.filter(F.col("c") >= _PPMI_VOCAB_MIN)
-    sp = F.split(F.col("pair"), " ")
-    pairs = _ppmi_pair_stream(docs).select(
-        F.element_at(sp, 1).alias("w1"), F.element_at(sp, 2).alias("w2")
-    )
+    vocab, pruned = _ppmi_pruned_pair_counts(docs)
     va = vocab.select(F.col("tok").alias("w1"), F.col("c").alias("ca"))
     vb = vocab.select(F.col("tok").alias("w2"), F.col("c").alias("cb"))
-    pruned = (
-        pairs.join(F.broadcast(va.select("w1")), "w1")
-        .join(F.broadcast(vb.select("w2")), "w2")
-        .groupBy("w1", "w2")
-        .agg(F.count(F.lit(1)).alias("c_ab"))
-    )
     t1 = vocab.agg(F.sum("c").alias("t1"))
     tp = pruned.agg(F.sum("c_ab").alias("tp"))
     pmi = F.log(

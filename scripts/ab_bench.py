@@ -1,4 +1,8 @@
-"""Same-box A/B: the committed r9 tree (f2049f1) vs HEAD (VERDICT r10 #1).
+"""Same-box headline-bench A/B: a committed BASELINE tree vs HEAD.
+
+Baseline defaults to the r9 round-end commit (f2049f1), overridable via
+argv[1]; record keys are baseline-labelled with baseline_sha +
+baseline_overridden (r12 ADVICE). Origin: VERDICT r10 #1.
 
 Round 10's headline bench regressed ~10% at matched CPU calibration
 (118.98 s vs r9's 107.96 s) and the triage attributed it to host
@@ -26,19 +30,34 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Baseline tree to A/B against — override with argv[1] (any committed
 # sha; default is the r9 round-end commit this harness first adjudicated).
-R9_SHA = sys.argv[1] if len(sys.argv) > 1 else "f2049f1"
-WT_NAME = f"ab_{R9_SHA}"
+BASELINE_SHA = sys.argv[1] if len(sys.argv) > 1 else "f2049f1"
+WT_NAME = f"ab_{BASELINE_SHA}"
 WT = os.path.join(REPO, ".worktrees", WT_NAME)
 # argv[2]: record path (default keeps the original file; pass a new name
 # to preserve a prior round's committed adjudication record).
 OUT_JSON = sys.argv[2] if len(sys.argv) > 2 else "SCALE_AB.json"
 
 
+def _head_sha() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (out + ("-dirty" if dirty else "")) or None
+    except Exception:  # noqa: BLE001
+        return None
+
+
 def ensure_worktree() -> None:
     if not os.path.isdir(WT):
         os.makedirs(os.path.dirname(WT), exist_ok=True)
         subprocess.run(
-            ["git", "worktree", "add", "--detach", WT, R9_SHA], cwd=REPO, check=True
+            ["git", "worktree", "add", "--detach", WT, BASELINE_SHA], cwd=REPO, check=True
         )
 
 
@@ -61,17 +80,19 @@ def main() -> None:
     os.makedirs(tmp, exist_ok=True)
     # Interleaved pattern: whichever direction the box drifts during the
     # ~30 min experiment, each tree sees both early and late slots.
-    pattern = [("head", REPO), ("r9", WT), ("r9", WT), ("head", REPO), ("head", REPO), ("r9", WT)]
-    runs: dict[str, list[dict]] = {"head": [], "r9": []}
+    pattern = [("head", REPO), ("baseline", WT), ("baseline", WT), ("head", REPO), ("head", REPO), ("baseline", WT)]
+    runs: dict[str, list[dict]] = {"head": [], "baseline": []}
     for i, (label, tree) in enumerate(pattern):
         out = os.path.join(tmp, f"run{i}_{label}.json")
         rec = one_run(tree, out)
         runs[label].append(rec)
         print(f"[ab] run {i} {label}: total={rec['total']} calib={rec['calib_sec']}", flush=True)
 
-    result: dict = {"pattern": [p[0] for p in pattern], "r9_sha": R9_SHA}
+    result: dict = {"pattern": [p[0] for p in pattern], "baseline_sha": BASELINE_SHA,
+        "baseline_overridden": len(sys.argv) > 1,
+        "head_sha": _head_sha()}
     allbest: dict[str, dict[str, float]] = {}
-    for label in ("head", "r9"):
+    for label in ("head", "baseline"):
         qbest: dict[str, float] = {}
         for rec in runs[label]:
             for q, t in rec["queries"].items():
@@ -84,29 +105,29 @@ def main() -> None:
         }
     # best_total over the SHARED query set only (r11 ADVICE): if the two
     # trees' headline lists ever diverge, summing each tree's own set would
-    # silently skew head_over_r9_pct with workload differences.
-    shared_set = set(allbest["head"]) & set(allbest["r9"])
+    # silently skew head_over_baseline_pct with workload differences.
+    shared_set = set(allbest["head"]) & set(allbest["baseline"])
     result["shared_n"] = len(shared_set)
     result["unshared"] = sorted(
-        (set(allbest["head"]) | set(allbest["r9"])) - shared_set
+        (set(allbest["head"]) | set(allbest["baseline"])) - shared_set
     )
-    for label in ("head", "r9"):
+    for label in ("head", "baseline"):
         result[label]["best_total"] = round(
             sum(t for q, t in allbest[label].items() if q in shared_set), 3
         )
-    h, n = result["head"]["best_total"], result["r9"]["best_total"]
-    result["head_over_r9_pct"] = round((h - n) / n * 100, 2)
+    h, n = result["head"]["best_total"], result["baseline"]["best_total"]
+    result["head_over_baseline_pct"] = round((h - n) / n * 100, 2)
     # Per-query deltas on the shared set, worst first, for bisect targeting.
-    hq, nq = result["head"]["queries_best"], result["r9"]["queries_best"]
+    hq, nq = result["head"]["queries_best"], result["baseline"]["queries_best"]
     shared = sorted(set(hq) & set(nq), key=lambda q: -(hq[q] - nq[q]))
     result["worst_deltas"] = [
-        {"q": q, "head": hq[q], "r9": nq[q], "delta": round(hq[q] - nq[q], 3)}
+        {"q": q, "head": hq[q], "baseline": nq[q], "delta": round(hq[q] - nq[q], 3)}
         for q in shared[:15]
     ]
     with open(os.path.join(REPO, OUT_JSON), "w") as f:
         json.dump(result, f, indent=1)
-    print(json.dumps({k: result[k] for k in ("head_over_r9_pct",)}, indent=1))
-    print(f"head best_total={h}  r9 best_total={n}")
+    print(json.dumps({k: result[k] for k in ("head_over_baseline_pct",)}, indent=1))
+    print(f"head best_total={h}  baseline best_total={n}")
 
 
 if __name__ == "__main__":

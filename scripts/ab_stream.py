@@ -1,5 +1,9 @@
-"""Same-box streaming-throughput A/B: committed r10 tree (96e2d8e) vs HEAD
-(VERDICT r11 #1).
+"""Same-box streaming-throughput A/B: a committed BASELINE tree vs HEAD.
+
+Baseline defaults to the r10 round-end commit (96e2d8e) and is overridable
+via argv[1]; the record labels runs "baseline"/"head" and stores
+baseline_sha + baseline_overridden so an overridden adjudication cannot
+read as if it were measured against r10 (r12 ADVICE). Origin: VERDICT r11 #1.
 
 The r11 bench flipped ``streaming_regression: true`` (-5.8% normalized after
 r10's -4.3%; ~-10% cumulative since r9). Static analysis says the entire
@@ -31,16 +35,31 @@ import sys
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # Baseline tree to A/B against — override with argv[1] (any committed
 # sha; default is the r10 round-end commit this harness first adjudicated).
-R10_SHA = sys.argv[1] if len(sys.argv) > 1 else "96e2d8e"
-WT_NAME = f"ab_{R10_SHA}"
+BASELINE_SHA = sys.argv[1] if len(sys.argv) > 1 else "96e2d8e"
+WT_NAME = f"ab_{BASELINE_SHA}"
 WT = os.path.join(REPO, ".worktrees", WT_NAME)
+
+
+def _head_sha() -> str | None:
+    try:
+        out = subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        dirty = subprocess.run(
+            ["git", "status", "--porcelain"],
+            cwd=REPO, capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+        return (out + ("-dirty" if dirty else "")) or None
+    except Exception:  # noqa: BLE001
+        return None
 
 
 def ensure_worktree() -> None:
     if not os.path.isdir(WT):
         os.makedirs(os.path.dirname(WT), exist_ok=True)
         subprocess.run(
-            ["git", "worktree", "add", "--detach", WT, R10_SHA], cwd=REPO, check=True
+            ["git", "worktree", "add", "--detach", WT, BASELINE_SHA], cwd=REPO, check=True
         )
 
 
@@ -76,13 +95,13 @@ def main() -> None:
     os.makedirs(tmp, exist_ok=True)
     pattern = [
         ("head", REPO),
-        ("r10", WT),
-        ("r10", WT),
+        ("baseline", WT),
+        ("baseline", WT),
         ("head", REPO),
         ("head", REPO),
-        ("r10", WT),
+        ("baseline", WT),
     ]
-    runs: dict[str, list[dict]] = {"head": [], "r10": []}
+    runs: dict[str, list[dict]] = {"head": [], "baseline": []}
     for i, (label, tree) in enumerate(pattern):
         out = os.path.join(tmp, f"run{i}_{label}.json")
         rec = one_run(tree, out)
@@ -93,8 +112,10 @@ def main() -> None:
             flush=True,
         )
 
-    result: dict = {"pattern": [p[0] for p in pattern], "r10_sha": R10_SHA}
-    for label in ("head", "r10"):
+    result: dict = {"pattern": [p[0] for p in pattern], "baseline_sha": BASELINE_SHA,
+        "baseline_overridden": len(sys.argv) > 1,
+        "head_sha": _head_sha()}
+    for label in ("head", "baseline"):
         rps = [r["streaming_rows_per_sec"] for r in runs[label]]
         result[label] = {
             "rows_per_sec": rps,
@@ -103,11 +124,11 @@ def main() -> None:
             "calibs": [r["calib_sec"] for r in runs[label]],
         }
     h = result["head"]["best_rows_per_sec"]
-    r = result["r10"]["best_rows_per_sec"]
-    result["head_over_r10_pct"] = round((h - r) / r * 100, 2)
+    r = result["baseline"]["best_rows_per_sec"]
+    result["head_over_baseline_pct"] = round((h - r) / r * 100, 2)
     with open(os.path.join(REPO, "SCALE_AB_STREAM.json"), "w") as f:
         json.dump(result, f, indent=1)
-    print(f"head best rows/s={h}  r10 best rows/s={r}  delta={result['head_over_r10_pct']}%")
+    print(f"head best rows/s={h}  baseline best rows/s={r}  delta={result['head_over_baseline_pct']}%")
 
 
 if __name__ == "__main__":

@@ -169,6 +169,11 @@ QUERIES = [
     # r10: trained-codebook ADC serving — fixed trainer + the same
     # narrow encode/ADC scan as q_ann_pq; should track q_ann_pq's ratio.
     "q_ann_pq_trained",
+    # r13: the dominator-cap quality audit — wall should track the over-cap
+    # cluster volume (recall_rows records the measured agreement itself),
+    # and the vocab-pruned PPMI variant named in the r12 100x order.
+    "q_semdedup_recall",
+    "q_cooccur_ppmi_pruned",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
@@ -207,6 +212,24 @@ def _semdedup_cluster_stats(spark, sf_dir: str) -> dict:
     obs = Observation()
     semdedup_flags(
         read_table(spark, sf_dir, "embeddings"), observation=obs
+    ).write.mode("overwrite").format("noop").save()
+    return {k: int(v) for k, v in obs.get.items()}
+
+
+def _lsh_bucket_cap_stats(spark, sf_dir: str) -> dict:
+    """Programmatic read of the banded-LSH bucket-cap CollectMetrics
+    (truncated_buckets, max uncapped bucket size) for one corpus directory
+    — the truncation counter the 30x/100x near-dup probe lines record
+    (r12 verdict #4)."""
+    from pyspark.sql import Observation
+
+    from crypto_trading_data_pipeline_spark.queries.dedup_advanced import (
+        _lsh_candidate_pairs,
+    )
+
+    obs = Observation()
+    _lsh_candidate_pairs(
+        read_table(spark, sf_dir, "documents"), observation=obs
     ).write.mode("overwrite").format("noop").save()
     return {k: int(v) for k, v in obs.get.items()}
 
@@ -278,11 +301,12 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
     # The fixture dim is 64 and probes run ≤30×, so fail loudly rather
     # than handle a regime nothing exercises.
     emb_dim = len(emb.select("embedding").first()[0])
-    if mult > emb_dim:
+    if mult > 2 * emb_dim:
         raise ValueError(
-            f"synthesize: mult={mult} exceeds embedding dim {emb_dim}; "
-            "shift-by-i degenerates to identity at i=dim — extend the "
-            "scheme (e.g. per-generation sign flip) before probing this far"
+            f"synthesize: mult={mult} exceeds 2 x embedding dim {emb_dim}; "
+            "shift-by-(i mod dim) with the sign flip on the second dim "
+            "block degenerates to identity at i=2*dim — extend the scheme "
+            "(e.g. a per-block Householder reflection) before probing this far"
         )
     ecopies = [emb]
     for i in range(1, mult):
@@ -307,11 +331,22 @@ def synthesize(spark, src_dir: str, dst_dir: str, mult: int) -> int:
         # ~7x the base skew: copies of a centroid stay near-identical
         # across generations and each vector picks whichever copy's
         # noise best aligns with it — measured max 1428 at 30x.)
+        # Generations beyond the dim (100x probe, r12 verdict #4): the
+        # cyclic shift repeats with period dim, so generation i = dim + j
+        # would be byte-identical to generation j up to noise — the exact
+        # cross-generation herding the shift exists to prevent. A GLOBAL
+        # SIGN FLIP on the second dim-block (x -> -x, orthogonal, so
+        # within-generation geometry is still preserved exactly) makes
+        # generation dim+j ANTI-correlated with generation j instead:
+        # cosine ≈ -1 can never win an argmax centroid assignment, so no
+        # herding. First degenerate i moves to 2*dim (guard above).
+        sign = -1.0 if (i // emb_dim) % 2 else 1.0
         src = F.col("embedding")
         shifted = F.transform(
             src,
-            lambda _x, pos: F.element_at(
-                src, (F.pmod(pos + F.lit(i), F.size(src)) + 1).cast("int")
+            lambda _x, pos: F.lit(sign)
+            * F.element_at(
+                src, (F.pmod(pos + F.lit(i % emb_dim), F.size(src)) + 1).cast("int")
             ),
         )
         ecopies.append(
@@ -426,6 +461,13 @@ def _workload_stats(spark, name: str, sf_dir: str) -> dict | None:
     docs = read_table(spark, sf_dir, "documents")
     if name == "q_cooccur_ppmi":
         frame = _ppmi_pair_counts(docs)
+        cnt = "c_ab"
+    elif name == "q_cooccur_ppmi_pruned":
+        from crypto_trading_data_pipeline_spark.queries.llmdata import (
+            _ppmi_pruned_pair_counts,
+        )
+
+        _vocab, frame = _ppmi_pruned_pair_counts(docs)
         cnt = "c_ab"
     elif name in ("q_bigram_lm", "q_kneser_ney"):
         _big, frame = _bigram_counts(docs)
@@ -647,6 +689,28 @@ def main() -> None:
                 entry["cluster_stats"] = {
                     "x1": _semdedup_cluster_stats(spark, args.sf_dir),
                     f"x{args.mult}": _semdedup_cluster_stats(spark, big_dir),
+                }
+            if name == "q_semdedup_recall":
+                # The QUALITY number itself rides the probe record (r12
+                # verdict #2): measured removed-set agreement of capped vs
+                # uncapped greedy dedup per scope, at both scales — the
+                # result is a handful of scope rows, cheap to collect.
+                from crypto_trading_data_pipeline_spark.queries import REGISTRY as _R
+
+                entry["recall_rows"] = {
+                    "x1": [r.asDict() for r in _R[name].fn(spark, args.sf_dir).collect()],
+                    f"x{args.mult}": [
+                        r.asDict() for r in _R[name].fn(spark, big_dir).collect()
+                    ],
+                }
+            if name in ("q_lsh_pairs", "q_neardup_dedup", "q_neardup_threshold_sweep"):
+                # Cap truncation counters at both scales (r12 verdict #4):
+                # the banded-LSH bucket-cap observation (max/p99 bucket,
+                # capped candidate volume, truncated buckets) — the same
+                # observability contract as SemDeDup's cluster_stats.
+                entry["bucket_stats"] = {
+                    "x1": _lsh_bucket_cap_stats(spark, args.sf_dir),
+                    f"x{args.mult}": _lsh_bucket_cap_stats(spark, big_dir),
                 }
             ws1 = _workload_stats(spark, name, args.sf_dir)
             if ws1 is not None:

@@ -205,24 +205,31 @@ def git_at_risk_queries(registry, sample_mod: int = 4) -> set[str]:
         old_src: dict[tuple[str, str], str] = {}
         out: set[str] = set()
         for q in coarse:
-            f = query_file[q]
-            rel = str(Path(f).relative_to(repo_root))
-            sha = round_sha.get(latest[q])
-            if sha is None:
-                out.add(q)  # evidence commit unresolvable: fail closed
-                continue
-            key = (sha, rel)
-            if key not in old_src:
-                old_src[key] = _git("show", f"{sha}:{rel}")
-            old = _fn_ast(old_src[key], q)
+            # Per-item fail-closed (r12 ADVICE): one query whose comparison
+            # raises (e.g. a module outside the repo root breaking
+            # relative_to) must flag ITSELF at-risk, not zero out the
+            # whole tier via the outer except.
             try:
-                new = _fn_ast(Path(f).read_text(), q)
-            except OSError:
-                new = None
-            if old is None or new is None or old != new:
-                out.add(q)  # tier 1: function changed (or unresolvable)
-            elif zlib.crc32(f"{q}:{latest[q]}".encode()) % sample_mod == 0:
-                out.add(q)  # tier 2: rotating sample of file-level-only
+                f = query_file[q]
+                rel = str(Path(f).relative_to(repo_root))
+                sha = round_sha.get(latest[q])
+                if sha is None:
+                    out.add(q)  # evidence commit unresolvable: fail closed
+                    continue
+                key = (sha, rel)
+                if key not in old_src:
+                    old_src[key] = _git("show", f"{sha}:{rel}")
+                old = _fn_ast(old_src[key], q)
+                try:
+                    new = _fn_ast(Path(f).read_text(), q)
+                except OSError:
+                    new = None
+                if old is None or new is None or old != new:
+                    out.add(q)  # tier 1: function changed (or unresolvable)
+                elif zlib.crc32(f"{q}:{latest[q]}".encode()) % sample_mod == 0:
+                    out.add(q)  # tier 2: rotating sample of file-level-only
+            except Exception:  # noqa: BLE001 — fail closed per item
+                out.add(q)
         return out
     except Exception:  # noqa: BLE001 — additive signal, never load-bearing
         return set()

@@ -3910,3 +3910,26 @@ def test_rows_only_queries_declare_hash_twins():
     for ro, twin in _ROWS_ONLY_TWINS.items():
         assert REGISTRY[twin].oracle is not None, f"{twin} is not hash-checkable"
         assert twin != ro
+
+
+def test_correctness_annotations_sidecar_in_sync():
+    """The committed CORRECTNESS_ANNOTATIONS.json must equal
+    driver_annotations() exactly (r12 verdict #6): the sidecar is what a
+    reader of a raw ``err: no_oracle`` CORRECTNESS row joins against, so
+    a rows-only registration change that forgets to regenerate it fails
+    here, not in a verdict."""
+    import json
+    from pathlib import Path
+
+    from crypto_trading_data_pipeline_spark.queries import driver_annotations
+
+    sidecar = json.loads(
+        (Path(__file__).resolve().parents[1] / "CORRECTNESS_ANNOTATIONS.json").read_text()
+    )
+    assert sidecar == driver_annotations(), (
+        "CORRECTNESS_ANNOTATIONS.json is stale — regenerate with "
+        "python -c \"import json; from crypto_trading_data_pipeline_spark."
+        "queries import driver_annotations; open('CORRECTNESS_ANNOTATIONS"
+        ".json','w').write(json.dumps(driver_annotations(), indent=1, "
+        "sort_keys=True))\""
+    )
