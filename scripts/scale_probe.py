@@ -613,6 +613,21 @@ def main() -> None:
         ),
     )
     ap.add_argument(
+        "--skip-tpch",
+        action="store_true",
+        help=(
+            "Skip the TPC-H-family synthesis (orders/lineitem/... x mult). "
+            "Only valid with --only when no probed query touches those "
+            "tables — at 100x the lineitem union alone dwarfs a "
+            "documents-only probe."
+        ),
+    )
+    ap.add_argument(
+        "--skip-events",
+        action="store_true",
+        help="Skip the events synthesis (same contract as --skip-tpch).",
+    )
+    ap.add_argument(
         "--keys-mult",
         type=int,
         default=None,
@@ -668,8 +683,12 @@ def main() -> None:
     try:
         n1 = read_table(spark, args.sf_dir, "documents").count()
         n10 = synthesize(spark, args.sf_dir, big_dir, args.mult)
-        synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
-        synthesize_events(spark, args.sf_dir, big_dir, args.mult)
+        if (args.skip_tpch or args.skip_events) and not args.only:
+            raise SystemExit("--skip-tpch/--skip-events require --only")
+        if not args.skip_tpch:
+            synthesize_tpch(spark, args.sf_dir, big_dir, args.mult)
+        if not args.skip_events:
+            synthesize_events(spark, args.sf_dir, big_dir, args.mult)
         report = {"base_rows": n1, "scaled_rows": n10, "mult": args.mult, "queries": {}}
         if prior is not None and isinstance(prior.get("queries"), dict):
             report["queries"].update(prior["queries"])
