@@ -48,16 +48,11 @@ def _cent_literal(centroids: list[list[float]], *, integer: bool) -> "F.Column":
     a ~20 KB array literal in milliseconds. Values are rendered exactly:
     integer mode emits BIGINT tokens, float mode repr(float) round-trips
     binary64 — the resulting Literal is bit-identical to the old tree."""
+    from .scale import inline_literal
+
     if integer:
-        rows = ",".join(
-            "array(" + ",".join(f"{int(x)}L" for x in c) + ")" for c in centroids
-        )
-    else:
-        rows = ",".join(
-            "array(" + ",".join(f"CAST({float(x)!r} AS DOUBLE)" for x in c) + ")"
-            for c in centroids
-        )
-    return F.expr(f"array({rows})")
+        return inline_literal([[int(x) for x in c] for c in centroids])
+    return inline_literal([[float(x) for x in c] for c in centroids])
 
 
 def _assign(

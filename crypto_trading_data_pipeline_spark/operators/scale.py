@@ -16,6 +16,52 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def render_sql_literal(value) -> str:
+    """Render a (nested) Python value — int / float / str / bool / list /
+    (name, value) dict for named_struct — as ONE Spark SQL literal string.
+
+    Why this exists (r12 verdict #7): the idiomatic per-element form
+    ``F.array(*[F.lit(x) for x in xs])`` costs one driver↔JVM py4j round
+    trip PER ELEMENT — a k×dim centroid matrix or an m×k×dsub PQ codebook
+    is 512–1024 hops (~1 s of pure driver latency) EVERY time the plan is
+    built, and trainers rebuild it per Lloyd iteration. One F.expr string
+    is one hop; the JVM SQL parser eats a ~20 KB array literal in
+    milliseconds, and whole-stage codegen sees the identical Literal.
+
+    Exactness contract (the oracle-parity suite depends on it): ints render
+    as BIGINT (`L` suffix), floats as ``CAST(repr(x) AS DOUBLE)`` — Python
+    repr() is the shortest round-tripping decimal, and decimal→binary64
+    conversion is correctly rounded in Spark, so the parsed Literal is
+    bit-identical to ``F.lit(float(x))``. Strings are single-quote escaped.
+    NaN/Inf are rejected (no portable SQL literal) — no caller emits them.
+    """
+    if isinstance(value, bool):
+        return "true" if value else "false"
+    if isinstance(value, int):
+        return f"{value}L"
+    if isinstance(value, float):
+        if value != value or value in (float("inf"), float("-inf")):
+            raise ValueError(f"no portable SQL literal for {value!r}")
+        return f"CAST({value!r} AS DOUBLE)"
+    if isinstance(value, str):
+        return "'" + value.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    if isinstance(value, dict):
+        parts = []
+        for name, v in value.items():
+            if not str(name).isidentifier():
+                raise ValueError(f"struct field name {name!r} is not an identifier")
+            parts.append(f"'{name}', {render_sql_literal(v)}")
+        return "named_struct(" + ", ".join(parts) + ")"
+    if isinstance(value, (list, tuple)):
+        return "array(" + ",".join(render_sql_literal(v) for v in value) + ")"
+    raise TypeError(f"unsupported literal type {type(value).__name__}")
+
+
+def inline_literal(value) -> Column:
+    """``F.expr(render_sql_literal(value))`` — the one-hop Column form."""
+    return F.expr(render_sql_literal(value))
+
+
 def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     """Repartition a CPU-bound narrow pipeline's input UP to cluster
     parallelism — only when the scan gives fewer splits than cores.

@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io import parquet_row_count, read_table
 from ..operators import dedup_hash as dh
-from ..operators.scale import fan_out
+from ..operators.scale import fan_out, inline_literal
 from ..operators.similarity import as_double_vec, dot, l2_norm
 from . import query
 
@@ -959,16 +959,12 @@ def _pq_encode(df, cb, keep=("vec_id",)):
     is O(m) instead of O(m*k*dsub) — the 512-term unrolled projection blew
     past whole-stage-codegen limits and ran interpreted at ~1 ms/row.
     Argmin keeps the lowest-code tie-break via first-position-of-min."""
-    cb_lit = F.array(
-        *[
-            F.array(
-                *[
-                    F.array(*[F.lit(float(c)) for c in cb[j][code]])
-                    for code in range(_PQ_K)
-                ]
-            )
-            for j in range(_PQ_M)
-        ]
+    # ONE expr-string literal, not m*k*dsub per-element lit() nodes — 512
+    # py4j hops (~1 s of driver latency) per plan build otherwise
+    # (operators/scale.inline_literal; values bit-identical by the repr
+    # round-trip contract documented there).
+    cb_lit = inline_literal(
+        [[[float(c) for c in cb[j][code]] for code in range(_PQ_K)] for j in range(_PQ_M)]
     )
 
     def code_for(j: int):
@@ -1010,23 +1006,21 @@ def _pq_query_structs(q_rows, cb, qcents=None):
             acc += d * d
         return float(Decimal(repr(acc)).quantize(Decimal("1e-6"), rounding=ROUND_HALF_UP))
 
+    # One expr-string literal for the whole query-structs array (see
+    # _pq_encode's cb_lit note): ~165 per-element lit() hops otherwise.
     structs = []
     for qid, qv in sorted(q_rows.items()):
-        fields = [
-            F.lit(qid).alias("query_id"),
-            F.array(
-                *[
-                    F.array(*[F.lit(lut_entry(qv, j, code)) for code in range(_PQ_K)])
-                    for j in range(_PQ_M)
-                ]
-            ).alias("lut"),
-        ]
+        fields: dict = {
+            "query_id": int(qid),
+            "lut": [
+                [lut_entry(qv, j, code) for code in range(_PQ_K)]
+                for j in range(_PQ_M)
+            ],
+        }
         if qcents is not None:
-            fields.append(
-                F.array(*[F.lit(int(c)) for c in qcents[qid]]).alias("qcents")
-            )
-        structs.append(F.struct(*fields))
-    return F.array(*structs)
+            fields["qcents"] = [int(c) for c in qcents[qid]]
+        structs.append(fields)
+    return inline_literal(structs)
 
 
 def _pq_adc_topk(probed, k: int = 3):
@@ -1936,7 +1930,7 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str):
     ).withColumn("nrm", l2_norm(F.col("v")))
     bucket = None
     for j, plane in enumerate(_SRP):
-        proj = F.round(dot(F.col("v"), F.array(*[F.lit(float(w)) for w in plane])), 6)
+        proj = F.round(dot(F.col("v"), inline_literal([float(w) for w in plane])), 6)
         bit = F.when(proj >= 0, F.lit(1 << j)).otherwise(F.lit(0))
         bucket = bit if bucket is None else bucket + bit
     b = n.withColumn("bucket", bucket)
@@ -2542,12 +2536,11 @@ def q_kmeans_assign(spark: SparkSession, sf_dir: str):
     cents = (
         raw.filter(F.col("vec_id") < 8).orderBy("vec_id").select("vec_id", "v").collect()
     )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-            )
+    # One expr-string literal (operators/scale.inline_literal) — the
+    # per-element form costs 8 x 64 py4j hops per plan build.
+    cent_arr = inline_literal(
+        [
+            {"cent_id": int(r.vec_id), "cv": [float(x) for x in r.v]}
             for r in cents
         ]
     )
@@ -3098,12 +3091,9 @@ def q_silhouette(spark: SparkSession, sf_dir: str):
             "cluster bigint, n_vectors bigint, sum_s_micro bigint, "
             "avg_silhouette double, n_negative bigint",
         )
-    cent_arr = F.array(
-        *[
-            F.struct(
-                F.lit(int(r.vec_id)).alias("cent_id"),
-                F.array(*[F.lit(float(x)) for x in r.v]).alias("cv"),
-            )
+    cent_arr = inline_literal(
+        [
+            {"cent_id": int(r.vec_id), "cv": [float(x) for x in r.v]}
             for r in cents
         ]
     )

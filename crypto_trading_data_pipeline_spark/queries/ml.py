@@ -210,7 +210,9 @@ def logreg_train(labeled, buckets: int, iters: int, lr: int):
     b = 0
     trajectory = []
     for it in range(1, iters + 1):
-        warr = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        from ..operators.scale import inline_literal
+
+        warr = inline_literal([int(x) for x in w])
         marg = feat.groupBy("doc_id").agg(
             F.any_value("y").alias("y"),
             F.any_value("n_tok").alias("n_tok"),
@@ -824,7 +826,9 @@ def q_pca_power(spark: SparkSession, sf_dir: str):
     w = [_PCA_V] * _PCA_DIM
     trajectory = []
     for it in range(1, _PCA_ITERS + 1):
-        vlit = F.array(*[F.lit(int(x)).cast("long") for x in w])
+        from ..operators.scale import inline_literal
+
+        vlit = inline_literal([int(x) for x in w])
         dot = F.aggregate(
             F.zip_with(qcol, vlit, lambda a, b: a * b),
             F.lit(0).cast("long"),
