@@ -1777,6 +1777,136 @@ def q_semdedup_recall(spark: SparkSession, sf_dir: str):
     )
 
 
+#: The append batch — arrivals replayed from the corpus by id residue
+#: (shared by q_semdedup_incremental here and the q_ann_incremental /
+#: q_index_rebalance lifecycle below).
+_ANN_INC_BATCH_MOD = 10
+_ANN_INC_BATCH_RES = 7
+
+
+@query(
+    "q_semdedup_incremental",
+    oracle=f"""{_SEMDEDUP_ASSIGN_SQL}, corpus_ranked AS (
+      SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS dom_rank
+      FROM assign WHERE vec_id % {_ANN_INC_BATCH_MOD} <> {_ANN_INC_BATCH_RES}
+    ), batch_ranked AS (
+      SELECT vec_id, v, nrm, cent_id,
+             row_number() OVER (PARTITION BY cent_id ORDER BY vec_id) AS dom_rank
+      FROM assign WHERE vec_id % {_ANN_INC_BATCH_MOD} = {_ANN_INC_BATCH_RES}
+    ), batch AS (
+      SELECT vec_id, v, nrm, cent_id FROM assign
+      WHERE vec_id % {_ANN_INC_BATCH_MOD} = {_ANN_INC_BATCH_RES}
+    ), dom_c AS (
+      SELECT b.vec_id, min(d.vec_id) AS c_match
+      FROM batch b JOIN corpus_ranked d
+        ON d.cent_id = b.cent_id AND d.dom_rank <= {_SEMDEDUP_DOM_CAP}
+       AND round(list_dot_product(b.v, d.v) / (b.nrm * d.nrm), 6) >= {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    ), dom_p AS (
+      SELECT b.vec_id, min(d.vec_id) AS p_match
+      FROM batch b JOIN batch_ranked d
+        ON d.cent_id = b.cent_id AND d.vec_id < b.vec_id
+       AND d.dom_rank <= {_SEMDEDUP_DOM_CAP}
+       AND round(list_dot_product(b.v, d.v) / (b.nrm * d.nrm), 6) >= {_SEMDEDUP_TAU}
+      GROUP BY b.vec_id
+    )
+    SELECT b.vec_id, b.cent_id AS cluster,
+           CAST(CASE WHEN c.c_match IS NULL AND p.p_match IS NULL
+                THEN 1 ELSE 0 END AS INTEGER) AS keep,
+           CAST(LEAST(COALESCE(c.c_match, p.p_match),
+                      COALESCE(p.p_match, c.c_match)) AS BIGINT) AS match_id
+    FROM batch b
+    LEFT JOIN dom_c c USING (vec_id)
+    LEFT JOIN dom_p p USING (vec_id)
+    """,
+    doc=(
+        "Dedup-on-INGEST for the embedding store — the SemDeDup twin of "
+        "q_neardup_incremental, completing the incremental family (exact: "
+        "q_dedup_incremental, MinHash: q_neardup_incremental, semantic: "
+        "THIS): an append batch (vec_id % 10 == 7, the q_ann_incremental "
+        "replay convention) is screened against the indexed corpus WITHOUT "
+        "re-deduplicating the corpus. The two-level quantizer is FROZEN by "
+        "construction — fine centroids are the every-50th-id subset, and "
+        "every multiple of 50 has residue 0 mod 10, so the centroid set "
+        "is corpus-only and batch arrivals cannot move it. Each batch "
+        "vector is dropped if a corpus member of its cluster (capped at "
+        f"the first {_SEMDEDUP_DOM_CAP} corpus members in id order — the "
+        "q_semdedup dominator-cap contract) or a LOWER-id batch peer in "
+        "the same cluster reaches the cosine threshold; emits keep flag + "
+        "the lowest dominating vec_id (the cluster-representative join "
+        "key), one row per batch vector. Self-contained form recomputes "
+        "the corpus assignment (the index IS that assignment — production "
+        "reads it from the store, making the ingest path O(batch x cap) "
+        "joins plus the batch's own O(|batch| * sqrt(k2)) quantizer "
+        "routing); the assignment is localCheckpointed once for its five "
+        "consumers. Cluster-size skew and cap truncation for these exact "
+        "clusters are audited by q_semdedup_capacity."
+    ),
+)
+def q_semdedup_incremental(spark: SparkSession, sf_dir: str):
+    emb = fan_out(read_table(spark, sf_dir, "embeddings"))
+    n = emb.select(
+        F.col("vec_id"), as_double_vec(F.col("embedding")).alias("v")
+    ).withColumn("nrm", l2_norm(F.col("v")))
+    assign = _ivf_assign_hier(n).localCheckpoint(eager=True)
+    is_batch = F.col("vec_id") % _ANN_INC_BATCH_MOD == _ANN_INC_BATCH_RES
+    batch = assign.filter(is_batch)
+    corpus = assign.filter(~is_batch)
+    domw = Window.partitionBy("cent_id").orderBy("vec_id")
+
+    def dominators(df):
+        return (
+            df.withColumn("dom_rank", F.row_number().over(domw))
+            .filter(F.col("dom_rank") <= _SEMDEDUP_DOM_CAP)
+            .select(
+                "cent_id",
+                F.col("vec_id").alias("d_id"),
+                F.col("v").alias("dv"),
+                F.col("nrm").alias("dn"),
+            )
+        )
+
+    b = batch.select(
+        "cent_id",
+        F.col("vec_id").alias("b_id"),
+        F.col("v").alias("bv"),
+        F.col("nrm").alias("bn"),
+    )
+    sim = F.round(dot(F.col("bv"), F.col("dv")) / (F.col("bn") * F.col("dn")), 6)
+    dom_c = (
+        b.join(dominators(corpus), "cent_id")
+        .filter(sim >= _SEMDEDUP_TAU)
+        .groupBy("b_id")
+        .agg(F.min("d_id").alias("c_match"))
+    )
+    dom_p = (
+        b.join(dominators(batch), "cent_id")
+        .filter(F.col("d_id") < F.col("b_id"))
+        .filter(sim >= _SEMDEDUP_TAU)
+        .groupBy("b_id")
+        .agg(F.min("d_id").alias("p_match"))
+    )
+    return (
+        batch.select("vec_id", F.col("cent_id").alias("cluster"))
+        .join(dom_c.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        .join(dom_p.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "cluster",
+            F.when(F.col("c_match").isNull() & F.col("p_match").isNull(), F.lit(1))
+            .otherwise(F.lit(0))
+            .cast("int")
+            .alias("keep"),
+            F.least(
+                F.coalesce("c_match", "p_match"), F.coalesce("p_match", "c_match")
+            )
+            .cast("bigint")
+            .alias("match_id"),
+        )
+    )
+
+
 _LEXICONS = {
     "en": ["the", "a", "of", "and", "row"],
     "de": ["der", "die", "das", "und", "ein"],
@@ -3328,10 +3458,11 @@ def q_ann_recall_trained(spark: SparkSession, sf_dir: str):
 #: q_ann_incremental: the trainer sees only this fixed-size id prefix, so
 #: index maintenance cost is corpus-independent (production trains the
 #: coarse quantizer on a bounded sample; FAISS's train() contract).
+#: (The append-batch residue constants _ANN_INC_BATCH_MOD/_RES live next
+#: to the SemDeDup block above — q_semdedup_incremental shares the same
+#: replayed-arrivals convention and its oracle f-string needs them at
+#: definition time.)
 _ANN_INC_TRAIN_MAX = 500
-#: The append batch — arrivals replayed from the corpus by id residue.
-_ANN_INC_BATCH_MOD = 10
-_ANN_INC_BATCH_RES = 7
 
 
 def _ann_incremental_sql(k: int, iters: int, scale: int) -> str:

@@ -174,6 +174,9 @@ QUERIES = [
     # and the vocab-pruned PPMI variant named in the r12 100x order.
     "q_semdedup_recall",
     "q_cooccur_ppmi_pruned",
+    # r13: embedding-space dedup-on-ingest — wall should track the batch
+    # plus the (index-shaped) corpus assignment, never corpus pairs.
+    "q_semdedup_incremental",
 ]
 
 #: TPC-H tables q_dq_orphans touches — synthesized at mult x with offset
