@@ -1810,15 +1810,27 @@ _ANN_INC_BATCH_RES = 7
        AND d.dom_rank <= {_SEMDEDUP_DOM_CAP}
        AND round(list_dot_product(b.v, d.v) / (b.nrm * d.nrm), 6) >= {_SEMDEDUP_TAU}
       GROUP BY b.vec_id
+    ), csz AS (
+      SELECT cent_id,
+             CAST(max(dom_rank) > {_SEMDEDUP_DOM_CAP} AS INTEGER) AS c_over
+      FROM corpus_ranked GROUP BY cent_id
+    ), psz AS (
+      SELECT cent_id,
+             CAST(max(dom_rank) > {_SEMDEDUP_DOM_CAP} AS INTEGER) AS p_over
+      FROM batch_ranked GROUP BY cent_id
     )
     SELECT b.vec_id, b.cent_id AS cluster,
            CAST(CASE WHEN c.c_match IS NULL AND p.p_match IS NULL
                 THEN 1 ELSE 0 END AS INTEGER) AS keep,
            CAST(LEAST(COALESCE(c.c_match, p.p_match),
-                      COALESCE(p.p_match, c.c_match)) AS BIGINT) AS match_id
+                      COALESCE(p.p_match, c.c_match)) AS BIGINT) AS match_id,
+           CAST(COALESCE(s.c_over, 0) + COALESCE(z.p_over, 0) > 0 AS INTEGER)
+             AS screened_truncated
     FROM batch b
     LEFT JOIN dom_c c USING (vec_id)
     LEFT JOIN dom_p p USING (vec_id)
+    LEFT JOIN csz s ON s.cent_id = b.cent_id
+    LEFT JOIN psz z ON z.cent_id = b.cent_id
     """,
     doc=(
         "Dedup-on-INGEST for the embedding store — the SemDeDup twin of "
@@ -1835,7 +1847,11 @@ _ANN_INC_BATCH_RES = 7
         "q_semdedup dominator-cap contract) or a LOWER-id batch peer in "
         "the same cluster reaches the cosine threshold; emits keep flag + "
         "the lowest dominating vec_id (the cluster-representative join "
-        "key), one row per batch vector. Self-contained form recomputes "
+        "key), and a per-row screened_truncated flag — 1 when the "
+        "cluster's corpus or batch membership exceeds the cap, so a "
+        "clearance obtained against a truncated dominator prefix is "
+        "distinguishable from a clean clear (the q_neardup_incremental "
+        "contract) — one row per batch vector. Self-contained form recomputes "
         "the corpus assignment (the index IS that assignment — production "
         "reads it from the store, making the ingest path O(batch x cap) "
         "joins plus the batch's own O(|batch| * sqrt(k2)) quantizer "
@@ -1887,10 +1903,25 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str):
         .groupBy("b_id")
         .agg(F.min("d_id").alias("p_match"))
     )
+    # Truncation is observable per row, not silent (the
+    # q_neardup_incremental screened_truncated contract): a batch vector
+    # whose cluster's corpus OR batch membership exceeds the dominator cap
+    # was screened against a PREFIX, so its clearance is weaker evidence —
+    # downstream can route flagged keeps to a full re-check.
+    c_over = (
+        corpus.groupBy("cent_id")
+        .agg((F.count(F.lit(1)) > _SEMDEDUP_DOM_CAP).cast("int").alias("c_over"))
+    )
+    p_over = (
+        batch.groupBy("cent_id")
+        .agg((F.count(F.lit(1)) > _SEMDEDUP_DOM_CAP).cast("int").alias("p_over"))
+    )
     return (
-        batch.select("vec_id", F.col("cent_id").alias("cluster"))
+        batch.select("vec_id", "cent_id", F.col("cent_id").alias("cluster"))
         .join(dom_c.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
         .join(dom_p.withColumnRenamed("b_id", "vec_id"), "vec_id", "left")
+        .join(F.broadcast(c_over), "cent_id", "left")
+        .join(F.broadcast(p_over), "cent_id", "left")
         .select(
             "vec_id",
             "cluster",
@@ -1903,6 +1934,13 @@ def q_semdedup_incremental(spark: SparkSession, sf_dir: str):
             )
             .cast("bigint")
             .alias("match_id"),
+            (
+                F.coalesce(F.col("c_over"), F.lit(0))
+                + F.coalesce(F.col("p_over"), F.lit(0))
+                > 0
+            )
+            .cast("int")
+            .alias("screened_truncated"),
         )
     )
 
