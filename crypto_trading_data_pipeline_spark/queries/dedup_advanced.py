@@ -3744,43 +3744,39 @@ def _pq_train_sql(
     ),
 )
 def q_pq_train(spark: SparkSession, sf_dir: str):
-    from ..operators.cluster import _assign, kmeans_train
+    from ..operators.cluster import pq_train
 
     emb = fan_out(read_table(spark, sf_dir, "embeddings")).select(
         "vec_id", as_double_vec(F.col("embedding")).alias("v")
     )
     train = emb.filter(F.col("vec_id") < _PQ_TRAIN_MAX)
-    scale = float(_KMEANS_IVF_SCALE)
-    cb_rows: list[tuple[int, int, int, int]] = []
-    sse = None
-    for j in range(_PQ_M):
-        sub = train.select(
-            "vec_id", F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
-        )
-        _a, cents, _hist = kmeans_train(
-            sub, k=_PQ_K, max_iter=_PQ_TRAIN_ITERS, quantize=_KMEANS_IVF_SCALE
-        )
-        cb_rows += [
-            (j, code, pos, int(cents[code][pos]))
-            for code in range(_PQ_K)
-            for pos in range(_PQ_DSUB)
-        ]
-        # Final training SSE per subspace: assign the quantized sample to
-        # the trained codewords once more and sum the exact-integer d2
-        # (kmeans_train's sse_history is a float driver-side diagnostic;
-        # this integer aggregate is what the oracle can reproduce).
-        quant = sub.withColumn(
-            "v",
-            F.transform(
-                F.col("v"), lambda x: F.round(x * F.lit(scale), 0).cast("long")
-            ),
-        )
-        part = (
-            _assign(quant, "v", cents, integer=True)
-            .agg(F.sum("__d").cast("bigint").alias("sse_j"))
-            .select(F.lit(j).cast("int").alias("j"), "sse_j")
-        )
-        sse = part if sse is None else sse.unionByName(part)
+    # Joint trainer: one job per Lloyd iteration covers all _PQ_M
+    # subspaces (was _PQ_M independent kmeans_train calls, each
+    # re-executing the scan+fan_out chain to build its slice — the
+    # trained tier's dominant fixed cost in r13). Codebooks are
+    # bit-identical to the per-subspace loop (integer mode; asserted in
+    # tests/test_cluster_ops.py), so the oracle is unchanged.
+    final, cbs, _hists = pq_train(
+        train,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_PQ_K,
+        max_iter=_PQ_TRAIN_ITERS,
+        quantize=_KMEANS_IVF_SCALE,
+    )
+    cb_rows = [
+        (j, code, pos, int(cbs[j][code][pos]))
+        for j in range(_PQ_M)
+        for code in range(_PQ_K)
+        for pos in range(_PQ_DSUB)
+    ]
+    # Final training SSE per subspace: pq_train's final assignment IS the
+    # quantized sample scored against the trained codewords — the exact
+    # integer d2 the oracle reproduces — so the per-subspace SSE is one
+    # aggregate over it instead of _PQ_M upstream re-executions.
+    sse = final.groupBy(F.col("__j").cast("int").alias("j")).agg(
+        F.sum("__d").cast("bigint").alias("sse_j")
+    )
     cb = spark.createDataFrame(cb_rows, schema="j int, code int, pos int, cw long")
     return cb.join(F.broadcast(sse), "j").select("j", "code", "pos", "cw", "sse_j")
 
@@ -4012,22 +4008,25 @@ def _ann_pq_trained_sql(
     ),
 )
 def q_ann_pq_trained(spark: SparkSession, sf_dir: str):
-    from ..operators.cluster import kmeans_train
+    from ..operators.cluster import pq_train
 
     emb = read_table(spark, sf_dir, "embeddings")
     embv = emb.select("vec_id", as_double_vec(F.col("embedding")).alias("v"))
     train = embv.filter(F.col("vec_id") < _PQ_TRAIN_MAX)
-    cb = []
-    for j in range(_PQ_M):
-        sub = train.select(
-            "vec_id", F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB).alias("v")
-        )
-        _a, cents, _h = kmeans_train(
-            sub, k=_PQ_K, max_iter=_PQ_TRAIN_ITERS, quantize=_KMEANS_IVF_SCALE
-        )
-        cb.append(
-            [[c / _KMEANS_IVF_SCALE for c in cents[code]] for code in range(_PQ_K)]
-        )
+    # Joint trainer (see q_pq_train): bit-identical codebooks to the
+    # per-subspace kmeans_train loop, ~_PQ_M× fewer serial jobs.
+    _f, cbs, _h = pq_train(
+        train,
+        m=_PQ_M,
+        dsub=_PQ_DSUB,
+        k=_PQ_K,
+        max_iter=_PQ_TRAIN_ITERS,
+        quantize=_KMEANS_IVF_SCALE,
+    )
+    cb = [
+        [[c / _KMEANS_IVF_SCALE for c in cents[code]] for code in range(_PQ_K)]
+        for cents in cbs
+    ]
     q_rows = {
         int(r.vec_id): [float(x) for x in r.v]
         for r in embv.filter(F.col("vec_id") < _PQ_N_QUERIES).collect()

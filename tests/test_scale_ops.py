@@ -128,6 +128,58 @@ def test_kmeans_train_lloyd_invariants(spark):
     assert cents == cents2 and sse == sse2
 
 
+def test_pq_train_matches_per_subspace_kmeans(spark):
+    """The joint PQ trainer (one job per Lloyd iteration across all m
+    subspaces) must be BIT-IDENTICAL in integer mode to m independent
+    kmeans_train calls on the slices — codebooks, SSE histories, and the
+    final per-(id, subspace) assignment distances. This equality is what
+    lets q_pq_train / q_ann_pq_trained swap trainers without touching
+    their DuckDB oracles."""
+    from crypto_trading_data_pipeline_spark.io import read_table
+    from crypto_trading_data_pipeline_spark.operators.cluster import (
+        _assign,
+        kmeans_train,
+        pq_train,
+    )
+    from crypto_trading_data_pipeline_spark.operators.similarity import as_double_vec
+    from pyspark.sql import functions as F
+
+    m, dsub, k, iters, scale = 4, 16, 8, 2, 1_000_000
+    emb = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", as_double_vec(F.col("embedding")).alias("v")
+    )
+    train = emb.filter(F.col("vec_id") < 200)
+
+    final, cbs, hists = pq_train(
+        train, m=m, dsub=dsub, k=k, max_iter=iters, quantize=scale
+    )
+    assert len(cbs) == m and all(len(cb) == k for cb in cbs)
+
+    joint_sse = {
+        r.j: r.sse_j
+        for r in final.groupBy(F.col("__j").alias("j"))
+        .agg(F.sum("__d").alias("sse_j"))
+        .collect()
+    }
+    for j in range(m):
+        sub = train.select(
+            "vec_id", F.slice(F.col("v"), j * dsub + 1, dsub).alias("v")
+        )
+        _a, cents, hist = kmeans_train(sub, k=k, max_iter=iters, quantize=scale)
+        assert cbs[j] == cents, f"subspace {j}: codebooks diverge"
+        assert hists[j] == hist, f"subspace {j}: SSE history diverges"
+        quant = sub.withColumn(
+            "v",
+            F.transform(
+                F.col("v"), lambda x: F.round(x * F.lit(float(scale)), 0).cast("long")
+            ),
+        )
+        (ref_sse,) = (
+            _assign(quant, "v", cents, integer=True).agg(F.sum("__d")).first()
+        )
+        assert joint_sse[j] == ref_sse, f"subspace {j}: final SSE diverges"
+
+
 def test_approx_percentile_within_tolerance(spark):
     """The sketch answer must sit within 1% relative of the exact
     percentile at sf0.001 (accuracy parameter 10k on ~6k rows per flag
