@@ -81,11 +81,15 @@ from . import ml  # noqa: E402,F401
 #      row, so they outrank brand-new entries (the r6→r7 q_kmeans_ivf case:
 #      with upgraded ranked after never-checked, any round that registers
 #      ≥50 new queries starves an upgraded oracle forever),
-#   2. rows-only/twin pairs whose rows-only evidence is >= _ROWS_ONLY_CADENCE
+#   2. queries whose ORACLE TEXT changed since their last driver check
+#      (_changed_oracles) or whose SPARK CODE was rewritten with the oracle
+#      left untouched (_CODE_CHANGED_RECHECK) — green evidence against old
+#      code/oracle text proves nothing about the rewrite,
+#   3. rows-only/twin pairs whose rows-only evidence is >= _ROWS_ONLY_CADENCE
 #      rounds old (the pair re-greens together — see _ROWS_ONLY_TWINS),
-#   3. queries with no driver row in ANY round (anything newly registered
+#   4. queries with no driver row in ANY round (anything newly registered
 #      this round),
-#   4. padded to 50 with the stalest-checked queries (ascending last-checked
+#   5. padded to 50 with the stalest-checked queries (ascending last-checked
 #      round, registry order as tiebreak).
 #
 # Queries outside the window retain the identical DuckDB-oracle check in
@@ -109,6 +113,21 @@ _ROWS_ONLY_TWINS = {
     "q_hll_union": "q_hll_portable",  # portable integer-HLL hash twin
 }
 _ROWS_ONLY_CADENCE = 3
+
+# Spark-side rewrites that leave the ORACLE text untouched carry no
+# fingerprint signal (_changed_oracles keys on oracle text), but the
+# query's existing driver evidence still references the OLD implementation.
+# A session that rewrites a query's Spark code without touching its oracle
+# appends (name, latest_evidence_round_at_change) here; the query then
+# re-enters the window until a NEWER driver row lands (latest > recorded
+# round), after which the entry is inert and can be dropped at the next
+# cleanup. Complements tests/oracle_util.git_at_risk_queries, which
+# re-checks the same set in pytest but cannot put them in front of the
+# driver.
+_CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
+    ("q_pq_train", 12),  # r13: joint pq_train trainer (bit-identical)
+    ("q_ann_pq_trained", 12),  # r13: joint pq_train trainer (bit-identical)
+)
 
 
 def driver_annotations() -> dict[str, dict]:
@@ -223,7 +242,18 @@ def _compute_window(size: int = _WINDOW_SIZE) -> list[str]:
             and max_round - latest[ro] >= _ROWS_ONLY_CADENCE
         ):
             aged_pairs.extend(n for n in (ro, twin) if n not in aged_pairs)
-    head = upgraded + changed + [n for n in aged_pairs if n not in upgraded + changed]
+    # Spark-side rewrite with an unchanged oracle: the committed evidence
+    # predates the code it vouches for — re-check until a newer row lands.
+    code_changed = [
+        n
+        for n, rnd in _CODE_CHANGED_RECHECK
+        if n in REGISTRY
+        and latest.get(n, 0) <= rnd
+        and n not in upgraded
+        and n not in changed
+    ]
+    head = upgraded + changed + code_changed
+    head += [n for n in aged_pairs if n not in head]
     # A never-checked twin of an aged rows-only pair lands in BOTH head
     # (via aged_pairs) and never; dedupe so the 50-slot window never
     # carries one name twice (r12 ADVICE — the duplicate would silently

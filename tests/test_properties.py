@@ -235,11 +235,27 @@ def test_driver_window_holds_rotated_queries():
             and max_round - latest[ro] >= _ROWS_ONLY_CADENCE
         ):
             aged_pairs.extend(n for n in (ro, twin) if n not in aged_pairs)
-    aged_pairs = [n for n in aged_pairs if n not in upgraded + changed]
-    priority = set(never) | set(upgraded) | set(changed) | set(aged_pairs)
+    # Spark-side rewrites with an unchanged oracle (declared list): rank
+    # with the changed-oracle tier until a newer driver row lands.
+    from crypto_trading_data_pipeline_spark.queries import _CODE_CHANGED_RECHECK
+
+    code_changed = [
+        n
+        for n, rnd in _CODE_CHANGED_RECHECK
+        if n in REGISTRY
+        and latest.get(n, 0) <= rnd
+        and n not in upgraded
+        and n not in changed
+    ]
+    aged_pairs = [n for n in aged_pairs if n not in upgraded + changed + code_changed]
+    priority = (
+        set(never) | set(upgraded) | set(changed) | set(code_changed) | set(aged_pairs)
+    )
     # Upgraded oracles outrank never-checked: they registered in an earlier
     # round and have already waited >= 1 full round for their hash row.
-    priority_list = upgraded + changed + aged_pairs + never  # registry order per tier
+    priority_list = (
+        upgraded + changed + code_changed + aged_pairs + never
+    )  # registry order per tier
     if len(priority_list) >= _WINDOW_SIZE:
         # More unproven queries than slots: the window is exactly the first
         # WINDOW_SIZE priority entries; the overflow is never silently
