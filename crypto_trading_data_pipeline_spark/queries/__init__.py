@@ -125,8 +125,21 @@ _ROWS_ONLY_CADENCE = 3
 # re-checks the same set in pytest but cannot put them in front of the
 # driver.
 _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
-    ("q_pq_train", 12),  # r13: joint pq_train trainer (bit-identical)
-    ("q_ann_pq_trained", 12),  # r13: joint pq_train trainer (bit-identical)
+    # r13 joint pq_train trainer (bit-identical by test):
+    ("q_pq_train", 12),
+    ("q_ann_pq_trained", 12),
+    # r13 one-literal rendering / trainer localCheckpoint / probe-support
+    # edits — every remaining query whose function AST differs from its
+    # latest-evidence commit (the tier-1 git_at_risk set on 6ff213e; the
+    # r07-aged members already ride the staleness tier):
+    ("q_ann_incremental", 12),
+    ("q_ann_lsh", 12),
+    ("q_cooccur_ppmi_pruned", 12),
+    ("q_dup_span_stats", 12),
+    ("q_kmeans_assign", 12),
+    ("q_pca_power", 12),
+    ("q_rolling_median", 12),
+    ("q_silhouette", 12),
 )
 
 
