@@ -76,11 +76,19 @@ def connected_components(
     # eager=False safe here — do not insert an early limit()/sample()
     # action between these checkpoints and the loop, or later rounds can
     # hit missing-checkpoint-block errors instead of recomputing.
-    und = (
+    # Checkpoint keyed on the per-round join key (b): every propagation
+    # round's und-side SortMergeJoin then reuses the recorded
+    # partitioning/ordering instead of re-exchanging + re-sorting the
+    # edge list per round (r13 — scale.checkpoint_by_key, the q_pagerank
+    # bucketed-edges fix applied to the CC loop; eager now, which also
+    # retires the lazy-checkpoint first-action caveat below).
+    from .scale import checkpoint_by_key
+
+    und = checkpoint_by_key(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct()
-        .localCheckpoint(eager=False)
+        .distinct(),
+        "b",
     )
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -91,17 +99,30 @@ def connected_components(
         msgs = und.join(labels, und.b == labels.node).select(
             und.a.alias("node"), labels.lbl
         )
-        new_labels = (
-            msgs.unionAll(labels).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        # min(old, min(messages)) == min over (messages UNION old), but
+        # keeping the old label alongside folds the convergence test into
+        # the SAME materialization: `changed` is a filter-count over the
+        # just-checkpointed rows instead of a second join of new-vs-old
+        # labels re-shuffling both frames every round (r13: one aggregate
+        # + one join per round instead of one union-aggregate + one join,
+        # and the per-round convergence job now reads executor-local
+        # checkpoint blocks — guide §2.4, share the exchange). Every node
+        # has >= 1 message (und is symmetric and labels = und.a distinct),
+        # so the left join never NULLs; least() would ignore a NULL m
+        # anyway and `m < old` is NULL-false, keeping the fold exact.
+        mins = msgs.groupBy("node").agg(F.min("lbl").alias("m"))
+        stepped = (
+            labels.withColumnRenamed("lbl", "old")
+            .join(mins, "node", "left")
+            .select(
+                "node",
+                F.least(F.col("old"), F.col("m")).alias("lbl"),
+                (F.col("m") < F.col("old")).alias("chg"),
+            )
+            .localCheckpoint(eager=True)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels = new_labels
+        changed = stepped.filter("chg").count()
+        labels = stepped.select("node", "lbl")
         if changed == 0:
             break
     if changed != 0 and strict:
@@ -165,13 +186,25 @@ def connected_components_star(
         .localCheckpoint(eager=True)
     )
     nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
-    cur = und
+    # Keep the working set CANONICAL (a > b, one row per undirected edge —
+    # und is symmetric and distinct, so the filter keeps exactly one
+    # orientation of every edge). Each round's symmetric closure is then a
+    # plain union of two DISJOINT distinct halves (a > b and a < b), so
+    # the per-round `.distinct()` the closure used to pay — one full
+    # shuffle of the edge set — is provably redundant and dropped (r13,
+    # guide §2.4: remove shuffles outright; the before-plan paid three
+    # distincts per round, the after-plan one).
+    cur = und.filter(F.col("a") > F.col("b"))
     for _ in range(max_iter):
         # large-star works on the symmetric closure of the current set.
-        sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
+        sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
         ls = _large_star(sym)
-        ls_sym = ls.unionAll(ls.select(F.col("b").alias("a"), F.col("a").alias("b"))).distinct()
-        nxt = _small_star(ls_sym).localCheckpoint(eager=True)
+        # _large_star emits only (child > parent) rows (child > a >= parent
+        # by construction), already distinct; the reversed copies a
+        # symmetric closure would add all fail _small_star's canonical
+        # a > b filter, so closing ls symmetrically was a second dead
+        # union+distinct per round — pass ls straight through.
+        nxt = _small_star(ls).localCheckpoint(eager=True)
         # Convergence = canonical edge set unchanged. One action: the
         # symmetric difference (both anti-join directions unioned) is empty.
         sym_diff = nxt.join(cur, ["a", "b"], "left_anti").unionAll(

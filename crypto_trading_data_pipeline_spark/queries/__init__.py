@@ -125,6 +125,23 @@ _ROWS_ONLY_CADENCE = 3
 # re-checks the same set in pytest but cannot put them in front of the
 # driver.
 _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
+    # r13 OPTIMIZATION round rewrites (oracle text untouched, Spark plans
+    # reshaped — shared-signature LSH chain, CC convergence fold /
+    # star-loop distinct removal, logreg one-action gradient,
+    # parameterized repartitions; OPTIMIZATION_r13.md):
+    ("q_minhash_est_jaccard", 10),
+    ("q_lsh_pairs", 10),
+    ("q_neardup_dedup", 10),
+    ("q_neardup_threshold_sweep", 7),
+    ("q_neardup_components", 10),
+    ("q_neardup_components_star", 11),
+    ("q_neardup_incremental", 12),
+    ("q_simhash_pairs", 10),
+    ("q_logreg_train", 8),
+    ("q_pagerank", 11),
+    ("q_label_propagation", 12),
+    ("q_kcore", 12),
+    ("q_bfs_reach", 12),
     # r13 joint pq_train trainer (bit-identical by test):
     ("q_pq_train", 12),
     ("q_ann_pq_trained", 12),

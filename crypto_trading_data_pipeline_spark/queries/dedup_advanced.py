@@ -16,7 +16,7 @@ from pyspark.sql import functions as F
 
 from ..io import parquet_row_count, read_table
 from ..operators import dedup_hash as dh
-from ..operators.scale import fan_out, inline_literal
+from ..operators.scale import configured_shuffle_partitions, fan_out, inline_literal
 from ..operators.similarity import as_double_vec, dot, l2_norm
 from . import query
 
@@ -95,7 +95,9 @@ def _observe_bucket_cap(buckets, bucket_cap, observation, name_prefix):
     return buckets.observe(f"{name_prefix}_{next(_LSH_OBSERVE_SEQ)}", *metrics)
 
 
-def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=None):
+def _lsh_candidate_pairs(
+    docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=None, sig=None
+):
     """Distinct (doc_a < doc_b) pairs sharing any LSH band bucket — the
     shared candidate-generation stage for q_lsh_pairs and q_neardup_dedup.
 
@@ -107,8 +109,20 @@ def _lsh_candidate_pairs(docs, bucket_cap: int = _LSH_BUCKET_CAP, observation=No
     the metrics programmatically (tests do; production monitors listen).
     A non-zero truncated_buckets means real candidate pairs were dropped —
     the fix is upstream exact dedup, not a bigger cap.
-    """
-    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+
+    ``sig``: an optional precomputed (doc_id, m0..m15) signature frame —
+    callers that ALSO consume the signatures (q_minhash_est_jaccard's
+    per-pair match count, _candidate_pair_overlap's verify sides)
+    materialize the signature pass once (localCheckpoint) and share it
+    here, instead of Catalyst re-running the full shingle+md5+minhash
+    subtree per consumer (r13 optimization: the est-Jaccard plan carried
+    THREE documents scans, one per consumer — guide §1.2/§2.4, don't
+    compute things twice). Values are identical by construction: the
+    default is exactly this expression."""
+    if sig is None:
+        sig = _shingle_hashes(docs).select(
+            "doc_id", *dh.minhash_signature(F.col("hs"))
+        )
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
@@ -144,7 +158,16 @@ def _candidate_pair_overlap(docs):
     (doc_a, doc_b, inter, uni) as exact longs. Factored so the sweep can
     never silently tune a threshold against DIFFERENT pairs than the
     dedup acts on (shingle k, the >=3-token filter, and the candidate
-    join live here, once)."""
+    join live here, once).
+
+    Deliberately NOT materialized (r13 A/B): localCheckpointing the
+    string shingle-array table to share it across the three consumers
+    took q_neardup_dedup's isolated best-of-3 from 2.15 s to 4.1 s with
+    25 s outlier runs — millions of cached Java string objects are pure
+    GC pressure, unlike q_minhash_est_jaccard's 17-int signature rows
+    where the same trick wins 1.9x. The two verify-side shingle builds
+    stay as recomputation (split+concat only — the md5+minhash pass runs
+    once, inside _lsh_candidate_pairs)."""
     cand = _lsh_candidate_pairs(docs)
     sh = (
         fan_out(docs.select("doc_id", "text"))
@@ -2289,12 +2312,16 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str):
     # spread, the remainder being the md5-per-token scan itself). A
     # same-key repartition would be optimizer-removed as
     # redundant with the aggregate's own partitioning (the q_bootstrap_ci
-    # lesson), so round-robin with an explicit count it is.
+    # lesson), so round-robin with an explicit count it is. The count is
+    # the CONFIGURED cluster width, not a literal 32 (r13: a hard-coded
+    # local-core constant would under-spread any real cluster — the
+    # brief's scale-adaptive-partitioning rule; local default is
+    # unchanged since spark.sql.shuffle.partitions == $SPARK_GRAFT_CPUS).
     buckets = (
         bands.groupBy("band_id", "band_val")
         .agg(F.sort_array(F.collect_set(F.struct("doc_id", "sh"))).alias("ds"))
         .filter(F.size("ds") >= 2)
-        .repartition(32)
+        .repartition(configured_shuffle_partitions(spark))
     )
     pairs = F.explode(
         F.flatten(
@@ -2363,8 +2390,18 @@ def q_simhash_pairs(spark: SparkSession, sf_dir: str):
 )
 def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
-    cand = _lsh_candidate_pairs(docs)
+    # ONE signature pass shared by all three consumers (banding + both
+    # pair sides): the before-plan ran the shingle+md5+minhash subtree
+    # three times, once per consumer (three documents scans,
+    # plans/r13/q_minhash_est_jaccard_before.txt; isolated best-of-3
+    # 5.48 s -> see _after plan/bench). Signatures are 17 ints/doc —
+    # the cheapest possible thing to materialize.
+    sig = (
+        _shingle_hashes(docs)
+        .select("doc_id", *dh.minhash_signature(F.col("hs")))
+        .localCheckpoint(eager=True)
+    )
+    cand = _lsh_candidate_pairs(docs, sig=sig)
     sa = sig.select(F.col("doc_id").alias("doc_a"), *[F.col(c).alias(f"a_{c}") for c in _SIG_COLS])
     sb = sig.select(F.col("doc_id").alias("doc_b"), *[F.col(c).alias(f"b_{c}") for c in _SIG_COLS])
     matches = sum(

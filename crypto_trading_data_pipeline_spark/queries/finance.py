@@ -2215,7 +2215,12 @@ def q_rolling_median(spark: SparkSession, sf_dir: str):
     # O(30 log 30)-per-row order-statistics pass ran in a single task
     # (r10 serialization audit, 1.65 s). The explicit count pins the
     # partitioning (exempt from AQE coalescing) and the window reuses it.
-    framed = cents.repartition(32, "symbol").select(
+    # Count = the CONFIGURED cluster width, not a literal 32 (r13: a
+    # hard-coded local-core constant would under-spread a real cluster;
+    # local default unchanged — shuffle.partitions == $SPARK_GRAFT_CPUS).
+    from ..operators.scale import configured_shuffle_partitions
+
+    framed = cents.repartition(configured_shuffle_partitions(spark), "symbol").select(
         "symbol",
         "minute",
         "c",

@@ -238,25 +238,34 @@ def logreg_train(labeled, buckets: int, iters: int, lr: int):
             ).alias("r"),
         )
         joined = feat.join(resid.select("doc_id", "r"), "doc_id")
-        grad = (
-            joined.groupBy("bucket")
-            .agg(
-                F.sum(
-                    F.floor(
-                        F.col("r") * F.col("c") * 1000000.0 / F.col("n_tok") + 0.5
-                    ).cast("bigint")
-                )
-                .cast("bigint")
-                .alias("g")
+        # Weight and bias gradients in ONE action (r13): the bias gradient
+        # is the per-doc residual sum, which rides the same groupBy as a
+        # synthetic bucket -1 — before, it was a SECOND collect per
+        # iteration that re-evaluated the whole margin aggregate in its
+        # own job (2 jobs x 3 iterations of scheduler/collect round trips
+        # for 33 ints of driver traffic; guide §2.4/§5 — don't pay two
+        # barriers for one reduction). Values are bit-identical: the
+        # bucket -1 branch is textually the old gb aggregate.
+        contrib = joined.select(
+            "bucket",
+            F.floor(
+                F.col("r") * F.col("c") * 1000000.0 / F.col("n_tok") + 0.5
             )
+            .cast("bigint")
+            .alias("gc"),
+        )
+        bias_contrib = resid.select(
+            F.lit(-1).alias("bucket"),
+            F.floor(F.col("r") * 1000000.0 + 0.5).cast("bigint").alias("gc"),
+        )
+        grad = (
+            contrib.unionAll(bias_contrib)
+            .groupBy("bucket")
+            .agg(F.sum("gc").cast("bigint").alias("g"))
             .collect()
         )
-        gb = resid.agg(
-            F.sum(F.floor(F.col("r") * 1000000.0 + 0.5).cast("bigint"))
-            .cast("bigint")
-            .alias("g")
-        ).collect()[0]["g"]
         gmap = {row["bucket"]: row["g"] for row in grad}
+        gb = gmap.get(-1, 0)
         w = [
             w[j] - fdiv(lr * int(gmap.get(j, 0)), n_docs)
             for j in range(buckets)
