@@ -195,6 +195,7 @@ def connected_components_star(
     # guide §2.4: remove shuffles outright; the before-plan paid three
     # distincts per round, the after-plan one).
     cur = und.filter(F.col("a") > F.col("b"))
+    cur_cnt = None  # unknown until the first round's count lands
     for _ in range(max_iter):
         # large-star works on the symmetric closure of the current set.
         sym = cur.unionAll(cur.select(F.col("b").alias("a"), F.col("a").alias("b")))
@@ -205,15 +206,23 @@ def connected_components_star(
         # a > b filter, so closing ls symmetrically was a second dead
         # union+distinct per round — pass ls straight through.
         nxt = _small_star(ls).localCheckpoint(eager=True)
-        # Convergence = canonical edge set unchanged. One action: the
-        # symmetric difference (both anti-join directions unioned) is empty.
-        sym_diff = nxt.join(cur, ["a", "b"], "left_anti").unionAll(
-            cur.join(nxt, ["a", "b"], "left_anti")
-        )
-        if sym_diff.isEmpty():
-            cur = nxt
-            break
-        cur = nxt
+        # Convergence = canonical edge set unchanged. Counts first (r13):
+        # |nxt| != |cur| proves change for the price of a count over the
+        # just-checkpointed blocks, so the two-sided anti-join equality
+        # test — the expensive per-round job — only runs in rounds whose
+        # counts already agree (the fixpoint candidate rounds). Exact:
+        # equal sets must have equal counts; unequal counts never reach
+        # the anti-join; equal counts still prove nothing and fall
+        # through to the full symmetric-difference check as before.
+        nxt_cnt = nxt.count()
+        if nxt_cnt == cur_cnt:
+            sym_diff = nxt.join(cur, ["a", "b"], "left_anti").unionAll(
+                cur.join(nxt, ["a", "b"], "left_anti")
+            )
+            if sym_diff.isEmpty():
+                cur = nxt
+                break
+        cur, cur_cnt = nxt, nxt_cnt
     else:
         raise RuntimeError(
             f"connected_components_star did not converge in {max_iter} rounds"

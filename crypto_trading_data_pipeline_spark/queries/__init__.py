@@ -142,6 +142,10 @@ _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
     ("q_label_propagation", 12),
     ("q_kcore", 12),
     ("q_bfs_reach", 12),
+    ("q_mrr", 9),
+    ("q_kneser_ney", 7),
+    ("q_bigram_lm", 7),
+    ("q_triangle_count", 11),
     # r13 joint pq_train trainer (bit-identical by test):
     ("q_pq_train", 12),
     ("q_ann_pq_trained", 12),

@@ -444,7 +444,16 @@ def neardup_incremental(
     flagged rows. Costs one extra index-build job up front (bounded: the
     index is |bands| x |buckets| rows, never the corpus; a production
     deployment persists it between batches and pays this once)."""
-    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+    # One signature pass shared by the batch side and the corpus index —
+    # bands feeds both, and the band join is additionally re-evaluated by
+    # its two consumers (flags + cand), so without materialization the
+    # shingle+md5+minhash subtree ran up to 4x per action (r13, the
+    # q_minhash_est_jaccard fix; 17 ints/doc, the cheap checkpoint).
+    sig = (
+        _shingle_hashes(docs)
+        .select("doc_id", *dh.minhash_signature(F.col("hs")))
+        .localCheckpoint(eager=True)
+    )
     bands = sig.select(
         "doc_id",
         F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
@@ -3190,15 +3199,21 @@ def q_neardup_threshold_sweep(spark: SparkSession, sf_dir: str):
     hits = pairs.join(F.broadcast(ts)).filter(
         F.col("inter") * 1000000 >= F.col("t_ppm").cast("long") * F.col("uni")
     )
-    np_ = hits.groupBy("t_ppm").agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-    nd = (
-        hits.select("t_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d"))
-        .groupBy("t_ppm")
-        .agg(F.countDistinct("d").cast("bigint").alias("n_docs"))
+    # ONE aggregate over the exploded pair stream (r13): n_pairs and
+    # n_docs used to be two separate aggregates over `hits`, each
+    # re-running the whole LSH+verify chain (Catalyst shares nothing
+    # across aggregate consumers). Every hit contributes exactly two
+    # exploded rows, so count(*) div 2 IS the pair count — exact integer
+    # identity, and the chain now runs once per action.
+    both = hits.select(
+        "t_ppm", F.explode(F.array("doc_a", "doc_b")).alias("d")
+    )
+    stats = both.groupBy("t_ppm").agg(
+        F.expr("count(*) div 2").cast("bigint").alias("n_pairs"),
+        F.countDistinct("d").cast("bigint").alias("n_docs"),
     )
     return (
-        ts.join(np_, "t_ppm", "left")
-        .join(nd, "t_ppm", "left")
+        ts.join(stats, "t_ppm", "left")
         .select(
             "t_ppm",
             F.coalesce(F.col("n_pairs"), F.lit(0)).cast("bigint").alias("n_pairs"),

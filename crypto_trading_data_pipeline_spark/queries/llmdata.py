@@ -2262,7 +2262,12 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str):
         .select(F.explode_outer(toks).alias("tok"))
         .filter(F.col("tok").isNotNull())
     )
-    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu"))
+    # cu feeds both the score join and the vocab-size scalar; without
+    # materialization the full unigram explode+count runs twice (r13).
+    # |vocab| rows — cheap to checkpoint at any scale.
+    cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(
+        eager=True
+    )
     v = cu.agg(F.count(F.lit(1)).alias("v"))
     w1 = F.element_at(F.split(F.col("bg"), " "), 1)
     scored = (
@@ -2923,12 +2928,18 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str):
     # Shared construction with q_bigram_lm (count() is already bigint, so
     # the helper's plain count matches the cast the inline version carried).
     big, cb = _bigram_counts(docs)
+    # The pair table feeds FOUR consumers (ctx, cont, the type total and
+    # the lp join), and each would otherwise re-run the corpus bigram
+    # explode + count aggregate from scratch (r13 — the
+    # q_minhash_est_jaccard share-the-subtree fix). It is vocab^2-BOUNDED
+    # (distinct bigrams, not occurrences), so materializing it once is
+    # the cheap side of the trade at any scale.
     pair = cb.select(
         "bg",
         "cb",
         F.element_at(F.split(F.col("bg"), " "), 1).alias("v"),
         F.element_at(F.split(F.col("bg"), " "), 2).alias("w"),
-    )
+    ).localCheckpoint(eager=True)
     ctx = pair.groupBy("v").agg(
         F.sum("cb").cast("bigint").alias("ctx"),
         F.count(F.lit(1)).cast("bigint").alias("n1f"),
@@ -3246,7 +3257,14 @@ def q_ndcg(spark: SparkSession, sf_dir: str):
     ),
 )
 def q_mrr(spark: SparkSession, sf_dir: str):
-    scored = _bm25_scored(spark, sf_dir)
+    # The scored table feeds TWO consumers (the relevance join and the
+    # rank-counting cross join), and Catalyst re-runs the whole BM25
+    # chain (explode + tf + three joins) per consumer. Materialize once
+    # (r13): the table is (doc_id, score_micro) ints for probe-matching
+    # docs only — bounded, the cheap kind of checkpoint (same call as
+    # q_minhash_est_jaccard's signature share; eager so both consumers
+    # read executor-local blocks).
+    scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=True)
     docs = read_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(
         [(t,) for t in _BM25_TERMS], "term string"

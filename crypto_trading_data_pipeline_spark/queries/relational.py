@@ -2728,6 +2728,13 @@ def q_triangle_count(spark: SparkSession, sf_dir: str):
         )
         .distinct()
     )
+    # Materialize the two bounded edge tables once (r13): pe feeds FIVE
+    # subtrees (both degree sides, orientation, closure, the edge count)
+    # and o feeds both wedge sides — fully lazy, the three joined scalar
+    # aggregates each re-derived the whole chain (367-operator plan, 46
+    # exchanges; plans/r13/q_triangle_count_before.txt). Both tables are
+    # two-int rows bounded by C(7,2)·|orders| — the cheap checkpoint.
+    pe = pe.localCheckpoint(eager=True)
     deg = (
         pe.select(F.col("a").alias("v"))
         .unionAll(pe.select(F.col("b").alias("v")))
@@ -2751,7 +2758,7 @@ def q_triangle_count(spark: SparkSession, sf_dir: str):
             F.when(fwd, F.col("a")).otherwise(F.col("b")).alias("u"),
             F.when(fwd, F.col("b")).otherwise(F.col("a")).alias("v"),
         )
-    )
+    ).localCheckpoint(eager=True)
     o1 = o.select(F.col("u"), F.col("v").alias("v1"))
     o2 = o.select(F.col("u"), F.col("v").alias("v2"))
     w = (
@@ -2761,12 +2768,21 @@ def q_triangle_count(spark: SparkSession, sf_dir: str):
             F.least("v1", "v2").alias("x"), F.greatest("v1", "v2").alias("y")
         )
     )
-    tri = w.join(pe, (pe.a == w.x) & (pe.b == w.y), "inner")
-    return (
-        pe.agg(F.count(F.lit(1)).alias("n_edges"))
-        .join(w.agg(F.count(F.lit(1)).alias("n_wedges")))
-        .join(tri.agg(F.count(F.lit(1)).alias("n_triangles")))
+    # Wedge count + closure count in ONE pass over the wedge stream
+    # (r13): pe is unique on (a, b), so the left join preserves wedge
+    # cardinality exactly — count(*) is n_wedges and the hit-flag sum is
+    # n_triangles, replacing two separate aggregates that each re-built
+    # the O(m^1.5) wedge join.
+    hit = w.join(
+        pe.withColumn("hit", F.lit(1)),
+        (pe.a == w.x) & (pe.b == w.y),
+        "left",
     )
+    counts = hit.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_triangles"),
+    )
+    return pe.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).join(counts)
 
 
 #: Skyline price-bucket width: the bounded global pass runs over

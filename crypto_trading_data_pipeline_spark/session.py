@@ -28,6 +28,20 @@ RUNTIME_CONF = {
     "spark.sql.execution.arrow.pyspark.enabled": "true",
     # Auto-broadcast small join sides (dims like region/nation/supplier).
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # Prefer shuffled-hash over sort-merge when a side is small enough to
+    # hash per partition (r13, guide §3.1/§9): skips the per-side sorts.
+    # The static flag only flips when the planner KNOWS a side satisfies
+    # the size conditions; the AQE threshold converts SMJ->SHJ at runtime
+    # when every post-shuffle partition of the build side is under 64 MB
+    # (same bound as autoBroadcastJoinThreshold), which is what actually
+    # fires behind our unknown-stats checkpointed RDDs. Both bounded, so
+    # the OOM risk §3.1 warns about is capped per partition; sort-merge
+    # still plans wherever the build side could be big. Interleaved
+    # same-box A/B on a 12-query join-heavy set (3 runs per tree per
+    # mode, alternating): every adjacent pair favored SHJ, best totals
+    # 13.6 s vs 16.7 s (-18%) — OPTIMIZATION_r13.md.
+    "spark.sql.join.preferSortMergeJoin": "false",
+    "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold": str(64 * 1024 * 1024),
     # Parquet TIMESTAMP(NANOS) (events.ts fixture) is rejected by Spark's
     # schema converter; read as epoch-nanos LONG and convert in read_table.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
