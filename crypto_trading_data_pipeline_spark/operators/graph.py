@@ -76,19 +76,17 @@ def connected_components(
     # eager=False safe here — do not insert an early limit()/sample()
     # action between these checkpoints and the loop, or later rounds can
     # hit missing-checkpoint-block errors instead of recomputing.
-    # Checkpoint keyed on the per-round join key (b): every propagation
-    # round's und-side SortMergeJoin then reuses the recorded
-    # partitioning/ordering instead of re-exchanging + re-sorting the
-    # edge list per round (r13 — scale.checkpoint_by_key, the q_pagerank
-    # bucketed-edges fix applied to the CC loop; eager now, which also
-    # retires the lazy-checkpoint first-action caveat below).
-    from .scale import checkpoint_by_key
-
-    und = checkpoint_by_key(
+    # r13: a keyed-relayout checkpoint (scale.checkpoint_by_key on b) was
+    # tried and reverted — the per-round label join is AQE-broadcast at
+    # driver scale (labels are |nodes|-bounded), so the recorded layout
+    # went unused while its relayout job cost real time, the same A/B
+    # verdict as q_pagerank (SCALE_AB_R13OPT.json). Bucketed storage is
+    # the 100 TB form of the layout.
+    und = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionAll(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
-        .distinct(),
-        "b",
+        .distinct()
+        .localCheckpoint(eager=False)
     )
     labels = und.select(F.col("a").alias("node")).distinct().withColumn(
         "lbl", F.col("node")

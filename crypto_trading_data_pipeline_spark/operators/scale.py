@@ -93,47 +93,6 @@ def fan_out(df: DataFrame, factor: int = 1) -> DataFrame:
     return df.repartition(target)
 
 
-def checkpoint_by_key(df: DataFrame, *keys: str) -> DataFrame:
-    """Hash-repartition ``df`` on ``keys``, sort within partitions, and take
-    an EAGER localCheckpoint that RECORDS that layout — the bucketed-edges
-    primitive for iterative joins (PageRank/LPA/BFS/CC): every subsequent
-    join or aggregate keyed on ``keys`` reuses the checkpoint's
-    partitioning and ordering instead of re-exchanging + re-sorting the
-    same rows per iteration (guide §2.4 — establish the partitioning once).
-
-    AQE is toggled OFF strictly while the checkpoint is taken (restored in
-    the finally): Dataset.localCheckpoint copies the physical plan's
-    outputPartitioning/outputOrdering into the LogicalRDD, but under AQE
-    the physical plan is an un-executed AdaptiveSparkPlanExec that reports
-    UnknownPartitioning, so a checkpoint built with AQE on silently loses
-    the layout and every iteration pays the exchange anyway (measured both
-    ways — r13, plans/r13/q_pagerank_{before,after}.txt). The checkpointed
-    subplan is a fixed repartition+sort AQE had nothing to improve, and
-    the toggle never spans an action of any OTHER frame (single-threaded
-    query construction; eager=True materializes inside the guard).
-
-    Fault-tolerance trade is the localCheckpoint one documented at the
-    call sites: executor loss mid-query fails the call; multi-hour
-    production graphs should use a reliable checkpoint dir instead."""
-    spark = df.sparkSession
-    # Two stages: (1) materialize the INPUT under AQE — the upstream build
-    # (e.g. a 5-table join + distinct) keeps adaptive coalescing; (2) the
-    # AQE-off window covers ONLY the relayout of that materialized RDD
-    # (one exchange + sort), so disabling AQE never de-optimizes the
-    # expensive part of the lineage.
-    built = df.localCheckpoint(eager=True)
-    prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
-    try:
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        return (
-            built.repartition(*[F.col(k) for k in keys])
-            .sortWithinPartitions(*keys)
-            .localCheckpoint(eager=True)
-        )
-    finally:
-        spark.conf.set("spark.sql.adaptive.enabled", prev)
-
-
 def configured_shuffle_partitions(spark, *, floor: int = 16) -> int:
     """The CONFIGURED cluster width for explicit-count repartitions that
     must survive AQE coalescing (q_bootstrap_ci / q_entity_match): reads

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 
 from ..io import parquet_row_count, read_table, ts_micros, ts_seconds, ts_seconds_d
 from ..operators.joins import asof_join
-from ..operators.scale import checkpoint_by_key, exact_global_rank
+from ..operators.scale import exact_global_rank
 from . import query
 
 def REVENUE():
@@ -2631,21 +2631,16 @@ def q_pagerank(spark: SparkSession, sf_dir: str):
     # are tied to this invocation's lineage — every run pays its own
     # materialization. At 100 TB use a reliable checkpoint dir or an
     # intermediate parquet instead (localCheckpoint dies with an executor).
-    # Partition + sort by the per-iteration JOIN KEY before checkpointing
-    # (r13): LogicalRDD keeps the physical plan's outputPartitioning and
-    # outputOrdering, so every iteration's edges-side SortMergeJoin reuses
-    # them — the before-plan re-exchanged AND re-sorted the checkpointed
-    # edge list once per iteration (3x Exchange + Sort on the same bytes,
-    # plans/r13/q_pagerank_before.txt); the after-plan carries one
-    # repartition paid at checkpoint time. This is literally the
-    # "bucketed on src" layout the doc below promises for 100 TB.
-    # AQE must be OFF while the checkpoint is TAKEN: AdaptiveSparkPlanExec
-    # reports UnknownPartitioning before execution, so a checkpoint built
-    # under AQE records no partitioning and every iteration re-exchanges
-    # anyway (verified both ways on this box; the toggle is restored in
-    # the finally and costs nothing — the checkpointed subplan is a fixed
-    # shape AQE had nothing to improve).
-    edges = checkpoint_by_key(edges, "src")
+    # r13 keyed-relayout note: scale.checkpoint_by_key(edges, "src") DID
+    # remove the per-iteration edges-side Exchange+Sort (10 -> 7 of each,
+    # plans/r13/q_pagerank_{before,after}.txt) — but the interleaved A/B
+    # vs the pre-change tree measured the relayout's extra materialization
+    # costlier than the three saved exchanges at driver scale (best-of-3
+    # 2.09 -> 3.28 s; SCALE_AB_R13OPT.json), because the runtime joins are
+    # AQE-broadcast here anyway. Reverted to the plain checkpoint; at
+    # 100 TB the equivalent layout comes from bucketed STORAGE (write the
+    # edge list bucketed on src once), not an in-job relayout.
+    edges = edges.localCheckpoint(eager=True)
     deg = edges.groupBy(F.col("src").alias("node")).agg(F.count(F.lit(1)).alias("d"))
     deg = deg.localCheckpoint(eager=True)
     state = deg.select("node", F.lit(_PR_SCALE).cast("bigint").alias("pr"), "d")
@@ -2780,7 +2775,12 @@ def q_triangle_count(spark: SparkSession, sf_dir: str):
     )
     counts = hit.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_wedges"),
-        F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("bigint").alias("n_triangles"),
+        # Outer coalesce: SUM over ZERO wedge rows is NULL, and the
+        # contract (and DuckDB's scalar COUNT subquery) says 0 — caught
+        # by test_triangle_count_matches_bruteforce's single-edge graph.
+        F.coalesce(
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))), F.lit(0)
+        ).cast("bigint").alias("n_triangles"),
     )
     return pe.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges")).join(counts)
 
@@ -4473,16 +4473,13 @@ def q_label_propagation(spark: SparkSession, sf_dir: str):
     # respread CURE as worse than the disease: repartitioning the edge
     # list before distinct/checkpoint added two full shuffles and took
     # the warm sf0.1 best-of-4 from 4.0 s to 6.7 s, so the serialized
-    #-but-cheap stages stay. DIFFERENT move, r13: a HASH repartition on
-    # the per-iteration join key (src) + sortWithinPartitions, preserved
-    # by the checkpoint's LogicalRDD, lets each of the three unrolled
-    # iterations' edges-side SortMergeJoins reuse partitioning and
-    # ordering instead of re-exchanging + re-sorting the same edge list
-    # per iteration (see q_pagerank's checkpoint comment; the r10 A/B
-    # above was a ROUND-ROBIN respread before the distinct — a different
-    # change for a different purpose that added shuffles instead of
-    # removing them).
-    edges = checkpoint_by_key(edges, "src")
+    #-but-cheap stages stay. r13: the keyed-relayout variant
+    # (checkpoint_by_key on src) removed the per-iteration edges-side
+    # exchange+sort (9 -> 5 exchanges) but its extra materialization
+    # measured net-negative at driver scale, same verdict as q_pagerank
+    # (SCALE_AB_R13OPT.json) — plain checkpoint kept, bucketed storage is
+    # the 100 TB form of the same layout.
+    edges = edges.localCheckpoint(eager=True)
     state = edges.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("lbl")
     )
@@ -4579,19 +4576,20 @@ def q_kcore(spark: SparkSession, sf_dir: str):
     edges = pe.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
         pe.select(F.col("b").alias("src"), F.col("a").alias("dst"))
     )
-    # Checkpoint per peeling ROUND, not just once (r13): each round
+    # Checkpoint the peeling LINEAGE every two rounds (r13): each round
     # references the previous round's edge set THREE times (degree
     # aggregate + two semi-join sides), so a fully lazy unroll triples
-    # the plan per round — the before-plan had ~885 physical operators
-    # (3^4 copies of the base subtree, ~80 ExistingRDD scans;
-    # plans/r13/q_kcore_before.txt), all planning/codegen bloat that
-    # grows EXPONENTIALLY with rounds. Per-round localCheckpoint makes
-    # the plan linear in rounds — exactly the "rounds checkpoint like
-    # q_pagerank" production shape the doc below already promises. The
-    # initial checkpoint also pre-hashes on src so every round's degree
-    # aggregate and src-side semi join reuse the partitioning.
-    edges = checkpoint_by_key(edges, "src")
-    for _ in range(_KCORE_ROUNDS):
+    # the plan per round — the before-plan had ~886 physical operators
+    # (3^4 copies of the base subtree, 161 exchanges;
+    # plans/r13/q_kcore_before.txt), planning/codegen bloat that grows
+    # EXPONENTIALLY with rounds and would kill the driver long before the
+    # executors on a production loop-to-fixpoint run. A checkpoint every
+    # OTHER round bounds every lazy segment at 3^2 = 9 subtree copies
+    # (final plan 31 operators) while paying half the materialization
+    # jobs of the per-round variant, which the interleaved A/B measured
+    # as the dominant local cost (SCALE_AB_R13OPT.json).
+    edges = edges.localCheckpoint(eager=True)
+    for _r in range(_KCORE_ROUNDS):
         alive = (
             edges.groupBy(F.col("src").alias("node"))
             .agg(F.count(F.lit(1)).alias("d"))
@@ -4603,12 +4601,8 @@ def q_kcore(spark: SparkSession, sf_dir: str):
             .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        # Plain eager checkpoint per round — keyed relayout per round was
-        # measured SLOWER locally (each relayout is an extra exchange+sort
-        # job on a shrinking set); the initial keyed checkpoint already
-        # serves round 1's degree aggregate, and the exponential-plan fix
-        # (this checkpoint) is what matters at every scale.
-        edges = edges.localCheckpoint(eager=True)
+        if _r % 2 == 1:
+            edges = edges.localCheckpoint(eager=True)
     return (
         edges.groupBy(F.col("src").alias("node"))
         .agg(F.count(F.lit(1)).cast("bigint").alias("core_deg"))
@@ -4740,12 +4734,11 @@ def q_bfs_reach(spark: SparkSession, sf_dir: str):
     edges = edges0.union(
         edges0.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Pre-hash + pre-sort on the per-round join key (src), preserved by
-    # the checkpoint's LogicalRDD, so every BFS round's frontier join
-    # reuses the edges-side partitioning/ordering instead of
-    # re-exchanging + re-sorting the full edge list per round (r13 —
-    # the q_pagerank checkpoint fix; the doc's "bucketed on src once").
-    edges = checkpoint_by_key(edges, "src")
+    # r13: the keyed-relayout checkpoint (see q_pagerank's note) was
+    # reverted here too — the per-round frontier join is AQE-broadcast at
+    # driver scale, so the relayout bought nothing and cost an extra
+    # materialization (SCALE_AB_R13OPT.json: 2.32 -> 3.24 s).
+    edges = edges.localCheckpoint(eager=True)
     state = (
         cust.filter(F.col("c_nationkey") == _BFS_SEED_NATION)
         .select((F.col("c_custkey") * 2).alias("node"))
