@@ -161,6 +161,10 @@ _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
     ("q_pca_power", 12),
     ("q_rolling_median", 12),
     ("q_silhouette", 12),
+    # r14 OPTIMIZATION round rewrites (oracle text untouched; plans/values
+    # verified identical at change time — OPTIMIZATION_r14.md):
+    ("q_neardup_incremental", 13),
+    ("q_bootstrap_ci", 13),
 )
 
 

@@ -444,15 +444,22 @@ def neardup_incremental(
     flagged rows. Costs one extra index-build job up front (bounded: the
     index is |bands| x |buckets| rows, never the corpus; a production
     deployment persists it between batches and pays this once)."""
-    # One signature pass shared by the batch side and the corpus index —
-    # bands feeds both, and the band join is additionally re-evaluated by
-    # its two consumers (flags + cand), so without materialization the
-    # shingle+md5+minhash subtree ran up to 4x per action (r13, the
-    # q_minhash_est_jaccard fix; 17 ints/doc, the cheap checkpoint).
-    sig = (
-        _shingle_hashes(docs)
-        .select("doc_id", *dh.minhash_signature(F.col("hs")))
-        .localCheckpoint(eager=True)
+    # NO signature checkpoint (r14, VERDICT r13 #1): the r13 eager
+    # localCheckpoint here was the round's one A/B-confirmed regression
+    # (+19%, head 3.04 s vs baseline 2.57 s, SCALE_AB_R13FINAL.json) —
+    # its dedicated materialization job cost more than the saved
+    # recomputation, and the r14 A/B measured the lazy variant worse
+    # still (+15%, AB_R14_CKPT_LAZY.json: consumers race and duplicate
+    # the shared compute). The un-checkpointed plan is NOT 4x work:
+    # both sides of the band join exchange on (band_id, band_hash), and
+    # the two consumers of the join (flags + cand) reuse those
+    # exchanges (ReusedExchange in the plan), so the signature subtree
+    # executes ~twice (batch side + corpus side), which the A/B prices
+    # cheaper than any materialization at this table's size. At 100 TB
+    # the corpus index is PERSISTED between batches (see docstring) —
+    # the in-job share was never the scale story.
+    sig = _shingle_hashes(docs).select(
+        "doc_id", *dh.minhash_signature(F.col("hs"))
     )
     bands = sig.select(
         "doc_id",
@@ -2404,7 +2411,12 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
     # three times, once per consumer (three documents scans,
     # plans/r13/q_minhash_est_jaccard_before.txt; isolated best-of-3
     # 5.48 s -> see _after plan/bench). Signatures are 17 ints/doc —
-    # the cheapest possible thing to materialize.
+    # the cheapest possible thing to materialize. eager KEPT (r14): the
+    # interleaved fresh-JVM A/B measured the lazy variant ~15% slower
+    # here (AB_R14_CKPT_LAZY.json) — lazy lets the three consumers'
+    # stages race and duplicate the shared signature compute. NOT a
+    # lazy plan constructor: building this frame runs the
+    # materialization job (r13 ADVICE #2 contract note).
     sig = (
         _shingle_hashes(docs)
         .select("doc_id", *dh.minhash_signature(F.col("hs")))

@@ -2333,19 +2333,28 @@ def _boot_sql() -> str:
     ),
 )
 def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
-    from ..io import ts_seconds
-
-    key = F.concat_ws(
-        ":", F.col("symbol"), ts_seconds("minute").cast("string")
-    )
+    # r14 (VERDICT r13 #4, guide §1.2 step 2 applied to the DRIVER): this
+    # was the registry's chattiest constructor — the Column-object form
+    # issued ~14,600 py4j round-trips building the 32x(4 CASE)+66-agg
+    # expression forest (~2.6 s of the 3.16 s driver wall; cProfile in
+    # OPTIMIZATION_r14.md). The SAME expressions are now rendered as SQL
+    # text and parsed JVM-side in a handful of calls. The analyzed plan
+    # is IDENTICAL (asserted expression-by-expression at change time via
+    # plan-text equality, tests/test_plan_quality.py keeps the shape
+    # gates) so every value, and the oracle hash, is unchanged.
+    #
     # TWO md5 digests per row carry all 32 weights (256 bits = 32 x 8):
     # hex byte b of the concatenation is resample b's 4 x 2-bit draw. The
     # per-resample-hash form cost 5.8 s at sf0.1 — 64 md5 trees per row,
     # evaluated on the post-aggregate table AQE coalesces to ONE partition
     # at fixture size, so per-row expression cost was wall time.
-    hh = F.concat(
-        F.md5(F.concat(key, F.lit(":0")).cast("binary")),
-        F.md5(F.concat(key, F.lit(":1")).cast("binary")),
+    key = (
+        "concat_ws(':', symbol, "
+        "CAST(CAST(CAST(minute AS timestamp) AS bigint) AS string))"
+    )
+    hh = (
+        f"concat(md5(CAST(concat({key}, ':0') AS binary)), "
+        f"md5(CAST(concat({key}, ':1') AS binary)))"
     )
     # Spread the close table BEFORE the digest/weight projection: the
     # upstream aggregate's exchange AQE-coalesces to one partition at
@@ -2367,62 +2376,51 @@ def q_bootstrap_ci(spark: SparkSession, sf_dir: str):
     spread = _closes(spark, sf_dir).repartition(
         configured_shuffle_partitions(spark)
     )
-    cents = spread.select(
+    cents = spread.selectExpr(
         "symbol",
         "minute",
-        F.floor(F.col("close") * 100.0 + 0.5).cast("bigint").alias("c"),
-        hh.alias("hh"),
+        "CAST(floor(close * 100.0 + 0.5) AS bigint) AS c",
+        f"{hh} AS hh",
     )
 
-    def w(b: int):
-        byte = F.conv(F.substring(F.col("hh"), 2 * b + 1, 2), 16, 10).cast(
-            "long"
+    def w(b: int) -> str:
+        byte = f"CAST(conv(substring(hh, {2 * b + 1}, 2), 16, 10) AS bigint)"
+        return " + ".join(
+            f"(CASE WHEN (shiftright({byte}, {2 * j}) & 3) = 0 "
+            "THEN 1 ELSE 0 END)"
+            for j in range(4)
         )
-        parts = None
-        for j in range(4):
-            bit = F.when(
-                F.shiftright(byte, 2 * j).bitwiseAND(F.lit(3)) == 0, 1
-            ).otherwise(0)
-            parts = bit if parts is None else parts + bit
-        return parts
 
     # Weights as a narrow projection feeding a 66-buffer partial+final
     # aggregate. The buffer width is fine once the work is SPREAD (see the
     # round-robin note above): a long-form posexplode variant measured
     # 2x slower (explode duplicates the array expr per the q_contamination
     # trap even as OUTER, plus a second pass for the per-symbol stats).
-    weighted = cents.select(
-        "symbol", "c", *[w(b).alias(f"w{b}") for b in range(_BOOT_B)]
+    weighted = cents.selectExpr(
+        "symbol", "c", *[f"{w(b)} AS w{b}" for b in range(_BOOT_B)]
     )
     aggs = [
-        F.count(F.lit(1)).cast("bigint").alias("n_minutes"),
-        F.sum("c").cast("bigint").alias("sc"),
+        F.expr("CAST(count(1) AS bigint)").alias("n_minutes"),
+        F.expr("CAST(sum(c) AS bigint)").alias("sc"),
     ]
     for b in range(_BOOT_B):
-        aggs.append(F.sum(F.col(f"w{b}")).cast("bigint").alias(f"sw{b}"))
+        aggs.append(F.expr(f"CAST(sum(w{b}) AS bigint)").alias(f"sw{b}"))
         aggs.append(
-            F.sum(F.col(f"w{b}") * F.col("c")).cast("bigint").alias(f"swv{b}")
+            F.expr(f"CAST(sum(w{b} * c) AS bigint)").alias(f"swv{b}")
         )
     partials = weighted.groupBy("symbol").agg(*aggs)
 
-    full_mean = F.col("sc").cast("double") / F.col("n_minutes")
-    means = F.array_sort(
-        F.array(
-            *[
-                F.when(
-                    F.col(f"sw{b}") > 0,
-                    F.col(f"swv{b}").cast("double") / F.col(f"sw{b}"),
-                ).otherwise(full_mean)
-                for b in range(_BOOT_B)
-            ]
-        )
+    means = ", ".join(
+        f"CASE WHEN sw{b} > 0 THEN CAST(swv{b} AS double) / sw{b} "
+        "ELSE CAST(sc AS double) / n_minutes END"
+        for b in range(_BOOT_B)
     )
-    return partials.select(
+    return partials.selectExpr(
         "symbol",
         "n_minutes",
-        (F.col("sc").cast("double") / F.col("n_minutes")).alias("mean_c"),
-        F.element_at(means, _BOOT_LO).alias("ci_lo_c"),
-        F.element_at(means, _BOOT_HI).alias("ci_hi_c"),
+        "CAST(sc AS double) / n_minutes AS mean_c",
+        f"element_at(array_sort(array({means})), {_BOOT_LO}) AS ci_lo_c",
+        f"element_at(array_sort(array({means})), {_BOOT_HI}) AS ci_hi_c",
     )
 
 

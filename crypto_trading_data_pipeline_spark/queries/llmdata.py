@@ -2264,7 +2264,13 @@ def q_bigram_lm(spark: SparkSession, sf_dir: str):
     )
     # cu feeds both the score join and the vocab-size scalar; without
     # materialization the full unigram explode+count runs twice (r13).
-    # |vocab| rows — cheap to checkpoint at any scale.
+    # |vocab| rows — cheap to checkpoint at any scale. eager KEPT (r14):
+    # an interleaved fresh-JVM A/B of eager vs lazy here measured lazy
+    # ~5% slower (AB_R14_CKPT_LAZY.json) — with a lazy checkpoint the
+    # consumers' stages race to compute the shared RDD concurrently and
+    # duplicate its work, costing more than the dedicated job saves.
+    # NOT a lazy plan constructor: building this frame runs the
+    # materialization job (r13 ADVICE #2 contract note).
     cu = uni.groupBy("tok").agg(F.count(F.lit(1)).alias("cu")).localCheckpoint(
         eager=True
     )
@@ -2933,7 +2939,12 @@ def q_kneser_ney(spark: SparkSession, sf_dir: str):
     # explode + count aggregate from scratch (r13 — the
     # q_minhash_est_jaccard share-the-subtree fix). It is vocab^2-BOUNDED
     # (distinct bigrams, not occurrences), so materializing it once is
-    # the cheap side of the trade at any scale.
+    # the cheap side of the trade at any scale. eager KEPT (r14): the
+    # interleaved fresh-JVM A/B measured the lazy variant ~5% slower
+    # (AB_R14_CKPT_LAZY.json) — lazy lets the four consumers' stages
+    # race and duplicate the shared compute. NOT a lazy plan
+    # constructor: building this frame runs the materialization job
+    # (r13 ADVICE #2 contract note).
     pair = cb.select(
         "bg",
         "cb",
@@ -3262,8 +3273,11 @@ def q_mrr(spark: SparkSession, sf_dir: str):
     # chain (explode + tf + three joins) per consumer. Materialize once
     # (r13): the table is (doc_id, score_micro) ints for probe-matching
     # docs only — bounded, the cheap kind of checkpoint (same call as
-    # q_minhash_est_jaccard's signature share; eager so both consumers
-    # read executor-local blocks).
+    # q_minhash_est_jaccard's signature share). eager KEPT (r14): the
+    # interleaved fresh-JVM A/B measured the lazy variant ~5% slower
+    # (AB_R14_CKPT_LAZY.json) — lazy lets both consumers' stages race
+    # and duplicate the BM25 chain. NOT a lazy plan constructor:
+    # building this frame runs the materialization job (r13 ADVICE #2).
     scored = _bm25_scored(spark, sf_dir).localCheckpoint(eager=True)
     docs = read_table(spark, sf_dir, "documents")
     terms = spark.createDataFrame(

@@ -29,7 +29,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("queries", nargs="+")
     ap.add_argument("--runs", type=int, default=3)
-    ap.add_argument("--plans", default=None, help="dump explain(formatted) to plans/r13/<q>_<TAG>.txt")
+    ap.add_argument("--plans", default=None, help="dump explain(formatted) to plans/<dir>/<q>_<TAG>.txt")
+    ap.add_argument("--plans-dir", default="r14", help="subdir under plans/ for the dumps")
     ap.add_argument("--sf", default=os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
     args = ap.parse_args()
 
@@ -62,12 +63,19 @@ def main() -> None:
             continue
         fn = REGISTRY[name].fn
         if args.plans:
-            plan_dir = os.path.join(here, "plans", "r13")
+            plan_dir = os.path.join(here, "plans", args.plans_dir)
             os.makedirs(plan_dir, exist_ok=True)
             df = fn(spark, args.sf)
+            # Public API only (r13 ADVICE #4): capture explain() stdout
+            # instead of the private PythonSQLUtils/_jdf bridge.
+            import contextlib
+            import io as _io
+
+            buf = _io.StringIO()
+            with contextlib.redirect_stdout(buf):
+                df.explain(mode="formatted")
             with open(os.path.join(plan_dir, f"{name}_{args.plans}.txt"), "w") as f:
-                f.write(df._sc._jvm.PythonSQLUtils.explainString(
-                    df._jdf.queryExecution(), "formatted"))
+                f.write(buf.getvalue())
         runs = []
         spark.sparkContext.setJobDescription(f"opt_probe:{name}")
         for _ in range(args.runs):
