@@ -128,11 +128,39 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
         return None
 
 
+#: In-process cache of INFERRED parquet schemas, keyed by (path, mtime).
+#: Metadata only — a StructType, never data: every query still computes
+#: from the parquet files on every invocation. Footer schema inference +
+#: file-index setup cost ~0.10-0.13 s of driver time PER spark.read call
+#: (FLOOR_PROBE.json: infer 0.099 s vs 0.020 s with an explicit schema),
+#: and the bench re-reads each fixture hundreds of times; production
+#: engines never re-infer either — the catalog carries the schema
+#: (spark.read.table). The mtime key invalidates the entry when a test or
+#: probe overwrites the path with a re-written table (overwrite recreates
+#: the file/dir, bumping mtime).
+_SCHEMA_CACHE: dict[tuple[str, float], "object"] = {}
+
+
+def _read_parquet_cached_schema(spark: SparkSession, path: str) -> DataFrame:
+    import os as _os
+
+    try:
+        key = (path, _os.path.getmtime(path))
+    except OSError:
+        return spark.read.parquet(path)  # missing path: let Spark error out
+    sch = _SCHEMA_CACHE.get(key)
+    if sch is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(sch).parquet(path)
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Applies engine runtime conf (UTC tz, AQE) so
     queries behave identically whether the session is ours or the driver's."""
     apply_runtime_conf(spark)
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df = _read_parquet_cached_schema(spark, f"{sf_dir}/{name}.parquet")
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, LongType):
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))

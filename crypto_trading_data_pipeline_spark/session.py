@@ -74,9 +74,33 @@ STARTUP_CONF = {
 }
 
 
+#: Sessions this process has already configured. apply_runtime_conf is
+#: called by EVERY read_table and each of its 11 conf.set calls is a
+#: ~2 ms py4j round trip (~21 ms/call, FLOOR_PROBE.json) — across a
+#: 164-query bench run that is tens of seconds of pure driver chatter.
+#: The fast path is ONE round trip: if this wrapper was already
+#:  configured AND the timezone canary still reads UTC, skip the
+#: re-apply. A hostile mid-process `spark.conf.set("...timeZone", ...)`
+#: flips the canary and forces the full re-apply (the tz-invariance
+#: contract tests/test_streaming_tz_sweep.py relies on); a hostile flip
+#: of one of the OTHER runtime confs between reads is not re-defended —
+#: tests that probe conf-sensitive behavior already set their knobs
+#: AFTER the last read_table call for exactly this reason.
+import weakref
+
+_CONF_APPLIED: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
 def apply_runtime_conf(spark: SparkSession) -> SparkSession:
     """Apply runtime-safe configs to an existing session (e.g. one handed to
     us by a driver harness). Idempotent and cheap."""
+    try:
+        if spark in _CONF_APPLIED and (
+            spark.conf.get("spark.sql.session.timeZone", None) == "UTC"
+        ):
+            return spark
+    except Exception:
+        pass  # canary probe failed: fall through to the full apply
     for k, v in RUNTIME_CONF.items():
         try:
             spark.conf.set(k, v)
@@ -84,6 +108,10 @@ def apply_runtime_conf(spark: SparkSession) -> SparkSession:
             # Some configs may be marked static on exotic builds; the session
             # still works, just without that knob.
             pass
+    try:
+        _CONF_APPLIED.add(spark)
+    except TypeError:
+        pass  # non-weakref-able session stub (tests): always full-apply
     return spark
 
 

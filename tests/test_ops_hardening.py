@@ -332,3 +332,48 @@ def test_star_cc_matches_union_find_on_random_graphs(spark):
         }
         want = _union_find_components(edges)
         assert got == want
+
+
+def test_read_table_schema_cache_invalidates_on_rewrite(spark, tmp_path):
+    """The in-process schema cache (io._SCHEMA_CACHE, r14 fixed-floor work)
+    is metadata-only and mtime-keyed: re-reading an unchanged path reuses
+    the inferred StructType, and OVERWRITING the path with a different
+    schema must invalidate the entry — a stale explicit schema would
+    silently null out new columns."""
+    import time
+
+    from pyspark.sql import functions as F
+
+    from crypto_trading_data_pipeline_spark.io import read_table
+
+    d = str(tmp_path)
+    spark.range(5).select(F.col("id").alias("a")).write.mode("overwrite").parquet(
+        f"{d}/t.parquet"
+    )
+    first = read_table(spark, d, "t")
+    assert [f.name for f in first.schema.fields] == ["a"]
+    # Cached path: same schema object semantics, same rows.
+    again = read_table(spark, d, "t")
+    assert again.schema == first.schema
+    assert again.count() == 5
+    # mtime granularity is 1 s on some filesystems — force a visible bump.
+    time.sleep(1.1)
+    spark.range(3).select(
+        F.col("id").alias("a"), (F.col("id") * 2).alias("b")
+    ).write.mode("overwrite").parquet(f"{d}/t.parquet")
+    rewritten = read_table(spark, d, "t")
+    assert [f.name for f in rewritten.schema.fields] == ["a", "b"]
+    assert rewritten.count() == 3
+
+
+def test_runtime_conf_fast_path_repins_hostile_timezone(spark):
+    """apply_runtime_conf's one-round-trip fast path must NOT survive a
+    hostile mid-process timezone flip: the canary probe re-applies the
+    engine conf, preserving the read_table-re-pins-UTC contract the tz
+    sweep relies on."""
+    from crypto_trading_data_pipeline_spark.session import apply_runtime_conf
+
+    apply_runtime_conf(spark)  # marker set, tz pinned UTC
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    apply_runtime_conf(spark)
+    assert spark.conf.get("spark.sql.session.timeZone") == "UTC"
