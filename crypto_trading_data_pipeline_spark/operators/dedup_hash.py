@@ -134,6 +134,72 @@ def simhash(hashes: Column, bits: int = SIMHASH_BITS) -> Column:
 
 
 # ---------------------------------------------------------------------------
+# Spark-SQL text generators (r14 fixed-floor work). Building the MinHash/LSH
+# expression forest as Column objects costs hundreds of ~2 ms py4j round
+# trips PER QUERY CONSTRUCTION (profiled in OPTIMIZATION_r14.md); rendering
+# the SAME expressions as SQL text parsed JVM-side cuts that to a handful of
+# selectExpr calls. These mirror the Column builders above expression by
+# expression — keep all three families (Column / Spark SQL / DuckDB SQL) in
+# lockstep.
+# ---------------------------------------------------------------------------
+
+
+def sparksql_token_hash(expr: str) -> str:
+    """Spark-SQL text of ``token_hash`` applied to ``expr``."""
+    return (
+        f"(CAST(conv(substring(md5(CAST({expr} AS binary)), 1, 15), 16, 10) "
+        f"AS bigint) % {MINHASH_P})"
+    )
+
+
+def sparksql_word_shingles(text_expr: str, k: int = 3) -> str:
+    """Spark-SQL text of ``word_shingles`` over ``text_expr``."""
+    toks = f"split({text_expr}, ' ')"
+    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(k))
+    return (
+        f"CASE WHEN size({toks}) >= {k} THEN "
+        f"array_distinct(transform(sequence(1, size({toks}) - {k - 1}), "
+        f"i -> concat_ws(' ', {parts}))) "
+        f"ELSE CAST(array() AS array<string>) END"
+    )
+
+
+def sparksql_minhash_signature(hs_expr: str = "hs") -> list[str]:
+    """Spark-SQL text of ``minhash_signature`` (16 aliased items) over a
+    materialized hash-array column."""
+    return [
+        f"array_min(transform({hs_expr}, h -> (({a} * h + {b}) % {MINHASH_P}))) AS m{i}"
+        for i, (a, b) in enumerate(MINHASH_PERMS)
+    ]
+
+
+def sparksql_token_hash_list(toks_expr: str) -> str:
+    """Spark-SQL text of a token-hash array over a token-array expression."""
+    return f"transform({toks_expr}, t -> {sparksql_token_hash('t')})"
+
+
+def sparksql_simhash(hs_col: str, bits: int = SIMHASH_BITS) -> str:
+    """Spark-SQL text of ``simhash`` over a materialized hash-array column.
+    The Column form folds 32 majority-vote terms (~8 py4j calls each)."""
+    terms = " + ".join(
+        f"(CASE WHEN size(filter({hs_col}, h -> (h & {1 << j}) != 0)) * 2 "
+        f"> size({hs_col}) THEN {1 << j} ELSE 0 END)"
+        for j in range(bits)
+    )
+    return f"(CAST(0 AS bigint) + {terms})"
+
+
+def sparksql_band_hashes(sig_cols: list[str]) -> list[str]:
+    """Spark-SQL text of ``band_hashes`` (un-aliased band digests)."""
+    out = []
+    for band in range(LSH_BANDS):
+        cols = sig_cols[band * LSH_ROWS_PER_BAND : (band + 1) * LSH_ROWS_PER_BAND]
+        cat = ", ".join(f"CAST({c} AS string)" for c in cols)
+        out.append(f"md5(CAST(concat_ws(',', {cat}) AS binary))")
+    return out
+
+
+# ---------------------------------------------------------------------------
 # DuckDB-side SQL generators (same constants — keep in lockstep with above)
 # ---------------------------------------------------------------------------
 

@@ -165,6 +165,19 @@ _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
     # verified identical at change time — OPTIMIZATION_r14.md):
     ("q_neardup_incremental", 13),
     ("q_bootstrap_ci", 13),
+    # r14 SQL-text constructor rendering (identical plans, py4j chatter cut):
+    ("q_lsh_pairs", 13),
+    ("q_lsh_bucket_stats", 13),
+    ("q_neardup_dedup", 13),
+    ("q_neardup_threshold_sweep", 13),
+    ("q_neardup_components", 13),
+    ("q_neardup_components_star", 13),
+    ("q_minhash_sig", 13),
+    ("q_minhash_est_jaccard", 13),
+    ("q_simhash", 13),
+    ("q_simhash_pairs", 13),
+    ("q_contamination", 13),
+    ("q_ngram_jaccard", 13),
 )
 
 

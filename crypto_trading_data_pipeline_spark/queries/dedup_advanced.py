@@ -38,11 +38,18 @@ def _shingle_hashes(docs):
     fan_out first: the md5-per-shingle cost dominates the scan, so
     parallelism must come from cores, not input splits (see scale.fan_out).
     """
+    # SQL-text construction (r14 fixed-floor work): identical expressions
+    # to the Column builders (dh.word_shingles / dh.token_hash), rendered
+    # JVM-side in two selectExpr calls instead of ~100 py4j round trips —
+    # this helper sits under SIX near-dup queries, so its construction
+    # chatter multiplied across the whole family.
     return (
         fan_out(docs.select("doc_id", "text"))
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
-        .select("doc_id", F.transform("sh", dh.token_hash).alias("hs"))
+        .selectExpr("doc_id", f"{dh.sparksql_word_shingles('text', 3)} AS sh")
+        .selectExpr(
+            "doc_id", f"transform(sh, t -> {dh.sparksql_token_hash('t')}) AS hs"
+        )
     )
 
 
@@ -61,7 +68,9 @@ def _shingle_hashes(docs):
 )
 def q_minhash_sig(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    return _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
+    return _shingle_hashes(docs).selectExpr(
+        "doc_id", *dh.sparksql_minhash_signature("hs")
+    )
 
 
 #: Per-bucket candidate cap. A band bucket of n docs expands to C(n,2)
@@ -120,12 +129,14 @@ def _lsh_candidate_pairs(
     compute things twice). Values are identical by construction: the
     default is exactly this expression."""
     if sig is None:
-        sig = _shingle_hashes(docs).select(
-            "doc_id", *dh.minhash_signature(F.col("hs"))
+        sig = _shingle_hashes(docs).selectExpr(
+            "doc_id", *dh.sparksql_minhash_signature("hs")
         )
-    bands = sig.select(
+    bands = sig.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+        "posexplode(array("
+        + ", ".join(dh.sparksql_band_hashes(_SIG_COLS))
+        + ")) AS (band_id, band_hash)",
     )
     buckets = (
         bands.groupBy("band_id", "band_hash")
@@ -136,18 +147,15 @@ def _lsh_candidate_pairs(
     buckets = _observe_bucket_cap(buckets, bucket_cap, observation, "lsh_bucket_cap")
     # ids is sorted, so pairing each element with everything after it emits
     # each unordered pair exactly once with doc_a < doc_b.
-    pairs = F.explode(
-        F.flatten(
-            F.transform(
-                F.col("ids"),
-                lambda a, i: F.transform(
-                    F.slice(F.col("ids"), i + F.lit(2), F.size(F.col("ids"))),
-                    lambda b: F.struct(a.alias("doc_a"), b.alias("doc_b")),
-                ),
-            )
+    return (
+        buckets.selectExpr(
+            "explode(flatten(transform(ids, (a, i) -> "
+            "transform(slice(ids, i + 2, size(ids)), "
+            "b -> struct(a AS doc_a, b AS doc_b))))) AS p"
         )
+        .select("p.doc_a", "p.doc_b")
+        .distinct()
     )
-    return buckets.select(pairs.alias("p")).select("p.doc_a", "p.doc_b").distinct()
 
 
 def _candidate_pair_overlap(docs):
@@ -172,7 +180,7 @@ def _candidate_pair_overlap(docs):
     sh = (
         fan_out(docs.select("doc_id", "text"))
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+        .selectExpr("doc_id", f"{dh.sparksql_word_shingles('text', 3)} AS sh")
     )
     sa = sh.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
@@ -289,10 +297,14 @@ def q_lsh_pairs(spark: SparkSession, sf_dir: str):
 )
 def q_lsh_bucket_stats(spark: SparkSession, sf_dir: str):
     docs = read_table(spark, sf_dir, "documents")
-    sig = _shingle_hashes(docs).select("doc_id", *dh.minhash_signature(F.col("hs")))
-    bands = sig.select(
+    sig = _shingle_hashes(docs).selectExpr(
+        "doc_id", *dh.sparksql_minhash_signature("hs")
+    )
+    bands = sig.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+        "posexplode(array("
+        + ", ".join(dh.sparksql_band_hashes(_SIG_COLS))
+        + ")) AS (band_id, band_hash)",
     )
     b = bands.groupBy("band_id", "band_hash").agg(F.count(F.lit(1)).alias("n"))
     cap = _LSH_BUCKET_CAP
@@ -458,12 +470,14 @@ def neardup_incremental(
     # cheaper than any materialization at this table's size. At 100 TB
     # the corpus index is PERSISTED between batches (see docstring) —
     # the in-job share was never the scale story.
-    sig = _shingle_hashes(docs).select(
-        "doc_id", *dh.minhash_signature(F.col("hs"))
+    sig = _shingle_hashes(docs).selectExpr(
+        "doc_id", *dh.sparksql_minhash_signature("hs")
     )
-    bands = sig.select(
+    bands = sig.selectExpr(
         "doc_id",
-        F.posexplode(F.array(*dh.band_hashes(_SIG_COLS))).alias("band_id", "band_hash"),
+        "posexplode(array("
+        + ", ".join(dh.sparksql_band_hashes(_SIG_COLS))
+        + ")) AS (band_id, band_hash)",
     )
     bb = bands.filter(F.col("doc_id") >= cutoff).select(
         F.col("doc_id").alias("batch_id"), "band_id", "band_hash"
@@ -516,7 +530,7 @@ def neardup_incremental(
     sh = (
         fan_out(docs.select("doc_id", "text"))
         .filter(F.size(F.split(F.col("text"), " ")) >= 3)
-        .select("doc_id", dh.word_shingles(F.col("text"), 3).alias("sh"))
+        .selectExpr("doc_id", f"{dh.sparksql_word_shingles('text', 3)} AS sh")
     )
     sa = sh.select(F.col("doc_id").alias("batch_id"), F.col("sh").alias("sh_a"))
     sb = sh.select(F.col("doc_id").alias("corpus_id"), F.col("sh").alias("sh_b"))
@@ -568,8 +582,8 @@ def neardup_incremental(
 )
 def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
-        "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).selectExpr(
+        "doc_id", "lang", "n_chars", f"{dh.sparksql_word_shingles('text', 3)} AS sh"
     )
     joined = _length_blocked_join(sh, payload={"sh": "sh"}, tol=5)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -594,11 +608,9 @@ def q_ngram_jaccard(spark: SparkSession, sf_dir: str):
 )
 def q_simhash(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    hashed = docs.select(
-        "doc_id",
-        F.transform(F.split(F.col("text"), " "), dh.token_hash).alias("hs"),
-    )
-    return hashed.select("doc_id", dh.simhash(F.col("hs")).alias("simhash"))
+    _hs = dh.sparksql_token_hash_list("split(text, ' ')")
+    hashed = docs.selectExpr("doc_id", f"{_hs} AS hs")
+    return hashed.selectExpr("doc_id", f"{dh.sparksql_simhash('hs')} AS simhash")
 
 
 #: q_embed_neardup is an exact O(n^2) baseline for validating the ANN
@@ -2302,10 +2314,9 @@ _SH_BANDS, _SH_BITS_PER_BAND, _SH_MAX_HAMMING = 4, 8, 3
 )
 def q_simhash_pairs(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents").select("doc_id", "text"))
-    hashed = docs.select(
-        "doc_id", F.transform(F.split(F.col("text"), " "), dh.token_hash).alias("hs")
-    )
-    s = hashed.select("doc_id", dh.simhash(F.col("hs")).alias("sh"))
+    _hs = dh.sparksql_token_hash_list("split(text, ' ')")
+    hashed = docs.selectExpr("doc_id", f"{_hs} AS hs")
+    s = hashed.selectExpr("doc_id", f"{dh.sparksql_simhash('hs')} AS sh")
     bands = s.select(
         "doc_id",
         "sh",
@@ -2419,7 +2430,7 @@ def q_minhash_est_jaccard(spark: SparkSession, sf_dir: str):
     # materialization job (r13 ADVICE #2 contract note).
     sig = (
         _shingle_hashes(docs)
-        .select("doc_id", *dh.minhash_signature(F.col("hs")))
+        .selectExpr("doc_id", *dh.sparksql_minhash_signature("hs"))
         .localCheckpoint(eager=True)
     )
     cand = _lsh_candidate_pairs(docs, sig=sig)
@@ -2831,8 +2842,8 @@ _SQL_SHINGLES5 = dh.sql_word_shingles("text", k=5)
 )
 def q_containment(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).select(
-        "doc_id", "lang", "n_chars", dh.word_shingles(F.col("text"), 3).alias("sh")
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 3).selectExpr(
+        "doc_id", "lang", "n_chars", f"{dh.sparksql_word_shingles('text', 3)} AS sh"
     )
     joined = _length_blocked_join(sh, payload={"sh": "sh"}, tol=5)
     inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
@@ -2878,8 +2889,8 @@ def q_containment(spark: SparkSession, sf_dir: str):
 )
 def q_contamination(spark: SparkSession, sf_dir: str):
     docs = fan_out(read_table(spark, sf_dir, "documents"))
-    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5).select(
-        "doc_id", dh.word_shingles(F.col("text"), 5).alias("sh")
+    sh = docs.filter(F.size(F.split(F.col("text"), " ")) >= 5).selectExpr(
+        "doc_id", f"{dh.sparksql_word_shingles('text', 5)} AS sh"
     )
     # explode_outer, NOT explode: plain explode makes Catalyst infer
     # size(sh) > 0 and push it into the parquet scan's filter — which
