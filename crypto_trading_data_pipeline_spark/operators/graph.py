@@ -109,6 +109,11 @@ def connected_components(
         # so the left join never NULLs; least() would ignore a NULL m
         # anyway and `m < old` is NULL-false, keeping the fold exact.
         mins = msgs.groupBy("node").agg(F.min("lbl").alias("m"))
+        # eager=False + count (r14): an eager checkpoint runs its own
+        # materialization job and the convergence count is then a SECOND
+        # job; the lazy checkpoint is materialized BY the count (a filter
+        # count reads every partition), fusing the two into one job per
+        # round. Single consumer in that job — no racing recompute.
         stepped = (
             labels.withColumnRenamed("lbl", "old")
             .join(mins, "node", "left")
@@ -117,7 +122,7 @@ def connected_components(
                 F.least(F.col("old"), F.col("m")).alias("lbl"),
                 (F.col("m") < F.col("old")).alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = stepped.filter("chg").count()
         labels = stepped.select("node", "lbl")
@@ -136,13 +141,20 @@ def _large_star(und: DataFrame) -> DataFrame:
     """One large-star round: every neighbor v > u re-links to u's minimum
     neighborhood label. min is a groupBy aggregate joined back — never a
     collect_list, so hub nodes (star roots with millions of children)
-    stream through the join instead of materializing one giant row."""
+    stream through the join instead of materializing one giant row.
+
+    No trailing ``.distinct()`` (r14, VERDICT r13 #5 round fusion): the
+    only consumer is ``_small_star``, whose groupBy-min is duplicate-
+    insensitive and whose own output ends in a distinct — the dedup here
+    was one redundant full shuffle of the relinked edge set per round
+    (exchanges per round drop in plans/r14/q_neardup_components_star_*).
+    Duplicates in the joined stream are bounded: one row per (input edge),
+    so the un-deduped volume never exceeds the symmetric closure's."""
     m = und.groupBy("a").agg(F.least(F.min("b"), F.first("a")).alias("m"))
     return (
         und.join(m, "a")
         .filter(F.col("b") > F.col("a"))
         .select(F.col("b").alias("a"), F.col("m").alias("b"))
-        .distinct()
     )
 
 
@@ -183,7 +195,10 @@ def connected_components_star(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=True)
+    # nodes: eager=False (r14) — its only consumer is the FINAL labels
+    # join after convergence, one job, no racing; the eager form ran a
+    # dedicated materialization job before the loop even started.
+    nodes = und.select(F.col("a").alias("node")).distinct().localCheckpoint(eager=False)
     # Keep the working set CANONICAL (a > b, one row per undirected edge —
     # und is symmetric and distinct, so the filter keeps exactly one
     # orientation of every edge). Each round's symmetric closure is then a
@@ -203,7 +218,10 @@ def connected_components_star(
         # symmetric closure would add all fail _small_star's canonical
         # a > b filter, so closing ls symmetrically was a second dead
         # union+distinct per round — pass ls straight through.
-        nxt = _small_star(ls).localCheckpoint(eager=True)
+        # eager=False + count (r14): the convergence count below reads
+        # every partition and materializes the checkpoint — one job per
+        # round instead of checkpoint-job + count-job.
+        nxt = _small_star(ls).localCheckpoint(eager=False)
         # Convergence = canonical edge set unchanged. Counts first (r13):
         # |nxt| != |cur| proves change for the price of a count over the
         # just-checkpointed blocks, so the two-sided anti-join equality

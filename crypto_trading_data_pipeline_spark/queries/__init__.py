@@ -178,6 +178,18 @@ _CODE_CHANGED_RECHECK: tuple[tuple[str, int], ...] = (
     ("q_simhash_pairs", 13),
     ("q_contamination", 13),
     ("q_ngram_jaccard", 13),
+    # r14 split-once pair streams, PQ-encode SQL text, loop job fusion:
+    ("q_cooccur_ppmi", 13),
+    ("q_cooccur_ppmi_pruned", 13),
+    ("q_bigram_lm", 13),
+    ("q_kneser_ney", 13),
+    ("q_ann_ivfpq", 13),
+    ("q_ann_ivfpq_probe3", 13),
+    ("q_ann_rerank", 13),
+    ("q_ann_pq_trained", 13),
+    ("q_logreg_train", 13),
+    ("q_kcore", 13),
+    ("q_mutual_info", 13),
 )
 
 

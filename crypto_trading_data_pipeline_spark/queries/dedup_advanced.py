@@ -16,7 +16,12 @@ from pyspark.sql import functions as F
 
 from ..io import parquet_row_count, read_table
 from ..operators import dedup_hash as dh
-from ..operators.scale import configured_shuffle_partitions, fan_out, inline_literal
+from ..operators.scale import (
+    configured_shuffle_partitions,
+    fan_out,
+    inline_literal,
+    render_sql_literal,
+)
 from ..operators.similarity import as_double_vec, dot, l2_norm
 from . import query
 
@@ -1013,28 +1018,37 @@ def _pq_encode(df, cb, keep=("vec_id",)):
     # ONE expr-string literal, not m*k*dsub per-element lit() nodes — 512
     # py4j hops (~1 s of driver latency) per plan build otherwise
     # (operators/scale.inline_literal; values bit-identical by the repr
-    # round-trip contract documented there).
-    cb_lit = inline_literal(
+    # round-trip contract documented there). r14: the whole per-subspace
+    # argmin is now SQL text too (the remaining ~160 Column-builder round
+    # trips were ~0.4 s of the probe3 construct, cProfile in
+    # OPTIMIZATION_r14.md); expressions identical, parsed JVM-side.
+    cb_sql = render_sql_literal(
         [[[float(c) for c in cb[j][code]] for code in range(_PQ_K)] for j in range(_PQ_M)]
     )
 
-    def code_for(j: int):
-        sub = F.slice(F.col("v"), j * _PQ_DSUB + 1, _PQ_DSUB)
-        d2s = F.transform(
-            F.element_at(cb_lit, j + 1),
-            lambda cw: F.round(
-                F.aggregate(
-                    F.zip_with(sub, cw, lambda x, c: (x - c) * (x - c)),
-                    F.lit(0.0),
-                    lambda acc, y: acc + y,
-                ),
-                6,
-            ),
+    def d2s_for(j: int) -> str:
+        sub = f"slice(v, {j * _PQ_DSUB + 1}, {_PQ_DSUB})"
+        return (
+            f"transform(element_at({cb_sql}, {j + 1}), "
+            f"cw -> round(aggregate(zip_with({sub}, cw, "
+            "(x, c) -> (x - c) * (x - c)), "
+            "CAST(0.0 AS double), (acc, y) -> acc + y), 6)) "
+            f"AS d2s{j}"
         )
-        return (F.array_position(d2s, F.array_min(d2s)) - 1).cast("int")
 
-    return df.select(
-        *keep, *[code_for(j).alias(f"c{j}") for j in range(_PQ_M)]
+    # Two projects, not one: the argmin references its distance array
+    # TWICE (array_position + array_min); binding d2s{j} in its own
+    # projection parses the embedded codebook literal once per subspace
+    # instead of twice, and d2s{j} is non-cheap and multiply-referenced,
+    # so CollapseProject (SPARK-36718) keeps the stage split — one
+    # evaluation per row, identical values.
+    dists = df.selectExpr(*keep, *[d2s_for(j) for j in range(_PQ_M)])
+    return dists.selectExpr(
+        *keep,
+        *[
+            f"CAST(array_position(d2s{j}, array_min(d2s{j})) - 1 AS int) AS c{j}"
+            for j in range(_PQ_M)
+        ],
     )
 
 

@@ -1924,8 +1924,18 @@ def _ppmi_pair_stream(docs):
     """The exploded positional co-occurrence stream (one 'w1 w2' pair
     string per in-window token pair, unordered-normalized). Shared by
     q_cooccur_ppmi's pair aggregate and q_cooccur_ppmi_pruned's
-    prune-before-aggregate plan."""
-    toks = F.split(F.col("text"), " ")
+    prune-before-aggregate plan.
+
+    r14 (VERDICT r13 #8, guide §1.2 step 2): ``split(text)`` is bound in
+    its OWN projection before the pair lambdas. The inlined form embedded
+    the split at every reference — and higher-order-function lambdas
+    evaluate interpreted, so ``element_at(split(text), i)`` re-split the
+    document PER SEQUENCE ELEMENT (O(n_tokens) splits of an O(n_tokens)
+    string per row = the quadratic term in this family's CPU wall).
+    ``toks`` is non-cheap and multiply-referenced, so CollapseProject
+    (SPARK-36718) keeps the projections separate: one split per row.
+    Same arrays, same pairs — values unchanged."""
+    toks = F.col("toks")
 
     def pairs_at(k: int):
         # Guarded: sequence(1, 0) in Spark steps DESCENDING ([1, 0]), so a
@@ -1948,6 +1958,7 @@ def _ppmi_pair_stream(docs):
     # build into the scan task (see verify-skill explode-pushdown trap).
     return (
         fan_out(docs)
+        .select(F.split(F.col("text"), " ").alias("toks"))
         .select(F.explode_outer(all_pairs).alias("pair"))
         .filter(F.col("pair").isNotNull())
     )
@@ -2190,8 +2201,12 @@ def _bigram_counts(docs):
     q_kneser_ney open with, factored so (a) the two LMs cannot drift and
     (b) the scale probe can measure the distinct-bigram volume of exactly
     the frame both queries aggregate (r10 verdict #5: their >=10x probe
-    walls are claimed to track this workload)."""
-    toks = F.split(F.col("text"), " ")
+    walls are claimed to track this workload).
+
+    r14: ``split(text)`` bound in its own projection before the bigram
+    lambda (the _ppmi_pair_stream fix — interpreted HOF lambdas re-split
+    per element otherwise); values unchanged."""
+    toks = F.col("toks")
     bigrams = F.when(
         F.size(toks) >= 2,
         F.transform(
@@ -2203,6 +2218,7 @@ def _bigram_counts(docs):
     ).otherwise(F.array().cast("array<string>"))
     big = (
         fan_out(docs)
+        .select("doc_id", F.split(F.col("text"), " ").alias("toks"))
         .select("doc_id", F.explode_outer(bigrams).alias("bg"))
         .filter(F.col("bg").isNotNull())
     )

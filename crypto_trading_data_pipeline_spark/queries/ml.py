@@ -198,7 +198,10 @@ def logreg_train(labeled, buckets: int, iters: int, lr: int):
     # expensive pass and the single-file fixture scan gives one split, so
     # the checkpoint materialization ran serialized (r10 audit, 1.1 s) —
     # and every GD iteration then aggregated over that one partition.
-    feat = _feat(fan_out(labeled), buckets).localCheckpoint(eager=True)
+    # eager=False + count (r14): the n_docs count reads every partition
+    # and materializes the checkpoint — one job instead of two; the GD
+    # iterations' aggregates then read the cached blocks sequentially.
+    feat = _feat(fan_out(labeled), buckets).localCheckpoint(eager=False)
     n_docs = feat.select("doc_id").distinct().count()
 
     def fdiv(a: int, n: int) -> int:

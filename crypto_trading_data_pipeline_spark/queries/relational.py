@@ -4601,7 +4601,12 @@ def q_kcore(spark: SparkSession, sf_dir: str):
             .join(alive.withColumnRenamed("node", "dst"), "dst", "left_semi")
             .select("src", "dst")
         )
-        if _r % 2 == 1:
+        # Checkpoint every other round AND on the final round (r13 ADVICE
+        # #3): the cadence alone silently assumed _KCORE_ROUNDS stays
+        # even — an odd future value would leave a trailing uncheckpointed
+        # segment whose plan re-grows 3^k. No-op at the current value
+        # (round 3 satisfies both conditions).
+        if _r % 2 == 1 or _r == _KCORE_ROUNDS - 1:
             edges = edges.localCheckpoint(eager=True)
     return (
         edges.groupBy(F.col("src").alias("node"))
