@@ -34,9 +34,15 @@ RUNTIME_CONF = {
     # the size conditions; the AQE threshold converts SMJ->SHJ at runtime
     # when every post-shuffle partition of the build side is under 64 MB
     # (same bound as autoBroadcastJoinThreshold), which is what actually
-    # fires behind our unknown-stats checkpointed RDDs. Both bounded, so
-    # the OOM risk §3.1 warns about is capped per partition; sort-merge
-    # still plans wherever the build side could be big. Interleaved
+    # fires behind our unknown-stats checkpointed RDDs. Risk note (r13
+    # ADVICE #1): the per-partition 64 MB cap holds for the AQE path
+    # ONLY — the static flip's canBuildLocalHashMap divides a TOTAL size
+    # estimate by the partition count assuming uniform keys, so one
+    # skewed key can overfill a build partition (SHJ has no sort-merge
+    # fallback). Mitigations kept alongside: AQE skew-join splitting is
+    # on above, and the static flag only fires where the planner can
+    # prove the size conditions from known stats; revisit the flip if a
+    # production profile shows hot-key joins on low-stats inputs. Interleaved
     # same-box A/B on a 12-query join-heavy set (3 runs per tree per
     # mode, alternating): every adjacent pair favored SHJ, best totals
     # 13.6 s vs 16.7 s (-18%) — OPTIMIZATION_r13.md.
